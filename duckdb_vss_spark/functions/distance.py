@@ -1,0 +1,185 @@
+"""Vector distance scalar functions — the engine's core new surface.
+
+The reference consumes DuckDB core's array distance functions and maps
+them onto index metrics (reference: src/hnsw/hnsw_index.cpp:632-662 —
+l2sq→{array_distance, <->}, cosine→{array_cosine_distance, <=>},
+ip→{array_negative_inner_product, <#>}). Semantics we pin (SURVEY §2.3):
+
+- ``array_distance``              = Euclidean WITH sqrt (DuckDB-core convention)
+- ``array_distance_sq``           = Σ(aᵢ−bᵢ)² (usearch l2sq index metric,
+  rank-equivalent to array_distance; index_plugins.hpp:1033-1053)
+- ``array_inner_product``         = a·b
+- ``array_negative_inner_product``= −a·b
+- ``array_cosine_similarity``     = a·b/(‖a‖·‖b‖)
+- ``array_cosine_distance``       = 1 − cosine_similarity
+
+All are *native Column expressions* (zip_with + aggregate higher-order
+functions) so they stay JVM-side inside whole-stage codegen — no Python
+boundary in the hot path. Math is float64: inputs are cast to
+array<double> before accumulation so results hash-match a DOUBLE[]
+oracle; sequential left-fold matches DuckDB's sequential kernel order.
+
+NULL semantics: NULL input array → NULL result (a NULL vector can never
+be a nearest neighbor; reference excludes NULLs from the index entirely,
+src/hnsw/hnsw_index.cpp:437-440).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "array_value",
+    "array_distance",
+    "array_distance_sq",
+    "array_inner_product",
+    "array_negative_inner_product",
+    "array_cosine_similarity",
+    "array_cosine_distance",
+    "distance_for_metric",
+    "METRICS",
+    "register_sql_functions",
+    "require_dim",
+]
+
+
+def _to_col(v) -> Column:
+    """Accept a Column, a column name, or a Python list (constant vector)."""
+    if isinstance(v, Column):
+        return v
+    if isinstance(v, str):
+        return F.col(v)
+    if isinstance(v, (list, tuple)):
+        return F.array(*[F.lit(float(x)) for x in v])
+    raise TypeError(f"cannot treat {type(v).__name__} as a vector column")
+
+
+def _d(v) -> Column:
+    return _to_col(v).cast("array<double>")
+
+
+def array_value(*xs) -> Column:
+    """DuckDB ``array_value(a, b, c)`` — construct a float vector column."""
+    return F.array(*[_to_col(x) if isinstance(x, (Column, str)) else F.lit(x) for x in xs]).cast(
+        "array<float>"
+    )
+
+
+def _fold_sum(arr: Column) -> Column:
+    # Sequential left fold — same accumulation order as a scalar loop.
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def array_distance_sq(a, b) -> Column:
+    """Σ(aᵢ−bᵢ)² — usearch's l2sq (no sqrt; index_plugins.hpp:1033-1053)."""
+    return _fold_sum(F.zip_with(_d(a), _d(b), lambda x, y: (x - y) * (x - y)))
+
+
+def array_distance(a, b) -> Column:
+    """Euclidean distance (with sqrt) — DuckDB core's array_distance / <->."""
+    return F.sqrt(array_distance_sq(a, b))
+
+
+def array_inner_product(a, b) -> Column:
+    return _fold_sum(F.zip_with(_d(a), _d(b), lambda x, y: x * y))
+
+
+def array_negative_inner_product(a, b) -> Column:
+    """−a·b — DuckDB core's array_negative_inner_product / <#>."""
+    return -array_inner_product(a, b)
+
+
+def array_cosine_similarity(a, b) -> Column:
+    ac, bc = _d(a), _d(b)
+    dot = _fold_sum(F.zip_with(ac, bc, lambda x, y: x * y))
+    na = F.sqrt(_fold_sum(F.transform(ac, lambda x: x * x)))
+    nb = F.sqrt(_fold_sum(F.transform(bc, lambda x: x * x)))
+    return dot / (na * nb)
+
+
+def array_cosine_distance(a, b) -> Column:
+    """1 − cosine_similarity — DuckDB core's array_cosine_distance / <=>.
+
+    The reference's expression-rewrite rule canonicalizes
+    ``1.0 - array_cosine_similarity(a,b)`` to this function
+    (src/hnsw/hnsw_optimize_expr.cpp:18-75); here they are definitionally
+    equal, which is the semantic the rewrite preserves.
+    """
+    return F.lit(1.0) - array_cosine_similarity(a, b)
+
+
+# metric name → SQL-visible distance function, as the index matcher maps
+# them (src/hnsw/hnsw_index.cpp:632-662). Keys are the accepted values of
+# CREATE INDEX ... WITH (metric = ...), validated like
+# src/hnsw/hnsw_index_plan.cpp:38-46.
+METRICS = {
+    "l2sq": array_distance,
+    "cosine": array_cosine_distance,
+    "ip": array_negative_inner_product,
+}
+
+
+def distance_for_metric(metric: str):
+    if metric not in METRICS:
+        raise ValueError(
+            f"HNSW index 'metric' must be one of: {', '.join(sorted(METRICS))}"
+        )
+    return METRICS[metric]
+
+
+def require_dim(vec: Column, dim: int) -> Column:
+    """Runtime fixed-dimension guard (Spark has no FLOAT[N] type).
+
+    Mirrors the reference binder's "HNSW index keys must be of type
+    FLOAT[N]" enforcement (src/hnsw/hnsw_index_plan.cpp:86-99): raises at
+    execution time if a non-NULL vector has the wrong length.
+    """
+    return F.when(vec.isNull(), F.lit(None).cast("array<float>")).otherwise(
+        F.when(F.size(vec) == dim, vec).otherwise(
+            F.raise_error(F.format_string("HNSW index keys must be of type FLOAT[%d]", F.lit(dim)))
+        )
+    )
+
+
+def register_sql_functions(spark: SparkSession) -> None:
+    """Expose the distance surface to ``spark.sql`` queries by name.
+
+    The DataFrame-API forms above are the canonical (JVM-native) path;
+    these registrations exist so SQL text using the reference's function
+    names runs unchanged. They are Arrow-batched pandas UDFs (a Python
+    boundary) — fine for SQL convenience, not the hot path.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType
+
+    def _wrap(fn):
+        def inner(a: pd.Series, b: pd.Series) -> pd.Series:
+            out = np.empty(len(a), dtype=np.float64)
+            for i, (x, y) in enumerate(zip(a, b)):
+                if x is None or y is None:
+                    out[i] = np.nan
+                else:
+                    out[i] = fn(np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64))
+            res = pd.Series(out)
+            mask = pd.Series([(x is None or y is None) for x, y in zip(a, b)])
+            return res.mask(mask)
+
+        return inner
+
+    from pyspark.sql.functions import pandas_udf
+
+    impls = {
+        "array_distance": lambda x, y: float(np.sqrt(((x - y) ** 2).sum())),
+        "array_distance_sq": lambda x, y: float(((x - y) ** 2).sum()),
+        "array_inner_product": lambda x, y: float((x * y).sum()),
+        "array_negative_inner_product": lambda x, y: -float((x * y).sum()),
+        "array_cosine_similarity": lambda x, y: float(
+            (x * y).sum() / (np.sqrt((x * x).sum()) * np.sqrt((y * y).sum()))
+        ),
+        "array_cosine_distance": lambda x, y: 1.0
+        - float((x * y).sum() / (np.sqrt((x * x).sum()) * np.sqrt((y * y).sum()))),
+    }
+    for name, fn in impls.items():
+        spark.udf.register(name, pandas_udf(_wrap(fn), DoubleType()))

@@ -1,0 +1,7 @@
+from duckdb_vss_spark.operators.join import knn_join, vss_join, vss_match  # noqa: F401
+from duckdb_vss_spark.operators.topk import (  # noqa: F401
+    knn_search,
+    max_by_k,
+    min_by_k,
+    topk_struct_agg,
+)

@@ -1,0 +1,277 @@
+"""Top-k vector joins: knn_join, vss_join, vss_match.
+
+Reference surfaces re-expressed here:
+
+- ``knn_join`` — the lateral top-k join entry point (``FROM queries,
+  LATERAL (SELECT … FROM items ORDER BY dist LIMIT k)``). The reference
+  pattern-matches DuckDB's decorrelated plan and swaps in a *single-
+  threaded* custom operator (src/hnsw/hnsw_optimize_join.cpp:33-317,
+  ParallelOperator()=false at :67-69). Ours parallelizes freely — that
+  limitation is an implementation artifact, not a semantic (SURVEY §7.4).
+
+  Two physical strategies:
+
+  * ``crossjoin`` — crossJoin + window row_number ≤ k. This is exactly
+    the logical plan DuckDB's binder produces *before* the reference's
+    rewrite; Catalyst executes it as a shuffled window. Exact, fully
+    expressed in native expressions, right choice when |queries|·|items|
+    is modest.
+  * ``broadcast`` — collect the query vectors (id + vector only) to a
+    broadcast numpy matrix; ``mapInPandas`` over item partitions computes
+    a partition-local top-k per query (vectorized numpy, float64);
+    a final window over |queries|·P·k candidate rows produces the global
+    top-k. Item payload is late-materialized by id-join after selection
+    (the reference's rowid-fetch pattern, src/hnsw/hnsw_index_scan.cpp:
+    79-88). This is the 100 TB shape: the full item table is never
+    shuffled — only P·k rows per query move.
+
+- ``vss_join`` / ``vss_match`` — the reference's brute-force SQL table
+  macros (src/hnsw/hnsw_index_macros.cpp:10-75). Per the macro text:
+  metric l2sq/'l2' scores with Euclidean ``array_distance`` and keeps the
+  k *smallest*; 'cosine'/'cos' scores with ``array_cosine_similarity``
+  and 'ip' with ``array_inner_product``, keeping the k *largest*.
+  Output schemas mirror the macros: vss_join → (score, left_tbl STRUCT,
+  right_tbl STRUCT); vss_match → left row + matches LIST<STRUCT{score,
+  row STRUCT}>.
+
+NULL semantics: pairs with NULL score are dropped (DuckDB aggregates
+skip NULLs; NULL vectors never match — SURVEY §4.3.4).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from duckdb_vss_spark.functions.distance import (
+    array_cosine_similarity,
+    array_distance,
+    array_inner_product,
+    distance_for_metric,
+)
+
+__all__ = ["knn_join", "vss_join", "vss_match"]
+
+# vss_* macro scoring: metric → (score function, keep-largest?)
+_MACRO_SCORES = {
+    "l2sq": (array_distance, False),
+    "l2": (array_distance, False),
+    "cosine": (array_cosine_similarity, True),
+    "cos": (array_cosine_similarity, True),
+    "ip": (array_inner_product, True),
+}
+
+
+def _macro_score(metric: str):
+    if metric not in _MACRO_SCORES:
+        raise ValueError("Unknown metric")  # matches macro error('Unknown metric')
+    return _MACRO_SCORES[metric]
+
+
+def knn_join(
+    queries: DataFrame,
+    items: DataFrame,
+    query_vec_col: str,
+    item_vec_col: str,
+    k: int,
+    metric: str = "l2sq",
+    query_id_col: str | None = None,
+    item_id_col: str | None = None,
+    strategy: str = "crossjoin",
+    dist_col: str = "dist",
+    rn_col: str = "rn",
+) -> DataFrame:
+    """For each query row, the k nearest item rows by the metric's distance.
+
+    Output: query columns…, item columns…, ``dist_col`` (the metric's
+    SQL-visible distance), ``rn_col`` (1-indexed rank per query — the
+    reference join operator emits the same 1-indexed row_number,
+    src/hnsw/hnsw_optimize_join.cpp:148).
+    """
+    if k <= 0:
+        raise ValueError("k must be a positive integer")
+    if strategy == "crossjoin":
+        return _knn_join_crossjoin(
+            queries, items, query_vec_col, item_vec_col, k, metric, dist_col, rn_col
+        )
+    if strategy == "broadcast":
+        if query_id_col is None or item_id_col is None:
+            raise ValueError("broadcast strategy requires query_id_col and item_id_col")
+        return _knn_join_broadcast(
+            queries, items, query_vec_col, item_vec_col, k, metric,
+            query_id_col, item_id_col, dist_col, rn_col,
+        )
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def _dedup_names(queries: DataFrame, items: DataFrame) -> DataFrame:
+    clash = set(queries.columns) & set(items.columns)
+    renamed = items
+    for c in clash:
+        renamed = renamed.withColumnRenamed(c, f"item_{c}")
+    return renamed
+
+
+def _knn_join_crossjoin(queries, items, qv, iv, k, metric, dist_col, rn_col):
+    dist_fn = distance_for_metric(metric)
+    items = _dedup_names(queries, items)
+    iv_name = f"item_{iv}" if iv in queries.columns else iv
+    # A synthetic per-row key keeps duplicate query rows distinct under
+    # the window (partitioning by the row's values would merge them).
+    q = queries.withColumn("__qrow", F.monotonically_increasing_id())
+    j = (
+        q.crossJoin(items.where(F.col(iv_name).isNotNull()))
+        .withColumn(dist_col, dist_fn(F.col(qv), F.col(iv_name)))
+        .where(F.col(dist_col).isNotNull())
+    )
+    w = Window.partitionBy("__qrow").orderBy(F.col(dist_col).asc(), *[
+        F.col(c) for c in j.columns if c not in (dist_col, "__qrow", qv, iv_name)
+    ])
+    return (
+        j.withColumn(rn_col, F.row_number().over(w))
+        .where(F.col(rn_col) <= k)
+        .drop("__qrow")
+    )
+
+
+def _knn_join_broadcast(queries, items, qv, iv, k, metric, qid, iid, dist_col, rn_col):
+    import numpy as np
+    import pandas as pd
+
+    qpdf = queries.select(qid, qv).where(F.col(qv).isNotNull()).toPandas()
+    if len(qpdf) == 0:
+        raise ValueError("no non-NULL query vectors")
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for v in qpdf[qv]])
+    qids = qpdf[qid].to_numpy()
+    sc = items.sparkSession.sparkContext
+    bq = sc.broadcast((qids, qmat))
+
+    out_schema = f"{qid} long, {iid} long, {dist_col} double"
+
+    def search_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_, mat = bq.value
+        nq = len(ids_)
+        # per-query running top-k across all batches of this partition
+        best_d = np.full((nq, k), np.inf)
+        best_i = np.full((nq, k), -1, dtype=np.int64)
+        for pdf in batches:
+            vecs = pdf[iv]
+            mask = vecs.notna().to_numpy()
+            if not mask.any():
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs[mask]])
+            xid = pdf[iid].to_numpy()[mask]
+            d = _pairwise_dist(x, mat, metric)  # (batch, nq)
+            kk = min(k, d.shape[0])
+            idx = np.argpartition(d, kk - 1, axis=0)[:kk]  # (kk, nq)
+            dsel = np.take_along_axis(d, idx, axis=0)  # (kk, nq)
+            # merge into the running heap
+            cat_d = np.concatenate([best_d, dsel.T], axis=1)
+            cat_i = np.concatenate([best_i, xid[idx].T], axis=1)
+            order = np.argsort(cat_d, axis=1, kind="stable")[:, :k]
+            best_d = np.take_along_axis(cat_d, order, axis=1)
+            best_i = np.take_along_axis(cat_i, order, axis=1)
+        valid = best_i >= 0
+        rows = valid.sum()
+        if rows:
+            qrep = np.repeat(ids_, valid.sum(axis=1))
+            yield pd.DataFrame(
+                {qid: qrep, iid: best_i[valid], dist_col: best_d[valid]}
+            )
+
+    candidates = items.select(iid, iv).mapInPandas(search_partition, schema=out_schema)
+    w = Window.partitionBy(qid).orderBy(F.col(dist_col).asc(), F.col(iid))
+    topk = candidates.withColumn(rn_col, F.row_number().over(w)).where(F.col(rn_col) <= k)
+    # late materialization: fetch payload columns by id after selection
+    return (
+        topk.join(queries.drop(qv) if qv != qid else queries, on=qid, how="inner")
+        .join(_dedup_names(queries, items), on=iid, how="inner")
+    )
+
+
+def _pairwise_dist(x, q, metric):
+    """(batch, d) × (nq, d) → (batch, nq) distances, float64.
+
+    l2 uses the norm expansion for the matmul fast path; selected
+    distances are rank-exact for top-k purposes and recomputable
+    downstream if bit-exact values are needed.
+    """
+    import numpy as np
+
+    if metric == "l2sq":
+        d2 = (x * x).sum(1)[:, None] + (q * q).sum(1)[None, :] - 2.0 * (x @ q.T)
+        return np.sqrt(np.maximum(d2, 0.0))
+    if metric == "cosine":
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        return 1.0 - xn @ qn.T
+    if metric == "ip":
+        return -(x @ q.T)
+    raise ValueError(f"unknown metric {metric!r}")
+
+
+def _as_struct(df: DataFrame, name: str) -> DataFrame:
+    return df.select(F.struct(*df.columns).alias(name))
+
+
+def vss_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    k: int,
+    metric: str = "l2sq",
+) -> DataFrame:
+    """Brute-force top-k join, macro-shaped output (score, left_tbl, right_tbl).
+
+    Reference: VSS_JOIN_MACRO, src/hnsw/hnsw_index_macros.cpp:10-47.
+    """
+    score_fn, keep_largest = _macro_score(metric)
+    l = _as_struct(left, "left_tbl").withColumn("__lrow", F.monotonically_increasing_id())
+    r = _as_struct(right, "right_tbl")
+    j = (
+        l.crossJoin(r)
+        .withColumn("score", score_fn(F.col(f"left_tbl.{left_col}"), F.col(f"right_tbl.{right_col}")))
+        .where(F.col("score").isNotNull())
+    )
+    order = F.col("score").desc() if keep_largest else F.col("score").asc()
+    w = Window.partitionBy("__lrow").orderBy(order, F.col("right_tbl"))
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select("score", "left_tbl", "right_tbl")
+    )
+
+
+def vss_match(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    k: int,
+    metric: str = "l2sq",
+) -> DataFrame:
+    """Correlated match list: left row + matches LIST<STRUCT{score, row}>.
+
+    Reference: VSS_MATCH_MACRO, src/hnsw/hnsw_index_macros.cpp:49-75
+    (used as ``FROM s, vss_match(t1, s.vec, vec, k)``).
+    """
+    score_fn, keep_largest = _macro_score(metric)
+    l = _as_struct(left, "__left").withColumn("__lrow", F.monotonically_increasing_id())
+    r = _as_struct(right, "row")
+    j = (
+        l.crossJoin(r)
+        .withColumn("score", score_fn(F.col(f"__left.{left_col}"), F.col(f"row.{right_col}")))
+        .where(F.col("score").isNotNull())
+    )
+    sort_key = -F.col("score") if keep_largest else F.col("score")
+    pairs = F.collect_list(F.struct(sort_key.alias("__s"), F.col("score"), F.col("row")))
+    agg = j.groupBy("__lrow", "__left").agg(
+        F.transform(
+            F.slice(F.array_sort(pairs), 1, k),
+            lambda p: F.struct(p["score"].alias("score"), p["row"].alias("row")),
+        ).alias("matches")
+    )
+    return agg.select("__left.*", "matches")

@@ -1,0 +1,514 @@
+"""Declared query inventory: Spark implementation + DuckDB oracle pairs.
+
+Each entry exercises one operator/surface from SURVEY.md §2 (reference
+operators, the DuckDB-core surface they depend on, or a north-star
+pipeline operator). Conventions that make the driver's hash comparison
+deterministic:
+
+- every computed column is explicitly aliased, with the SAME name on
+  both sides;
+- float aggregates are summed as DECIMAL (exact, order-independent —
+  Spark's partial aggregation order must not affect the hash) and cast
+  back to DOUBLE;
+- distances are computed in float64 on both sides (Spark: cast to
+  array<double> + sequential fold; DuckDB: CAST(... AS DOUBLE[]) +
+  list_* kernels) so values agree bit-for-bit;
+- every top-N has a deterministic total tie-break order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from duckdb_vss_spark.functions.distance import (
+    array_cosine_distance,
+    array_cosine_similarity,
+    array_distance,
+    array_negative_inner_product,
+)
+from duckdb_vss_spark.operators.join import knn_join, vss_join, vss_match
+from duckdb_vss_spark.operators.topk import knn_search, topk_struct_agg
+from duckdb_vss_spark.sources import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+def _dec_sum(col, scale="decimal(28,4)"):
+    """Exact, order-independent SUM of a double expression → DOUBLE.
+
+    The per-row double arithmetic is IEEE-deterministic; the decimal cast
+    makes the *accumulation* order irrelevant, so Spark's partial aggs
+    hash-match DuckDB's single-threaded fold. Scale stays ≤4 so the
+    scaled integer stays under 2^53 — then decimal→double is a single
+    correctly-rounded division in both engines (at scale 10 DuckDB
+    double-rounds through float and diverges in the last ulp).
+    """
+    return F.sum(col.cast(scale)).cast("double")
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vid: int = 0) -> list[float]:
+    """The constant query vector (reference: constant-folded literal,
+    hnsw_optimize_scan.cpp:121). Taken from a fixed embeddings row so the
+    oracle can reconstruct the identical float32 values via subquery."""
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == vid)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row[0]]
+
+
+_ORACLE_QVEC = "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = {vid})"
+
+
+# --------------------------------------------------------------------------
+# Relational layer (DuckDB-core surface the reference depends on, §2.2)
+# --------------------------------------------------------------------------
+
+@register(
+    "q01_pricing_summary",
+    """
+    SELECT
+      l_returnflag, l_linestatus,
+      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1.00 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_qty,
+      CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_price,
+      CAST(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_disc,
+      count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → filter → hash agg (map-side partial).
+
+    Money columns are exact 2-decimal values stored as doubles; casting
+    to DECIMAL *before* any arithmetic makes every summand exact, so the
+    aggregation is order-independent and hash-matches the oracle
+    (rounding double expression results per-row is NOT cross-engine
+    stable — tie behavior differs in the last ulp).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    one = F.lit("1.00").cast("decimal(3,2)")
+    disc_price = price * (one - F.col("l_discount").cast("decimal(4,2)"))
+    charge = disc_price * (one + F.col("l_tax").cast("decimal(4,2)"))
+    cnt = F.count(F.lit(1))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / cnt).cast("double").alias("avg_qty"),
+            (F.sum(price).cast("double") / cnt).cast("double").alias("avg_price"),
+            (F.sum(F.col("l_discount").cast("decimal(4,2)")).cast("double") / cnt)
+            .cast("double")
+            .alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q03_shipping_priority",
+    """
+    SELECT
+      l_orderkey,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1998-03-15'
+      AND l_shipdate  > DATE '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → joins → agg → top-N.
+
+    The customer side is small and broadcast; lineitem never shuffles
+    for the join at scale (broadcast hash join), only for the group-by.
+    """
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("date")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("date")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(12,2)") * (F.lit("1.00").cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)"))).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q05_local_supplier_volume",
+    """
+    SELECT
+      n_name,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate <  DATE '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join — all dims broadcast, one agg shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(12,2)") * (F.lit("1.00").cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)"))).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q_window_top_events",
+    """
+    SELECT user_id, event_id, value, rn FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def q_window_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k per group — the plan shape the reference's lateral-join
+    rule pattern-matches (row_number ≤ k over ORDER BY, §2.1 #7)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        ev.select("user_id", "event_id", "value", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "q_sessionize_events",
+    """
+    WITH gaps AS (
+      SELECT user_id, event_id,
+        CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800000
+               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+    FROM gaps GROUP BY user_id
+    """,
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min gap) via lag + flag-sum — a training-data
+    pipeline staple; exact integer-millisecond arithmetic on both sides."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    ms = F.unix_millis(F.col("ts"))
+    lag_ms = F.lag(ms).over(w)
+    new_session = F.when(lag_ms.isNull() | ((ms - lag_ms) > 1800000), 1).otherwise(0)
+    return (
+        ev.select("user_id", new_session.alias("new_session"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Vector surface (reference operators, §2.1)
+# --------------------------------------------------------------------------
+
+@register(
+    "q_knn_l2",
+    f"""
+    SELECT vec_id, label,
+           list_distance(CAST(embedding AS DOUBLE[]), {_ORACLE_QVEC.format(vid=0)}) AS dist
+    FROM embeddings
+    WHERE embedding IS NOT NULL
+    ORDER BY dist, vec_id
+    LIMIT 10
+    """,
+)
+def q_knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY array_distance LIMIT k — entry point B of the reference
+    (brute-force plan = TakeOrderedAndProject; SURVEY §3-B)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    return knn_search(emb, "embedding", qv, 10, metric="l2sq").select("vec_id", "label", "dist")
+
+
+@register(
+    "q_knn_cosine",
+    f"""
+    SELECT vec_id,
+           1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), {_ORACLE_QVEC.format(vid=1)}) AS dist
+    FROM embeddings
+    WHERE embedding IS NOT NULL
+    ORDER BY dist, vec_id
+    LIMIT 10
+    """,
+)
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 1)
+    return knn_search(emb, "embedding", qv, 10, metric="cosine").select("vec_id", "dist")
+
+
+@register(
+    "q_knn_inner_product",
+    f"""
+    SELECT vec_id,
+           -list_inner_product(CAST(embedding AS DOUBLE[]), {_ORACLE_QVEC.format(vid=2)}) AS dist
+    FROM embeddings
+    WHERE embedding IS NOT NULL
+    ORDER BY dist, vec_id
+    LIMIT 10
+    """,
+)
+def q_knn_inner_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 2)
+    return knn_search(emb, "embedding", qv, 10, metric="ip").select("vec_id", "dist")
+
+
+@register(
+    "q_knn_grid",
+    """
+    SELECT a, b, c,
+           list_distance([a, b, c]::DOUBLE[], [1.0, 2.0, 3.0]::DOUBLE[]) AS dist
+    FROM range(1, 10) ta(a), range(1, 10) tb(b), range(1, 10) tc(c)
+    ORDER BY dist, a, b, c
+    LIMIT 3
+    """,
+)
+def q_knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's canonical 9×9×9 grid fixture (hnsw_basic.test:10-31;
+    FIXTURES.md F1): top-3 by distance to [1,2,3] → distances 0,1,1."""
+    grid = (
+        spark.range(1, 10).select(F.col("id").alias("a"))
+        .crossJoin(spark.range(1, 10).select(F.col("id").alias("b")))
+        .crossJoin(spark.range(1, 10).select(F.col("id").alias("c")))
+    )
+    vec = F.array("a", "b", "c").cast("array<float>")
+    return (
+        grid.withColumn("dist", array_distance(vec, [1.0, 2.0, 3.0]))
+        .orderBy("dist", "a", "b", "c")
+        .limit(3)
+    )
+
+
+@register(
+    "q_vss_join",
+    """
+    SELECT score, lid, rid FROM (
+      SELECT l.vec_id AS lid, r.vec_id AS rid,
+             list_distance(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])) AS score,
+             row_number() OVER (
+               PARTITION BY l.vec_id
+               ORDER BY list_distance(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])), r.vec_id
+             ) AS rn
+      FROM (SELECT * FROM embeddings WHERE vec_id < 5) l, embeddings r
+    ) WHERE rn <= 3
+    """,
+)
+def q_vss_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vss_join macro semantics (l2sq → min_by on Euclidean distance),
+    flattened to scalar columns for the oracle hash (§2.1 #8)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    left = emb.where(F.col("vec_id") < 5)
+    out = vss_join(left, emb, "embedding", "embedding", 3, metric="l2sq")
+    return out.select(
+        "score",
+        F.col("left_tbl.vec_id").alias("lid"),
+        F.col("right_tbl.vec_id").alias("rid"),
+    )
+
+
+@register(
+    "q_vss_match_stats",
+    """
+    SELECT lid, n_matches, best, worst FROM (
+      SELECT l.vec_id AS lid, count(*) AS n_matches,
+             min(score) AS best, max(score) AS worst
+      FROM (
+        SELECT l.vec_id, r.vec_id AS rid,
+               list_distance(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])) AS score,
+               row_number() OVER (
+                 PARTITION BY l.vec_id
+                 ORDER BY list_distance(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])), r.vec_id
+               ) AS rn
+        FROM (SELECT * FROM embeddings WHERE vec_id < 8) l, embeddings r
+      ) l WHERE rn <= 4
+      GROUP BY l.vec_id
+    )
+    """,
+)
+def q_vss_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vss_match macro (§2.1 #9): matches-list per outer row, summarized to
+    scalars (len/min/max — the reference's own test style, e.g.
+    len(matches)=3 in hnsw_join_macro.test:27-44)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    left = emb.where(F.col("vec_id") < 8).select("vec_id", "embedding")
+    out = vss_match(left, emb.select("vec_id", "embedding"), "embedding", "embedding", 4)
+    m = F.col("matches")
+    return out.select(
+        F.col("vec_id").alias("lid"),
+        F.size(m).cast("bigint").alias("n_matches"),
+        F.array_min(F.transform(m, lambda x: x["score"])).alias("best"),
+        F.array_max(F.transform(m, lambda x: x["score"])).alias("worst"),
+    )
+
+
+@register(
+    "q_min_by_topk",
+    f"""
+    SELECT array_to_string(list(vec_id ORDER BY dist, vec_id)[1:5], ',') AS topk
+    FROM (
+      SELECT vec_id,
+             list_distance(CAST(embedding AS DOUBLE[]), {_ORACLE_QVEC.format(vid=3)}) AS dist
+      FROM embeddings WHERE embedding IS NOT NULL
+    )
+    """,
+)
+def q_min_by_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-ary min_by(col, dist, k) (§2.1 #5) — DuckDB 1.0 lacks the k-ary
+    overload, so the oracle uses its rewrite target: ordered list() slice
+    (exactly what the reference's optimizer rewrites min_by into,
+    src/hnsw/hnsw_optimize_topk.cpp:51-56)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 3)
+    dist = array_distance(F.col("embedding"), qv)
+    agged = emb.where(F.col("embedding").isNotNull()).agg(
+        topk_struct_agg(dist, F.col("vec_id"), 5).alias("ids")
+    )
+    return agged.select(
+        F.array_join(F.transform(F.col("ids"), lambda x: x.cast("string")), ",").alias("topk")
+    )
+
+
+@register(
+    "q_cosine_rewrite",
+    """
+    SELECT
+      1.0 - list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS lhs,
+      1.0 - list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS rhs
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id = 0 AND b.vec_id = 1
+    """,
+)
+def q_cosine_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expression canonicalization (§2.1 #6): 1.0 − cosine_similarity ≡
+    cosine_distance. Our functions make it definitional; both sides of
+    the equivalence are emitted and must hash-match the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("va"))
+    b = emb.where(F.col("vec_id") == 1).select(F.col("embedding").alias("vb"))
+    return a.crossJoin(b).select(
+        (F.lit(1.0) - array_cosine_similarity(F.col("va"), F.col("vb"))).alias("lhs"),
+        array_cosine_distance(F.col("va"), F.col("vb")).alias("rhs"),
+    )
+
+
+@register(
+    "q_knn_join_lateral",
+    """
+    SELECT qid, rid, dist, rn FROM (
+      SELECT q.vec_id AS qid, r.vec_id AS rid,
+             list_distance(CAST(q.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])) AS dist,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])), r.vec_id
+             ) AS rn
+      FROM (SELECT * FROM embeddings WHERE vec_id % 50 = 0) q, embeddings r
+      WHERE r.embedding IS NOT NULL AND q.embedding IS NOT NULL
+    ) WHERE rn <= 5
+    """,
+)
+def q_knn_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral top-k join — entry point C (SURVEY §3-C): every 50th vector
+    as the query side, k=5, 1-indexed rn in the output like the
+    reference's PhysicalHNSWIndexJoin (hnsw_optimize_join.cpp:148)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = knn_join(q, emb.select("vec_id", "embedding"), "qvec", "embedding", 5, metric="l2sq")
+    return out.select("qid", F.col("vec_id").alias("rid"), "dist", "rn")

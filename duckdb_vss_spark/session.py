@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for this engine.
+
+Local test mode uses ``local[N]``; the same conf keys are what we'd set on
+a real cluster (AQE on, shuffle partitions sized to the data, Arrow on for
+the pandas-UDF paths). Engine-specific settings live under the
+``spark.vss.*`` namespace, mirroring the reference's ``SET hnsw_ef_search``
+session setting (reference: src/hnsw/hnsw_index.cpp:679-687).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Engine conf keys (session-settable, read at search time like the
+# reference's hnsw_ef_search: src/hnsw/hnsw_index.cpp:288-299).
+CONF_EF_SEARCH = "spark.vss.ef_search"
+CONF_ENABLE_PERSISTENCE = "spark.vss.enable_experimental_persistence"
+
+DEFAULT_EF_SEARCH = 64  # usearch default expansion_search (index.hpp:1107)
+
+
+def get_spark(app_name: str = "duckdb_vss_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or get) a SparkSession with engine defaults.
+
+    On a real cluster, drop ``master`` and let spark-submit decide; the
+    rest of the conf is scale-appropriate as-is (AQE handles runtime
+    coalescing and skew joins at any data size).
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def get_ef_search(spark: SparkSession, override: int | None = None) -> int:
+    """Session ef_search, like the reference's hnsw_ef_search setting."""
+    if override is not None:
+        return int(override)
+    return int(spark.conf.get(CONF_EF_SEARCH, str(DEFAULT_EF_SEARCH)))

@@ -1,0 +1,111 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every declared query both ways — Spark implementation vs DuckDB
+oracle SQL on the same parquet — and compares row count, schema (column
+names), and the order-insensitive multiset of row values. Stricter than
+any reasonable hash: floats must match exactly unless --tol is given.
+
+Usage: python tools/check_correctness.py [--sf /root/testdata/sf0.01] [name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def canon(v, tol: float):
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<NaN>"
+        if tol > 0:
+            return round(v / tol) * tol
+        return v
+    return v
+
+
+def rows_of(pdf, tol):
+    cols = sorted(pdf.columns)
+    out = []
+    for t in pdf[cols].itertuples(index=False, name=None):
+        out.append(tuple(canon(v, tol) for v in t))
+    return sorted(out, key=repr)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--tol", type=float, default=0.0)
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from duckdb_vss_spark import get_spark
+
+    spark = get_spark("check_correctness")
+    con = duckdb.connect()
+    tables = "region nation customer supplier part orders lineitem events documents embeddings".split()
+    for t in tables:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = args.names or list(qs)
+    n_pass = n_fail = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            spdf = qs[name](spark, args.sf).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: no oracle (rows-only: {len(spdf)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            opdf = con.execute(oracles[name]).fetch_df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+
+        problems = []
+        if len(spdf) != len(opdf):
+            problems.append(f"rowcount spark={len(spdf)} oracle={len(opdf)}")
+        if sorted(spdf.columns) != sorted(opdf.columns):
+            problems.append(f"columns spark={sorted(spdf.columns)} oracle={sorted(opdf.columns)}")
+        if not problems:
+            a, b = rows_of(spdf, args.tol), rows_of(opdf, args.tol)
+            if a != b:
+                bad = sum(1 for x, y in zip(a, b) if x != y)
+                problems.append(f"{bad}/{len(a)} rows differ")
+                for x, y in zip(a, b):
+                    if x != y:
+                        problems.append(f"  first diff:\n   spark : {x}\n   oracle: {y}")
+                        break
+        if problems:
+            n_fail += 1
+            print(f"FAIL {name} ({time.time()-t0:.1f}s): " + "; ".join(problems[:2]))
+            for p in problems[2:]:
+                print(p)
+        else:
+            n_pass += 1
+            print(f"PASS {name} ({len(spdf)} rows, {time.time()-t0:.1f}s)")
+    print(f"\n{n_pass} passed, {n_fail} failed, {len(names)} total")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
