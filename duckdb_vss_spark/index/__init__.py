@@ -1,0 +1,8 @@
+from duckdb_vss_spark.index.artifact import (  # noqa: F401
+    HnswIndex,
+    create_hnsw_index,
+    drop_index,
+    index_info,
+    load_index,
+)
+from duckdb_vss_spark.index.hnsw_graph import HNSWGraph  # noqa: F401

@@ -1,0 +1,416 @@
+"""HNSW index artifact: bulk build, persisted layout, indexed search paths.
+
+The reference's CREATE INDEX is a physical sink operator that buffers
+(vector, rowid) pairs and builds one shared thread-safe graph
+(src/hnsw/hnsw_index_physical_create.cpp:17-325). The Spark-native
+equivalent is a *job*, not an operator (SURVEY §2.1 #1):
+
+    df.select(id, vec).where(vec IS NOT NULL)        # NULL filter, like
+                                                     #  hnsw_index_plan.cpp:118-133
+      .repartition(P)                                # parallelism = partitions
+      .mapInPandas(build_partition_graph)            # share-nothing graphs
+    + manifest.json                                  # the "catalog entry"
+
+Layout on disk (any shared filesystem at cluster scale):
+
+    <path>/manifest.json          metric, dims, params, per-partition stats
+    <path>/parts/part-NNNNN.pkl   serialized HNSWGraph per partition
+
+Search merges per-partition top-k exactly (union of partition results →
+global top-k), so recall is ≥ a single monolithic graph with the same
+ef. Persistence is monolithic-per-partition and rebuilt in bulk — the
+same contract as the reference (README.md:76 "entire index will be
+serialized"), minus online DML: ``rebuild()`` replaces
+Insert/Delete/Compact (reference marks merge/constraints NotImplemented
+too, hnsw_index.cpp:561-578).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from duckdb_vss_spark.functions.distance import distance_for_metric
+from duckdb_vss_spark.index.hnsw_graph import (
+    DEFAULT_EF_CONSTRUCTION,
+    DEFAULT_EF_SEARCH,
+    DEFAULT_M,
+    HNSWGraph,
+)
+from duckdb_vss_spark.session import get_ef_search
+
+__all__ = ["create_hnsw_index", "load_index", "drop_index", "HnswIndex", "index_info"]
+
+# executor-process graph cache (file path + mtime → HNSWGraph); in local
+# mode this is one process, on a cluster one per executor python worker.
+_GRAPH_CACHE: dict[tuple[str, float], HNSWGraph] = {}
+
+
+def _load_graph(path: str) -> HNSWGraph:
+    key = (path, os.path.getmtime(path))
+    g = _GRAPH_CACHE.get(key)
+    if g is None:
+        for k in [k for k in _GRAPH_CACHE if k[0] == path]:
+            del _GRAPH_CACHE[k]
+        with open(path, "rb") as f:
+            g = HNSWGraph.from_bytes(f.read())
+        _GRAPH_CACHE[key] = g
+    return g
+
+
+def _validate_options(metric: str, ef_construction: int, ef_search: int, m: int, m0: int) -> None:
+    """Mirror the reference binder's option validation + error messages
+    (src/hnsw/hnsw_index_plan.cpp:33-80; test hnsw_options.test)."""
+    if metric not in ("l2sq", "cosine", "ip"):
+        raise ValueError("HNSW index 'metric' must be one of: 'cosine', 'ip', 'l2sq'")
+    for name, val, lo in (
+        ("ef_construction", ef_construction, 1),
+        ("ef_search", ef_search, 1),
+        ("M", m, 2),
+        ("M0", m0, 2),
+    ):
+        if not isinstance(val, int):
+            raise ValueError(f"HNSW index '{name}' must be an integer")
+        if val < lo:
+            raise ValueError(f"HNSW index '{name}' must be at least {lo}")
+
+
+class HnswIndex:
+    """Handle over a built index artifact."""
+
+    def __init__(self, spark: SparkSession, path: str, manifest: dict):
+        self.spark = spark
+        self.path = path
+        self.manifest = manifest
+
+    # convenience accessors
+    @property
+    def metric(self) -> str:
+        return self.manifest["metric"]
+
+    @property
+    def dims(self) -> int:
+        return self.manifest["dimensions"]
+
+    @property
+    def count(self) -> int:
+        return self.manifest["count"]
+
+    def _parts_df(self) -> DataFrame:
+        files = [p["file"] for p in self.manifest["partitions"]]
+        return self.spark.createDataFrame([(f,) for f in files], "file string").repartition(
+            len(files)
+        )
+
+    # -- entry point B: single-query top-k scan ---------------------------
+
+    def knn_search(
+        self,
+        df: DataFrame,
+        query_vec,
+        k: int,
+        id_col: str | None = None,
+        ef_search: int | None = None,
+        dist_col: str = "dist",
+    ) -> DataFrame:
+        """ANN top-k: per-partition graph search → exact global merge →
+        late-materialized fetch of payload rows by id (the reference's
+        rowid fetch, hnsw_index_scan.cpp:72-89). The SQL-visible distance
+        is recomputed from the base vectors (reference recomputes in the
+        surviving projection, SURVEY §3-B step 4)."""
+        import numpy as np
+        import pandas as pd
+
+        id_col = id_col or self.manifest["id_col"]
+        vec_col = self.manifest["vec_col"]
+        ef = get_ef_search(self.spark, ef_search)
+        q = [float(x) for x in query_vec]
+        if len(q) != self.dims:
+            raise ValueError(f"HNSW index keys must be of type FLOAT[{self.dims}]")
+        kk = int(k)
+
+        def search_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            qv = np.asarray(q, dtype=np.float32)
+            for pdf in batches:
+                for file in pdf["file"]:
+                    g = _load_graph(file)
+                    keys, _ = g.search(qv, kk, ef)
+                    yield pd.DataFrame({id_col: keys})
+
+        cand = self._parts_df().mapInPandas(search_part, schema=f"{id_col} long")
+        dist_fn = distance_for_metric(self.metric)
+        # candidate ids are k·P rows — tiny; broadcast-join back to base
+        matched = df.join(F.broadcast(cand), on=id_col, how="inner")
+        return (
+            matched.withColumn(dist_col, dist_fn(F.col(vec_col), q))
+            .orderBy(F.col(dist_col).asc_nulls_last(), F.col(id_col))
+            .limit(kk)
+        )
+
+    # -- entry point C: batched multi-query top-k join --------------------
+
+    def knn_join(
+        self,
+        queries: DataFrame,
+        items: DataFrame,
+        query_vec_col: str,
+        k: int,
+        query_id_col: str,
+        ef_search: int | None = None,
+        dist_col: str = "dist",
+        rn_col: str = "rn",
+    ) -> DataFrame:
+        """ANN lateral join: broadcast query matrix → every partition graph
+        answers every query (ExecuteMultiScan shape, hnsw_index.cpp:
+        353-367) → window merge of P·k candidates per query → payload
+        fetch. Emits 1-indexed ``rn`` like the reference join operator."""
+        import numpy as np
+        import pandas as pd
+
+        id_col = self.manifest["id_col"]
+        vec_col = self.manifest["vec_col"]
+        ef = get_ef_search(self.spark, ef_search)
+        kk = int(k)
+
+        qpdf = (
+            queries.select(query_id_col, query_vec_col)
+            .where(F.col(query_vec_col).isNotNull())
+            .toPandas()
+        )
+        qmat = np.stack([np.asarray(v, dtype=np.float32) for v in qpdf[query_vec_col]])
+        qids = qpdf[query_id_col].to_numpy()
+        bq = self.spark.sparkContext.broadcast((qids, qmat))
+
+        def search_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ids_, mat = bq.value
+            for pdf in batches:
+                for file in pdf["file"]:
+                    g = _load_graph(file)
+                    out_q, out_i = [], []
+                    for qi, qv in zip(ids_, mat):
+                        keys, _ = g.search(qv, kk, ef)
+                        out_q.extend([qi] * len(keys))
+                        out_i.extend(keys.tolist())
+                    yield pd.DataFrame({query_id_col: out_q, id_col: out_i})
+
+        cand = self._parts_df().mapInPandas(
+            search_part, schema=f"{query_id_col} long, {id_col} long"
+        )
+        dist_fn = distance_for_metric(self.metric)
+        qv_by_id = queries.select(query_id_col, query_vec_col)
+        scored = (
+            cand.join(items, on=id_col, how="inner")
+            .join(F.broadcast(qv_by_id), on=query_id_col, how="inner")
+            .withColumn(dist_col, dist_fn(F.col(query_vec_col), F.col(vec_col)))
+        )
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col(dist_col).asc_nulls_last(), F.col(id_col)
+        )
+        return (
+            scored.withColumn(rn_col, F.row_number().over(w))
+            .where(F.col(rn_col) <= kk)
+            .drop(query_vec_col)
+        )
+
+    # -- maintenance ------------------------------------------------------
+
+    def rebuild(self, df: DataFrame) -> "HnswIndex":
+        """Bulk rebuild from the current table snapshot — replaces the
+        reference's Insert/Delete/Compact online paths (§2.1 #11, #13)."""
+        m = self.manifest
+        return create_hnsw_index(
+            self.spark,
+            df,
+            vec_col=m["vec_col"],
+            id_col=m["id_col"],
+            path=self.path,
+            name=m["index_name"],
+            metric=m["metric"],
+            dims=m["dimensions"],
+            m=m["params"]["m"],
+            m0=m["params"]["m0"],
+            ef_construction=m["params"]["ef_construction"],
+            num_partitions=m["num_partitions"],
+            overwrite=True,
+        )
+
+    def info(self) -> DataFrame:
+        """Index metadata DataFrame with the reference's
+        pragma_hnsw_index_info() schema (hnsw_index_pragmas.cpp:24-58)."""
+        return index_info(self.spark, self.path)
+
+
+def create_hnsw_index(
+    spark: SparkSession,
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    name: str = "hnsw_idx",
+    metric: str = "l2sq",
+    dims: int | None = None,
+    m: int = DEFAULT_M,
+    m0: int | None = None,
+    ef_construction: int = DEFAULT_EF_CONSTRUCTION,
+    ef_search: int = DEFAULT_EF_SEARCH,
+    num_partitions: int | None = None,
+    overwrite: bool = False,
+) -> HnswIndex:
+    """CREATE INDEX ... USING HNSW (vec_col) WITH (metric, m, m0,
+    ef_construction) — as a bulk Spark job (SURVEY §3-A Spark shape)."""
+    import numpy as np
+    import pandas as pd
+
+    m0 = m0 if m0 is not None else 2 * m
+    _validate_options(metric, ef_construction, ef_search, m, m0)
+    if dims is None:
+        first = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+        if first is None:
+            raise ValueError("cannot infer dimensions from an all-NULL vector column")
+        dims = len(first[0])
+
+    if os.path.exists(path):
+        if not overwrite:
+            raise ValueError(f"index path {path!r} already exists (use overwrite=True)")
+        shutil.rmtree(path)
+    parts_dir = os.path.join(path, "parts")
+    os.makedirs(parts_dir)
+
+    src = df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
+    ).where(F.col(vec_col).isNotNull())
+    if num_partitions is None:
+        # size partitions so each graph fits comfortably in executor
+        # memory at any scale (~250k vectors/graph); at least the
+        # session's parallelism for small data
+        total = src.count()
+        by_size = max(1, (total + 250_000 - 1) // 250_000)
+        num_partitions = max(by_size, min(int(spark.conf.get("spark.sql.shuffle.partitions")), 32)) if total > 10_000 else by_size
+    src = src.repartition(num_partitions)
+
+    params = dict(metric=metric, m=m, m0=m0, ef_construction=ef_construction, dims=dims)
+
+    def build_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        keys_acc, vec_acc = [], []
+        for pdf in batches:
+            if len(pdf):
+                keys_acc.append(pdf[id_col].to_numpy(dtype=np.int64))
+                vec_acc.append(np.stack([np.asarray(v, dtype=np.float32) for v in pdf[vec_col]]))
+        if not keys_acc:
+            return
+        keys = np.concatenate(keys_acc)
+        vecs = np.concatenate(vec_acc)
+        if vecs.shape[1] != params["dims"]:
+            raise ValueError(f"HNSW index keys must be of type FLOAT[{params['dims']}]")
+        g = HNSWGraph(
+            params["dims"],
+            params["metric"],
+            params["m"],
+            params["m0"],
+            params["ef_construction"],
+            seed=42 + pid,
+        ).build(keys, vecs)
+        file = os.path.join(parts_dir, f"part-{pid:05d}.pkl")
+        with open(file, "wb") as f:
+            f.write(g.to_bytes())
+        yield pd.DataFrame(
+            {
+                "pid": [pid],
+                "file": [file],
+                "count": [len(keys)],
+                "max_level": [g.max_level],
+                "memory": [g.approx_memory_bytes()],
+                "levels_stats": [json.dumps(g.level_stats())],
+            }
+        )
+
+    stats = src.mapInPandas(
+        build_part,
+        schema="pid int, file string, count long, max_level int, memory long, levels_stats string",
+    ).collect()
+
+    manifest = {
+        "index_name": name,
+        "table_name": "",
+        "vec_col": vec_col,
+        "id_col": id_col,
+        "metric": metric,
+        "dimensions": dims,
+        "params": dict(m=m, m0=m0, ef_construction=ef_construction, ef_search=ef_search),
+        "num_partitions": num_partitions,
+        "count": int(sum(r["count"] for r in stats)),
+        "capacity": int(sum(r["count"] for r in stats)),
+        "approx_memory_usage": int(sum(r["memory"] for r in stats)),
+        "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "partitions": [
+            {
+                "pid": r["pid"],
+                "file": r["file"],
+                "count": r["count"],
+                "max_level": r["max_level"],
+                "memory": r["memory"],
+                "levels_stats": json.loads(r["levels_stats"]),
+            }
+            for r in sorted(stats, key=lambda r: r["pid"])
+        ],
+    }
+    # atomic manifest commit: the index "exists" once this file appears
+    tmp = os.path.join(path, ".manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(path, "manifest.json"))
+    return HnswIndex(spark, path, manifest)
+
+
+def load_index(spark: SparkSession, path: str) -> HnswIndex:
+    with open(os.path.join(path, "manifest.json")) as f:
+        return HnswIndex(spark, path, json.load(f))
+
+
+def drop_index(path: str) -> None:
+    if os.path.exists(os.path.join(path, "manifest.json")):
+        shutil.rmtree(path)
+
+
+def index_info(spark: SparkSession, path: str) -> DataFrame:
+    """pragma_hnsw_index_info() equivalent (§2.1 #12): one row per index
+    with aggregate level stats across partition graphs."""
+    with open(os.path.join(path, "manifest.json")) as f:
+        man = json.load(f)
+    max_level = max((p["max_level"] for p in man["partitions"]), default=-1)
+    levels = []
+    for lvl in range(max_level + 1):
+        agg = {"nodes": 0, "edges": 0, "max_edges": 0, "allocated_bytes": 0}
+        for p in man["partitions"]:
+            if lvl < len(p["levels_stats"]):
+                for key in agg:
+                    agg[key] += p["levels_stats"][lvl][key]
+        levels.append((agg["nodes"], agg["edges"], agg["max_edges"], agg["allocated_bytes"]))
+    row = (
+        "spark_catalog",
+        "default",
+        man["index_name"],
+        man["table_name"],
+        man["metric"],
+        man["dimensions"],
+        man["count"],
+        man["capacity"],
+        man["approx_memory_usage"],
+        max_level + 1,
+        levels,
+    )
+    schema = (
+        "catalog_name string, schema_name string, index_name string, table_name string, "
+        "metric string, dimensions long, count long, capacity long, approx_memory_usage long, "
+        "levels long, levels_stats array<struct<nodes:long,edges:long,max_edges:long,allocated_bytes:long>>"
+    )
+    return spark.createDataFrame([row], schema)

@@ -121,12 +121,13 @@ def _knn_join_crossjoin(queries, items, qv, iv, k, metric, dist_col, rn_col):
     # A synthetic per-row key keeps duplicate query rows distinct under
     # the window (partitioning by the row's values would merge them).
     q = queries.withColumn("__qrow", F.monotonically_increasing_id())
-    j = (
-        q.crossJoin(items.where(F.col(iv_name).isNotNull()))
-        .withColumn(dist_col, dist_fn(F.col(qv), F.col(iv_name)))
-        .where(F.col(dist_col).isNotNull())
-    )
-    w = Window.partitionBy("__qrow").orderBy(F.col(dist_col).asc(), *[
+    j = q.crossJoin(items).withColumn(dist_col, dist_fn(F.col(qv), F.col(iv_name)))
+    # NULLS LAST matches DuckDB's ORDER BY default: NULL distances (NULL
+    # vector on either side) lose to every real distance but still fill
+    # the limit when nothing better exists — the reference's lateral
+    # tests pin exactly this (hnsw_lateral_join.test:46-67: a NULL outer
+    # row still gets k arbitrary matches).
+    w = Window.partitionBy("__qrow").orderBy(F.col(dist_col).asc_nulls_last(), *[
         F.col(c) for c in j.columns if c not in (dist_col, "__qrow", qv, iv_name)
     ])
     return (

@@ -512,3 +512,85 @@ def q_knn_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = knn_join(q, emb.select("vec_id", "embedding"), "qvec", "embedding", 5, metric="l2sq")
     return out.select("qid", F.col("vec_id").alias("rid"), "dist", "rn")
+
+
+# --------------------------------------------------------------------------
+# Indexed ANN paths (reference §2.1 #1-3; approximate — declared with
+# high-ef settings that make them exact at oracle scale, mirroring the
+# reference's own with/without-index labeled-equality tests,
+# hnsw_lateral_join_group.test:47-68)
+# --------------------------------------------------------------------------
+
+import hashlib as _hashlib
+import os as _os
+
+
+def _get_index(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir) the HNSW artifact over embeddings."""
+    from duckdb_vss_spark.index import create_hnsw_index, load_index
+
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/vss_hnsw_{tag}"
+    if _os.path.exists(_os.path.join(path, "manifest.json")):
+        return load_index(spark, path)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return create_hnsw_index(
+        spark, emb, vec_col="embedding", id_col="vec_id", path=path,
+        name="emb_hnsw", metric="l2sq", overwrite=True,
+    )
+
+
+@register(
+    "q_hnsw_knn",
+    f"""
+    SELECT vec_id, label,
+           list_distance(CAST(embedding AS DOUBLE[]), {_ORACLE_QVEC.format(vid=7)}) AS dist
+    FROM embeddings
+    WHERE embedding IS NOT NULL
+    ORDER BY dist, vec_id
+    LIMIT 10
+    """,
+)
+def q_hnsw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed top-k scan (entry point B with the index installed —
+    HNSW_INDEX_SCAN in the reference's EXPLAIN, README.md:22-47).
+    ef_search=400 ≫ k makes the ANN result exact at oracle scale, so the
+    brute-force SQL is a valid oracle (the reference's tests rely on the
+    same property, SURVEY §4.3.5)."""
+    idx = _get_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 7)
+    return idx.knn_search(emb, qv, 10, ef_search=400).select("vec_id", "label", "dist")
+
+
+@register(
+    "q_hnsw_index_info",
+    """
+    SELECT 'emb_hnsw' AS index_name, 'l2sq' AS metric,
+           CAST(len((SELECT embedding FROM embeddings WHERE vec_id = 0)) AS BIGINT) AS dimensions,
+           count(*) AS count
+    FROM embeddings WHERE embedding IS NOT NULL
+    """,
+)
+def q_hnsw_index_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pragma_hnsw_index_info() surface (§2.1 #12): name/metric/dims/count
+    must agree with the base table."""
+    idx = _get_index(spark, sf_dir)
+    return idx.info().select("index_name", "metric", "dimensions", "count")
+
+
+@register("q_hnsw_self_consistency", "SELECT CAST(0 AS BIGINT) AS n_mismatch")
+def q_hnsw_self_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled self-consistency: indexed vs brute-force result sets must
+    agree (the reference's own test style — same query with and without
+    index produces identical labeled output, hnsw_lateral_join_group
+    .test:47-68). Emits the number of disagreeing query rows (0)."""
+    idx = _get_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 11)
+    a = idx.knn_search(emb, qv, 5, ef_search=400).select("vec_id")
+    b = knn_search(emb, "embedding", qv, 5).select("vec_id")
+    n_mismatch = a.join(b, "vec_id", "full_outer").where(
+        a["vec_id"].isNull() | b["vec_id"].isNull()
+    )
+    return n_mismatch.agg(F.count(F.lit(1)).alias("n_mismatch"))

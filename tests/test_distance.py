@@ -1,0 +1,82 @@
+"""Distance function semantics vs closed-form values (SURVEY §2.3)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_vss_spark.functions import (
+    array_cosine_distance,
+    array_cosine_similarity,
+    array_distance,
+    array_distance_sq,
+    array_inner_product,
+    array_negative_inner_product,
+    distance_for_metric,
+)
+
+
+def one_row(spark, a, b):
+    return spark.createDataFrame([(a, b)], "a array<float>, b array<float>")
+
+
+def test_l2_with_sqrt(spark):
+    # DuckDB-core convention: array_distance is Euclidean WITH sqrt
+    df = one_row(spark, [1.0, 2.0, 3.0], [4.0, 6.0, 8.0])
+    r = df.select(
+        array_distance("a", "b").alias("d"), array_distance_sq("a", "b").alias("d2")
+    ).first()
+    assert r["d2"] == pytest.approx(9 + 16 + 25)
+    assert r["d"] == pytest.approx(math.sqrt(50))
+
+
+def test_inner_product_and_negative(spark):
+    df = one_row(spark, [1.0, 2.0], [3.0, 4.0])
+    r = df.select(
+        array_inner_product("a", "b").alias("ip"),
+        array_negative_inner_product("a", "b").alias("nip"),
+    ).first()
+    assert r["ip"] == 11.0 and r["nip"] == -11.0
+
+
+def test_cosine_identity_vs_orthogonal(spark):
+    r = one_row(spark, [1.0, 0.0], [1.0, 0.0]).select(
+        array_cosine_similarity("a", "b").alias("s"),
+        array_cosine_distance("a", "b").alias("d"),
+    ).first()
+    assert r["s"] == pytest.approx(1.0) and r["d"] == pytest.approx(0.0)
+    r = one_row(spark, [1.0, 0.0], [0.0, 1.0]).select(
+        array_cosine_distance("a", "b").alias("d")
+    ).first()
+    assert r["d"] == pytest.approx(1.0)
+
+
+def test_cosine_rewrite_equivalence(spark):
+    # hnsw_rewrite.test:11-31 — 1.0 - cos_sim(v, q) == cos_dist(v, q)
+    df = one_row(spark, [0.8, 0.8, 0.8], [0.2, 0.2, 0.2])
+    r = df.select(
+        (F.lit(1.0) - array_cosine_similarity("a", "b")).alias("lhs"),
+        array_cosine_distance("a", "b").alias("rhs"),
+    ).first()
+    assert r["lhs"] == r["rhs"]
+
+
+def test_null_propagates(spark):
+    df = spark.createDataFrame([([1.0, 2.0], None)], "a array<float>, b array<float>")
+    r = df.select(array_distance("a", "b").alias("d")).first()
+    assert r["d"] is None
+
+
+def test_constant_vector_argument(spark):
+    df = spark.createDataFrame([([3.0, 4.0],)], "a array<float>")
+    r = df.select(array_distance("a", [0.0, 0.0]).alias("d")).first()
+    assert r["d"] == pytest.approx(5.0)
+
+
+def test_metric_dispatch_names():
+    # the six-name surface of §2.1 #10 dispatches through three metrics
+    assert distance_for_metric("l2sq") is array_distance
+    assert distance_for_metric("cosine") is array_cosine_distance
+    assert distance_for_metric("ip") is array_negative_inner_product
+    with pytest.raises(ValueError, match="must be one of"):
+        distance_for_metric("manhattan")

@@ -1,0 +1,111 @@
+"""HNSW index artifact: build, search, persistence, options, info."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_vss_spark.index import (
+    HNSWGraph,
+    create_hnsw_index,
+    drop_index,
+    load_index,
+)
+from duckdb_vss_spark.operators import knn_search
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def idx(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("idx") / "emb_idx")
+    index = create_hnsw_index(
+        spark, emb, vec_col="embedding", id_col="vec_id", path=path, overwrite=True
+    )
+    yield index
+    drop_index(path)
+
+
+def test_option_validation(spark, emb, tmp_path):
+    # error strings mirror hnsw_index_plan.cpp:33-80 (hnsw_options.test)
+    p = str(tmp_path / "x")
+    with pytest.raises(ValueError, match="'metric' must be one of"):
+        create_hnsw_index(spark, emb, "embedding", "vec_id", p, metric="manhattan")
+    with pytest.raises(ValueError, match="'ef_construction' must be at least 1"):
+        create_hnsw_index(spark, emb, "embedding", "vec_id", p, ef_construction=0)
+    with pytest.raises(ValueError, match="'M' must be at least 2"):
+        create_hnsw_index(spark, emb, "embedding", "vec_id", p, m=1)
+    with pytest.raises(ValueError, match="'M0' must be at least 2"):
+        create_hnsw_index(spark, emb, "embedding", "vec_id", p, m0=1)
+
+
+def test_knn_search_matches_brute_force(spark, emb, idx):
+    # ef ≫ k at this scale → exact (the property the reference's own
+    # with/without-index equality tests rely on, SURVEY §4.3.5)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 42).first()["embedding"]]
+    got = idx.knn_search(emb, qv, 10, ef_search=400).select("vec_id").collect()
+    want = knn_search(emb, "embedding", qv, 10).select("vec_id").collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in want]
+
+
+def test_persistence_roundtrip(spark, emb, idx):
+    # hnsw_basic.test:33-38 (load/restart): reload artifact, same results
+    reloaded = load_index(spark, idx.path)
+    qv = [0.1] * idx.dims
+    a = idx.knn_search(emb, qv, 5).select("vec_id").collect()
+    b = reloaded.knn_search(emb, qv, 5).select("vec_id").collect()
+    assert [r["vec_id"] for r in a] == [r["vec_id"] for r in b]
+
+
+def test_index_info_schema(idx):
+    # pragma_hnsw_index_info() schema (hnsw_index_pragmas.cpp:24-58)
+    info = idx.info()
+    assert info.columns == [
+        "catalog_name", "schema_name", "index_name", "table_name", "metric",
+        "dimensions", "count", "capacity", "approx_memory_usage", "levels",
+        "levels_stats",
+    ]
+    row = info.first()
+    assert row["count"] == 500 and row["dimensions"] == 64
+    assert row["levels_stats"][0]["nodes"] == 500
+
+
+def test_dim_mismatch_query_rejected(emb, idx):
+    with pytest.raises(ValueError, match=r"FLOAT\[64\]"):
+        idx.knn_search(emb, [1.0, 2.0], 3)
+
+
+def test_nulls_excluded_from_index(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, None), (3, [1.0, 1.0])],
+        "id long, vec array<float>",
+    )
+    ix = create_hnsw_index(
+        spark, df, "vec", "id", str(tmp_path / "nullidx"), overwrite=True
+    )
+    assert ix.count == 2  # NULL filtered like hnsw_index_plan.cpp:118-133
+    rows = ix.knn_search(df, [0.0, 0.0], 5).select("id").collect()
+    assert sorted(r["id"] for r in rows) == [1, 3]
+
+
+def test_graph_recall_on_random(spark):
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((2000, 16)).astype(np.float32)
+    g = HNSWGraph(16).build(np.arange(2000), X)
+    hits = 0
+    for q in rng.standard_normal((20, 16)).astype(np.float32):
+        kk, _ = g.search(q, 10, 64)
+        exact = np.argsort(((X - q) ** 2).sum(1))[:10]
+        hits += len(set(kk.tolist()) & set(exact.tolist()))
+    assert hits / 200 > 0.85  # HNSW paper regime: >0.9 typical at ef=64
+
+
+def test_rebuild_replaces_artifact(spark, emb, tmp_path):
+    p = str(tmp_path / "rb")
+    ix = create_hnsw_index(spark, emb.limit(100), "embedding", "vec_id", p)
+    assert ix.count == 100
+    ix2 = ix.rebuild(emb)
+    assert ix2.count == 500
+    assert load_index(spark, p).count == 500

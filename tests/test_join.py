@@ -1,0 +1,94 @@
+"""knn_join / vss_join / vss_match semantics vs the reference tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_vss_spark.operators import knn_join, vss_join, vss_match
+
+
+def test_lateral_top1_exact(spark, lateral_ab):
+    # hnsw_lateral_join.test:18-23 — each a-row's nearest b-row is its twin
+    a, b = lateral_ab
+    a2 = a.where(F.col("a_vec").isNotNull())
+    out = knn_join(a2, b, "a_vec", "b_vec", 1).select("a_id", "b_str").collect()
+    assert {(r["a_id"], r["b_str"]) for r in out} == {(1, "a"), (2, "b")}
+
+
+def test_lateral_null_semantics(spark, lateral_ab):
+    # hnsw_lateral_join.test:46-67 — NULL b-vec never wins while real
+    # matches exist; NULL a-vec still receives k (arbitrary) matches
+    a, b = lateral_ab
+    out = knn_join(a, b, "a_vec", "b_vec", 2)
+    rows = out.select("a_id", "b_str", "rn").collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["a_id"], []).append(r["b_str"])
+    assert sorted(by_id[1]) == ["a", "b"]
+    assert sorted(by_id[2]) == ["a", "b"]
+    assert len(by_id[3]) == 2  # NULL outer vec: k rows, arbitrary order
+    # grouped form (hnsw_lateral_join.test:69-75)
+    assert sorted(by_id) == [1, 2, 3]
+
+
+def test_rn_is_one_indexed(spark, lateral_ab):
+    a, b = lateral_ab
+    out = knn_join(a, b, "a_vec", "b_vec", 2).select("rn").distinct().collect()
+    assert sorted(r["rn"] for r in out) == [1, 2]
+
+
+def test_vss_join_macro_shape(spark, grid):
+    # hnsw_join_macro.test:19-24 — vss_join(s, t1, ..., 3): score <= 1.0
+    s = spark.createDataFrame(
+        [([5.0, 5.0, 5.0],), ([1.0, 1.0, 1.0],)], "s_vec array<float>"
+    )
+    out = vss_join(s, grid.select("vec", "id"), "s_vec", "vec", 3)
+    assert out.columns == ["score", "left_tbl", "right_tbl"]
+    rows = out.collect()
+    assert len(rows) == 6
+    assert all(r["score"] <= 1.0 for r in rows)
+
+
+def test_vss_join_cosine_keeps_largest(spark):
+    left = spark.createDataFrame([([1.0, 0.0],)], "v array<float>")
+    right = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 0.1])],
+        "id int, v array<float>",
+    )
+    out = vss_join(left, right, "v", "v", 2, metric="cosine").collect()
+    # cosine metric keeps the k LARGEST similarities (macro max_by branch)
+    ids = {r["right_tbl"]["id"] for r in out}
+    assert ids == {1, 3}
+    assert all(r["score"] > 0.9 for r in out)
+
+
+def test_vss_match_list_shape(spark, grid):
+    # hnsw_join_macro.test:27-44 — len(matches) = k per outer row
+    s = spark.createDataFrame(
+        [(1, [5.0, 5.0, 5.0]), (2, [1.0, 1.0, 1.0])], "sid int, s_vec array<float>"
+    )
+    out = vss_match(s, grid.select("vec", "id"), "s_vec", "vec", 3)
+    rows = out.collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert len(r["matches"]) == 3
+        scores = [m["score"] for m in r["matches"]]
+        assert scores == sorted(scores)  # ascending for l2
+
+
+def test_unknown_metric_error(spark, grid):
+    with pytest.raises(ValueError, match="Unknown metric"):
+        vss_join(grid, grid, "vec", "vec", 1, metric="bogus")
+
+
+def test_broadcast_strategy_matches_crossjoin(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    items = emb.select("vec_id", "embedding")
+    a = knn_join(q, items, "qvec", "embedding", 3).select("qid", "vec_id", "rn")
+    b = knn_join(
+        q, items, "qvec", "embedding", 3,
+        query_id_col="qid", item_id_col="vec_id", strategy="broadcast",
+    ).select("qid", "vec_id", "rn")
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
