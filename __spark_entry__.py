@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, "/root/repo")
 
 from duckdb_vss_spark import queries as _q  # noqa: E402
+import duckdb_vss_spark.queries_pipeline  # noqa: E402,F401  (registers pipeline queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,29 @@
+from duckdb_vss_spark.pipeline.dedup import (  # noqa: F401
+    embedding_neardup_lsh,
+    embedding_neardup_pairs,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signature,
+    shingle_table,
+    simhash,
+    simhash_pairs,
+)
+from duckdb_vss_spark.pipeline.multimodal import (  # noqa: F401
+    MEDIA_SCHEMA,
+    attach_media_metadata,
+    extract_features,
+    sample_frames,
+)
+from duckdb_vss_spark.pipeline.text import (  # noqa: F401
+    LANG_MARKERS,
+    char_count,
+    fingerprint,
+    lang_id,
+    quality_score,
+    regex_token_count,
+    stopword_ratio,
+    token_count,
+    tokens,
+    word_ngrams,
+)

@@ -1,0 +1,115 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Design (north star): image/audio/video payloads travel as ``binary``
+columns with a typed metadata struct; decode / feature-extract /
+resize / frame-sample run as Arrow-batched pandas functions over
+``mapInPandas`` so payload bytes never surface into JVM row objects.
+
+The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container,
+so the decode kernel is stubbed: ``decoder="fake"`` produces a
+deterministic feature vector from the bytes (real, testable plumbing);
+``decoder="real"`` raises NotImplementedError at the exact seam where
+a codec library would be called. Schema, partitioning, UDF signature
+and batch shape are the real design.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["MEDIA_SCHEMA", "attach_media_metadata", "extract_features", "sample_frames"]
+
+# the engine's canonical media column group
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("kind", T.StringType(), True),  # image|audio|video
+                    T.StructField("format", T.StringType(), True),  # png|wav|mp4|...
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def attach_media_metadata(df: DataFrame, payload_col: str, kind: str, fmt: str) -> DataFrame:
+    """Wrap a raw binary column into the canonical media schema."""
+    return df.select(
+        F.monotonically_increasing_id().alias("media_id"),
+        F.col(payload_col).alias("payload"),
+        F.struct(
+            F.lit(kind).alias("kind"),
+            F.lit(fmt).alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes, dim: int):
+    """Deterministic stand-in for a codec: hash bytes → feature vector."""
+    import hashlib
+
+    import numpy as np
+
+    h = hashlib.sha256(payload or b"").digest()
+    seed = int.from_bytes(h[:8], "big") % (2**32)
+    return np.random.default_rng(seed).standard_normal(dim).astype(np.float32)
+
+
+def extract_features(
+    df: DataFrame, dim: int = 64, decoder: str = "fake", batch_limit_bytes: int = 64 << 20
+) -> DataFrame:
+    """media rows → (media_id, feature array<float>).
+
+    Arrow batches flow through ``mapInPandas``; ``batch_limit_bytes``
+    documents the contract that a partition's in-flight payload batch is
+    bounded (set ``spark.sql.execution.arrow.maxRecordsPerBatch``
+    accordingly for large payloads at scale)."""
+    if decoder not in ("fake", "real"):
+        raise ValueError("decoder must be 'fake' or 'real'")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            if decoder == "real":
+                # the seam where PIL/ffmpeg/torchaudio would decode
+                raise NotImplementedError(
+                    "real media decoding requires codec libraries not present "
+                    "in this environment; use decoder='fake'"
+                )
+            feats = [ _fake_decode(p, dim) for p in pdf["payload"] ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "feature": [f.tolist() for f in feats]}
+            )
+
+    return df.mapInPandas(run, schema="media_id long, feature array<float>")
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000, decoder: str = "fake") -> DataFrame:
+    """video rows → (media_id, frame_idx, frame_ts_ms) — frame sampling
+    plumbing; frame payload decoding is behind the same stub seam."""
+    if decoder == "real":
+        raise NotImplementedError("real frame extraction requires ffmpeg; use decoder='fake'")
+    dur = F.coalesce(F.col("meta.duration_ms"), F.lit(0))
+    idx = F.sequence(F.lit(0), F.greatest((dur / every_ms).cast("int") - 1, F.lit(0)))
+    return (
+        df.where(F.col("meta.kind") == "video")
+        .select("media_id", F.explode(idx).alias("frame_idx"))
+        .withColumn("frame_ts_ms", (F.col("frame_idx") * every_ms).cast("long"))
+    )

