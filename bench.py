@@ -1,0 +1,132 @@
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Covers each engine surface once: relational agg/join, window, brute-force
+knn scan, HNSW build + indexed scan + indexed lateral join, the dedup
+family, and text analysis. Timings are wall-clock per query (plan build +
+execution to a count/collect action).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from duckdb_vss_spark import get_spark  # noqa: E402
+from duckdb_vss_spark import queries as Q  # noqa: E402
+import duckdb_vss_spark.queries_pipeline  # noqa: E402,F401
+from duckdb_vss_spark.index import create_hnsw_index  # noqa: E402
+from duckdb_vss_spark.operators import knn_search  # noqa: E402
+from duckdb_vss_spark.pipeline import embedding_neardup_lsh  # noqa: E402
+from duckdb_vss_spark.sources import load_table  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+
+    qfns = Q.queries()
+    timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+
+    def timed(name, fn, runs=2):
+        """Steady-state timing: cold run recorded separately, best of
+        ``runs`` reported (JIT/codegen/python-worker spin-up amortizes
+        on a long-lived cluster; the steady state is the honest number)."""
+        best = None
+        for i in range(runs):
+            t0 = time.time()
+            fn()
+            dt = round(time.time() - t0, 3)
+            if i == 0:
+                cold[name] = dt
+            best = dt if best is None else min(best, dt)
+        timings[name] = best
+
+    # warm up the session (codegen, python workers, parquet footer cache)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    # relational layer
+    for name in (
+        "q01_pricing_summary",
+        "q03_shipping_priority",
+        "q05_local_supplier_volume",
+        "q_window_top_events",
+        "q_sessionize_events",
+    ):
+        timed(name, lambda n=name: qfns[n](spark, sf_dir).count())
+
+    # vector: brute force scan + macro join
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    emb.count()
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    timed("knn_bruteforce", lambda: knn_search(emb, "embedding", qv, 10).collect())
+    timed("q_vss_join", lambda: qfns["q_vss_join"](spark, sf_dir).count())
+    timed("q_knn_join_lateral", lambda: qfns["q_knn_join_lateral"](spark, sf_dir).count())
+
+    # vector: index build + indexed paths
+    idx_path = "/tmp/bench_hnsw_idx"
+    idx = {}
+    timed(
+        "hnsw_build",
+        lambda: idx.__setitem__(
+            "i",
+            create_hnsw_index(
+                spark, emb, "embedding", "vec_id", idx_path, overwrite=True
+            ),
+        ),
+        runs=1,  # a build is a job, not a repeated query
+    )
+    timed("hnsw_search", lambda: idx["i"].knn_search(emb, qv, 10).collect())
+    qdf = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    timed(
+        "hnsw_knn_join",
+        lambda: idx["i"]
+        .knn_join(qdf, emb.select("vec_id", "embedding"), "qvec", 5, "qid")
+        .count(),
+    )
+
+    # pipeline: dedup family + text analysis
+    for name in (
+        "q_exact_dedup",
+        "q_ngram_jaccard",
+        "q_minhash_lsh",
+        "q_simhash",
+        "q_text_stats",
+        "q_lang_id",
+    ):
+        timed(name, lambda n=name: qfns[n](spark, sf_dir).count())
+    timed(
+        "embedding_neardup_lsh",
+        lambda: embedding_neardup_lsh(emb, "embedding", "vec_id", 0.4).count(),
+    )
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "cold": cold,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -149,7 +149,15 @@ def minhash_lsh_pairs(
     for the naive join), then exact verification only on candidates —
     the canonical LSH pipeline shape. Returns (id_a, id_b, jaccard)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(df, text_col, id_col, num_hashes, n)
+    # shingles feed both the signature and the verify stage; the banded
+    # buckets feed both sides of the candidate self-join — persist both
+    # so the self-joins don't recompute the whole upstream subtree.
+    sh_cached = shingle_table(df, text_col, id_col, n).persist()
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}_"), F.col("sh")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh_cached.groupBy("id").agg(*aggs)
     band_cols = [
         F.md5(
             F.concat_ws("|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
@@ -164,7 +172,7 @@ def minhash_lsh_pairs(
                 F.concat_ws(":", F.lit(str(b)), F.col(f"band{b}")) for b in range(bands)
             ])
         ).alias("bucket"),
-    )
+    ).persist()
     cand = (
         stacked.alias("x")
         .join(stacked.alias("y"), "bucket")
@@ -173,7 +181,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact verify on the candidate set only
-    sh = shingle_table(df, text_col, id_col, n)
+    sh = sh_cached
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "sh")
     b = sh.select(F.col("id").alias("id_b"), "sh")
@@ -309,13 +317,21 @@ def embedding_neardup_lsh(
     vec_col: str,
     id_col: str,
     threshold: float = 0.95,
-    num_planes: int = 16,
-    bands: int = 4,
+    num_planes: int = 64,
+    bands: int = 8,
     seed: int = 42,
 ) -> DataFrame:
     """Random-hyperplane LSH: sign-bit signature over ``num_planes``
-    hyperplanes, banded candidate join, exact cosine verify. At scale
-    the candidate join shuffles docs·bands rows instead of pairs²."""
+    hyperplanes, banded candidate join, exact cosine verify.
+
+    Geometry: bits-per-band = num_planes/bands controls bucket count
+    (2^bits per band — more buckets = better pruning, lower per-band
+    recall), bands control recall (1 − (1 − p^bits)^bands where
+    p = 1 − θ/π). Defaults (64 planes, 8 bands of 8 bits, 256 buckets/
+    band) give ~93% recall at cos 0.9. Candidates are deduplicated on
+    *ids only* and vectors re-joined afterwards, so wide embedding
+    arrays are never shuffled through the candidate distinct — at scale
+    the shuffle is docs·bands skinny rows, never pairs²."""
     import numpy as np
 
     first = df.select(vec_col).first()
@@ -339,31 +355,29 @@ def embedding_neardup_lsh(
         ).cast("int").alias(f"p{p}")
         for p in range(num_planes)
     ]
-    sig = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), *sign_bits)
+    sig = df.select(F.col(id_col).alias("id"), *sign_bits)
     band_cols = [
         F.concat_ws(
             "", F.lit(f"{b}:"), *[F.col(f"p{b * rows_per_band + r}") for r in range(rows_per_band)]
         ).alias(f"band{b}")
         for b in range(bands)
     ]
-    banded = sig.select("id", "v", *band_cols)
+    banded = sig.select("id", *band_cols)
     stacked = banded.select(
-        "id", "v", F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("bucket")
-    )
+        "id", F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("bucket")
+    ).persist()
     cand = (
         stacked.alias("x")
         .join(stacked.alias("y"), "bucket")
         .where(F.col("x.id") < F.col("y.id"))
-        .select(
-            F.col("x.id").alias("id_a"),
-            F.col("x.v").alias("va"),
-            F.col("y.id").alias("id_b"),
-            F.col("y.v").alias("vb"),
-        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     return (
-        cand.withColumn("cos_sim", array_cosine_similarity(F.col("va"), F.col("vb")))
+        cand.join(vecs.withColumnRenamed("id", "id_a").withColumnRenamed("v", "va"), "id_a")
+        .join(vecs.withColumnRenamed("id", "id_b").withColumnRenamed("v", "vb"), "id_b")
+        .withColumn("cos_sim", array_cosine_similarity(F.col("va"), F.col("vb")))
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )

@@ -1,0 +1,123 @@
+"""Structured Streaming operators.
+
+The reference has NO streaming surface (SURVEY §2.2 — grep over src/ and
+test/ finds none); this module is a north-star extension: the streaming
+shapes a training-data ingest pipeline needs, built on Spark's native
+watermark/window/session machinery, plus the micro-batch index-refresh
+loop that replaces the reference's online DML index maintenance
+(Insert/Delete/Compact, §2.1 #13) in a Spark-idiomatic way.
+
+All operators accept any streaming DataFrame with an event-time column;
+``read_events_stream`` adapts the driver's events table for smoke tests
+(file source → processAllAvailable drives it synchronously).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw nanos (see sources)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the events table (file source; in production a
+    Kafka source lands here — same downstream operators)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Spark's file stream source requires a *directory*; stage a symlink
+    # to the (read-only) events file in a scratch dir.
+    import hashlib
+
+    stage = os.path.join(
+        "/tmp", f"vss_stream_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    df = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked sliding-window counts per event_type — the canonical
+    late-data-tolerant streaming aggregate."""
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(w, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+
+
+def session_window_stats(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-user session windows (gap-based) — streaming equivalent of the
+    batch sessionization query (queries.q_sessionize_events)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+
+
+def streaming_index_refresh(
+    vectors: DataFrame,
+    base_df_provider,
+    index_path: str,
+    vec_col: str,
+    id_col: str,
+    checkpoint_dir: str,
+    **index_opts,
+):
+    """Micro-batch ANN index refresh: each batch triggers a bulk rebuild
+    from the current accumulated snapshot (``base_df_provider()``).
+
+    This is the Spark-native replacement for the reference's online
+    index DML — its own README recommends bulk build over incremental
+    insert anyway (README.md:66 "faster to create the index after the
+    table has been populated"). Returns the StreamingQuery.
+    """
+    from duckdb_vss_spark.index import create_hnsw_index
+
+    def refresh(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        create_hnsw_index(
+            spark,
+            base_df_provider(),
+            vec_col=vec_col,
+            id_col=id_col,
+            path=index_path,
+            overwrite=True,
+            **index_opts,
+        )
+
+    return (
+        vectors.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(refresh)
+        .start()
+    )
