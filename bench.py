@@ -97,6 +97,28 @@ def main() -> None:
         .count(),
     )
 
+    # vector: IVF build + partition-pruned search (the scale path)
+    from duckdb_vss_spark.index import create_ivf_index
+
+    ivf_path = "/tmp/bench_ivf_idx"
+    ivf = {}
+    timed(
+        "ivf_build",
+        lambda: ivf.__setitem__(
+            "i",
+            create_ivf_index(spark, emb, "embedding", "vec_id", ivf_path, overwrite=True),
+        ),
+        runs=1,
+    )
+    timed(
+        "ivf_search",
+        lambda: ivf["i"].knn_search(qv, 10).collect(),
+    )
+    timed(
+        "ivf_knn_join",
+        lambda: ivf["i"].knn_join(qdf, "qvec", 5, "qid").count(),
+    )
+
     # pipeline: dedup family + text analysis
     for name in (
         "q_exact_dedup",

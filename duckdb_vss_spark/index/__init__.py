@@ -6,3 +6,9 @@ from duckdb_vss_spark.index.artifact import (  # noqa: F401
     load_index,
 )
 from duckdb_vss_spark.index.hnsw_graph import HNSWGraph  # noqa: F401
+from duckdb_vss_spark.index.ivf import (  # noqa: F401
+    IvfIndex,
+    create_ivf_index,
+    drop_ivf_index,
+    load_ivf_index,
+)

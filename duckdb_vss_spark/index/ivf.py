@@ -1,0 +1,337 @@
+"""IVF (inverted-file) ANN index: the partition-pruned scale path.
+
+The reference ships exactly one ANN structure (HNSW via vendored
+usearch, src/hnsw/hnsw_index.cpp). Our HNSW artifact mirrors it
+(artifact.py); this module adds the variant that actually *scales on
+Spark* for the 100 TB similarity-search design point: an IVF index
+whose inverted lists are **parquet partitions**, so "probe nprobe
+lists" compiles to ordinary parquet partition pruning — the scan
+touches only `nprobe/nlist` of the data and Catalyst proves it
+(PartitionFilters in EXPLAIN). No graph deserialization, no Python
+on the scan path: probed candidates are scored with the native
+distance Column expressions and merged by TakeOrderedAndProject.
+
+Layout on disk:
+
+    <path>/manifest.json            metric, dims, nlist, centroids, stats
+    <path>/lists/list_id=N/*.parquet   inverted list N: (id, vec)
+
+Build = one Spark job: sample → driver k-means (Lloyd, seeded) →
+broadcast centroids → vectorized pandas-UDF assignment →
+``partitionBy(list_id)`` parquet write. At 100 TB the sample stays
+driver-sized (nlist·256 rows), assignment is a map-only stage, and
+the write is the only shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import time
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType
+
+from duckdb_vss_spark.functions.distance import distance_for_metric
+
+__all__ = ["create_ivf_index", "load_ivf_index", "drop_ivf_index", "IvfIndex"]
+
+
+def _kmeans(sample: np.ndarray, nlist: int, iters: int, seed: int) -> np.ndarray:
+    """Seeded Lloyd's k-means on a driver-sized sample (float64 for a
+    stable oracle). kmeans++-style init: first centroid seeded-random,
+    rest by max-min distance (deterministic given the sample)."""
+    rng = np.random.RandomState(seed)
+    n = len(sample)
+    first = int(rng.randint(n))
+    cents = [sample[first]]
+    d2 = ((sample - cents[0]) ** 2).sum(axis=1)
+    for _ in range(1, nlist):
+        nxt = int(np.argmax(d2))
+        cents.append(sample[nxt])
+        d2 = np.minimum(d2, ((sample - cents[-1]) ** 2).sum(axis=1))
+    c = np.stack(cents)
+    for _ in range(iters):
+        # [n, nlist] distance via |a|²+|c|²-2a·c — O(n·nlist·dims) BLAS
+        dist = (
+            (sample**2).sum(axis=1, keepdims=True)
+            + (c**2).sum(axis=1)
+            - 2.0 * sample @ c.T
+        )
+        assign = dist.argmin(axis=1)
+        for j in range(nlist):
+            members = sample[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+    return c
+
+
+def _assign_udf(centroids: np.ndarray):
+    """Vectorized nearest-centroid assignment: one Arrow batch → one
+    matrix multiply (the map-only build/probe stage)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    c = centroids.astype(np.float64)
+    c_sq = (c**2).sum(axis=1)
+
+    def assign(v):
+        mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        dist = (mat**2).sum(axis=1, keepdims=True) + c_sq - 2.0 * mat @ c.T
+        return pd.Series(dist.argmin(axis=1).astype(np.int32))
+
+    return pandas_udf(assign, IntegerType())
+
+
+class IvfIndex:
+    """Handle over a built IVF artifact."""
+
+    def __init__(self, spark: SparkSession, path: str, manifest: dict):
+        self.spark = spark
+        self.path = path
+        self.manifest = manifest
+        self._centroids = np.asarray(manifest["centroids"], dtype=np.float64)
+
+    @property
+    def metric(self) -> str:
+        return self.manifest["metric"]
+
+    @property
+    def nlist(self) -> int:
+        return self.manifest["nlist"]
+
+    @property
+    def dims(self) -> int:
+        return self.manifest["dimensions"]
+
+    def _lists_df(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "lists"))
+
+    def _probe_ids(self, query_vec, nprobe: int) -> list[int]:
+        q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+        if q.shape[0] != self.dims:
+            raise ValueError(f"IVF index keys must be of type FLOAT[{self.dims}]")
+        d = ((self._centroids - q) ** 2).sum(axis=1)
+        return [int(i) for i in np.argsort(d, kind="stable")[: int(nprobe)]]
+
+    # -- single-query top-k (entry point B shape) -------------------------
+
+    def knn_search(
+        self,
+        query_vec,
+        k: int,
+        nprobe: int | None = None,
+        dist_col: str = "dist",
+    ) -> DataFrame:
+        """Probe the ``nprobe`` nearest inverted lists and exact-score
+        only those. The `.isin(list_id)` filter is a parquet partition
+        filter — the scan reads nprobe/nlist of the data; scoring stays
+        JVM-native and the merge is TakeOrderedAndProject."""
+        nprobe = int(nprobe or self.manifest["default_nprobe"])
+        probes = self._probe_ids(query_vec, nprobe)
+        q = [float(x) for x in query_vec]
+        dist_fn = distance_for_metric(self.metric)
+        id_col = self.manifest["id_col"]
+        vec_col = self.manifest["vec_col"]
+        return (
+            self._lists_df()
+            .where(F.col("list_id").isin(probes))
+            .withColumn(dist_col, dist_fn(F.col(vec_col), q))
+            .orderBy(F.col(dist_col).asc_nulls_last(), F.col(id_col))
+            .limit(int(k))
+        )
+
+    # -- batched multi-query top-k join (entry point C shape) -------------
+
+    def knn_join(
+        self,
+        queries: DataFrame,
+        query_vec_col: str,
+        k: int,
+        query_id_col: str,
+        nprobe: int | None = None,
+        dist_col: str = "dist",
+        rn_col: str = "rn",
+    ) -> DataFrame:
+        """Each query explodes to its ``nprobe`` probe lists; an
+        equi-join on ``list_id`` routes it to exactly those candidates
+        (shuffle ∝ queries·nprobe + probed lists, never queries×rows);
+        window ``row_number ≤ k`` merges. Emits 1-indexed ``rn`` like
+        the reference join operator (hnsw_optimize_join.cpp:148)."""
+        nprobe = int(nprobe or self.manifest["default_nprobe"])
+        id_col = self.manifest["id_col"]
+        vec_col = self.manifest["vec_col"]
+        c = self._centroids
+        c_sq = (c**2).sum(axis=1)
+
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        npr = nprobe
+
+        def _probe(v):
+            mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+            dist = (mat**2).sum(axis=1, keepdims=True) + c_sq - 2.0 * mat @ c.T
+            order = np.argsort(dist, axis=1, kind="stable")[:, :npr]
+            return pd.Series(list(order.astype(np.int32)))
+
+        probe_lists = pandas_udf(_probe, ArrayType(IntegerType()))
+
+        probed = queries.where(F.col(query_vec_col).isNotNull()).withColumn(
+            "list_id", F.explode(probe_lists(F.col(query_vec_col)))
+        )
+        dist_fn = distance_for_metric(self.metric)
+        scored = (
+            # queries·nprobe rows is the small side — broadcast it so the
+            # inverted lists never shuffle
+            self._lists_df()
+            .join(F.broadcast(probed), on="list_id", how="inner")
+            .withColumn(dist_col, dist_fn(F.col(query_vec_col), F.col(vec_col)))
+        )
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col(dist_col).asc_nulls_last(), F.col(id_col)
+        )
+        return (
+            scored.withColumn(rn_col, F.row_number().over(w))
+            .where(F.col(rn_col) <= int(k))
+            .drop(query_vec_col, "list_id")
+        )
+
+    # -- maintenance ------------------------------------------------------
+
+    def rebuild(self, df: DataFrame) -> "IvfIndex":
+        m = self.manifest
+        return create_ivf_index(
+            self.spark,
+            df,
+            vec_col=m["vec_col"],
+            id_col=m["id_col"],
+            path=self.path,
+            name=m["index_name"],
+            metric=m["metric"],
+            nlist=m["nlist"],
+            default_nprobe=m["default_nprobe"],
+            overwrite=True,
+        )
+
+    def info(self) -> DataFrame:
+        m = self.manifest
+        row = (
+            "spark_catalog",
+            "default",
+            m["index_name"],
+            m["table_name"],
+            m["metric"],
+            m["dimensions"],
+            m["count"],
+            m["nlist"],
+            m["default_nprobe"],
+            [(p["list_id"], p["count"]) for p in m["lists"]],
+        )
+        schema = (
+            "catalog_name string, schema_name string, index_name string, table_name string, "
+            "metric string, dimensions long, count long, nlist long, default_nprobe long, "
+            "list_stats array<struct<list_id:long,count:long>>"
+        )
+        return self.spark.createDataFrame([row], schema)
+
+
+def create_ivf_index(
+    spark: SparkSession,
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    name: str = "ivf_idx",
+    metric: str = "l2sq",
+    nlist: int | None = None,
+    default_nprobe: int | None = None,
+    sample_per_list: int = 256,
+    kmeans_iters: int = 10,
+    seed: int = 42,
+    overwrite: bool = False,
+) -> IvfIndex:
+    """CREATE INDEX ... USING IVF (vec_col) WITH (metric, nlist) as a
+    bulk Spark job. nlist defaults to ~sqrt(count) (the standard IVF
+    rule of thumb); nprobe defaults to max(1, nlist//8)."""
+    if metric not in ("l2sq", "cosine", "ip"):
+        raise ValueError("IVF index 'metric' must be one of: 'cosine', 'ip', 'l2sq'")
+    src = df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
+    ).where(F.col(vec_col).isNotNull())
+    total = src.count()
+    if total == 0:
+        raise ValueError("cannot build an IVF index over an empty vector column")
+    if nlist is None:
+        nlist = max(2, min(4096, int(math.isqrt(total))))
+    nlist = int(min(nlist, total))
+    if default_nprobe is None:
+        default_nprobe = max(1, nlist // 8)
+
+    first = src.select(vec_col).first()
+    dims = len(first[0])
+
+    # driver-sized seeded sample for centroid training
+    want = nlist * sample_per_list
+    frac = min(1.0, want / total)
+    sample_rows = (
+        src.select(vec_col).sample(fraction=frac, seed=seed).limit(want).collect()
+        if frac < 1.0
+        else src.select(vec_col).collect()
+    )
+    sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
+    centroids = _kmeans(sample, nlist, kmeans_iters, seed)
+
+    if os.path.exists(path):
+        if not overwrite:
+            raise ValueError(f"index path {path!r} already exists (use overwrite=True)")
+        shutil.rmtree(path)
+    os.makedirs(path)
+
+    assigned = src.withColumn("list_id", _assign_udf(centroids)(F.col(vec_col)))
+    lists_dir = os.path.join(path, "lists")
+    assigned.write.partitionBy("list_id").parquet(lists_dir)
+
+    counts = {
+        r["list_id"]: r["n"]
+        for r in spark.read.parquet(lists_dir)
+        .groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    manifest = {
+        "index_name": name,
+        "table_name": "",
+        "vec_col": vec_col,
+        "id_col": id_col,
+        "metric": metric,
+        "dimensions": dims,
+        "nlist": nlist,
+        "default_nprobe": default_nprobe,
+        "count": int(sum(counts.values())),
+        "centroids": [[float(x) for x in row] for row in centroids],
+        "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "lists": [
+            {"list_id": int(lid), "count": int(counts.get(lid, 0))}
+            for lid in range(nlist)
+        ],
+    }
+    tmp = os.path.join(path, ".manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(path, "manifest.json"))
+    return IvfIndex(spark, path, manifest)
+
+
+def load_ivf_index(spark: SparkSession, path: str) -> IvfIndex:
+    with open(os.path.join(path, "manifest.json")) as f:
+        return IvfIndex(spark, path, json.load(f))
+
+
+def drop_ivf_index(path: str) -> None:
+    if os.path.exists(os.path.join(path, "manifest.json")):
+        shutil.rmtree(path)

@@ -579,6 +579,81 @@ def q_hnsw_index_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.info().select("index_name", "metric", "dimensions", "count")
 
 
+def _get_ivf_index(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir) the IVF artifact over embeddings."""
+    from duckdb_vss_spark.index import create_ivf_index, load_ivf_index
+
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/vss_ivf_{tag}"
+    if _os.path.exists(_os.path.join(path, "manifest.json")):
+        return load_ivf_index(spark, path)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return create_ivf_index(
+        spark, emb, vec_col="embedding", id_col="vec_id", path=path,
+        name="emb_ivf", metric="l2sq", nlist=16, overwrite=True,
+    )
+
+
+@register(
+    "q_ivf_knn",
+    f"""
+    SELECT vec_id, label,
+           list_distance(CAST(embedding AS DOUBLE[]), {_ORACLE_QVEC.format(vid=13)}) AS dist
+    FROM embeddings
+    WHERE embedding IS NOT NULL
+    ORDER BY dist, vec_id
+    LIMIT 10
+    """,
+)
+def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k scan, the partition-pruned ANN scale path (ivf.py).
+    nprobe = nlist probes every inverted list, so the result is exact and
+    the brute-force SQL is a strict oracle; smaller nprobe trades the
+    scanned fraction for recall (tests/test_ivf.py pins that curve)."""
+    idx = _get_ivf_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 13)
+    hits = idx.knn_search(qv, 10, nprobe=idx.nlist).select("vec_id", "dist")
+    # late-materialized payload fetch by id (the reference's rowid fetch,
+    # hnsw_index_scan.cpp:72-89): the k-row hit list broadcasts
+    return (
+        emb.select("vec_id", "label")
+        .join(F.broadcast(hits), "vec_id")
+        .select("vec_id", "label", "dist")
+        .orderBy(F.col("dist"), F.col("vec_id"))
+    )
+
+
+@register(
+    "q_ivf_knn_join",
+    """
+    SELECT qid, rid, dist, rn FROM (
+      SELECT q.vec_id AS qid, r.vec_id AS rid,
+             list_distance(CAST(q.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])) AS dist,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])), r.vec_id
+             ) AS rn
+      FROM (SELECT * FROM embeddings WHERE vec_id % 100 = 0) q, embeddings r
+      WHERE r.embedding IS NOT NULL AND q.embedding IS NOT NULL
+    ) WHERE rn <= 3
+    """,
+)
+def q_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF batched top-k join: every query routes to its probed lists via
+    an equi-join on list_id (shuffle ∝ queries·nprobe, never queries×rows).
+    Full probe → exact, so the lateral SQL is a strict oracle."""
+    idx = _get_ivf_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = idx.knn_join(q, "qvec", 3, "qid", nprobe=idx.nlist)
+    return out.select(
+        "qid", F.col("vec_id").alias("rid"), F.col("dist").cast("double").alias("dist"), "rn"
+    )
+
+
 @register("q_hnsw_self_consistency", "SELECT CAST(0 AS BIGINT) AS n_mismatch")
 def q_hnsw_self_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Labeled self-consistency: indexed vs brute-force result sets must
