@@ -155,7 +155,7 @@ def register_sql_functions(spark: SparkSession) -> None:
     from pyspark.sql.types import DoubleType
 
     def _wrap(fn):
-        def inner(a: pd.Series, b: pd.Series) -> pd.Series:
+        def inner(a, b):
             out = np.empty(len(a), dtype=np.float64)
             for i, (x, y) in enumerate(zip(a, b)):
                 if x is None or y is None:

@@ -654,6 +654,44 @@ def q_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_sql_topk_rewrite",
+    f"""
+    SELECT vec_id,
+           list_distance(CAST(embedding AS DOUBLE[]), {_ORACLE_QVEC.format(vid=21)}) AS dist
+    FROM embeddings
+    WHERE embedding IS NOT NULL
+    ORDER BY dist, vec_id
+    LIMIT 8
+    """,
+)
+def q_sql_topk_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference SQL (operator alias + cast literal) through the plan
+    layer: the VssPlanner recognizes entry-point-B's statement shape and
+    routes it to the index scan (plans/rewrite.py; the reference's
+    hnsw_optimize_scan rule). ef ≫ k keeps the ANN path exact at oracle
+    scale, so the brute-force SQL is a strict oracle."""
+    from duckdb_vss_spark.plans import VssPlanner
+
+    idx = _get_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.createOrReplaceTempView("embeddings")
+    spark.conf.set("spark.vss.ef_search", "400")
+    try:
+        planner = VssPlanner(spark)
+        planner.register_index("embeddings", "embedding", idx)
+        qv = _query_vec(spark, sf_dir, 21)
+        lit = ",".join(repr(x) for x in qv)
+        df = planner.sql(
+            f"SELECT vec_id, dist FROM embeddings "
+            f"ORDER BY embedding <-> [{lit}]::FLOAT[{len(qv)}] LIMIT 8"
+        )
+        assert planner.last_plan == "HNSW_INDEX_SCAN", planner.last_plan
+        return df
+    finally:
+        spark.conf.unset("spark.vss.ef_search")
+
+
 @register("q_hnsw_self_consistency", "SELECT CAST(0 AS BIGINT) AS n_mismatch")
 def q_hnsw_self_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Labeled self-consistency: indexed vs brute-force result sets must

@@ -1,0 +1,111 @@
+"""Plan-rewrite layer: operator aliases, cosine canonicalization,
+TopN -> index-scan routing (reference: hnsw_rewrite.test, hnsw_basic.test)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_vss_spark.index import create_hnsw_index, drop_index
+from duckdb_vss_spark.operators import knn_search
+from duckdb_vss_spark.plans import (
+    VssPlanner,
+    canonicalize_cosine,
+    match_topk,
+    rewrite_operators,
+)
+
+
+def test_operator_rewrite():
+    assert (
+        rewrite_operators("SELECT a <-> b FROM t")
+        == "SELECT array_distance(a, b) FROM t"
+    )
+    assert "array_cosine_distance(a, b)" in rewrite_operators("SELECT a <=> b FROM t")
+    assert "array_negative_inner_product(a, b)" in rewrite_operators(
+        "SELECT a <#> b FROM t"
+    )
+
+
+def test_operator_rewrite_array_literal():
+    out = rewrite_operators("SELECT vec <-> [1,2,3]::FLOAT[3] FROM t")
+    assert out == "SELECT array_distance(vec, cast(array(1,2,3) as array<float>)) FROM t"
+
+
+def test_cosine_canonicalization():
+    # hnsw_rewrite.test:11-14 — literal 1.0 required
+    assert (
+        canonicalize_cosine("SELECT 1.0 - array_cosine_similarity(a, b) FROM t")
+        == "SELECT array_cosine_distance(a, b) FROM t"
+    )
+    s = "SELECT 0.5 - array_cosine_similarity(a, b) FROM t"
+    assert canonicalize_cosine(s) == s
+
+
+def test_match_topk_shapes():
+    m = match_topk(
+        "SELECT id FROM items ORDER BY array_distance(vec, array(1.0, 2.0, 3.0)) LIMIT 5"
+    )
+    assert m and m.table == "items" and m.k == 5 and m.metric == "l2sq"
+    assert m.query_vec == [1.0, 2.0, 3.0]
+    # operator-alias + cast form matches too
+    m2 = match_topk("SELECT id FROM items ORDER BY vec <=> [0.1,0.2]::FLOAT[2] LIMIT 3")
+    assert m2 and m2.metric == "cosine" and m2.query_vec == [0.1, 0.2]
+    # deviations must NOT match (conservative, hnsw_optimize_scan.cpp:39-84)
+    assert match_topk("SELECT id FROM a JOIN b ON a.x=b.x ORDER BY array_distance(v, array(1.0)) LIMIT 5") is None
+    assert match_topk("SELECT id FROM t ORDER BY array_distance(v, other_col) LIMIT 5") is None
+    assert match_topk("SELECT id FROM t ORDER BY array_distance(v, array(1.0)) DESC LIMIT 5") is None
+    assert match_topk("SELECT id FROM t WHERE x > 1 ORDER BY array_distance(v, array(1.0)) LIMIT 5") is None
+
+
+@pytest.fixture(scope="module")
+def planner_with_index(spark, grid, tmp_path_factory):
+    grid.createOrReplaceTempView("grid_items")
+    path = str(tmp_path_factory.mktemp("planidx") / "grid_idx")
+    idx = create_hnsw_index(
+        spark, grid, vec_col="vec", id_col="id", path=path, overwrite=True
+    )
+    p = VssPlanner(spark)
+    p.register_index("grid_items", "vec", idx)
+    yield p
+    drop_index(path)
+
+
+def test_planner_routes_to_index(spark, grid, planner_with_index):
+    p = planner_with_index
+    df = p.sql(
+        "SELECT id FROM grid_items ORDER BY vec <-> [2.0,2.0,2.0]::FLOAT[3] LIMIT 3"
+    )
+    # EXPLAIN parity: the reference asserts HNSW_INDEX_SCAN in EXPLAIN
+    # (hnsw_basic.test:19-22); our marker is the same signal
+    assert p.last_plan == "HNSW_INDEX_SCAN"
+    got = sorted(r["id"] for r in df.collect())
+    want = sorted(
+        r["id"]
+        for r in knn_search(grid, "vec", [2.0, 2.0, 2.0], 3).select("id").collect()
+    )
+    assert got == want
+
+
+def test_planner_falls_back_without_index(spark, grid, planner_with_index):
+    p = planner_with_index
+    df = p.sql("SELECT count(*) AS n FROM grid_items")
+    assert p.last_plan == "SEQ_SCAN"
+    assert df.first()["n"] == grid.count()
+
+
+def test_planner_fallback_runs_reference_sql(spark, grid, planner_with_index):
+    # operator-alias SQL that does NOT match the topk shape still runs
+    # (rewritten to function calls, computed brute force)
+    p = planner_with_index
+    df = p.sql(
+        "SELECT id, vec <-> [1.0,1.0,1.0]::FLOAT[3] AS d FROM grid_items WHERE id < 5 ORDER BY d, id LIMIT 2"
+    )
+    assert p.last_plan == "SEQ_SCAN"
+    rows = df.collect()
+    assert [r["id"] for r in rows] == [0, 1]
+
+
+def test_planner_metric_mismatch_no_rewrite(spark, grid, planner_with_index):
+    # l2sq index must not serve a cosine query (hnsw_metrics.test)
+    p = planner_with_index
+    p.sql("SELECT id FROM grid_items ORDER BY vec <=> [1.0,1.0,1.0]::FLOAT[3] LIMIT 2")
+    assert p.last_plan == "SEQ_SCAN"
