@@ -45,17 +45,35 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
-def attach_media_metadata(df: DataFrame, payload_col: str, kind: str, fmt: str) -> DataFrame:
-    """Wrap a raw binary column into the canonical media schema."""
+def attach_media_metadata(
+    df: DataFrame,
+    payload_col: str,
+    kind: str,
+    fmt: str,
+    id_col: str | None = None,
+    duration_ms=None,
+) -> DataFrame:
+    """Wrap a raw binary column into the canonical media schema.
+
+    Pass ``id_col`` for a deterministic media_id (required for
+    reproducible joins/lineage at scale); the default
+    ``monotonically_increasing_id`` depends on partition layout.
+    ``duration_ms`` may be a Column for video/audio rows."""
     return df.select(
-        F.monotonically_increasing_id().alias("media_id"),
+        (F.col(id_col).cast("long") if id_col else F.monotonically_increasing_id()).alias(
+            "media_id"
+        ),
         F.col(payload_col).alias("payload"),
         F.struct(
             F.lit(kind).alias("kind"),
             F.lit(fmt).alias("format"),
             F.lit(None).cast("int").alias("width"),
             F.lit(None).cast("int").alias("height"),
-            F.lit(None).cast("long").alias("duration_ms"),
+            (
+                duration_ms.cast("long")
+                if duration_ms is not None
+                else F.lit(None).cast("long")
+            ).alias("duration_ms"),
         ).alias("meta"),
     )
 

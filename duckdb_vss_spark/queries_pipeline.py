@@ -240,6 +240,79 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_fingerprint",
+    """
+    SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (rolling-normalization + md5): the cheap
+    first pass of a dedup pipeline — identical fingerprints are exact
+    dups after whitespace/case normalization."""
+    from duckdb_vss_spark.pipeline.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing (north star): payloads synthesized from document
+# bytes (the container has no codec libs; TESTDATA has no binary column),
+# deterministic ids so the oracle can reproduce the relational shape.
+# --------------------------------------------------------------------------
+
+
+def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_vss_spark.pipeline.multimodal import attach_media_metadata
+
+    docs = load_table(spark, sf_dir, "documents")
+    # payload = utf8 bytes of the text; duration 10 ms per char
+    return attach_media_metadata(
+        docs.withColumn("payload", F.encode("text", "UTF-8")),
+        "payload",
+        kind="video",
+        fmt="mp4",
+        id_col="doc_id",
+        duration_ms=F.col("n_chars") * 10,
+    )
+
+
+@register(
+    "q_media_frame_sample",
+    """
+    SELECT doc_id AS media_id,
+           CAST(unnest(range(0, greatest(CAST(floor(n_chars * 10 / 1000) AS INT), 1))) AS INT) AS frame_idx,
+           CAST(unnest(range(0, greatest(CAST(floor(n_chars * 10 / 1000) AS INT), 1))) * 1000 AS BIGINT) AS frame_ts_ms
+    FROM documents
+    """,
+)
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: one row per sampled frame at a
+    1000 ms stride from the typed duration metadata. The decode itself is
+    behind the stub seam (multimodal.py); the relational shape — explode
+    of a per-row frame sequence — is the real, scale-relevant part."""
+    from duckdb_vss_spark.pipeline.multimodal import sample_frames
+
+    return sample_frames(_media_df(spark, sf_dir), every_ms=1000)
+
+
+@register(
+    "q_media_features_shape",
+    "SELECT doc_id AS media_id, CAST(64 AS INT) AS dim FROM documents",
+)
+def q_media_features_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction plumbing: every payload flows through the
+    Arrow-batched decode UDF and yields a fixed-dimension vector. The
+    oracle pins the relational contract (every media_id present, dim
+    constant); the fake-codec values themselves are meaningless."""
+    from duckdb_vss_spark.pipeline.multimodal import extract_features
+
+    feats = extract_features(_media_df(spark, sf_dir), dim=64)
+    return feats.select("media_id", F.size("feature").cast("int").alias("dim"))
+
+
+@register(
     "q_embedding_neardup",
     """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
