@@ -1,6 +1,8 @@
 from duckdb_vss_spark.plans.rewrite import (  # noqa: F401
     VssPlanner,
     canonicalize_cosine,
+    match_lateral,
+    match_minby,
     match_topk,
     rewrite_operators,
 )

@@ -167,6 +167,131 @@ def match_topk(sql: str) -> TopKMatch | None:
     )
 
 
+# -- k-ary min_by -> ordered list over index scan (hnsw_optimize_topk.cpp) -
+
+_MINBY_SQL = re.compile(
+    r"""^\s*
+    SELECT\s+min_by\s*\(\s*
+        (?P<val>[A-Za-z_][A-Za-z0-9_]*)\s*,\s*
+        (?P<fn>array_distance|array_distance_sq|array_cosine_distance|array_negative_inner_product)
+        \s*\(\s*(?P<vcol>[A-Za-z_][A-Za-z0-9_]*)\s*,\s*(?P<qvec>.+?)\s*\)\s*,\s*
+        (?P<k>\d+)\s*\)
+        (?:\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*))?\s+
+    FROM\s+(?P<table>[A-Za-z_][A-Za-z0-9_.]*)\s*;?\s*$""",
+    re.IGNORECASE | re.VERBOSE | re.DOTALL,
+)
+
+
+@dataclass
+class MinByMatch:
+    """``SELECT min_by(col, dist_fn(vec, CONST), k) FROM t`` — the k-ary
+    aggregate form (hnsw_optimize_topk.cpp:64-219). k must satisfy
+    0 < k < 2048 like the reference (:162-165)."""
+
+    value_col: str
+    table: str
+    fn: str
+    metric: str
+    vec_col: str
+    query_vec: list[float]
+    k: int
+    alias: str
+
+
+def match_minby(sql: str) -> MinByMatch | None:
+    m = _MINBY_SQL.match(canonicalize_cosine(rewrite_operators(sql)))
+    if not m:
+        return None
+    k = int(m["k"])
+    if not 0 < k < 2048:  # hnsw_optimize_topk.cpp:162-165
+        return None
+    lit = _ARRAY_LIT.match(m["qvec"].strip())
+    if not lit:
+        return None
+    fn = m["fn"].lower()
+    return MinByMatch(
+        value_col=m["val"],
+        table=m["table"],
+        fn=fn,
+        metric=_METRIC_FOR_FN[fn],
+        vec_col=m["vcol"],
+        query_vec=[float(x) for x in lit["vals"].split(",")],
+        k=k,
+        alias=m["alias"] or "min_by",
+    )
+
+
+# -- lateral top-k join -> index join (hnsw_optimize_join.cpp) -------------
+
+_LATERAL_SQL = re.compile(
+    r"""^\s*
+    SELECT\s+(?P<cols>.+?)\s+
+    FROM\s+(?P<outer>[A-Za-z_][A-Za-z0-9_.]*)\s+(?P<oalias>[A-Za-z_][A-Za-z0-9_]*)\s*,\s*
+    LATERAL\s*\(\s*
+        SELECT\s+(?P<icols>.+?)\s+
+        FROM\s+(?P<inner>[A-Za-z_][A-Za-z0-9_.]*)\s+(?P<ialias>[A-Za-z_][A-Za-z0-9_]*)\s+
+        ORDER\s+BY\s+
+            (?P<fn>array_distance|array_distance_sq|array_cosine_distance|array_negative_inner_product)
+            \s*\(\s*
+            (?P<q1>[A-Za-z_][A-Za-z0-9_]*)\.(?P<qcol>[A-Za-z_][A-Za-z0-9_]*)\s*,\s*
+            (?P<q2>[A-Za-z_][A-Za-z0-9_]*)\.(?P<icol>[A-Za-z_][A-Za-z0-9_]*)\s*\)
+            (?:\s+ASC)?\s+
+        LIMIT\s+(?P<k>\d+)\s*
+    \)\s*(?:AS\s+)?(?P<lalias>[A-Za-z_][A-Za-z0-9_]*)?\s*;?\s*$""",
+    re.IGNORECASE | re.VERBOSE | re.DOTALL,
+)
+
+
+@dataclass
+class LateralMatch:
+    """``SELECT ... FROM q AS a, LATERAL (SELECT ... FROM t AS b ORDER BY
+    dist_fn(a.v, b.v) LIMIT k)`` — entry point C (hnsw_optimize_join.cpp:
+    351-432). k bound 0 < k < 2048 like the reference (:459-463)."""
+
+    cols: str
+    outer: str
+    outer_alias: str
+    inner: str
+    inner_alias: str
+    fn: str
+    metric: str
+    query_col: str
+    item_col: str
+    k: int
+
+
+def match_lateral(sql: str) -> LateralMatch | None:
+    m = _LATERAL_SQL.match(canonicalize_cosine(rewrite_operators(sql)))
+    if not m:
+        return None
+    k = int(m["k"])
+    if not 0 < k < 2048:
+        return None
+    # the correlated arg must come from the outer alias, the other from
+    # the inner alias (either argument order, hnsw_index.cpp:632-662)
+    oa, ia = m["oalias"].lower(), m["ialias"].lower()
+    q1, q2 = m["q1"].lower(), m["q2"].lower()
+    if (q1, q2) == (oa, ia):
+        qcol, icol = m["qcol"], m["icol"]
+    elif (q1, q2) == (ia, oa):
+        qcol, icol = m["icol"], m["qcol"]
+    else:
+        return None
+    fn = m["fn"].lower()
+    return LateralMatch(
+        cols=m["cols"].strip(),
+        outer=m["outer"],
+        outer_alias=m["oalias"],
+        inner=m["inner"],
+        inner_alias=m["ialias"],
+        fn=fn,
+        metric=_METRIC_FOR_FN[fn],
+        query_col=qcol,
+        item_col=icol,
+        k=k,
+    )
+
+
 class VssPlanner:
     """SQL front-end with the index-aware rewrites installed.
 
@@ -202,24 +327,110 @@ class VssPlanner:
             return None
         return idx
 
+    def _marker(self, idx) -> str:
+        return (
+            type(idx).__name__.replace("Hnsw", "HNSW_")
+            .replace("Ivf", "IVF_")
+            .replace("Index", "INDEX_SCAN")
+        )
+
+    def _index_hits(self, idx, table: str, query_vec, k: int) -> DataFrame:
+        """Run the index scan; k ordered rows with a ``dist`` column."""
+        base = self.spark.table(table)
+        if type(idx).__name__ == "IvfIndex":
+            return idx.knn_search(query_vec, k)
+        return idx.knn_search(base, query_vec, k)
+
     def sql(self, sql: str) -> DataFrame:
         match = match_topk(sql)
         idx = self._index_for(match) if match else None
         if match and idx is not None:
-            self.last_plan = type(idx).__name__.replace("Hnsw", "HNSW_").replace(
-                "Ivf", "IVF_"
-            ).replace("Index", "INDEX_SCAN")
-            base = self.spark.table(match.table)
-            if hasattr(idx, "knn_search") and type(idx).__name__ == "IvfIndex":
-                hits = idx.knn_search(match.query_vec, match.k)
-            else:
-                hits = idx.knn_search(base, match.query_vec, match.k)
+            self.last_plan = self._marker(idx)
+            hits = self._index_hits(idx, match.table, match.query_vec, match.k)
             # reproject to the requested select list; the distance column
             # is recomputed by the projection like the reference (§3-B.4)
             hits.createOrReplaceTempView("__vss_topk__")
             cols = match.cols
             if cols == "*":
-                return hits.drop("dist") if "dist" not in cols else hits
+                return hits.drop("dist")
             return self.spark.sql(f"SELECT {cols} FROM __vss_topk__")
+
+        mb = match_minby(sql)
+        if mb is not None:
+            return self._run_minby(mb)
+
+        ml = match_lateral(sql)
+        idx = self._index_for_join(ml) if ml else None
+        if ml is not None and idx is not None:
+            return self._run_lateral_indexed(ml, idx)
+
         self.last_plan = "SEQ_SCAN"
         return self.spark.sql(canonicalize_cosine(rewrite_operators(sql)))
+
+    # -- min_by (k-ary aggregate; Spark's builtin is 2-ary, so BOTH paths
+    #    are ours: index scan when available, sort-slice idiom otherwise) --
+
+    def _run_minby(self, mb: MinByMatch) -> DataFrame:
+        idx = self._index_for(
+            TopKMatch("", mb.table, mb.fn, mb.metric, mb.vec_col, mb.query_vec, mb.k)
+        )
+        from duckdb_vss_spark.functions import distance as D
+
+        dist_fn = getattr(D, mb.fn)
+        base = self.spark.table(mb.table)
+        if idx is not None:
+            self.last_plan = self._marker(idx)
+            hits = self._index_hits(idx, mb.table, mb.query_vec, mb.k)
+        else:
+            self.last_plan = "SEQ_SCAN"
+            # ties break by the value column (deterministic in both paths
+            # when value is the row id; the reference's own tests only
+            # tolerance-assert tied sets, SURVEY §5)
+            hits = (
+                base.where(F.col(mb.vec_col).isNotNull())
+                .withColumn("dist", dist_fn(F.col(mb.vec_col), mb.query_vec))
+                .orderBy(F.col("dist").asc_nulls_last(), F.col(mb.value_col))
+                .limit(mb.k)
+            )
+        # ordered list(value ORDER BY dist) over the k rows — the rewrite
+        # target of hnsw_optimize_topk.cpp:175-184
+        return hits.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("dist"), F.col(mb.value_col)))),
+                lambda s: s[mb.value_col],
+            ).alias(mb.alias)
+        )
+
+    # -- lateral top-k join -> index join ---------------------------------
+
+    def _index_for_join(self, ml: LateralMatch | None):
+        if ml is None:
+            return None
+        idx = self._indexes.get((ml.inner.lower(), ml.item_col.lower()))
+        # graph indexes only: the batched multi-query scan is HNSW's
+        # ExecuteMultiScan shape; IVF serves the API path (IvfIndex.knn_join)
+        if idx is None or idx.metric != ml.metric or type(idx).__name__ != "HnswIndex":
+            return None
+        return idx
+
+    def _run_lateral_indexed(self, ml: LateralMatch, idx) -> DataFrame:
+        """Rewrite to the batched index join (PhysicalHNSWIndexJoin's job,
+        hnsw_optimize_join.cpp:33-170). Narrow: outputs every outer
+        column (original names), every inner column, and ``dist`` —
+        callers project from that, mirroring how the reference installs a
+        new top projection (:572-689)."""
+        self.last_plan = self._marker(idx).replace("SCAN", "JOIN")
+        outer = self.spark.table(ml.outer)
+        inner = self.spark.table(ml.inner)
+        qid = "__vss_qid__"
+        q = outer.withColumn(qid, F.monotonically_increasing_id())
+        joined = idx.knn_join(q.select(qid, ml.query_col), inner, ml.query_col, ml.k, qid)
+        out = joined.join(q.drop(ml.query_col), qid).drop(qid, "rn")
+        if ml.cols == "*":
+            return out
+        cols = [c.strip() for c in ml.cols.split(",")]
+        exprs = []
+        for c in cols:
+            base = c.split(".", 1)[1] if "." in c else c
+            exprs.append(F.col(base))
+        return out.select(*exprs)

@@ -805,6 +805,37 @@ def q_sql_topk_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.unset("spark.vss.ef_search")
 
 
+@register(
+    "q_sql_minby_topk",
+    f"""
+    SELECT list(vec_id ORDER BY d, vec_id) AS nbrs FROM (
+      SELECT vec_id,
+             list_distance(CAST(embedding AS DOUBLE[]), {_ORACLE_QVEC.format(vid=33)}) AS d
+      FROM embeddings WHERE embedding IS NOT NULL
+      ORDER BY d, vec_id LIMIT 6
+    )
+    """,
+)
+def q_sql_minby_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-ary min_by — DuckDB-core surface the reference's macros and
+    topk rule build on (SURVEY §2.2; hnsw_topk.test). Spark's builtin is
+    2-ary, so the planner supplies the k-ary form via the sort-slice
+    idiom (plans/rewrite.py _run_minby); the oracle is the reference
+    rule's own rewrite target — ordered list() over the top-k subquery
+    (hnsw_optimize_topk.cpp:51-56 — this DuckDB build lacks the 3-arg
+    min_by overload)."""
+    from duckdb_vss_spark.plans import VssPlanner
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.createOrReplaceTempView("embeddings")
+    planner = VssPlanner(spark)
+    qv = _query_vec(spark, sf_dir, 33)
+    lit = ",".join(repr(x) for x in qv)
+    return planner.sql(
+        f"SELECT min_by(vec_id, array_distance(embedding, array({lit})), 6) AS nbrs FROM embeddings"
+    )
+
+
 @register("q_hnsw_self_consistency", "SELECT CAST(0 AS BIGINT) AS n_mismatch")
 def q_hnsw_self_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Labeled self-consistency: indexed vs brute-force result sets must

@@ -9,6 +9,8 @@ from duckdb_vss_spark.operators import knn_search
 from duckdb_vss_spark.plans import (
     VssPlanner,
     canonicalize_cosine,
+    match_lateral,
+    match_minby,
     match_topk,
     rewrite_operators,
 )
@@ -102,6 +104,65 @@ def test_planner_fallback_runs_reference_sql(spark, grid, planner_with_index):
     assert p.last_plan == "SEQ_SCAN"
     rows = df.collect()
     assert [r["id"] for r in rows] == [0, 1]
+
+
+def test_match_minby():
+    m = match_minby(
+        "SELECT min_by(id, array_distance(vec, array(1.0, 2.0, 3.0)), 4) AS nbrs FROM items"
+    )
+    assert m and m.k == 4 and m.value_col == "id" and m.alias == "nbrs"
+    # k bound 0 < k < 2048 (hnsw_optimize_topk.cpp:162-165)
+    assert match_minby("SELECT min_by(id, array_distance(v, array(1.0)), 0) FROM t") is None
+    assert match_minby("SELECT min_by(id, array_distance(v, array(1.0)), 5000) FROM t") is None
+
+
+def test_match_lateral():
+    m = match_lateral(
+        "SELECT * FROM queries a, LATERAL (SELECT b.id FROM items b "
+        "ORDER BY array_distance(a.qv, b.vec) LIMIT 3) nn"
+    )
+    assert m and m.outer == "queries" and m.inner == "items" and m.k == 3
+    assert m.query_col == "qv" and m.item_col == "vec"
+    # swapped argument order also matches (hnsw_index.cpp:632-662)
+    m2 = match_lateral(
+        "SELECT * FROM queries a, LATERAL (SELECT b.id FROM items b "
+        "ORDER BY array_distance(b.vec, a.qv) LIMIT 3) nn"
+    )
+    assert m2 and m2.query_col == "qv" and m2.item_col == "vec"
+
+
+def test_planner_minby_indexed_and_brute(spark, grid, planner_with_index):
+    p = planner_with_index
+    sql = "SELECT min_by(id, array_distance(vec, array(2.0, 2.0, 2.0)), 3) AS nbrs FROM grid_items"
+    got = p.sql(sql).first()["nbrs"]
+    assert p.last_plan == "HNSW_INDEX_SCAN"
+    # brute-force path: planner without a registered index, same result
+    p2 = VssPlanner(spark)
+    want = p2.sql(sql).first()["nbrs"]
+    assert p2.last_plan == "SEQ_SCAN"
+    assert got == want
+    # the grid has a unique nearest point at (2,2,2): id = 1*81+1*9+1 = 91
+    assert got[0] == 91 and len(got) == 3
+
+
+def test_planner_lateral_indexed(spark, grid, planner_with_index):
+    p = planner_with_index
+    queries = grid.where(F.col("id").isin([0, 400])).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qv")
+    )
+    queries.createOrReplaceTempView("grid_queries")
+    df = p.sql(
+        "SELECT qid, id, dist FROM grid_queries a, LATERAL (SELECT b.id FROM grid_items b "
+        "ORDER BY array_distance(a.qv, b.vec) LIMIT 3) nn"
+    )
+    assert p.last_plan == "HNSW_INDEX_JOIN"
+    rows = df.collect()
+    assert len(rows) == 6
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r["id"])
+    # each query's own point is its nearest neighbor (dist 0)
+    assert 0 in by_q[0] and 400 in by_q[400]
 
 
 def test_planner_metric_mismatch_no_rewrite(spark, grid, planner_with_index):

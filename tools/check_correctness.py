@@ -19,8 +19,16 @@ sys.path.insert(0, "/root/repo")
 
 
 def canon(v, tol: float):
+    import numpy as np
+
     if v is None:
         return "<NULL>"
+    if isinstance(v, np.ndarray):
+        return tuple(canon(x, tol) for x in v.tolist())
+    if isinstance(v, (list, tuple)):
+        return tuple(canon(x, tol) for x in v)
+    if isinstance(v, np.generic):
+        v = v.item()
     if isinstance(v, float):
         if math.isnan(v):
             return "<NaN>"
