@@ -333,6 +333,9 @@ def embedding_neardup_lsh(
     arrays are never shuffled through the candidate distinct — at scale
     the shuffle is docs·bands skinny rows, never pairs²."""
     import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
 
     first = df.select(vec_col).first()
     dim = len(first[0])
@@ -340,32 +343,31 @@ def embedding_neardup_lsh(
     planes = rng.standard_normal((num_planes, dim))
     rows_per_band = num_planes // bands
 
-    sign_bits = [
-        (
-            F.aggregate(
-                F.zip_with(
-                    F.col(vec_col).cast("array<double>"),
-                    F.array(*[F.lit(float(x)) for x in planes[p]]),
-                    lambda a, b: a * b,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+    # all plane signs in ONE Arrow-batched matmul per batch: Spark
+    # interprets higher-order array lambdas (no codegen), so num_planes
+    # separate aggregate(zip_with(...)) columns would cost num_planes
+    # interpreted array traversals per row; BLAS does it in one pass.
+    planes_t = planes.T.copy()
+
+    def _buckets(v):
+        mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        bits = (mat @ planes_t > 0).astype(np.uint8)  # [n, num_planes]
+        out = []
+        for row in bits:
+            out.append(
+                [
+                    f"{b}:" + "".join(chr(48 + x) for x in row[b * rows_per_band : (b + 1) * rows_per_band])
+                    for b in range(bands)
+                ]
             )
-            > 0
-        ).cast("int").alias(f"p{p}")
-        for p in range(num_planes)
-    ]
-    sig = df.select(F.col(id_col).alias("id"), *sign_bits)
-    band_cols = [
-        F.concat_ws(
-            "", F.lit(f"{b}:"), *[F.col(f"p{b * rows_per_band + r}") for r in range(rows_per_band)]
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select("id", *band_cols)
-    stacked = banded.select(
-        "id", F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("bucket")
-    ).persist()
+        return pd.Series(out)
+
+    bucket_udf = pandas_udf(_buckets, ArrayType(StringType()))
+    stacked = (
+        df.select(F.col(id_col).alias("id"), bucket_udf(F.col(vec_col)).alias("bk"))
+        .select("id", F.explode("bk").alias("bucket"))
+        .persist()
+    )
     cand = (
         stacked.alias("x")
         .join(stacked.alias("y"), "bucket")
