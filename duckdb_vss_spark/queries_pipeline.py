@@ -327,3 +327,44 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant is the scale path, exercised in tests/bench)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(emb, "embedding", "vec_id", threshold=0.4)
+
+
+@register(
+    "q_stream_window_counts",
+    """
+    SELECT CAST(epoch_us(ts) - (epoch_us(ts) % 300000000) AS BIGINT) AS window_start_us,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming, oracle-checked: the watermarked 5-minute
+    tumbling-window aggregate runs as a real stream (file source,
+    availableNow trigger, complete mode to a memory sink) and must agree
+    with the batch SQL over the same events. Streaming is a north-star
+    extension (the reference has none, SURVEY §2.2); the decimal-cast sum
+    makes float accumulation order-independent across both engines."""
+    import uuid
+
+    from duckdb_vss_spark.streaming import read_events_stream, windowed_event_counts
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = windowed_event_counts(ev, window="5 minutes", exact_sum=True)
+    sink = f"stream_counts_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink).select(
+        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_value"),
+    )

@@ -1,0 +1,89 @@
+"""Sink surface: the reference's DDL/DML contract on immutable storage.
+
+The reference's tests exercise CREATE TABLE / INSERT / DELETE / DROP /
+CHECKPOINT / restart (SURVEY §2.2 Sink/DDL; e.g. reference
+test/sql/hnsw/hnsw_crud.test:10-25, hnsw_basic.test:33-38). Spark tables
+are immutable files, so the equivalents are snapshot-rewrite operations:
+
+  save_table      CREATE TABLE AS  (partitioned/bucketed parquet write)
+  insert_into     INSERT INTO ... SELECT  (append new files)
+  delete_where    DELETE FROM ... WHERE   (rewrite surviving rows)
+  overwrite_where selective partition overwrite (dynamic mode)
+
+``delete_where`` rewrites only because parquet has no deletion vectors;
+at 100 TB you'd put a table format (Delta/Iceberg) under the same call
+sites — the API shape is what the engine pins down. All writes commit
+atomically per Spark's file-commit protocol; readers see old or new,
+never half.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["save_table", "insert_into", "delete_where", "overwrite_where", "read_table"]
+
+
+def save_table(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    bucket_by: tuple[int, list[str]] | None = None,
+    mode: str = "error",
+) -> None:
+    """CREATE TABLE AS: parquet write, optionally partitioned (partition
+    pruning for downstream filters) or bucketed (co-located joins without
+    a shuffle — pre-shuffling once at write time)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if bucket_by:
+        n, cols = bucket_by
+        # bucketing requires a metastore table; path-only parquet cannot
+        # record bucket metadata, so route through saveAsTable
+        name = os.path.basename(path.rstrip("/"))
+        w.bucketBy(n, *cols).sortBy(*cols).option("path", path).saveAsTable(name)
+        return
+    w.parquet(path)
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def insert_into(df: DataFrame, path: str) -> None:
+    """INSERT INTO ... SELECT: append files to the table directory."""
+    df.write.mode("append").parquet(path)
+
+
+def delete_where(spark: SparkSession, path: str, predicate: Column) -> int:
+    """DELETE FROM t WHERE p: rewrite surviving rows, atomically swap.
+
+    Returns the number of deleted rows. The rewrite goes through a
+    sibling temp dir + rename so a crash never leaves a half table.
+    """
+    df = spark.read.parquet(path)
+    total = df.count()
+    surviving = df.where(~predicate | predicate.isNull())
+    tmp = path.rstrip("/") + ".__rewrite__"
+    surviving.write.mode("overwrite").parquet(tmp)
+    kept = spark.read.parquet(tmp).count()
+    import shutil
+
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return total - kept
+
+
+def overwrite_where(df: DataFrame, path: str, partition_by: list[str]) -> None:
+    """Dynamic partition overwrite: replaces only the partitions present
+    in ``df`` (the scalable 'UPDATE a slice' idiom)."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )

@@ -56,16 +56,24 @@ def windowed_event_counts(
     window: str = "5 minutes",
     slide: str | None = None,
     watermark: str = "10 minutes",
+    exact_sum: bool = False,
 ) -> DataFrame:
     """Watermarked sliding-window counts per event_type — the canonical
-    late-data-tolerant streaming aggregate."""
+    late-data-tolerant streaming aggregate. ``exact_sum`` routes the
+    value sum through a decimal so accumulation order (which micro-batch
+    a row lands in) cannot perturb the float result."""
     w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    val = (
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+        if exact_sum
+        else F.sum("value")
+    )
     return (
         events.withWatermark("ts", watermark)
         .groupBy(w, "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("value").alias("sum_value"),
+            val.alias("sum_value"),
         )
     )
 
