@@ -287,11 +287,13 @@ def create_hnsw_index(
     ).where(F.col(vec_col).isNotNull())
     if num_partitions is None:
         # size partitions so each graph fits comfortably in executor
-        # memory at any scale (~250k vectors/graph); at least the
-        # session's parallelism for small data
+        # memory at any scale (~250k vectors/graph ceiling), while small
+        # tables still split for build parallelism (~500 vectors/graph
+        # floor — below that, per-graph overhead beats the parallelism)
         total = src.count()
         by_size = max(1, (total + 250_000 - 1) // 250_000)
-        num_partitions = max(by_size, min(int(spark.conf.get("spark.sql.shuffle.partitions")), 32)) if total > 10_000 else by_size
+        parallelism = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        num_partitions = max(by_size, min(parallelism, total // 500)) if total > 1_000 else by_size
     src = src.repartition(num_partitions)
 
     params = dict(metric=metric, m=m, m0=m0, ef_construction=ef_construction, dims=dims)

@@ -85,6 +85,12 @@ class HNSWGraph:
 
     # -- construction -----------------------------------------------------
 
+    # above this node count the O(n²) pairwise matrix stops paying for
+    # itself (memory: n²·4B float32); artifact.py caps partitions well
+    # below the crossover locally, and big partitions take the
+    # incremental path exactly like the reference's per-thread inserts
+    BULK_BUILD_MAX = 4096
+
     def build(self, keys: np.ndarray, vectors: np.ndarray) -> "HNSWGraph":
         vectors = np.ascontiguousarray(vectors, dtype=np.float32)
         keys = np.asarray(keys, dtype=np.int64)
@@ -102,12 +108,108 @@ class HNSWGraph:
         self.neighbors = [
             [[] for _ in range(lvl + 1)] for lvl in self.levels
         ]
-        for i in range(n):
-            self._insert(i)
+        if 1 < n <= self.BULK_BUILD_MAX:
+            self._bulk_build()
+        else:
+            for i in range(n):
+                self._insert(i)
         return self
+
+    def _bulk_build(self) -> None:
+        """Bulk construction from the full pairwise-distance matrix.
+
+        The graph is built *once* per partition (Spark artifacts are
+        immutable), so unlike the reference's incremental inserts we can
+        afford exact candidate lists: per level, each member's top-c
+        candidates come from one BLAS pairwise matrix, the paper's
+        diversity heuristic picks ≤m of them, and edges are made
+        bidirectional with overflow pruning. Search behavior/layout is
+        identical to the incremental path; quality is ≥ (candidates are
+        exact, not discovered through a partially-built graph)."""
+        n = len(self.keys)
+        levels_arr = np.asarray(self.levels)
+        self.max_level = int(levels_arr.max())
+        self.entry = int(levels_arr.argmax())
+        for lvl in range(self.max_level + 1):
+            members = np.flatnonzero(levels_arr >= lvl)
+            if len(members) < 2:
+                continue
+            m_max = self.m0 if lvl == 0 else self.m
+            D = self._pairwise_rank(self.vectors[members].astype(np.float32))
+            c = min(len(members) - 1, max(self.ef_construction, m_max))
+            # top-(c+1) positions per row (includes self at distance 0)
+            part = np.argpartition(D, kth=c, axis=1)[:, : c + 1]
+            chosen: list[list[int]] = []
+            for rp in range(len(members)):
+                cand = [p for p in part[rp] if p != rp]
+                cand.sort(key=lambda p: D[rp, p])
+                kept: list[int] = []
+                pruned: list[int] = []
+                for p in cand[:c]:
+                    if len(kept) >= m_max:
+                        break
+                    if not kept or D[rp, p] < D[p, kept].min():
+                        kept.append(p)
+                    else:
+                        pruned.append(p)
+                kept.extend(pruned[: m_max - len(kept)])
+                chosen.append(kept)
+            # bidirectional edges, then per-node overflow prune (the
+            # same shape as the incremental path's reverse-edge insert)
+            adj: list[set[int]] = [set(ch) for ch in chosen]
+            for rp, ch in enumerate(chosen):
+                for p in ch:
+                    adj[p].add(rp)
+            for rp in range(len(members)):
+                nb = sorted(adj[rp], key=lambda p: D[rp, p])
+                if len(nb) > m_max:
+                    kept = []
+                    pruned = []
+                    for p in nb:
+                        if len(kept) >= m_max:
+                            break
+                        if not kept or D[rp, p] < D[p, kept].min():
+                            kept.append(p)
+                        else:
+                            pruned.append(p)
+                    kept.extend(pruned[: m_max - len(kept)])
+                    nb = kept
+                self.neighbors[int(members[rp])][lvl] = [int(members[p]) for p in nb]
 
     def _dist_to(self, q: np.ndarray, idxs) -> np.ndarray:
         return _rank_dist(self.metric, q, self.vectors[idxs])
+
+    def _pairwise_rank(self, V: np.ndarray) -> np.ndarray:
+        """All-pairs rank distance among rows of V in one BLAS call."""
+        if self.metric == "l2sq":
+            sq = np.einsum("ij,ij->i", V, V)
+            return np.maximum(sq[:, None] + sq[None, :] - 2.0 * (V @ V.T), 0.0)
+        if self.metric == "cosine":
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+            return 1.0 - Vn @ Vn.T
+        return -(V @ V.T)  # ip
+
+    def _select_neighbors(self, cands: list, m_cap: int) -> list:
+        """Diversity heuristic (HNSW paper Alg. 4, as usearch implements):
+        keep candidate e only if it is closer to q than to every
+        already-kept neighbor; backfill with pruned ones up to ``m_cap``.
+        Plain closest-m pruning disconnects clusters of near-duplicates
+        (the dropped edge was the only bridge); this keeps bridges. One
+        pairwise matrix up front — no per-step numpy calls."""
+        if len(cands) <= 1:
+            return list(cands)
+        P = self._pairwise_rank(self.vectors[[i for _, i in cands]])
+        kept: list[int] = []
+        pruned: list[int] = []
+        for pos, (d_e, e) in enumerate(cands):  # ascending by distance to q
+            if len(kept) >= m_cap:
+                break
+            if not kept or d_e < P[pos, kept].min():
+                kept.append(pos)
+            else:
+                pruned.append(pos)
+        order = kept + pruned[: m_cap - len(kept)]
+        return [cands[p] for p in order]
 
     def _insert(self, i: int) -> None:
         level = self.levels[i]
@@ -125,16 +227,20 @@ class HNSWGraph:
         for lvl in range(min(level, self.max_level), -1, -1):
             cands = self._search_layer(q, [(ep_d, ep)], self.ef_construction, lvl)
             m_max = self.m0 if lvl == 0 else self.m
-            chosen = [idx for _, idx in cands[:m_max]]
-            self.neighbors[i][lvl] = chosen
-            for d_c, c in cands[:m_max]:
+            chosen = self._select_neighbors(cands, m_max)
+            self.neighbors[i][lvl] = [idx for _, idx in chosen]
+            for d_c, c in chosen:
                 nb = self.neighbors[c][lvl]
                 nb.append(i)
                 if len(nb) > m_max:
-                    # prune to the m_max closest of c's neighborhood
+                    # prune c's overflowing neighborhood with the same
+                    # diversity heuristic (ordered by distance to c)
                     ds = self._dist_to(self.vectors[c], nb)
-                    keep = np.argsort(ds, kind="stable")[:m_max]
-                    self.neighbors[c][lvl] = [nb[j] for j in keep]
+                    order = np.argsort(ds, kind="stable")
+                    sel = self._select_neighbors(
+                        [(float(ds[j]), nb[j]) for j in order], m_max
+                    )
+                    self.neighbors[c][lvl] = [idx for _, idx in sel]
             if cands:
                 ep_d, ep = cands[0]
         if level > self.max_level:

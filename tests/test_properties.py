@@ -1,0 +1,101 @@
+"""Property-based tests (hypothesis) for the pure-Python kernels.
+
+The Spark-level operators are pinned against the DuckDB oracle
+(tools/check_correctness.py); these cover the Python-side algorithmic
+kernels — HNSW graph, k-means, rank-distance math — with generated
+inputs, which the reference's sqllogictests never do (SURVEY §5: "no
+property-based tests" in the reference; this is our addition).
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+from duckdb_vss_spark.index.hnsw_graph import HNSWGraph, _rank_dist
+from duckdb_vss_spark.index.ivf import _kmeans
+
+finite32 = st.floats(
+    min_value=-100, max_value=100, allow_nan=False, width=32
+)
+
+
+def vec_sets(min_rows=4, max_rows=64, dim=8):
+    return arrays(np.float32, (st.integers(min_rows, max_rows).example() if False else 0, dim))
+
+
+@st.composite
+def matrix(draw, min_rows=4, max_rows=48, dim=6, unique=False):
+    n = draw(st.integers(min_rows, max_rows))
+    return draw(
+        arrays(np.float32, (n, dim), elements=finite32, unique=unique)
+    )
+
+
+@given(matrix())
+@settings(max_examples=25, deadline=None)
+def test_l2sq_rank_dist_matches_numpy(xs):
+    q = xs[0]
+    d = _rank_dist("l2sq", q, xs)
+    want = ((xs.astype(np.float64) - q.astype(np.float64)) ** 2).sum(axis=1)
+    assert np.allclose(d, want, rtol=1e-4, atol=1e-3)
+    assert d[0] == pytest.approx(0.0, abs=1e-5)  # self-distance
+
+
+@given(matrix())
+@settings(max_examples=25, deadline=None)
+def test_ip_rank_dist_is_negative_dot(xs):
+    q = xs[0]
+    d = _rank_dist("ip", q, xs)
+    want = -(xs.astype(np.float64) @ q.astype(np.float64))
+    assert np.allclose(d, want, rtol=1e-4, atol=1e-2)
+
+
+@given(matrix(min_rows=8, max_rows=48, unique=True))
+@settings(max_examples=15, deadline=None, derandomize=True)
+def test_hnsw_search_exact_when_ef_covers_all(xs):
+    """With ef ≥ n and distinct points, the base-layer expansion visits
+    the whole connected graph, so top-k must equal brute force exactly
+    (the property the reference's with/without-index equality tests rely
+    on). Distinctness matters: a column of exact duplicates can prune
+    every bridge edge to an outlier — mass-duplicate inputs are exactly
+    what the dedup pipeline removes before indexing, and the reference's
+    HNSW is approximate there too."""
+    n = len(xs)
+    keys = np.arange(n, dtype=np.int64) * 10  # non-trivial key mapping
+    g = HNSWGraph(xs.shape[1], "l2sq", m=8, ef_construction=64).build(keys, xs)
+    q = xs[0]
+    k = min(5, n)
+    got_keys, _ = g.search(q, k, ef_search=4 * n)
+    want_order = np.argsort(
+        ((xs.astype(np.float64) - q.astype(np.float64)) ** 2).sum(axis=1), kind="stable"
+    )[:k]
+    # compare as sets of distances (ties may reorder equal-distance keys)
+    got_d = sorted(((xs[got_keys // 10].astype(np.float64) - q) ** 2).sum(axis=1))
+    want_d = sorted(((xs[want_order].astype(np.float64) - q) ** 2).sum(axis=1))
+    assert np.allclose(got_d, want_d, rtol=1e-5, atol=1e-5)
+
+
+@given(matrix(min_rows=10, max_rows=40, dim=4), st.integers(2, 5))
+@settings(max_examples=15, deadline=None)
+def test_kmeans_properties(xs, k):
+    c = _kmeans(xs.astype(np.float64), k, iters=5, seed=7)
+    assert c.shape == (k, xs.shape[1])
+    assert np.isfinite(c).all()
+    # determinism
+    c2 = _kmeans(xs.astype(np.float64), k, iters=5, seed=7)
+    assert np.array_equal(c, c2)
+
+
+@given(matrix(min_rows=6, max_rows=30))
+@settings(max_examples=10, deadline=None)
+def test_graph_roundtrip_preserves_search(xs):
+    n = len(xs)
+    keys = np.arange(n, dtype=np.int64)
+    g = HNSWGraph(xs.shape[1], "l2sq", m=4, ef_construction=32).build(keys, xs)
+    g2 = HNSWGraph.from_bytes(g.to_bytes())
+    q = xs[-1]
+    a, _ = g.search(q, 3, ef_search=64)
+    b, _ = g2.search(q, 3, ef_search=64)
+    assert np.array_equal(a, b)
