@@ -255,9 +255,11 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
-    Candidate generation buckets on signature halves (pigeonhole: any
-    pair within hamming d ≤ 3 shares at least one half for 16-bit
-    signatures split in 2) — join on bucket, verify exact hamming."""
+    Candidate generation buckets on signature halves — join on bucket,
+    verify exact hamming. Pigeonhole guarantees full recall only for
+    hamming < #blocks (here: ≤1 with two halves); beyond that it is a
+    deterministic approximate scheme (raise the block count for a hard
+    guarantee — blocks > max_hamming)."""
     sig = simhash(df, text_col, id_col, bits).cache()
     half = bits // 2
     stacked = sig.select(

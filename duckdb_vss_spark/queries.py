@@ -836,6 +836,42 @@ def q_sql_minby_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_knn_join_grouped",
+    """
+    SELECT qid, list(rid ORDER BY rn) AS nbrs, count(*) AS n FROM (
+      SELECT q.vec_id AS qid, r.vec_id AS rid,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])), r.vec_id
+             ) AS rn
+      FROM (SELECT * FROM embeddings WHERE vec_id % 200 = 0) q, embeddings r
+      WHERE r.embedding IS NOT NULL AND q.embedding IS NOT NULL
+    ) WHERE rn <= 4
+    GROUP BY qid
+    """,
+)
+def q_knn_join_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped lateral top-k: ordered list() aggregation over the join
+    results (the reference's hnsw_lateral_join_group.test:34-44 —
+    list(nbr ORDER BY dist) GROUP BY id above the index join)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 200 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = knn_join(q, emb.select("vec_id", "embedding"), "qvec", "embedding", 4, metric="l2sq")
+    return (
+        out.groupBy("qid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", F.col("vec_id").alias("rid")))),
+                lambda s: s["rid"],
+            ).alias("nbrs"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 @register("q_hnsw_self_consistency", "SELECT CAST(0 AS BIGINT) AS n_mismatch")
 def q_hnsw_self_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Labeled self-consistency: indexed vs brute-force result sets must

@@ -368,3 +368,38 @@ def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.col("sum_value"),
     )
+
+
+def _simhash_pairs_oracle(bits: int = 16, max_hamming: int = 3) -> str:
+    half = bits // 2
+    sig_sql = _simhash_oracle(bits).strip()
+    return f"""
+    WITH sig AS ({sig_sql}),
+    stacked AS (
+      SELECT id, simhash,
+             unnest(['hi:' || CAST(simhash // {2 ** half} AS VARCHAR),
+                     'lo:' || CAST(simhash % {2 ** half} AS VARCHAR)]) AS bucket
+      FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT x.id AS id_a, x.simhash AS sig_a, y.id AS id_b, y.simhash AS sig_b
+      FROM stacked x JOIN stacked y ON x.bucket = y.bucket AND x.id < y.id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+    """
+
+
+@register("q_simhash_pairs", _simhash_pairs_oracle())
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: bucketing on signature halves, bucket
+    equi-join, exact hamming verify — shuffle ∝ docs·2, never pairs².
+    Half-bucketing is deterministic-approximate above hamming 1
+    (pigeonhole needs blocks > max_hamming for a hard guarantee); the
+    oracle replicates the identical bucketing, so both engines see the
+    same candidate set."""
+    from duckdb_vss_spark.pipeline.dedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = simhash_pairs(docs, "text", "doc_id", bits=16, max_hamming=3)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
