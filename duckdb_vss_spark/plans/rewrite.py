@@ -360,9 +360,18 @@ class VssPlanner:
             return self._run_minby(mb)
 
         ml = match_lateral(sql)
-        idx = self._index_for_join(ml) if ml else None
-        if ml is not None and idx is not None:
-            return self._run_lateral_indexed(ml, idx)
+        if ml is not None:
+            # Spark cannot run this SQL natively at all — correlated
+            # outer references are unsupported outside WHERE/HAVING
+            # (UNSUPPORTED_SUBQUERY_EXPRESSION_CATEGORY.CORRELATED_
+            # REFERENCE) — so BOTH paths are ours: index join when
+            # registered, crossjoin+window top-k otherwise (the exact
+            # plan shape the reference pattern-matches on,
+            # hnsw_optimize_join.cpp:351-415).
+            idx = self._index_for_join(ml)
+            if idx is not None:
+                return self._run_lateral_indexed(ml, idx)
+            return self._run_lateral_brute(ml)
 
         self.last_plan = "SEQ_SCAN"
         return self.spark.sql(canonicalize_cosine(rewrite_operators(sql)))
@@ -412,6 +421,30 @@ class VssPlanner:
         if idx is None or idx.metric != ml.metric or type(idx).__name__ != "HnswIndex":
             return None
         return idx
+
+    def _run_lateral_brute(self, ml: LateralMatch) -> DataFrame:
+        """No index: run the lateral intent through the brute-force
+        crossjoin + window row_number ≤ k operator."""
+        from duckdb_vss_spark.operators import knn_join
+
+        self.last_plan = "SEQ_SCAN"
+        outer = self.spark.table(ml.outer)
+        inner = self.spark.table(ml.inner)
+        qid = "__vss_qid__"
+        q = outer.withColumn(qid, F.monotonically_increasing_id())
+        joined = knn_join(
+            q.select(qid, ml.query_col),
+            inner,
+            ml.query_col,
+            ml.item_col,
+            ml.k,
+            metric=ml.metric,
+        )
+        out = joined.join(q.drop(ml.query_col), qid).drop(qid, "rn")
+        if ml.cols == "*":
+            return out
+        exprs = [F.col(c.strip().split(".", 1)[-1]) for c in ml.cols.split(",")]
+        return out.select(*exprs)
 
     def _run_lateral_indexed(self, ml: LateralMatch, idx) -> DataFrame:
         """Rewrite to the batched index join (PhysicalHNSWIndexJoin's job,

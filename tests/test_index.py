@@ -109,3 +109,40 @@ def test_rebuild_replaces_artifact(spark, emb, tmp_path):
     ix2 = ix.rebuild(emb)
     assert ix2.count == 500
     assert load_index(spark, p).count == 500
+
+
+def test_cosine_and_ip_metric_dispatch(spark, emb, tmp_path_factory):
+    # hnsw_metrics.test parity: each metric's index reproduces the
+    # brute-force ranking under its own distance function
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark.functions import (
+        array_cosine_distance,
+        array_negative_inner_product,
+    )
+
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 11).first()["embedding"]]
+    for metric, dist_fn in (
+        ("cosine", array_cosine_distance),
+        ("ip", array_negative_inner_product),
+    ):
+        path = str(tmp_path_factory.mktemp("m") / f"idx_{metric}")
+        idx = create_hnsw_index(
+            spark, emb, vec_col="embedding", id_col="vec_id", path=path,
+            metric=metric, overwrite=True,
+        )
+        got = [
+            r["vec_id"]
+            for r in idx.knn_search(emb, qv, 5, ef_search=400).select("vec_id").collect()
+        ]
+        want = [
+            r["vec_id"]
+            for r in emb.where(F.col("embedding").isNotNull())
+            .withColumn("d", dist_fn(F.col("embedding"), qv))
+            .orderBy(F.col("d").asc_nulls_last(), F.col("vec_id"))
+            .limit(5)
+            .select("vec_id")
+            .collect()
+        ]
+        assert got == want, metric
+        drop_index(path)

@@ -170,3 +170,24 @@ def test_planner_metric_mismatch_no_rewrite(spark, grid, planner_with_index):
     p = planner_with_index
     p.sql("SELECT id FROM grid_items ORDER BY vec <=> [1.0,1.0,1.0]::FLOAT[3] LIMIT 2")
     assert p.last_plan == "SEQ_SCAN"
+
+
+def test_native_lateral_sql_fallback(spark, grid, planner_with_index):
+    # without an index on the inner table, reference-style LATERAL SQL
+    # still runs through Spark's own correlated-subquery support
+    p = planner_with_index
+    grid.where(F.col("id") == 0).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qv")
+    ).createOrReplaceTempView("one_query")
+    grid.createOrReplaceTempView("grid_items_noidx")
+    df = p.sql(
+        "SELECT qid, nn.id FROM one_query a, LATERAL (SELECT b.id FROM grid_items_noidx b "
+        "ORDER BY array_distance(a.qv, b.vec) LIMIT 3) nn"
+    )
+    assert p.last_plan == "SEQ_SCAN"
+    ids = sorted(r["id"] for r in df.collect())
+    want = sorted(
+        r["id"]
+        for r in knn_search(grid, "vec", [1.0, 1.0, 1.0], 3).select("id").collect()
+    )
+    assert ids == want
