@@ -165,11 +165,18 @@ class HnswIndex:
         ef_search: int | None = None,
         dist_col: str = "dist",
         rn_col: str = "rn",
+        queries_per_batch: int = 65536,
     ) -> DataFrame:
         """ANN lateral join: broadcast query matrix → every partition graph
         answers every query (ExecuteMultiScan shape, hnsw_index.cpp:
         353-367) → window merge of P·k candidates per query → payload
-        fetch. Emits 1-indexed ``rn`` like the reference join operator."""
+        fetch. Emits 1-indexed ``rn`` like the reference join operator.
+
+        Query sets larger than ``queries_per_batch`` are chunked: each
+        chunk is its own broadcast + scan stage (unioned), bounding
+        executor memory by chunk·dims·4B regardless of query count —
+        the reference's own join batches ⌊2048/k⌋ queries per chunk for
+        the same reason (hnsw_optimize_join.cpp:137)."""
         import numpy as np
         import pandas as pd
 
@@ -183,25 +190,39 @@ class HnswIndex:
             .where(F.col(query_vec_col).isNotNull())
             .toPandas()
         )
-        qmat = np.stack([np.asarray(v, dtype=np.float32) for v in qpdf[query_vec_col]])
-        qids = qpdf[query_id_col].to_numpy()
-        bq = self.spark.sparkContext.broadcast((qids, qmat))
-
-        def search_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            ids_, mat = bq.value
-            for pdf in batches:
-                for file in pdf["file"]:
-                    g = _load_graph(file)
-                    out_q, out_i = [], []
-                    for qi, qv in zip(ids_, mat):
-                        keys, _ = g.search(qv, kk, ef)
-                        out_q.extend([qi] * len(keys))
-                        out_i.extend(keys.tolist())
-                    yield pd.DataFrame({query_id_col: out_q, id_col: out_i})
-
-        cand = self._parts_df().mapInPandas(
-            search_part, schema=f"{query_id_col} long, {id_col} long"
+        qmat = (
+            np.stack([np.asarray(v, dtype=np.float32) for v in qpdf[query_vec_col]])
+            if len(qpdf)
+            else np.empty((0, self.dims), dtype=np.float32)
         )
+        qids = qpdf[query_id_col].to_numpy()
+
+        def chunk_scan(ids_c: np.ndarray, mat_c: np.ndarray) -> DataFrame:
+            bq = self.spark.sparkContext.broadcast((ids_c, mat_c))
+
+            def search_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                ids_, mat = bq.value
+                for pdf in batches:
+                    for file in pdf["file"]:
+                        g = _load_graph(file)
+                        out_q, out_i = [], []
+                        for qi, qv in zip(ids_, mat):
+                            keys, _ = g.search(qv, kk, ef)
+                            out_q.extend([qi] * len(keys))
+                            out_i.extend(keys.tolist())
+                        yield pd.DataFrame({query_id_col: out_q, id_col: out_i})
+
+            return self._parts_df().mapInPandas(
+                search_part, schema=f"{query_id_col} long, {id_col} long"
+            )
+
+        chunks = [
+            chunk_scan(qids[o : o + queries_per_batch], qmat[o : o + queries_per_batch])
+            for o in range(0, max(len(qids), 1), queries_per_batch)
+        ]
+        cand = chunks[0]
+        for extra in chunks[1:]:
+            cand = cand.unionByName(extra)
         dist_fn = distance_for_metric(self.metric)
         qv_by_id = queries.select(query_id_col, query_vec_col)
         scored = (

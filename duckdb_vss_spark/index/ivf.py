@@ -185,11 +185,16 @@ class IvfIndex:
             "list_id", F.explode(probe_lists(F.col(query_vec_col)))
         )
         dist_fn = distance_for_metric(self.metric)
+        # queries·nprobe rows is usually the small side — broadcast it so
+        # the inverted lists never shuffle; past the broadcast budget,
+        # fall back to a shuffle join on list_id (AQE splits skewed hot
+        # lists) instead of OOMing the executors
+        est_rows = queries.count() * nprobe
+        small = est_rows * (4 * self.dims + 64) < 512 * 1024 * 1024
+        probed_side = F.broadcast(probed) if small else probed
         scored = (
-            # queries·nprobe rows is the small side — broadcast it so the
-            # inverted lists never shuffle
             self._lists_df()
-            .join(F.broadcast(probed), on="list_id", how="inner")
+            .join(probed_side, on="list_id", how="inner")
             .withColumn(dist_col, dist_fn(F.col(query_vec_col), F.col(vec_col)))
         )
         w = Window.partitionBy(query_id_col).orderBy(

@@ -146,3 +146,20 @@ def test_cosine_and_ip_metric_dispatch(spark, emb, tmp_path_factory):
         ]
         assert got == want, metric
         drop_index(path)
+
+
+def test_knn_join_chunked_matches_unchunked(spark, emb, idx):
+    # forcing tiny chunks must not change the result (the 10^6-query
+    # scale path: each chunk is an independent broadcast + scan stage)
+    from pyspark.sql import functions as F
+
+    q = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    a = idx.knn_join(q, emb.select("vec_id", "embedding"), "qvec", 3, "qid",
+                     ef_search=400)
+    b = idx.knn_join(q, emb.select("vec_id", "embedding"), "qvec", 3, "qid",
+                     ef_search=400, queries_per_batch=2)
+    ka = {(r["qid"], r["rn"]): r["vec_id"] for r in a.collect()}
+    kb = {(r["qid"], r["rn"]): r["vec_id"] for r in b.collect()}
+    assert ka == kb and len(ka) > 0
