@@ -78,7 +78,13 @@ def shingle_table(
     if max_df is not None:
         freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
         sh = sh.join(freq.where(F.col("df") <= max_df).select("sh"), "sh", "inner")
-    return sh
+    # 60-bit shingle hash: self-joins shuffle 8-byte keys instead of raw
+    # shingle text (engine-reproducible: md5-prefix, same value in any
+    # SQL engine via hex→int; collisions ~2^-60 and mirrored by the
+    # oracle, which hashes identically)
+    return sh.withColumn(
+        "shh", F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long")
+    )
 
 
 def jaccard_pairs(
@@ -93,10 +99,11 @@ def jaccard_pairs(
     with |A∩B| / |A∪B| ≥ threshold. Returns (id_a, id_b, jaccard)."""
     sh = shingle_table(df, text_col, id_col, n, max_df).cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("id").alias("id_a"), "sh")
-    b = sh.select(F.col("id").alias("id_b"), "sh")
+    # inverted-index self-join on the 8-byte shingle hash, not the text
+    a = sh.select(F.col("id").alias("id_a"), "shh")
+    b = sh.select(F.col("id").alias("id_b"), "shh")
     inter = (
-        a.join(b, "sh")
+        a.join(b, "shh")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -180,15 +187,16 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    # exact verify on the candidate set only
+    # exact verify on the candidate set only: composite equi-join on
+    # (id, shingle-hash) — the intersection is computed by the hash join
+    # directly, never materializing |A|·|B| rows per candidate pair
     sh = sh_cached
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("id").alias("id_a"), "sh")
-    b = sh.select(F.col("id").alias("id_b"), "sh")
+    a = sh.select(F.col("id").alias("id_a"), "shh")
+    b = sh.select(F.col("id").alias("id_b"), "shh")
     inter = (
         cand.join(a, "id_a")
-        .join(b.withColumnRenamed("sh", "sh_b"), "id_b")
-        .where(F.col("sh") == F.col("sh_b"))
+        .join(b, ["id_b", "shh"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )

@@ -38,11 +38,16 @@ _EN_SQL = ", ".join(f"'{w}'" for w in _EN)
 # pipeline.text.word_ngrams + shingle_table
 _SH_CTE = """
     words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    sh AS (
+    sh0 AS (
       SELECT DISTINCT doc_id,
              unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
       FROM words
+    ),
+    sh AS (
+      SELECT doc_id, sh,
+             CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS shh
+      FROM sh0
     )
 """
 
@@ -152,7 +157,7 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
-      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      FROM sh a JOIN sh b ON a.shh = b.shh AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT id_a, id_b,
@@ -193,7 +198,7 @@ def _minhash_lsh_oracle(num_hashes: int = 8, bands: int = 4, threshold: float = 
       SELECT id_a, id_b, count(*) AS n
       FROM cand
       JOIN sh a ON a.doc_id = id_a
-      JOIN sh b ON b.doc_id = id_b AND a.sh = b.sh
+      JOIN sh b ON b.doc_id = id_b AND a.shh = b.shh
       GROUP BY 1, 2
     )
     SELECT id_a, id_b, CAST(n AS DOUBLE) / (x.sz + y.sz - n) AS jaccard
