@@ -872,6 +872,37 @@ def q_knn_join_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_semantic_doc_search",
+    f"""
+    SELECT d.doc_id, d.lang, d.source,
+           list_distance(CAST(e.embedding AS DOUBLE[]), {_ORACLE_QVEC.format(vid=5)}) AS dist
+    FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    WHERE e.embedding IS NOT NULL
+    ORDER BY dist, d.doc_id
+    LIMIT 5
+    """,
+)
+def q_semantic_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end retrieval story: ANN search over the embedding index,
+    k-row hit list broadcast-joined to the documents table for payload
+    (late materialization — the reference's rowid fetch followed by a
+    projection, hnsw_index_scan.cpp:72-89)."""
+    idx = _get_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    qv = _query_vec(spark, sf_dir, 5)
+    hits = idx.knn_search(emb, qv, 5, ef_search=400).select(
+        F.col("vec_id").alias("doc_id"), "dist"
+    )
+    return (
+        docs.select("doc_id", "lang", "source")
+        .join(F.broadcast(hits), "doc_id")
+        .select("doc_id", "lang", "source", "dist")
+        .orderBy("dist", "doc_id")
+    )
+
+
 @register("q_hnsw_self_consistency", "SELECT CAST(0 AS BIGINT) AS n_mismatch")
 def q_hnsw_self_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Labeled self-consistency: indexed vs brute-force result sets must
