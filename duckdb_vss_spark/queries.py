@@ -637,13 +637,17 @@ def q_knn_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 import hashlib as _hashlib
 import os as _os
 
+# bump when the graph/artifact layout changes so cached /tmp artifacts
+# built by older code are never reused by a newer engine
+_ARTIFACT_VERSION = "v2"
+
 
 def _get_index(spark: SparkSession, sf_dir: str):
     """Build (once per sf_dir) the HNSW artifact over embeddings."""
     from duckdb_vss_spark.index import create_hnsw_index, load_index
 
     tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"/tmp/vss_hnsw_{tag}"
+    path = f"/tmp/vss_hnsw_{_ARTIFACT_VERSION}_{tag}"
     if _os.path.exists(_os.path.join(path, "manifest.json")):
         return load_index(spark, path)
     emb = load_table(spark, sf_dir, "embeddings")
@@ -697,7 +701,7 @@ def _get_ivf_index(spark: SparkSession, sf_dir: str):
     from duckdb_vss_spark.index import create_ivf_index, load_ivf_index
 
     tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"/tmp/vss_ivf_{tag}"
+    path = f"/tmp/vss_ivf_{_ARTIFACT_VERSION}_{tag}"
     if _os.path.exists(_os.path.join(path, "manifest.json")):
         return load_ivf_index(spark, path)
     emb = load_table(spark, sf_dir, "embeddings")
