@@ -70,7 +70,18 @@ def _kmeans(sample: np.ndarray, nlist: int, iters: int, seed: int) -> np.ndarray
     return c
 
 
-def _assign_udf(centroids: np.ndarray):
+def _norm_rows(mat: np.ndarray, metric: str) -> np.ndarray:
+    """For the cosine metric, centroid geometry lives on the unit sphere
+    (spherical k-means): L2-normalize rows so L2-argmin ≡ cosine-argmax.
+    l2sq/ip keep raw coordinates (for ip the coarse quantizer is a plain
+    L2 partition of the raw space — exact MIPS routing would need an
+    augmented-dimension transform; scoring is still exact either way)."""
+    if metric != "cosine":
+        return mat
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+
+
+def _assign_udf(centroids: np.ndarray, metric: str):
     """Vectorized nearest-centroid assignment: one Arrow batch → one
     matrix multiply (the map-only build/probe stage)."""
     import pandas as pd
@@ -81,6 +92,7 @@ def _assign_udf(centroids: np.ndarray):
 
     def assign(v):
         mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        mat = _norm_rows(mat, metric)
         dist = (mat**2).sum(axis=1, keepdims=True) + c_sq - 2.0 * mat @ c.T
         return pd.Series(dist.argmin(axis=1).astype(np.int32))
 
@@ -115,6 +127,7 @@ class IvfIndex:
         q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
         if q.shape[0] != self.dims:
             raise ValueError(f"IVF index keys must be of type FLOAT[{self.dims}]")
+        q = _norm_rows(q[None, :], self.metric)[0]
         d = ((self._centroids - q) ** 2).sum(axis=1)
         return [int(i) for i in np.argsort(d, kind="stable")[: int(nprobe)]]
 
@@ -173,8 +186,11 @@ class IvfIndex:
 
         npr = nprobe
 
+        metric = self.metric
+
         def _probe(v):
             mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+            mat = _norm_rows(mat, metric)
             dist = (mat**2).sum(axis=1, keepdims=True) + c_sq - 2.0 * mat @ c.T
             order = np.argsort(dist, axis=1, kind="stable")[:, :npr]
             return pd.Series(list(order.astype(np.int32)))
@@ -289,6 +305,7 @@ def create_ivf_index(
         else src.select(vec_col).collect()
     )
     sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
+    sample = _norm_rows(sample, metric)
     centroids = _kmeans(sample, nlist, kmeans_iters, seed)
 
     if os.path.exists(path):
@@ -297,7 +314,7 @@ def create_ivf_index(
         shutil.rmtree(path)
     os.makedirs(path)
 
-    assigned = src.withColumn("list_id", _assign_udf(centroids)(F.col(vec_col)))
+    assigned = src.withColumn("list_id", _assign_udf(centroids, metric)(F.col(vec_col)))
     lists_dir = os.path.join(path, "lists")
     assigned.write.partitionBy("list_id").parquet(lists_dir)
 

@@ -91,3 +91,31 @@ def test_info_schema(spark, ivf):
 def test_metric_validation(spark, emb, tmp_path):
     with pytest.raises(ValueError, match="'metric' must be one of"):
         create_ivf_index(spark, emb, "embedding", "vec_id", str(tmp_path / "x"), metric="bad")
+
+
+def test_cosine_metric_spherical(spark, emb, tmp_path_factory):
+    # cosine IVF: spherical geometry (normalized assignment/probe);
+    # full probe must equal brute-force cosine ranking exactly
+    from duckdb_vss_spark.functions import array_cosine_distance
+
+    path = str(tmp_path_factory.mktemp("ivfc") / "emb_ivf_cos")
+    idx = create_ivf_index(
+        spark, emb, vec_col="embedding", id_col="vec_id", path=path,
+        metric="cosine", nlist=8,
+    )
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 3).first()["embedding"]]
+    got = [r["vec_id"] for r in idx.knn_search(qv, 5, nprobe=8).select("vec_id").collect()]
+    want = [
+        r["vec_id"]
+        for r in emb.where(F.col("embedding").isNotNull())
+        .withColumn("d", array_cosine_distance(F.col("embedding"), qv))
+        .orderBy(F.col("d").asc_nulls_last(), F.col("vec_id"))
+        .limit(5)
+        .select("vec_id")
+        .collect()
+    ]
+    assert got == want
+    # partial probe keeps decent recall on the sphere
+    got2 = {r["vec_id"] for r in idx.knn_search(qv, 5, nprobe=4).collect()}
+    assert len(got2 & set(want)) >= 3
+    drop_ivf_index(path)
