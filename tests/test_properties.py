@@ -99,3 +99,25 @@ def test_graph_roundtrip_preserves_search(xs):
     a, _ = g.search(q, 3, ef_search=64)
     b, _ = g2.search(q, 3, ef_search=64)
     assert np.array_equal(a, b)
+
+
+def test_incremental_path_matches_bulk_quality():
+    """Partitions above BULK_BUILD_MAX take the incremental insert path;
+    force it on small data and require brute-force-exact top-k at
+    ef ≥ n, same as the bulk path."""
+    rng = np.random.default_rng(3)
+    xs = rng.standard_normal((300, 8)).astype(np.float32)
+    keys = np.arange(300, dtype=np.int64)
+
+    class Inc(HNSWGraph):
+        BULK_BUILD_MAX = 0  # force incremental _insert loop
+
+    g = Inc(8, "l2sq", m=8, ef_construction=64).build(keys, xs)
+    q = xs[17]
+    got, _ = g.search(q, 10, ef_search=600)
+    want = np.argsort(((xs.astype(np.float64) - q) ** 2).sum(axis=1), kind="stable")[:10]
+    assert set(got.tolist()) == set(want.tolist())
+    # round-trip preserved on the incremental layout too
+    g2 = HNSWGraph.from_bytes(g.to_bytes())
+    got2, _ = g2.search(q, 10, ef_search=600)
+    assert np.array_equal(got, got2)
