@@ -60,6 +60,18 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's default parallelism when the
+    source arrives in fewer partitions (a small parquet file reads as
+    ONE split, which would serialize the explode-heavy stages below on
+    a single core). At scale the input already has >= cores partitions
+    and this is a no-op — no extra shuffle."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # --------------------------------------------------------------------------
 # n-gram Jaccard
 # --------------------------------------------------------------------------
@@ -71,7 +83,8 @@ def shingle_table(
     more than ``max_df`` docs (stop-shingle cap — bounds self-join fan-out
     at scale; dropped shingles slightly *underestimate* Jaccard)."""
     sh = (
-        df.select(F.col(id_col).alias("id"), F.explode(word_ngrams(text_col, n)).alias("sh"))
+        _spread(df)
+        .select(F.col(id_col).alias("id"), F.explode(word_ngrams(text_col, n)).alias("sh"))
         .where(F.length("sh") > 0)
         .distinct()
     )
@@ -231,7 +244,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
     sum) so the oracle can reproduce it in SQL. Returns (id, simhash
     BIGINT)."""
     nibbles = bits // 4
-    tok = df.select(
+    tok = _spread(df).select(
         F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("w")
     ).where(F.length("w") > 0)
     tok = tok.withColumn("h", F.md5(F.col("w")))

@@ -61,11 +61,24 @@ def char_count(col) -> Column:
 
 
 def word_ngrams(col, n: int) -> Column:
-    """Word n-gram shingles: space-joined windows over the token list."""
+    """Word n-gram shingles: space-joined windows over the token list.
+
+    The token array is bound as a lambda variable (via the one-element
+    ``array`` + ``transform`` + ``flatten`` idiom) so it is evaluated
+    ONCE per row. Referencing the ``split()`` expression directly inside
+    the window lambda would re-evaluate the split for every
+    ``element_at`` call — Spark interprets higher-order-function lambdas
+    without common-subexpression elimination, which measured ~70x slower
+    on the documents corpus."""
     t = tokens(col)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)]),
+    return F.flatten(
+        F.transform(
+            F.array(t),
+            lambda tt: F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(tt) - (n - 1), F.lit(0))),
+                lambda i: F.concat_ws(" ", *[F.element_at(tt, i + j) for j in range(n)]),
+            ),
+        )
     )
 
 
