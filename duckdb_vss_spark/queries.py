@@ -352,6 +352,121 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q04_priority_semi",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q04_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join (equi key
+    + non-equi residual). The orders side is date-pruned before the
+    join; the semi join never materializes lineitem columns, so the
+    shuffle carries keys only. (Testdata lineitem has no l_commitdate /
+    l_receiptdate, so the late-shipment predicate stands in for Q4's
+    commit<receipt; the plan shape is identical.)"""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("date"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q14_type_revenue_share",
+    """
+    SELECT
+      CAST(100.00 * CAST(sum(CASE WHEN p_type = 'ECONOMY'
+            THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+            ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE)
+        / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        AS DOUBLE) AS economy_revenue_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-02-01'
+    """,
+)
+def q14_type_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact×dim broadcast join + conditional-aggregate
+    ratio. part broadcasts; lineitem is filtered at the scan (shipdate
+    pushdown) and aggregates map-side to ONE row — no wide shuffle.
+    Both sums go through decimal so the ratio divides two
+    accumulation-order-independent doubles."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("date"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit("1.00").cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "ECONOMY", rev).otherwise(
+                        F.lit(0).cast("decimal(16,4)")
+                    )
+                ).cast("double")
+                / F.sum(rev).cast("double")
+            )
+            .cast("double")
+            .alias("economy_revenue_share")
+        )
+    )
+
+
+@register(
+    "q22_inactive_customers",
+    """
+    SELECT c_mktsegment,
+           count(*) AS n_cust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+    FROM customer
+    WHERE c_acctbal > 0
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderdate >= DATE '2000-01-01'
+      )
+    GROUP BY c_mktsegment
+    """,
+)
+def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: NOT EXISTS decorrelated to a left-anti join
+    (customers with no order since 2000). The anti join shuffles only
+    (custkey) pairs; at scale the date-pruned orders side reduces to a
+    distinct-key set first (AQE picks the build side)."""
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 0)
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("date")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double").alias("total_bal"),
+        )
+    )
+
+
+@register(
     "q_window_top_events",
     """
     SELECT user_id, event_id, value, rn FROM (
