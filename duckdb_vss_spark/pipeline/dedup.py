@@ -324,7 +324,10 @@ def embedding_neardup_pairs(
     """Exact all-pairs cosine near-dup (id_a < id_b, sim ≥ threshold).
     Quadratic — the oracle/verification path; use the LSH variant at
     scale."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    # spread the probe side: a small parquet arrives as one split, which
+    # would run the whole quadratic loop on a single core; the build side
+    # broadcasts either way.
+    a = _spread(df).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         a.crossJoin(b)

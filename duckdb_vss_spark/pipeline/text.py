@@ -71,11 +71,16 @@ def word_ngrams(col, n: int) -> Column:
     without common-subexpression elimination, which measured ~70x slower
     on the documents corpus."""
     t = tokens(col)
+    # docs shorter than n tokens must yield an EMPTY index list: Spark's
+    # sequence(1, 0) is the descending [1, 0], not [], and the resulting
+    # out-of-range element_at throws under ANSI semantics.
     return F.flatten(
         F.transform(
             F.array(t),
             lambda tt: F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(tt) - (n - 1), F.lit(0))),
+                F.when(
+                    F.size(tt) >= n, F.sequence(F.lit(1), F.size(tt) - (n - 1))
+                ).otherwise(F.array().cast("array<int>")),
                 lambda i: F.concat_ws(" ", *[F.element_at(tt, i + j) for j in range(n)]),
             ),
         )

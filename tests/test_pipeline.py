@@ -49,6 +49,14 @@ def test_word_ngrams(spark):
     assert r["g"] == ["a b c", "b c d"]
 
 
+def test_word_ngrams_short_docs(spark):
+    # docs shorter than n produce no shingles (greatest(...,0) guard),
+    # exactly n tokens produce one
+    df = spark.createDataFrame([("a b",), ("a b c",), ("",)], "text string")
+    rows = df.select(word_ngrams("text", 3).alias("g")).collect()
+    assert [r["g"] for r in rows] == [[], ["a b c"], []]
+
+
 def test_exact_dedup_groups(spark, docs):
     groups = exact_dedup(docs, "text", "doc_id").collect()
     dup = [g for g in groups if g["n_dups"] > 1]
