@@ -467,6 +467,32 @@ def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_json_event_stats",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    GROUP BY event_type
+    """,
+)
+def q_json_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured surface: JSON path extraction from a string
+    payload column, filtered + aggregated. get_json_object stays
+    JVM-side (Jackson) — map-only until the final small agg shuffle;
+    integer sums are exact in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .where(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("k").alias("sum_k"))
+    )
+
+
+@register(
     "q_window_top_events",
     """
     SELECT user_id, event_id, value, rn FROM (
