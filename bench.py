@@ -59,7 +59,10 @@ def main() -> None:
     for name in (
         "q01_pricing_summary",
         "q03_shipping_priority",
+        "q04_priority_semi",
         "q05_local_supplier_volume",
+        "q22_inactive_customers",
+        "q_json_event_stats",
         "q_window_top_events",
         "q_sessionize_events",
     ):
