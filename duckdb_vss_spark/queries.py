@@ -471,7 +471,7 @@ def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(*) AS n_events,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
     FROM events
     WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
     GROUP BY event_type
@@ -953,7 +953,7 @@ def q_sql_topk_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_sql_minby_topk",
     f"""
-    SELECT list(vec_id ORDER BY d, vec_id) AS nbrs FROM (
+    SELECT array_to_string(list(vec_id ORDER BY d, vec_id), ',') AS nbrs FROM (
       SELECT vec_id,
              list_distance(CAST(embedding AS DOUBLE[]), {_ORACLE_QVEC.format(vid=33)}) AS d
       FROM embeddings WHERE embedding IS NOT NULL
@@ -976,15 +976,20 @@ def q_sql_minby_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     planner = VssPlanner(spark)
     qv = _query_vec(spark, sf_dir, 33)
     lit = ",".join(repr(x) for x in qv)
-    return planner.sql(
+    out = planner.sql(
         f"SELECT min_by(vec_id, array_distance(embedding, array({lit})), 6) AS nbrs FROM embeddings"
+    )
+    # Join the list to a string: the driver's hash-compare canonicalizes via
+    # pandas, where list-typed cells are unhashable / dtype-unstable.
+    return out.select(
+        F.array_join(F.transform(F.col("nbrs"), lambda x: x.cast("string")), ",").alias("nbrs")
     )
 
 
 @register(
     "q_knn_join_grouped",
     """
-    SELECT qid, list(rid ORDER BY rn) AS nbrs, count(*) AS n FROM (
+    SELECT qid, array_to_string(list(rid ORDER BY rn), ',') AS nbrs, count(*) AS n FROM (
       SELECT q.vec_id AS qid, r.vec_id AS rid,
              row_number() OVER (
                PARTITION BY q.vec_id
@@ -1008,9 +1013,12 @@ def q_knn_join_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         out.groupBy("qid")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("rn", F.col("vec_id").alias("rid")))),
-                lambda s: s["rid"],
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", F.col("vec_id").alias("rid")))),
+                    lambda s: s["rid"].cast("string"),
+                ),
+                ",",
             ).alias("nbrs"),
             F.count(F.lit(1)).alias("n"),
         )
