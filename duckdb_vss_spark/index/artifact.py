@@ -43,7 +43,7 @@ from duckdb_vss_spark.index.hnsw_graph import (
     DEFAULT_M,
     HNSWGraph,
 )
-from duckdb_vss_spark.session import get_ef_search
+from duckdb_vss_spark.session import check_persistence_enabled, get_ef_search
 
 __all__ = ["create_hnsw_index", "load_index", "drop_index", "HnswIndex", "index_info"]
 
@@ -290,6 +290,7 @@ def create_hnsw_index(
 
     m0 = m0 if m0 is not None else 2 * m
     _validate_options(metric, ef_construction, ef_search, m, m0)
+    check_persistence_enabled(spark)
     if dims is None:
         first = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
         if first is None:

@@ -169,6 +169,7 @@ class IvfIndex:
         nprobe: int | None = None,
         dist_col: str = "dist",
         rn_col: str = "rn",
+        broadcast_queries: bool = True,
     ) -> DataFrame:
         """Each query explodes to its ``nprobe`` probe lists; an
         equi-join on ``list_id`` routes it to exactly those candidates
@@ -202,12 +203,11 @@ class IvfIndex:
         )
         dist_fn = distance_for_metric(self.metric)
         # queries·nprobe rows is usually the small side — broadcast it so
-        # the inverted lists never shuffle; past the broadcast budget,
-        # fall back to a shuffle join on list_id (AQE splits skewed hot
-        # lists) instead of OOMing the executors
-        est_rows = queries.count() * nprobe
-        small = est_rows * (4 * self.dims + 64) < 512 * 1024 * 1024
-        probed_side = F.broadcast(probed) if small else probed
+        # the inverted lists never shuffle. No driver-side count() job to
+        # size it: the caller passes broadcast_queries=False for huge
+        # query sets, which falls back to a shuffle join on list_id (AQE
+        # splits skewed hot lists) instead of OOMing the executors.
+        probed_side = F.broadcast(probed) if broadcast_queries else probed
         scored = (
             self._lists_df()
             .join(probed_side, on="list_id", how="inner")
@@ -281,6 +281,9 @@ def create_ivf_index(
     rule of thumb); nprobe defaults to max(1, nlist//8)."""
     if metric not in ("l2sq", "cosine", "ip"):
         raise ValueError("IVF index 'metric' must be one of: 'cosine', 'ip', 'l2sq'")
+    from duckdb_vss_spark.session import check_persistence_enabled
+
+    check_persistence_enabled(spark)
     src = df.select(
         F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
     ).where(F.col(vec_col).isNotNull())

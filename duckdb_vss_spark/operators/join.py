@@ -205,8 +205,11 @@ def _pairwise_dist(x, q, metric):
         d2 = (x * x).sum(1)[:, None] + (q * q).sum(1)[None, :] - 2.0 * (x @ q.T)
         return np.sqrt(np.maximum(d2, 0.0))
     if metric == "cosine":
-        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
-        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        # floor the norms so a zero vector yields distance 1.0, not NaN
+        # (NaN would feed argpartition with unspecified ordering) — same
+        # floor as the graph side (hnsw_graph._rank_dist)
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+        qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
         return 1.0 - xn @ qn.T
     if metric == "ip":
         return -(x @ q.T)

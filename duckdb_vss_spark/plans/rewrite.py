@@ -86,16 +86,41 @@ _COS_SQL = re.compile(
     r"1(?:\.0+)?\s*-\s*array_cosine_similarity\s*\(", re.IGNORECASE
 )
 
+# SQL contexts in which a following ``1.0 - f(...)`` is a standalone
+# expression (so the subtraction really binds to the literal 1.0):
+# start-of-text, an opening paren/comma/bracket, a comparison operator,
+# or an expression-introducing keyword. Anything else — an identifier,
+# a digit (``21.0``), a closing paren, or an arithmetic operator
+# (``val - 1.0 - f(...)`` parses as ``(val - 1.0) - f(...)``) — means
+# the literal belongs to an enclosing expression and must not fuse.
+_COS_KEYWORDS = frozenset(
+    "select where when then else on and or not having by as in distinct return".split()
+)
+
 
 def canonicalize_cosine(sql: str) -> str:
     """``1.0 - array_cosine_similarity(...)`` -> ``array_cosine_distance(...)``.
 
     Mirrors the reference's ExpressionRewriter rule, which requires the
-    literal ``1.0`` exactly (hnsw_optimize_expr.cpp:53). Textual here:
-    the open-paren anchor keeps it exact because the replacement reuses
-    the original argument list unchanged.
+    literal ``1.0`` to be the left operand of the subtraction itself
+    (hnsw_optimize_expr.cpp:53 — it matches on the *parsed* tree, so
+    ``val - 1.0 - sim`` or ``21.0 - sim`` never fuse). Textual here, so
+    the left context is checked explicitly before rewriting.
     """
-    return _COS_SQL.sub("array_cosine_distance(", sql)
+    out = []
+    pos = 0
+    for m in _COS_SQL.finditer(sql):
+        before = sql[pos : m.start()]
+        prefix = ("".join(out) + before).rstrip()
+        ok = not prefix or prefix[-1] in "(,=<>["
+        if not ok:
+            tail = re.search(r"([A-Za-z_][A-Za-z0-9_]*)$", prefix)
+            ok = bool(tail) and tail.group(1).lower() in _COS_KEYWORDS
+        out.append(before)
+        out.append("array_cosine_distance(" if ok else m.group(0))
+        pos = m.end()
+    out.append(sql[pos:])
+    return "".join(out)
 
 
 # -- TopN -> index scan (hnsw_optimize_scan.cpp) ---------------------------
@@ -171,9 +196,10 @@ def match_topk(sql: str) -> TopKMatch | None:
 
 _MINBY_SQL = re.compile(
     r"""^\s*
-    SELECT\s+min_by\s*\(\s*
+    SELECT\s+(?P<agg>min_by|max_by)\s*\(\s*
         (?P<val>[A-Za-z_][A-Za-z0-9_]*)\s*,\s*
-        (?P<fn>array_distance|array_distance_sq|array_cosine_distance|array_negative_inner_product)
+        (?P<fn>array_distance|array_distance_sq|array_cosine_distance|array_negative_inner_product
+         |array_cosine_similarity|array_inner_product)
         \s*\(\s*(?P<vcol>[A-Za-z_][A-Za-z0-9_]*)\s*,\s*(?P<qvec>.+?)\s*\)\s*,\s*
         (?P<k>\d+)\s*\)
         (?:\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*))?\s+
@@ -181,12 +207,21 @@ _MINBY_SQL = re.compile(
     re.IGNORECASE | re.VERBOSE | re.DOTALL,
 )
 
+# max_by pairs with *similarity* scores (keep the k largest), exactly
+# like the reference's macros choose max_by for cosine/ip scoring
+# (hnsw_index_macros.cpp:24-29); min_by pairs with distances.
+_SIM_METRIC_FOR_FN = {
+    "array_cosine_similarity": "cosine",
+    "array_inner_product": "ip",
+}
+
 
 @dataclass
 class MinByMatch:
-    """``SELECT min_by(col, dist_fn(vec, CONST), k) FROM t`` — the k-ary
-    aggregate form (hnsw_optimize_topk.cpp:64-219). k must satisfy
-    0 < k < 2048 like the reference (:162-165)."""
+    """``SELECT min_by(col, dist_fn(vec, CONST), k) FROM t`` (or
+    ``max_by(col, sim_fn(vec, CONST), k)``) — the k-ary aggregate form
+    (hnsw_optimize_topk.cpp:64-219). k must satisfy 0 < k < 2048 like
+    the reference (:162-165)."""
 
     value_col: str
     table: str
@@ -196,6 +231,7 @@ class MinByMatch:
     query_vec: list[float]
     k: int
     alias: str
+    descending: bool = False  # True for max_by (rank by score DESC)
 
 
 def match_minby(sql: str) -> MinByMatch | None:
@@ -209,15 +245,20 @@ def match_minby(sql: str) -> MinByMatch | None:
     if not lit:
         return None
     fn = m["fn"].lower()
+    descending = m["agg"].lower() == "max_by"
+    metric = (_SIM_METRIC_FOR_FN if descending else _METRIC_FOR_FN).get(fn)
+    if metric is None:  # min_by over a similarity (or max_by over a
+        return None     # distance) is not a top-k-nearest shape
     return MinByMatch(
         value_col=m["val"],
         table=m["table"],
         fn=fn,
-        metric=_METRIC_FOR_FN[fn],
+        metric=metric,
         vec_col=m["vcol"],
         query_vec=[float(x) for x in lit["vals"].split(",")],
         k=k,
-        alias=m["alias"] or "min_by",
+        alias=m["alias"] or m["agg"].lower(),
+        descending=descending,
     )
 
 
@@ -385,9 +426,12 @@ class VssPlanner:
         )
         from duckdb_vss_spark.functions import distance as D
 
-        dist_fn = getattr(D, mb.fn)
+        score_fn = getattr(D, mb.fn)
         base = self.spark.table(mb.table)
         if idx is not None:
+            # the index scan ranks by the metric's *distance* ascending,
+            # which is exactly similarity descending for cosine/ip — so
+            # min_by and max_by share the same indexed top-k
             self.last_plan = self._marker(idx)
             hits = self._index_hits(idx, mb.table, mb.query_vec, mb.k)
         else:
@@ -395,9 +439,10 @@ class VssPlanner:
             # ties break by the value column (deterministic in both paths
             # when value is the row id; the reference's own tests only
             # tolerance-assert tied sets, SURVEY §5)
+            score = score_fn(F.col(mb.vec_col), mb.query_vec)
             hits = (
                 base.where(F.col(mb.vec_col).isNotNull())
-                .withColumn("dist", dist_fn(F.col(mb.vec_col), mb.query_vec))
+                .withColumn("dist", -score if mb.descending else score)
                 .orderBy(F.col("dist").asc_nulls_last(), F.col(mb.value_col))
                 .limit(mb.k)
             )

@@ -982,7 +982,39 @@ def q_sql_minby_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Join the list to a string: the driver's hash-compare canonicalizes via
     # pandas, where list-typed cells are unhashable / dtype-unstable.
     return out.select(
-        F.array_join(F.transform(F.col("nbrs"), lambda x: x.cast("string")), ",").alias("nbrs")
+        F.array_join(F.col("nbrs").cast("array<string>"), ",").alias("nbrs")
+    )
+
+
+@register(
+    "q_sql_maxby_topk",
+    f"""
+    SELECT array_to_string(list(vec_id ORDER BY s DESC, vec_id), ',') AS nbrs FROM (
+      SELECT vec_id,
+             list_cosine_similarity(CAST(embedding AS DOUBLE[]), {_ORACLE_QVEC.format(vid=41)}) AS s
+      FROM embeddings WHERE embedding IS NOT NULL
+      ORDER BY s DESC, vec_id LIMIT 6
+    )
+    """,
+)
+def q_sql_maxby_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-ary max_by over a *similarity* score — the form the reference's
+    macros emit for cosine/ip metrics (hnsw_index_macros.cpp:24-29,
+    ``ELSE max_by(tbl, tbl.score, k)``). The planner recognizes it and
+    ranks by similarity descending (plans/rewrite.py match_minby with
+    descending=True); ties break by the value column in both engines."""
+    from duckdb_vss_spark.plans import VssPlanner
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.createOrReplaceTempView("embeddings")
+    planner = VssPlanner(spark)
+    qv = _query_vec(spark, sf_dir, 41)
+    lit = ",".join(repr(x) for x in qv)
+    out = planner.sql(
+        f"SELECT max_by(vec_id, array_cosine_similarity(embedding, array({lit})), 6) AS nbrs FROM embeddings"
+    )
+    return out.select(
+        F.array_join(F.col("nbrs").cast("array<string>"), ",").alias("nbrs")
     )
 
 
@@ -1016,8 +1048,8 @@ def q_knn_join_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("rn", F.col("vec_id").alias("rid")))),
-                    lambda s: s["rid"].cast("string"),
-                ),
+                    lambda s: s["rid"],
+                ).cast("array<string>"),
                 ",",
             ).alias("nbrs"),
             F.count(F.lit(1)).alias("n"),

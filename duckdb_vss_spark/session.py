@@ -53,3 +53,18 @@ def get_ef_search(spark: SparkSession, override: int | None = None) -> int:
     if override is not None:
         return int(override)
     return int(spark.conf.get(CONF_EF_SEARCH, str(DEFAULT_EF_SEARCH)))
+
+
+def check_persistence_enabled(spark: SparkSession) -> None:
+    """Gate on ``spark.vss.enable_experimental_persistence``, mirroring
+    the reference's hnsw_enable_experimental_persistence setting, which
+    blocks CREATE INDEX when index persistence is disabled
+    (src/hnsw/hnsw_index_physical_create.cpp — the persistence guard).
+    Our artifacts are persisted by design, so the default is true; a
+    session can set it false to forbid writing index artifacts."""
+    val = str(spark.conf.get(CONF_ENABLE_PERSISTENCE, "true")).lower()
+    if val in ("false", "0", "no"):
+        raise ValueError(
+            "HNSW index persistence is disabled: set "
+            f"'{CONF_ENABLE_PERSISTENCE}' to true to create index artifacts"
+        )

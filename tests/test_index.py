@@ -41,6 +41,19 @@ def test_option_validation(spark, emb, tmp_path):
         create_hnsw_index(spark, emb, "embedding", "vec_id", p, m0=1)
 
 
+def test_persistence_setting_gates_create(spark, emb, tmp_path):
+    # mirrors the reference's hnsw_enable_experimental_persistence gate:
+    # setting it false forbids writing index artifacts (session.py)
+    from duckdb_vss_spark.session import CONF_ENABLE_PERSISTENCE
+
+    spark.conf.set(CONF_ENABLE_PERSISTENCE, "false")
+    try:
+        with pytest.raises(ValueError, match="persistence is disabled"):
+            create_hnsw_index(spark, emb, "embedding", "vec_id", str(tmp_path / "gated"))
+    finally:
+        spark.conf.unset(CONF_ENABLE_PERSISTENCE)
+
+
 def test_knn_search_matches_brute_force(spark, emb, idx):
     # ef ≫ k at this scale → exact (the property the reference's own
     # with/without-index equality tests rely on, SURVEY §4.3.5)

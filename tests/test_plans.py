@@ -40,6 +40,28 @@ def test_cosine_canonicalization():
     )
     s = "SELECT 0.5 - array_cosine_similarity(a, b) FROM t"
     assert canonicalize_cosine(s) == s
+    # the literal must be the left operand of the subtraction itself:
+    # val - 1.0 - sim parses as (val - 1.0) - sim — no fuse (ADVICE r2 #1)
+    s2 = "SELECT val - 1.0 - array_cosine_similarity(a, b) FROM t"
+    assert canonicalize_cosine(s2) == s2
+    # 21.0 is not the literal 1.0 — no fuse (and no mangled '2array_...')
+    s3 = "SELECT 21.0 - array_cosine_similarity(a, b) FROM t"
+    assert canonicalize_cosine(s3) == s3
+    # still fuses in nested/keyword/comparison contexts
+    assert (
+        canonicalize_cosine("SELECT x, 1.0 - array_cosine_similarity(a, b) FROM t")
+        == "SELECT x, array_cosine_distance(a, b) FROM t"
+    )
+    assert (
+        canonicalize_cosine("SELECT (1.0 - array_cosine_similarity(a, b)) FROM t")
+        == "SELECT (array_cosine_distance(a, b)) FROM t"
+    )
+    assert (
+        canonicalize_cosine(
+            "SELECT CASE WHEN 1.0 - array_cosine_similarity(a, b) > 0.5 THEN 1 ELSE 0 END FROM t"
+        )
+        == "SELECT CASE WHEN array_cosine_distance(a, b) > 0.5 THEN 1 ELSE 0 END FROM t"
+    )
 
 
 def test_match_topk_shapes():
@@ -114,6 +136,43 @@ def test_match_minby():
     # k bound 0 < k < 2048 (hnsw_optimize_topk.cpp:162-165)
     assert match_minby("SELECT min_by(id, array_distance(v, array(1.0)), 0) FROM t") is None
     assert match_minby("SELECT min_by(id, array_distance(v, array(1.0)), 5000) FROM t") is None
+
+
+def test_match_maxby():
+    # max_by over a similarity — the macro form for cosine/ip metrics
+    # (hnsw_index_macros.cpp:24-29)
+    m = match_minby(
+        "SELECT max_by(id, array_cosine_similarity(vec, array(1.0, 0.0)), 4) AS nbrs FROM items"
+    )
+    assert m and m.descending and m.metric == "cosine" and m.k == 4
+    m2 = match_minby("SELECT max_by(id, array_inner_product(v, array(1.0)), 2) FROM t")
+    assert m2 and m2.descending and m2.metric == "ip"
+    # mismatched pairings are not a nearest-k shape: max_by of a distance,
+    # min_by of a similarity
+    assert match_minby("SELECT max_by(id, array_distance(v, array(1.0)), 2) FROM t") is None
+    assert match_minby("SELECT min_by(id, array_cosine_similarity(v, array(1.0)), 2) FROM t") is None
+
+
+def test_planner_maxby_brute(spark, grid, planner_with_index):
+    # grid index metric is l2sq, so the cosine max_by runs the SEQ path;
+    # ranking by similarity DESC must return the same ids as ranking by
+    # cosine distance ASC
+    p = VssPlanner(spark)
+    grid.createOrReplaceTempView("grid_items")
+    got = p.sql(
+        "SELECT max_by(id, array_cosine_similarity(vec, array(1.0, 2.0, 3.0)), 3) AS nbrs FROM grid_items"
+    ).first()["nbrs"]
+    assert p.last_plan == "SEQ_SCAN"
+    from duckdb_vss_spark.functions.distance import array_cosine_distance
+
+    want = [
+        r["id"]
+        for r in grid.select("id", array_cosine_distance("vec", [1.0, 2.0, 3.0]).alias("d"))
+        .orderBy("d", "id")
+        .limit(3)
+        .collect()
+    ]
+    assert got == want
 
 
 def test_match_lateral():
