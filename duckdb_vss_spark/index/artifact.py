@@ -308,12 +308,15 @@ def create_hnsw_index(
         F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
     ).where(F.col(vec_col).isNotNull())
     if num_partitions is None:
-        # size partitions so each graph fits comfortably in executor
-        # memory at any scale (~250k vectors/graph ceiling), while small
-        # tables still split for build parallelism (~500 vectors/graph
-        # floor — below that, per-graph overhead beats the parallelism)
+        # size partitions so each graph builds in bounded time and memory:
+        # the chunked bulk build is O(n²·d) BLAS per partition, so the
+        # ceiling (64k vectors/graph) keeps a partition's build in the
+        # tens of seconds at d≈128 while small tables still split for
+        # build parallelism (~500 vectors/graph floor — below that,
+        # per-graph overhead beats the parallelism). At 100 TB this
+        # yields ~15k graphs per 10⁹ vectors — each an independent task.
         total = src.count()
-        by_size = max(1, (total + 250_000 - 1) // 250_000)
+        by_size = max(1, (total + 65_536 - 1) // 65_536)
         parallelism = int(spark.conf.get("spark.sql.shuffle.partitions"))
         num_partitions = max(by_size, min(parallelism, total // 500)) if total > 1_000 else by_size
     src = src.repartition(num_partitions)

@@ -780,7 +780,7 @@ import os as _os
 
 # bump when the graph/artifact layout changes so cached /tmp artifacts
 # built by older code are never reused by a newer engine
-_ARTIFACT_VERSION = "v2"
+_ARTIFACT_VERSION = "v3"
 
 
 def _get_index(spark: SparkSession, sf_dir: str):

@@ -115,6 +115,35 @@ def test_graph_recall_on_random(spark):
     assert hits / 200 > 0.85  # HNSW paper regime: >0.9 typical at ef=64
 
 
+def test_graph_bulk_build_50k_single_partition():
+    """VERDICT r2 #1 'done' bar: a single-partition graph over ≥50k
+    vectors must build in <60 s (chunked BLAS bulk build — no per-row
+    Python insert loop) with recall parity vs brute force. The reference
+    builds 1M-row graphs in its slow suite via vendored C++ threads
+    (hnsw_index_physical_create.cpp:134-213); our per-partition budget is
+    the 64k artifact ceiling (artifact.py)."""
+    import time
+
+    rng = np.random.default_rng(7)
+    n, d = 50_000, 64
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    t0 = time.time()
+    g = HNSWGraph(d, "l2sq", m=16, ef_construction=128).build(
+        np.arange(n, dtype=np.int64), X
+    )
+    elapsed = time.time() - t0
+    assert elapsed < 60, f"50k single-partition build took {elapsed:.1f}s"
+    qs = X[rng.integers(0, n, 50)] + 0.01 * rng.standard_normal((50, d)).astype(
+        np.float32
+    )
+    hits = 0
+    for q in qs:
+        got, _ = g.search(q, 10, ef_search=256)
+        want = np.argsort(((X.astype(np.float64) - q) ** 2).sum(1), kind="stable")[:10]
+        hits += len(set(got.tolist()) & set(want.tolist()))
+    assert hits / 500 >= 0.95, f"recall@10 {hits/500:.3f} at ef=256"
+
+
 def test_rebuild_replaces_artifact(spark, emb, tmp_path):
     p = str(tmp_path / "rb")
     ix = create_hnsw_index(spark, emb.limit(100), "embedding", "vec_id", p)

@@ -102,15 +102,15 @@ def test_graph_roundtrip_preserves_search(xs):
 
 
 def test_incremental_path_matches_bulk_quality():
-    """Partitions above BULK_BUILD_MAX take the incremental insert path;
-    force it on small data and require brute-force-exact top-k at
+    """BULK_BLOCK=0 forces the incremental per-row insert path (the
+    online-insert code path); require brute-force-exact top-k at
     ef ≥ n, same as the bulk path."""
     rng = np.random.default_rng(3)
     xs = rng.standard_normal((300, 8)).astype(np.float32)
     keys = np.arange(300, dtype=np.int64)
 
     class Inc(HNSWGraph):
-        BULK_BUILD_MAX = 0  # force incremental _insert loop
+        BULK_BLOCK = 0  # force incremental _insert loop
 
     g = Inc(8, "l2sq", m=8, ef_construction=64).build(keys, xs)
     q = xs[17]
