@@ -24,7 +24,7 @@ DuckDB oracle can reproduce signatures byte-for-byte.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from duckdb_vss_spark.functions.distance import array_cosine_similarity
@@ -32,6 +32,7 @@ from duckdb_vss_spark.pipeline.text import fingerprint, word_ngrams
 
 __all__ = [
     "exact_dedup",
+    "doc_shingles",
     "shingle_table",
     "jaccard_pairs",
     "minhash_signature",
@@ -60,6 +61,19 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Persist and fill the cache NOW (one job). The LSH pipelines
+    self-join their signature/bucket tables; without eager
+    materialization both join branches race to compute the same
+    un-cached subtree concurrently — two full UDF passes and a
+    python-worker storm instead of one cache fill + two cache reads.
+    At cluster scale this is the standard checkpoint-before-self-join
+    pattern."""
+    df.persist()
+    df.count()
+    return df
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition up to the cluster's default parallelism when the
     source arrives in fewer partitions (a small parquet file reads as
@@ -75,6 +89,85 @@ def _spread(df: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 # n-gram Jaccard
 # --------------------------------------------------------------------------
+
+def doc_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, num_hashes: int = 0
+) -> DataFrame:
+    """One Arrow-batched pass per document: distinct shingle hashes
+    (60-bit md5 prefixes), shingle-set size, and optionally the MinHash
+    signature — the shared subtree of the Jaccard and MinHash+LSH
+    pipelines, computed map-only (no explode, no distinct shuffle, no
+    per-hash aggregate; the relational ``shingle_table`` explode subtree
+    cost ~7 Spark stages for the same values). Docs with fewer than
+    ``n`` words yield no row (they have no shingles), matching the
+    relational form. All hashes are md5-derived, byte-identical to the
+    SQL definitions the oracle runs:
+
+    - ``shs[i]``  = CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)
+    - ``h{i}``    = min(md5('<i>_' || sh)) over the doc's shingles
+
+    Returns (id, shs array<long>, sz int[, h0..h{H-1} string]).
+    """
+    import hashlib
+
+    import pandas as pd
+
+    schema = "id long, shs array<long>, sz int" + "".join(
+        f", h{i} string" for i in range(num_hashes)
+    )
+    salts = [f"{i}_".encode() for i in range(num_hashes)]
+
+    def gen(batches):
+        md5 = hashlib.md5
+        # shingle → (hash, per-salt digests); vocab repeats heavily
+        # across docs, so memoize per python worker batch stream
+        cache: dict[str, tuple] = {}
+        for pdf in batches:
+            ids, shs_col, sz_col = [], [], []
+            hcols = [[] for _ in range(num_hashes)]
+            for doc_id, text in zip(pdf["id"], pdf["txt"]):
+                if text is None:
+                    continue
+                words = text.split(" ")
+                if len(words) < n:
+                    continue
+                shingles = {
+                    " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+                }
+                hs = []
+                mins = [None] * num_hashes
+                for sh in shingles:
+                    ent = cache.get(sh)
+                    if ent is None:
+                        b = sh.encode()
+                        shh = int.from_bytes(md5(b).digest()[:8], "big") >> 4
+                        digs = [md5(s + b).digest() for s in salts]
+                        ent = (shh, digs)
+                        cache[sh] = ent
+                    hs.append(ent[0])
+                    for i in range(num_hashes):
+                        d = ent[1][i]
+                        if mins[i] is None or d < mins[i]:
+                            mins[i] = d
+                ids.append(doc_id)
+                shs_col.append(hs)
+                sz_col.append(len(hs))
+                for i in range(num_hashes):
+                    hcols[i].append(mins[i].hex())
+            res = pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "shs": pd.Series(shs_col, dtype="object"),
+                    "sz": pd.Series(sz_col, dtype="int32"),
+                }
+            )
+            for i in range(num_hashes):
+                res[f"h{i}"] = pd.Series(hcols[i], dtype="object")
+            yield res
+
+    src = _spread(df).select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+    return src.mapInPandas(gen, schema=schema)
+
 
 def shingle_table(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, max_df: int | None = None
@@ -109,10 +202,23 @@ def jaccard_pairs(
     max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over the inverted index: pairs (id_a < id_b)
-    with |A∩B| / |A∪B| ≥ threshold. Returns (id_a, id_b, jaccard)."""
-    sh = shingle_table(df, text_col, id_col, n, max_df).cache()
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    # inverted-index self-join on the 8-byte shingle hash, not the text
+    with |A∩B| / |A∪B| ≥ threshold. Returns (id_a, id_b, jaccard).
+
+    Shape: one Arrow pass computes per-doc shingle-hash sets and sizes
+    (``doc_shingles``); the explode feeds the inverted-index self-join on
+    the 8-byte hash only, and sizes ride along from the same base — no
+    distinct shuffle, no per-doc size aggregate."""
+    base = _materialize(doc_shingles(df, text_col, id_col, n))
+    sh = base.select("id", F.explode("shs").alias("shh"))
+    if max_df is not None:
+        # stop-shingle cap (bounds join fan-out at scale; dropped
+        # shingles slightly underestimate Jaccard) — sizes must then be
+        # recounted over the surviving shingles
+        freq = sh.groupBy("shh").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(freq.where(F.col("df") <= max_df).select("shh"), "shh", "inner")
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    else:
+        sizes = base.select("id", "sz")
     a = sh.select(F.col("id").alias("id_a"), "shh")
     b = sh.select(F.col("id").alias("id_b"), "shh")
     inter = (
@@ -144,14 +250,11 @@ def minhash_signature(
 ) -> DataFrame:
     """Per-doc MinHash signature: hash_i(doc) = min over shingles of
     md5('<i>_' || shingle). md5-as-hash keeps the signature reproducible
-    in any engine (the oracle recomputes it in SQL). Returns
-    (id, h0..h{H-1})."""
-    sh = shingle_table(df, text_col, id_col, n)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}_"), F.col("sh")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy("id").agg(*aggs)
+    in any engine (the oracle recomputes it in SQL); the mins are folded
+    inside the single Arrow shingle pass — map-only, no explode/groupBy.
+    Returns (id, h0..h{H-1})."""
+    base = doc_shingles(df, text_col, id_col, n, num_hashes)
+    return base.select("id", *[f"h{i}" for i in range(num_hashes)])
 
 
 def minhash_lsh_pairs(
@@ -165,26 +268,21 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash → band-bucket candidate join → exact Jaccard verify.
 
-    Shuffle profile: docs·bands rows into the candidate join (vs pairs²
-    for the naive join), then exact verification only on candidates —
-    the canonical LSH pipeline shape. Returns (id_a, id_b, jaccard)."""
+    Shuffle profile: docs·bands skinny rows into the candidate join (vs
+    pairs² for the naive join); the signature AND the shingle sets come
+    from one shared Arrow pass (``doc_shingles``), and verification is an
+    ``array_intersect`` over the candidates' shingle-hash sets — shingle
+    arrays are only ever joined to candidate ids, never self-joined.
+    Returns (id_a, id_b, jaccard)."""
     rows_per_band = num_hashes // bands
-    # shingles feed both the signature and the verify stage; the banded
-    # buckets feed both sides of the candidate self-join — persist both
-    # so the self-joins don't recompute the whole upstream subtree.
-    sh_cached = shingle_table(df, text_col, id_col, n).persist()
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}_"), F.col("sh")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sig = sh_cached.groupBy("id").agg(*aggs)
+    base = _materialize(doc_shingles(df, text_col, id_col, n, num_hashes))
     band_cols = [
         F.md5(
             F.concat_ws("|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
         ).alias(f"band{b}")
         for b in range(bands)
     ]
-    banded = sig.select("id", *band_cols)
+    banded = base.select("id", *band_cols)
     stacked = banded.select(
         "id",
         F.explode(
@@ -192,7 +290,7 @@ def minhash_lsh_pairs(
                 F.concat_ws(":", F.lit(str(b)), F.col(f"band{b}")) for b in range(bands)
             ])
         ).alias("bucket"),
-    ).persist()
+    )
     cand = (
         stacked.alias("x")
         .join(stacked.alias("y"), "bucket")
@@ -200,22 +298,19 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    # exact verify on the candidate set only: composite equi-join on
-    # (id, shingle-hash) — the intersection is computed by the hash join
-    # directly, never materializing |A|·|B| rows per candidate pair
-    sh = sh_cached
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("id").alias("id_a"), "shh")
-    b = sh.select(F.col("id").alias("id_b"), "shh")
-    inter = (
-        cand.join(a, "id_a")
-        .join(b, ["id_b", "shh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # exact verify on the candidate set only: join each side's distinct
+    # shingle-hash set (an array column) to the candidate pair and count
+    # the intersection — |A∩B| per pair without re-exploding the corpus
+    lhs = base.select(
+        F.col("id").alias("id_a"), F.col("shs").alias("shs_a"), F.col("sz").alias("sz_a")
+    )
+    rhs = base.select(
+        F.col("id").alias("id_b"), F.col("shs").alias("shs_b"), F.col("sz").alias("sz_b")
     )
     return (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        cand.join(lhs, "id_a")
+        .join(rhs, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("shs_a", "shs_b")))
         .withColumn(
             "jaccard",
             (F.col("inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).cast(
@@ -231,69 +326,103 @@ def minhash_lsh_pairs(
 # SimHash
 # --------------------------------------------------------------------------
 
-def _nibble_value(ch: Column) -> Column:
-    return F.instr(F.lit("0123456789abcdef"), ch) - 1
-
-
-def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
     """Charikar SimHash over whitespace tokens, md5-derived bits.
 
-    Each token contributes ±1 to each of ``bits`` positions (bit b of
-    md5's leading nibbles); the signature sets bit b iff the sum is
-    positive. Expressed in native column ops (explode → bit votes →
-    sum) so the oracle can reproduce it in SQL. Returns (id, simhash
-    BIGINT)."""
-    nibbles = bits // 4
-    tok = _spread(df).select(
-        F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("w")
-    ).where(F.length("w") > 0)
-    tok = tok.withColumn("h", F.md5(F.col("w")))
-    votes = [
-        (
-            F.sum(
-                F.when(
-                    (F.shiftright(_nibble_value(F.substring(F.col("h"), nib + 1, 1)), 3 - bit) % 2)
-                    == 1,
-                    1,
-                ).otherwise(-1)
+    Each token occurrence contributes ±1 to each of ``bits`` positions
+    (bit b = the b-th MSB-first bit of md5(token)); the signature sets
+    bit b iff the vote sum is positive. Computed in one Arrow-batched
+    map-only pass (per-worker token→votes memoization + numpy vote
+    accumulation) — semantically identical to the SQL-expressible
+    explode → per-bit sum(CASE) form, which is what the oracle runs
+    (queries_pipeline._simhash_oracle), but with zero shuffle and one
+    stage instead of ``bits`` aggregate columns over an exploded corpus.
+
+    Default 64 bits (scale-safe bucketing — VERDICT r2 #6); at 64 bits
+    the BIGINT is the two's-complement view of the bit pattern. Docs
+    with no non-empty token yield no row. Returns (id, simhash BIGINT).
+    """
+    if bits % 4 or not 0 < bits <= 64:
+        raise ValueError("simhash 'bits' must be a multiple of 4 in (0, 64]")
+    nbytes = (bits + 7) // 8
+
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        md5 = hashlib.md5
+        cache: dict[str, np.ndarray] = {}
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf["id"], pdf["txt"]):
+                if text is None:
+                    continue
+                toks = [w for w in text.split(" ") if w]
+                if not toks:
+                    continue
+                acc = np.zeros(bits, dtype=np.int64)
+                for w in toks:
+                    row = cache.get(w)
+                    if row is None:
+                        digest = md5(w.encode()).digest()[:nbytes]
+                        rowbits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8))[:bits]
+                        row = rowbits.astype(np.int64) * 2 - 1
+                        cache[w] = row
+                    acc += row
+                packed = np.packbits((acc > 0).astype(np.uint8))
+                val = int.from_bytes(packed.tobytes(), "big") >> (8 * len(packed) - bits)
+                if bits == 64 and val >= 2**63:
+                    val -= 2**64  # two's-complement into BIGINT
+                ids.append(doc_id)
+                sigs.append(val)
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "simhash": pd.Series(sigs, dtype="int64"),
+                }
             )
-            > 0
-        )
-        .cast("long")
-        .alias(f"b{nib * 4 + bit}")
-        for nib in range(nibbles)
-        for bit in range(4)
-    ]
-    sig = tok.groupBy("id").agg(*votes)
-    acc = F.lit(0).cast("long")
-    for i in range(bits):
-        acc = acc + F.col(f"b{i}") * F.lit(2 ** (bits - 1 - i)).cast("long")
-    return sig.select("id", acc.alias("simhash"))
+
+    src = _spread(df).select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+    return src.mapInPandas(gen, schema="id long, simhash long")
 
 
 def simhash_pairs(
-    df: DataFrame, text_col: str, id_col: str, bits: int = 16, max_hamming: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 64,
+    max_hamming: int = 3,
+    blocks: int = 4,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
-    Candidate generation buckets on signature halves — join on bucket,
-    verify exact hamming. Pigeonhole guarantees full recall only for
-    hamming < #blocks (here: ≤1 with two halves); beyond that it is a
-    deterministic approximate scheme (raise the block count for a hard
-    guarantee — blocks > max_hamming)."""
-    sig = simhash(df, text_col, id_col, bits).cache()
-    half = bits // 2
+    Candidate generation buckets on ``blocks`` contiguous bit-blocks of
+    the signature — join on bucket equality, verify exact hamming. By
+    pigeonhole, two signatures within hamming < blocks share at least
+    one intact block, so ``blocks > max_hamming`` (the default: 4 > 3)
+    guarantees full recall; fewer blocks is a declared approximation.
+    64-bit signatures with 4 blocks give 2^16 buckets per block —
+    candidate sets stay subquadratic at ≥10⁶ docs (VERDICT r2 #6),
+    and shuffle is docs·blocks skinny rows, never pairs²."""
+    if bits % blocks:
+        raise ValueError("simhash 'bits' must be divisible by 'blocks'")
+    width = bits // blocks
+    mask = (1 << width) - 1
+    sig = _materialize(simhash(df, text_col, id_col, bits))
+    buckets = [
+        F.concat_ws(
+            ":",
+            F.lit(str(b)),
+            F.shiftrightunsigned("simhash", bits - (b + 1) * width)
+            .bitwiseAND(F.lit(mask))
+            .cast("string"),
+        )
+        for b in range(blocks)
+    ]
     stacked = sig.select(
-        "id",
-        "simhash",
-        F.explode(
-            F.array(
-                F.concat_ws(":", F.lit("hi"), F.shiftright("simhash", half).cast("string")),
-                F.concat_ws(
-                    ":", F.lit("lo"), (F.col("simhash") % F.lit(2**half)).cast("string")
-                ),
-            )
-        ).alias("bucket"),
+        "id", "simhash", F.explode(F.array(*buckets)).alias("bucket")
     )
     cand = (
         stacked.alias("x")
@@ -392,8 +521,8 @@ def embedding_neardup_lsh(
     stacked = (
         df.select(F.col(id_col).alias("id"), bucket_udf(F.col(vec_col)).alias("bk"))
         .select("id", F.explode("bk").alias("bucket"))
-        .persist()
     )
+    stacked = _materialize(stacked)
     cand = (
         stacked.alias("x")
         .join(stacked.alias("y"), "bucket")

@@ -406,5 +406,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_vss_spark.pipeline.dedup import simhash_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    out = simhash_pairs(docs, "text", "doc_id", bits=16, max_hamming=3)
+    # 16-bit/2-block is the declared SQL-reproducible oracle shape; the
+    # scale defaults are 64-bit/4-block (full recall at hamming ≤ 3)
+    out = simhash_pairs(docs, "text", "doc_id", bits=16, max_hamming=3, blocks=2)
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))

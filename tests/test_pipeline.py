@@ -92,6 +92,53 @@ def test_simhash_hamming(spark, docs):
     assert (1, 4) in {(p["id_a"], p["id_b"]) for p in pairs}
 
 
+def test_simhash_matches_sql_oracle_semantics(spark, docs):
+    # the Arrow-batched signature must equal the explode + per-bit
+    # sum(CASE) SQL definition bit for bit (the oracle's form)
+    import hashlib
+
+    rows = docs.collect()
+    got = {r["id"]: r["simhash"] for r in simhash(docs, "text", "doc_id", bits=16).collect()}
+    for r in rows:
+        toks = [w for w in r["text"].split(" ") if w]
+        votes = [0] * 16
+        for w in toks:
+            h = hashlib.md5(w.encode()).hexdigest()
+            for i in range(16):
+                nib = int(h[i // 4], 16)
+                votes[i] += 1 if (nib >> (3 - i % 4)) & 1 else -1
+        want = sum(2 ** (15 - i) for i in range(16) if votes[i] > 0)
+        assert got[r["doc_id"]] == want
+
+
+def test_simhash_pairs_full_recall_at_blocks_gt_hamming(spark):
+    """Pigeonhole guarantee: with blocks > max_hamming (64-bit, 4 blocks,
+    hamming ≤ 3 — the scale defaults, VERDICT r2 #7) the bucketed join
+    must find EVERY pair within the hamming budget."""
+    import itertools
+
+    rng = __import__("numpy").random.default_rng(11)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = []
+    base = [vocab[i] for i in rng.integers(0, 50, 30)]
+    for k in range(30):
+        doc = list(base)
+        for _ in range(int(rng.integers(0, 3))):
+            doc[int(rng.integers(0, 30))] = vocab[int(rng.integers(0, 50))]
+        texts.append((k, " ".join(doc)))
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    sigs = {r["id"]: r["simhash"] for r in simhash(df, "text", "doc_id", bits=64).collect()}
+    want = set()
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        if bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= 3:
+            want.add((a, b))
+    got = {
+        (p["id_a"], p["id_b"])
+        for p in simhash_pairs(df, "text", "doc_id", bits=64, max_hamming=3, blocks=4).collect()
+    }
+    assert got == want and want  # full recall, and the fixture has pairs
+
+
 def test_embedding_neardup_exact_vs_lsh(spark):
     import numpy as np
 
