@@ -118,12 +118,21 @@ class HnswIndex:
         id_col: str | None = None,
         ef_search: int | None = None,
         dist_col: str = "dist",
+        post_filter=None,
     ) -> DataFrame:
         """ANN top-k: per-partition graph search → exact global merge →
         late-materialized fetch of payload rows by id (the reference's
         rowid fetch, hnsw_index_scan.cpp:72-89). The SQL-visible distance
         is recomputed from the base vectors (reference recomputes in the
-        surviving projection, SURVEY §3-B step 4)."""
+        surviving projection, SURVEY §3-B step 4).
+
+        ``post_filter`` (a Column or SQL-string predicate) reproduces the
+        reference's WHERE + index-scan semantics: pushed-down filters are
+        PULLED UP above the index scan (hnsw_optimize_scan.cpp:161-191),
+        so the scan selects k nearest FIRST and the predicate filters the
+        k rows after — the result may have fewer than k rows. That is the
+        documented trade the reference makes to keep the index usable
+        under a WHERE."""
         import numpy as np
         import pandas as pd
 
@@ -147,11 +156,15 @@ class HnswIndex:
         dist_fn = distance_for_metric(self.metric)
         # candidate ids are k·P rows — tiny; broadcast-join back to base
         matched = df.join(F.broadcast(cand), on=id_col, how="inner")
-        return (
+        out = (
             matched.withColumn(dist_col, dist_fn(F.col(vec_col), q))
             .orderBy(F.col(dist_col).asc_nulls_last(), F.col(id_col))
             .limit(kk)
         )
+        if post_filter is not None:
+            cond = F.expr(post_filter) if isinstance(post_filter, str) else post_filter
+            out = out.where(cond)
+        return out
 
     # -- entry point C: batched multi-query top-k join --------------------
 
@@ -166,39 +179,36 @@ class HnswIndex:
         dist_col: str = "dist",
         rn_col: str = "rn",
         queries_per_batch: int = 65536,
+        keep_null_queries: bool = False,
     ) -> DataFrame:
         """ANN lateral join: broadcast query matrix → every partition graph
         answers every query (ExecuteMultiScan shape, hnsw_index.cpp:
         353-367) → window merge of P·k candidates per query → payload
         fetch. Emits 1-indexed ``rn`` like the reference join operator.
 
-        Query sets larger than ``queries_per_batch`` are chunked: each
-        chunk is its own broadcast + scan stage (unioned), bounding
-        executor memory by chunk·dims·4B regardless of query count —
-        the reference's own join batches ⌊2048/k⌋ queries per chunk for
-        the same reason (hnsw_optimize_join.cpp:137)."""
+        The query set streams to the driver via ``toLocalIterator`` in
+        ``queries_per_batch`` chunks: each chunk is its own broadcast +
+        scan stage (unioned), so neither the driver nor the executors
+        ever hold the full query set as one materialized block — the
+        reference's own join batches ⌊2048/k⌋ queries per chunk for the
+        same reason (hnsw_optimize_join.cpp:137).
+
+        ``keep_null_queries=True`` reproduces the reference's NULL-outer
+        semantics (hnsw_lateral_join.test:46-67): a NULL query vector
+        still gets k matches — every distance is NULL (NULLS LAST), so
+        the first k items by id win, with ``dist_col`` NULL."""
         import numpy as np
         import pandas as pd
+
+        from duckdb_vss_spark.operators.join import iter_query_chunks
 
         id_col = self.manifest["id_col"]
         vec_col = self.manifest["vec_col"]
         ef = get_ef_search(self.spark, ef_search)
         kk = int(k)
 
-        qpdf = (
-            queries.select(query_id_col, query_vec_col)
-            .where(F.col(query_vec_col).isNotNull())
-            .toPandas()
-        )
-        qmat = (
-            np.stack([np.asarray(v, dtype=np.float32) for v in qpdf[query_vec_col]])
-            if len(qpdf)
-            else np.empty((0, self.dims), dtype=np.float32)
-        )
-        qids = qpdf[query_id_col].to_numpy()
-
         def chunk_scan(ids_c: np.ndarray, mat_c: np.ndarray) -> DataFrame:
-            bq = self.spark.sparkContext.broadcast((ids_c, mat_c))
+            bq = self.spark.sparkContext.broadcast((ids_c, mat_c.astype(np.float32)))
 
             def search_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 ids_, mat = bq.value
@@ -216,13 +226,16 @@ class HnswIndex:
                 search_part, schema=f"{query_id_col} long, {id_col} long"
             )
 
-        chunks = [
-            chunk_scan(qids[o : o + queries_per_batch], qmat[o : o + queries_per_batch])
-            for o in range(0, max(len(qids), 1), queries_per_batch)
-        ]
-        cand = chunks[0]
-        for extra in chunks[1:]:
-            cand = cand.unionByName(extra)
+        cand = None
+        for ids_c, mat_c in iter_query_chunks(
+            queries, query_id_col, query_vec_col, queries_per_batch
+        ):
+            part = chunk_scan(ids_c, mat_c)
+            cand = part if cand is None else cand.unionByName(part)
+        if cand is None:
+            cand = self.spark.createDataFrame(
+                [], f"{query_id_col} long, {id_col} long"
+            )
         dist_fn = distance_for_metric(self.metric)
         qv_by_id = queries.select(query_id_col, query_vec_col)
         scored = (
@@ -233,11 +246,22 @@ class HnswIndex:
         w = Window.partitionBy(query_id_col).orderBy(
             F.col(dist_col).asc_nulls_last(), F.col(id_col)
         )
-        return (
+        out = (
             scored.withColumn(rn_col, F.row_number().over(w))
             .where(F.col(rn_col) <= kk)
             .drop(query_vec_col)
         )
+        if keep_null_queries:
+            null_q = queries.where(F.col(query_vec_col).isNull()).select(query_id_col)
+            first_k = items.orderBy(F.col(id_col)).limit(kk)
+            wn = Window.partitionBy(query_id_col).orderBy(F.col(id_col))
+            null_part = (
+                null_q.crossJoin(F.broadcast(first_k))
+                .withColumn(dist_col, F.lit(None).cast("double"))
+                .withColumn(rn_col, F.row_number().over(wn))
+            )
+            out = out.unionByName(null_part.select(*out.columns))
+        return out
 
     # -- maintenance ------------------------------------------------------
 

@@ -139,24 +139,33 @@ class IvfIndex:
         k: int,
         nprobe: int | None = None,
         dist_col: str = "dist",
+        post_filter=None,
     ) -> DataFrame:
         """Probe the ``nprobe`` nearest inverted lists and exact-score
         only those. The `.isin(list_id)` filter is a parquet partition
         filter — the scan reads nprobe/nlist of the data; scoring stays
-        JVM-native and the merge is TakeOrderedAndProject."""
+        JVM-native and the merge is TakeOrderedAndProject.
+
+        ``post_filter`` applies ABOVE the top-k selection (the HNSW
+        filter pull-up semantics, hnsw_optimize_scan.cpp:161-191) — the
+        result may have fewer than k rows."""
         nprobe = int(nprobe or self.manifest["default_nprobe"])
         probes = self._probe_ids(query_vec, nprobe)
         q = [float(x) for x in query_vec]
         dist_fn = distance_for_metric(self.metric)
         id_col = self.manifest["id_col"]
         vec_col = self.manifest["vec_col"]
-        return (
+        out = (
             self._lists_df()
             .where(F.col("list_id").isin(probes))
             .withColumn(dist_col, dist_fn(F.col(vec_col), q))
             .orderBy(F.col(dist_col).asc_nulls_last(), F.col(id_col))
             .limit(int(k))
         )
+        if post_filter is not None:
+            cond = F.expr(post_filter) if isinstance(post_filter, str) else post_filter
+            out = out.where(cond)
+        return out
 
     # -- batched multi-query top-k join (entry point C shape) -------------
 

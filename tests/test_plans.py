@@ -77,7 +77,10 @@ def test_match_topk_shapes():
     assert match_topk("SELECT id FROM a JOIN b ON a.x=b.x ORDER BY array_distance(v, array(1.0)) LIMIT 5") is None
     assert match_topk("SELECT id FROM t ORDER BY array_distance(v, other_col) LIMIT 5") is None
     assert match_topk("SELECT id FROM t ORDER BY array_distance(v, array(1.0)) DESC LIMIT 5") is None
-    assert match_topk("SELECT id FROM t WHERE x > 1 ORDER BY array_distance(v, array(1.0)) LIMIT 5") is None
+    # WHERE now matches, carrying the predicate for the filter pull-up
+    # (search k first, filter after — hnsw_optimize_scan.cpp:161-191)
+    mw = match_topk("SELECT id FROM t WHERE x > 1 ORDER BY array_distance(v, array(1.0)) LIMIT 5")
+    assert mw is not None and mw.where == "x > 1"
 
 
 @pytest.fixture(scope="module")
@@ -126,6 +129,25 @@ def test_planner_fallback_runs_reference_sql(spark, grid, planner_with_index):
     assert p.last_plan == "SEQ_SCAN"
     rows = df.collect()
     assert [r["id"] for r in rows] == [0, 1]
+
+
+def test_planner_where_post_filter(spark, grid, planner_with_index):
+    """WHERE + index: filter pulls above the scan (k first, filter after,
+    may under-return — the reference's documented trade). Without the
+    index the same SQL filters first and returns the full k."""
+    p = planner_with_index
+    sql = (
+        "SELECT id FROM grid_items WHERE id >= 400 "
+        "ORDER BY vec <-> [1.0,1.0,1.0]::FLOAT[3] LIMIT 5"
+    )
+    got = p.sql(sql).collect()
+    assert p.last_plan == "HNSW_INDEX_SCAN"
+    # the 5 nearest to (1,1,1) all have small ids -> all filtered: under-return
+    assert len(got) == 0
+    p2 = VssPlanner(spark)
+    rows = p2.sql(sql).collect()
+    assert p2.last_plan == "SEQ_SCAN" and len(rows) == 5
+    assert all(r["id"] >= 400 for r in rows)
 
 
 def test_match_minby():
