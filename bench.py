@@ -38,10 +38,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
 
-    def timed(name, fn, runs=2):
+    def timed(name, fn, runs=3):
         """Steady-state timing: cold run recorded separately, best of
         ``runs`` reported (JIT/codegen/python-worker spin-up amortizes
-        on a long-lived cluster; the steady state is the honest number)."""
+        on a long-lived cluster; the steady state is the honest number;
+        best-of-3 because this container's CPU throughput is noisy —
+        identical runs vary up to 3×)."""
         best = None
         for i in range(runs):
             t0 = time.time()
@@ -122,7 +124,9 @@ def main() -> None:
         lambda: ivf["i"].knn_join(qdf, "qvec", 5, "qid").count(),
     )
 
-    # pipeline: dedup family + text analysis
+    # pipeline: dedup family + text analysis. Each LSH query persists a
+    # fresh signature base; drop those caches after each query so the
+    # session doesn't accumulate dead cached RDDs across the suite.
     for name in (
         "q_exact_dedup",
         "q_ngram_jaccard",
@@ -132,6 +136,8 @@ def main() -> None:
         "q_lang_id",
     ):
         timed(name, lambda n=name: qfns[n](spark, sf_dir).count())
+        spark.catalog.clearCache()
+    emb.cache().count()  # clearCache dropped it; re-pin for the LSH bench
     timed(
         "embedding_neardup_lsh",
         lambda: embedding_neardup_lsh(emb, "embedding", "vec_id", 0.4).count(),
