@@ -375,6 +375,122 @@ def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_stream_session_windows",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events
+    ),
+    gaps AS (
+      SELECT user_id, event_id, us, value,
+        CASE WHEN us - lag(us) OVER w > 1800000000
+               OR lag(us) OVER w IS NULL
+             THEN 1 ELSE 0 END AS new_s
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    sess AS (
+      SELECT user_id, us, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps
+    )
+    SELECT user_id,
+           min(us) AS session_start_us,
+           max(us) + 1800000000 AS session_end_us,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows, oracle-checked: a REAL availableNow
+    stream through Spark's native session_window (gap merge, end = last
+    event + gap) must agree with the batch lag/flag-sum sessionization
+    SQL. Complements q_stream_window_counts (tumbling) with the gap-based
+    stateful window — the applyInPandasWithState-class surface expressed
+    through the built-in operator."""
+    import uuid
+
+    from duckdb_vss_spark.streaming import read_events_stream, session_window_stats
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = session_window_stats(ev, gap="30 minutes", exact_sum=True)
+    sink = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink).select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+        F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "sum_value",
+    )
+
+
+def _neardup_lsh_oracle(
+    threshold: float = 0.4,
+    num_planes: int = 64,
+    bands: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> str:
+    """Random-hyperplane LSH oracle: the planes are a deterministic
+    function of the seed, so the SQL inlines them as literals and
+    reproduces the sign-bit bucketing exactly (then the exact cosine
+    verify on candidates, like the Spark side)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_planes, dim))
+    rpb = num_planes // bands
+    band_exprs = []
+    for b in range(bands):
+        bits = " || ".join(
+            "(CASE WHEN list_dot_product(v, ["
+            + ", ".join(repr(float(x)) for x in planes[b * rpb + r])
+            + "]) > 0.0 THEN '1' ELSE '0' END)"
+            for r in range(rpb)
+        )
+        band_exprs.append(f"'{b}:' || {bits} AS band{b}")
+    bucket_list = ", ".join(f"band{b}" for b in range(bands))
+    return f"""
+    WITH sig AS (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    banded AS (SELECT id, {", ".join(band_exprs)} FROM sig),
+    stacked AS (SELECT id, unnest([{bucket_list}]) AS bucket FROM banded),
+    cand AS (
+      SELECT DISTINCT x.id AS id_a, y.id AS id_b
+      FROM stacked x JOIN stacked y ON x.bucket = y.bucket AND x.id < y.id
+    )
+    SELECT id_a, id_b, list_cosine_similarity(a.v, b.v) AS cos_sim
+    FROM cand JOIN sig a ON a.id = id_a JOIN sig b ON b.id = id_b
+    WHERE list_cosine_similarity(a.v, b.v) >= {threshold}
+    """
+
+
+@register("q_embedding_neardup_lsh", _neardup_lsh_oracle())
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via random-hyperplane LSH — the SCALE path
+    (docs·bands skinny-row shuffle, id-only candidate dedup, exact
+    cosine verify on candidates only), now oracle-checked: the seeded
+    hyperplanes are inlined into the SQL as literals so DuckDB
+    reproduces the identical bucketing and candidate set."""
+    from duckdb_vss_spark.pipeline.dedup import embedding_neardup_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_lsh(
+        emb, "embedding", "vec_id", threshold=0.4, num_planes=64, bands=8, seed=42
+    )
+
+
 def _simhash_pairs_oracle(bits: int = 16, max_hamming: int = 3) -> str:
     half = bits // 2
     sig_sql = _simhash_oracle(bits).strip()

@@ -79,14 +79,26 @@ def windowed_event_counts(
 
 
 def session_window_stats(
-    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    exact_sum: bool = False,
 ) -> DataFrame:
     """Per-user session windows (gap-based) — streaming equivalent of the
-    batch sessionization query (queries.q_sessionize_events)."""
+    batch sessionization query (queries.q_sessionize_events). Sessions
+    merge while consecutive events are ≤ gap apart; window end = last
+    event + gap (Spark session_window semantics). ``exact_sum`` routes
+    the value sum through a decimal so micro-batch accumulation order
+    cannot perturb the float result (oracle-comparable)."""
+    val = (
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+        if exact_sum
+        else F.sum("value")
+    )
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), val.alias("sum_value"))
     )
 
 
