@@ -285,6 +285,14 @@ class HnswIndex:
             overwrite=True,
         )
 
+    def compact(self, df: DataFrame) -> "HnswIndex":
+        """PRAGMA hnsw_compact_index equivalent (§2.1 #11): the
+        reference's compaction re-packs the graph allocator in place;
+        immutable Spark artifacts re-compact by bulk rebuild from the
+        current snapshot — same post-state contract (a dense graph over
+        the live rows)."""
+        return self.rebuild(df)
+
     def info(self) -> DataFrame:
         """Index metadata DataFrame with the reference's
         pragma_hnsw_index_info() schema (hnsw_index_pragmas.cpp:24-58)."""

@@ -909,6 +909,82 @@ def q_hnsw_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sql_lateral_rewrite",
+    """
+    SELECT qid, rid, dist FROM (
+      SELECT q.qid, r.vec_id AS rid,
+             list_distance(CAST(q.qvec AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])) AS dist,
+             row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY list_distance(CAST(q.qvec AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])), r.vec_id
+             ) AS rn
+      FROM (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 50 = 0) q,
+           embeddings r
+      WHERE q.qvec IS NOT NULL AND r.embedding IS NOT NULL
+    ) WHERE rn <= 3
+    """,
+)
+def q_sql_lateral_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference lateral SQL through the plan layer: the planner
+    pattern-matches the correlated LATERAL top-k shape and swaps in the
+    batched HNSW index join (plans/rewrite.py match_lateral →
+    _run_lateral_indexed; the reference's hnsw_optimize_join rule,
+    EXPLAIN marker HNSW_INDEX_JOIN). ef ≫ k keeps the indexed result
+    exact at oracle scale, so the brute-force lateral SQL is a strict
+    oracle. Spark cannot run this SQL natively at all (correlated
+    references outside WHERE are unsupported), so the rewrite IS the
+    execution path."""
+    from duckdb_vss_spark.plans import VssPlanner
+
+    idx = _get_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.createOrReplaceTempView("embeddings")
+    emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    ).createOrReplaceTempView("emb_queries")
+    spark.conf.set("spark.vss.ef_search", "400")
+    try:
+        planner = VssPlanner(spark)
+        planner.register_index("embeddings", "embedding", idx)
+        df = planner.sql(
+            "SELECT qid, vec_id, dist FROM emb_queries a, "
+            "LATERAL (SELECT b.vec_id FROM embeddings b "
+            "ORDER BY array_distance(a.qvec, b.embedding) LIMIT 3) nn"
+        )
+        assert planner.last_plan == "HNSW_INDEX_JOIN", planner.last_plan
+        return df.select("qid", F.col("vec_id").alias("rid"), F.col("dist").cast("double").alias("dist"))
+    finally:
+        spark.conf.unset("spark.vss.ef_search")
+
+
+@register(
+    "q_hnsw_compact",
+    """
+    SELECT 'emb_compact' AS index_name,
+           CAST(len((SELECT embedding FROM embeddings WHERE vec_id = 0)) AS BIGINT) AS dimensions,
+           count(*) AS count
+    FROM embeddings WHERE vec_id < 100 AND embedding IS NOT NULL
+    """,
+)
+def q_hnsw_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRAGMA hnsw_compact_index (§2.1 #11): compact = bulk rebuild of
+    the artifact from the live snapshot; the post-compact catalog row
+    (name/dims/count) must still agree with the base table."""
+    from duckdb_vss_spark.index import create_hnsw_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sub = emb.where(F.col("vec_id") < 100)
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/vss_compact_{_ARTIFACT_VERSION}_{tag}"
+    idx = create_hnsw_index(
+        spark, sub, vec_col="embedding", id_col="vec_id", path=path,
+        name="emb_compact", metric="l2sq", overwrite=True,
+    )
+    compacted = idx.compact(sub)
+    return compacted.info().select("index_name", "dimensions", "count")
+
+
+@register(
     "q_hnsw_index_info",
     """
     SELECT 'emb_hnsw' AS index_name, 'l2sq' AS metric,
