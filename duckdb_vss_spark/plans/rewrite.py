@@ -150,6 +150,24 @@ _ARRAY_LIT = re.compile(
     re.IGNORECASE,
 )
 
+# the alias-ordered projection form every reference plan test uses:
+#   SELECT [...,] dist_fn(vec, CONST) AS x [, ...] FROM t ORDER BY x LIMIT k
+# (hnsw_result.test:16-26, hnsw_metrics.test:22-38, hnsw_projection.test)
+_QVEC_PAT = r"(?:cast\s*\(\s*array\s*\([^()]*\)\s+as\s+array<\s*(?:float|double)\s*>\s*\)|array\s*\([^()]*\))"
+_TOPK_ALIAS_SQL = re.compile(
+    rf"""^\s*
+    SELECT\s+(?P<pre>.*?)
+        (?P<fn>array_distance|array_distance_sq|array_cosine_distance|array_negative_inner_product)
+        \s*\(\s*(?P<vcol>[A-Za-z_][A-Za-z0-9_]*)\s*,\s*(?P<qvec>{_QVEC_PAT})\s*\)
+        \s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*)
+        (?P<post>.*?)\s+
+    FROM\s+(?P<table>[A-Za-z_][A-Za-z0-9_.]*)\s+
+    (?:WHERE\s+(?P<where>.+?)\s+)?
+    ORDER\s+BY\s+(?P=alias)(?:\s+ASC)?\s+
+    LIMIT\s+(?P<k>\d+)\s*;?\s*$""",
+    re.IGNORECASE | re.VERBOSE | re.DOTALL,
+)
+
 
 @dataclass
 class TopKMatch:
@@ -174,10 +192,21 @@ def match_topk(sql: str) -> TopKMatch | None:
     table, a constant query vector, one ascending order key — the same
     requirements as hnsw_optimize_scan.cpp:39-84 (which relies on core
     constant folding having produced a VALUE_CONSTANT; here the literal
-    is in the text). Returns None on any deviation."""
-    m = _TOPK_SQL.match(canonicalize_cosine(rewrite_operators(sql)))
-    if not m:
-        return None
+    is in the text). Matches both order forms: ORDER BY dist_fn(...)
+    directly, and the aliased projection ``dist_fn(...) AS x ... ORDER
+    BY x`` that the reference's own tests use. Returns None on any
+    deviation."""
+    canon = canonicalize_cosine(rewrite_operators(sql))
+    m = _TOPK_SQL.match(canon)
+    cols = None
+    if m:
+        cols = m["cols"].strip()
+    else:
+        m = _TOPK_ALIAS_SQL.match(canon)
+        if not m:
+            return None
+        # the select list's fn call is served by the scan's dist column
+        cols = f"{m['pre']}dist AS {m['alias']}{m['post']}".strip()
     lit = _ARRAY_LIT.match(m["qvec"].strip())
     if not lit:
         return None
@@ -187,7 +216,7 @@ def match_topk(sql: str) -> TopKMatch | None:
         return None
     fn = m["fn"].lower()
     return TopKMatch(
-        cols=m["cols"].strip(),
+        cols=cols,
         table=m["table"],
         fn=fn,
         metric=_METRIC_FOR_FN[fn],
@@ -362,17 +391,19 @@ class VssPlanner:
         register_sql_functions(spark)
 
     def register_index(self, table: str, vec_col: str, index) -> None:
-        self._indexes[(table.lower(), vec_col.lower())] = index
+        """A column may carry several indexes with different metrics
+        (hnsw_metrics.test: ip + cosine + l2sq side by side); the
+        matcher picks the one whose metric fits the query's distance
+        function."""
+        self._indexes.setdefault((table.lower(), vec_col.lower()), []).append(index)
 
     def _index_for(self, match: TopKMatch):
-        idx = self._indexes.get((match.table.lower(), match.vec_col.lower()))
-        if idx is None:
-            return None
         # metric must agree and dims must match the literal, like the
         # matcher's index checks (hnsw_optimize_scan.cpp:103-141)
-        if idx.metric != match.metric or idx.dims != len(match.query_vec):
-            return None
-        return idx
+        for idx in self._indexes.get((match.table.lower(), match.vec_col.lower()), []):
+            if idx.metric == match.metric and idx.dims == len(match.query_vec):
+                return idx
+        return None
 
     def _marker(self, idx) -> str:
         return (
@@ -468,12 +499,12 @@ class VssPlanner:
     def _index_for_join(self, ml: LateralMatch | None):
         if ml is None:
             return None
-        idx = self._indexes.get((ml.inner.lower(), ml.item_col.lower()))
         # graph indexes only: the batched multi-query scan is HNSW's
         # ExecuteMultiScan shape; IVF serves the API path (IvfIndex.knn_join)
-        if idx is None or idx.metric != ml.metric or type(idx).__name__ != "HnswIndex":
-            return None
-        return idx
+        for idx in self._indexes.get((ml.inner.lower(), ml.item_col.lower()), []):
+            if idx.metric == ml.metric and type(idx).__name__ == "HnswIndex":
+                return idx
+        return None
 
     def _run_lateral_brute(self, ml: LateralMatch) -> DataFrame:
         """No index: run the lateral intent through the brute-force

@@ -908,6 +908,67 @@ def q_hnsw_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _get_cosine_index(spark: SparkSession, sf_dir: str):
+    """A SECOND index on the same column with metric='cosine' — the
+    reference allows several indexes per column and routes by metric
+    (hnsw_metrics.test)."""
+    from duckdb_vss_spark.index import create_hnsw_index, load_index
+
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/vss_hnsw_cos_{_ARTIFACT_VERSION}_{tag}"
+    if _os.path.exists(_os.path.join(path, "manifest.json")):
+        return load_index(spark, path)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return create_hnsw_index(
+        spark, emb, vec_col="embedding", id_col="vec_id", path=path,
+        name="emb_hnsw_cos", metric="cosine", overwrite=True,
+    )
+
+
+@register(
+    "q_sql_metric_rewrite",
+    f"""
+    SELECT 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), {_ORACLE_QVEC.format(vid=29)}) AS x,
+           vec_id
+    FROM embeddings
+    WHERE embedding IS NOT NULL
+    ORDER BY x, vec_id
+    LIMIT 6
+    """,
+)
+def q_sql_metric_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-based index routing + the aliased projection form
+    (hnsw_metrics.test:22-38, hnsw_result.test:16-26): two indexes on
+    the same column (l2sq + cosine); ``array_cosine_distance(...) AS x
+    ... ORDER BY x`` must route to the COSINE index. ef ≫ k keeps the
+    ANN result exact at oracle scale."""
+    from duckdb_vss_spark.plans import VssPlanner, match_topk
+
+    idx_l2 = _get_index(spark, sf_dir)
+    idx_cos = _get_cosine_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.createOrReplaceTempView("embeddings")
+    spark.conf.set("spark.vss.ef_search", "400")
+    try:
+        planner = VssPlanner(spark)
+        planner.register_index("embeddings", "embedding", idx_l2)
+        planner.register_index("embeddings", "embedding", idx_cos)
+        qv = _query_vec(spark, sf_dir, 29)
+        lit = ",".join(repr(x) for x in qv)
+        df = planner.sql(
+            f"SELECT array_cosine_distance(embedding, [{lit}]::FLOAT[{len(qv)}]) AS x, vec_id "
+            f"FROM embeddings ORDER BY x LIMIT 6"
+        )
+        assert planner.last_plan == "HNSW_INDEX_SCAN", planner.last_plan
+        # routed to the cosine index specifically (metric match)
+        assert planner._index_for(match_topk(
+            f"SELECT vec_id FROM embeddings ORDER BY array_cosine_distance(embedding, array({lit})) LIMIT 6"
+        )) is idx_cos
+        return df
+    finally:
+        spark.conf.unset("spark.vss.ef_search")
+
+
 @register(
     "q_sql_lateral_rewrite",
     """

@@ -131,6 +131,61 @@ def test_planner_fallback_runs_reference_sql(spark, grid, planner_with_index):
     assert [r["id"] for r in rows] == [0, 1]
 
 
+def test_match_topk_alias_order_form(spark):
+    # the reference's own plan tests all use the aliased projection form
+    # (hnsw_result.test:16-26): SELECT dist_fn(...) AS x ... ORDER BY x
+    m = match_topk(
+        "SELECT array_distance(vec, [1,2,3]::FLOAT[3]) as x FROM t1 ORDER BY x LIMIT 3"
+    )
+    assert m and m.k == 3 and m.metric == "l2sq" and m.cols == "dist AS x"
+    m2 = match_topk(
+        "SELECT id, array_cosine_distance(vec, array(1.0, 0.0)) AS d FROM t ORDER BY d LIMIT 2"
+    )
+    assert m2 and m2.metric == "cosine" and m2.cols == "id, dist AS d"
+    # ordering by a DIFFERENT alias must not match
+    assert (
+        match_topk(
+            "SELECT array_distance(vec, array(1.0)) AS x, y FROM t ORDER BY y LIMIT 3"
+        )
+        is None
+    )
+
+
+def test_planner_metric_routes_to_matching_index(spark, grid, tmp_path_factory):
+    """hnsw_metrics.test: one column, three indexes (ip/cosine/l2sq) —
+    each distance function routes to the index with the matching
+    metric."""
+    grid.createOrReplaceTempView("grid_metrics")
+    p = VssPlanner(spark)
+    paths = {}
+    for metric in ("ip", "cosine", "l2sq"):
+        path = str(tmp_path_factory.mktemp("m_idx") / metric)
+        idx = create_hnsw_index(
+            spark, grid, vec_col="vec", id_col="id", path=path, metric=metric,
+            overwrite=True,
+        )
+        p.register_index("grid_metrics", "vec", idx)
+        paths[metric] = (path, idx)
+    try:
+        for fn, metric in (
+            ("array_negative_inner_product", "ip"),
+            ("array_cosine_distance", "cosine"),
+            ("array_distance", "l2sq"),
+        ):
+            df = p.sql(
+                f"SELECT {fn}(vec, [1,2,3]::FLOAT[3]) as x FROM grid_metrics ORDER BY x LIMIT 3"
+            )
+            assert p.last_plan == "HNSW_INDEX_SCAN", (fn, p.last_plan)
+            routed = p._index_for(match_topk(
+                f"SELECT id FROM grid_metrics ORDER BY {fn}(vec, array(1.0,2.0,3.0)) LIMIT 3"
+            ))
+            assert routed is paths[metric][1]
+            assert df.count() == 3
+    finally:
+        for path, _ in paths.values():
+            drop_index(path)
+
+
 def test_planner_where_post_filter(spark, grid, planner_with_index):
     """WHERE + index: filter pulls above the scan (k first, filter after,
     may under-return — the reference's documented trade). Without the
