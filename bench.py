@@ -63,6 +63,8 @@ def main() -> None:
         "q03_shipping_priority",
         "q04_priority_semi",
         "q05_local_supplier_volume",
+        "q07_volume_shipping",
+        "q19_discounted_revenue",
         "q22_inactive_customers",
         "q_json_event_stats",
         "q_window_top_events",
