@@ -92,6 +92,41 @@ def test_simhash_hamming(spark, docs):
     assert (1, 4) in {(p["id_a"], p["id_b"]) for p in pairs}
 
 
+def test_doc_shingles_matches_relational_form(spark):
+    """The Arrow shingle pass must produce exactly the values of the
+    relational explode→distinct subtree it replaced: same shingle-hash
+    sets, sizes, and minhash minima, same absent-row behavior for docs
+    shorter than n."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark.pipeline.dedup import doc_shingles, shingle_table
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = doc_shingles(df, "text", "doc_id", 3, 2)
+    got = {
+        r["id"]: (sorted(r["shs"]), r["sz"], r["h0"], r["h1"]) for r in base.collect()
+    }
+    rel = shingle_table(df, "text", "doc_id", 3)
+    rel_g = rel.groupBy("id").agg(
+        F.sort_array(F.collect_list("shh")).alias("shs"),
+        F.count(F.lit(1)).alias("sz"),
+        F.min(F.md5(F.concat(F.lit("0_"), F.col("sh")))).alias("h0"),
+        F.min(F.md5(F.concat(F.lit("1_"), F.col("sh")))).alias("h1"),
+    )
+    want = {
+        r["id"]: (sorted(r["shs"]), r["sz"], r["h0"], r["h1"]) for r in rel_g.collect()
+    }
+    assert got == want and want
+
+
 def test_simhash_matches_sql_oracle_semantics(spark, docs):
     # the Arrow-batched signature must equal the explode + per-bit
     # sum(CASE) SQL definition bit for bit (the oracle's form)
