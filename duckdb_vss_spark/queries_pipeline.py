@@ -433,6 +433,45 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_stream_dedup_state",
+    """
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           min(doc_id) AS keep_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState),
+    oracle-checked: streaming exact-dedup keyed by content fingerprint —
+    per-key state emits the first (lowest-id) occurrence exactly once.
+    Run as a real availableNow stream; with the whole table in one
+    micro-batch the emitted representative is min(doc_id) per
+    fingerprint, which the batch SQL reproduces. The state itself (drop
+    re-occurrences in LATER batches) is pinned by
+    tests/test_streaming.py's two-batch restart test."""
+    import uuid
+
+    from duckdb_vss_spark.pipeline.text import fingerprint
+    from duckdb_vss_spark.streaming import read_documents_stream, streaming_dedup_first
+
+    docs = read_documents_stream(spark, sf_dir)
+    dedup = streaming_dedup_first(
+        docs.select(fingerprint("text").alias("fp"), F.col("doc_id")), "fp", "doc_id"
+    )
+    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink).select("fp", "keep_id")
+
+
 def _neardup_lsh_oracle(
     threshold: float = 0.4,
     num_planes: int = 64,

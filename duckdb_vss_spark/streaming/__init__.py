@@ -1,6 +1,8 @@
 from duckdb_vss_spark.streaming.ops import (  # noqa: F401
+    read_documents_stream,
     read_events_stream,
     session_window_stats,
+    streaming_dedup_first,
     streaming_index_refresh,
     windowed_event_counts,
 )

@@ -102,6 +102,63 @@ def session_window_stats(
     )
 
 
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the documents table (file source)."""
+    import hashlib
+
+    stage = os.path.join(
+        "/tmp", f"vss_docstream_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    return spark.readStream.schema(schema).parquet(stage)
+
+
+def streaming_dedup_first(
+    stream: DataFrame, key_col: str, order_col: str
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: streaming
+    exact-dedup. The first occurrence (lowest ``order_col``) of each
+    ``key_col`` is emitted exactly once across the whole stream; any
+    later occurrence — same micro-batch or any later one — is dropped
+    through a per-key boolean state (checkpointed, so the guarantee
+    survives restarts). This is the arbitrary-stateful surface the
+    built-in window/session operators can't express: state is keyed by
+    CONTENT (the fingerprint), not by time."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{key_col} string, keep_id long"
+    state_schema = "seen boolean"
+
+    def fn(key, pdfs, state):
+        best = None
+        for pdf in pdfs:
+            if len(pdf):
+                m = pdf[order_col].min()
+                best = m if best is None else min(best, m)
+        if best is not None and not state.exists:
+            state.update((True,))
+            yield pd.DataFrame({key_col: [key[0]], "keep_id": [int(best)]})
+
+    # each key emits exactly once, so "append" is the natural operator
+    # mode (and composes with append-only sinks like files)
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_index_refresh(
     vectors: DataFrame,
     base_df_provider,

@@ -45,6 +45,48 @@ def test_session_windows(spark):
     assert all(r["n_events"] >= 1 for r in rows)
 
 
+def test_streaming_dedup_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState first-occurrence dedup: a key emitted in
+    batch 1 must NOT re-emit when it reappears in batch 2 (per-key state
+    survives via the checkpoint), while a genuinely new key does emit."""
+    from duckdb_vss_spark.streaming import streaming_dedup_first
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink_dir = str(tmp_path / "out")
+    import os
+
+    os.makedirs(src)
+    spark.createDataFrame(
+        [("a", 5), ("a", 3), ("b", 7)], "fp string, doc_id long"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema("fp string, doc_id long").parquet(src)
+        q = (
+            streaming_dedup_first(stream, "fp", "doc_id")
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .format("parquet")
+            .option("path", sink_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got1 = {(r["fp"], r["keep_id"]) for r in spark.read.parquet(sink_dir).collect()}
+    assert got1 == {("a", 3), ("b", 7)}
+    # batch 2: 'a' reappears with a lower id (must stay dropped — the
+    # stream already emitted it), 'c' is new
+    spark.createDataFrame(
+        [("a", 1), ("c", 9)], "fp string, doc_id long"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    got2 = {(r["fp"], r["keep_id"]) for r in spark.read.parquet(sink_dir).collect()}
+    assert got2 == {("a", 3), ("b", 7), ("c", 9)}
+
+
 def test_streaming_index_refresh(spark, tmp_path):
     from duckdb_vss_spark.index import load_index
 
