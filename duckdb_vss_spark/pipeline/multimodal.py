@@ -21,7 +21,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["MEDIA_SCHEMA", "attach_media_metadata", "extract_features", "sample_frames"]
+__all__ = [
+    "MEDIA_SCHEMA",
+    "attach_media_metadata",
+    "extract_features",
+    "resize_media",
+    "sample_frames",
+]
 
 # the engine's canonical media column group
 MEDIA_SCHEMA = T.StructType(
@@ -117,6 +123,51 @@ def extract_features(
             )
 
     return df.mapInPandas(run, schema="media_id long, feature array<float>")
+
+
+def resize_media(
+    df: DataFrame, width: int, height: int, decoder: str = "fake"
+) -> DataFrame:
+    """media rows → media rows with payload re-encoded at (width, height)
+    and meta.width/height set — the resize stage of an image pipeline.
+
+    Plumbing is real (Arrow-batched payload-in/payload-out mapInPandas
+    preserving the canonical media schema); the pixel work is behind the
+    stub seam: ``decoder='fake'`` emits a deterministic payload of
+    exactly width·height bytes derived from the source bytes (so
+    downstream size/shape contracts are testable), ``decoder='real'``
+    raises at the seam where PIL would decode-resize-encode."""
+    if decoder not in ("fake", "real"):
+        raise ValueError("decoder must be 'fake' or 'real'")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import hashlib
+
+        import pandas as pd
+
+        n = width * height
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "real image resize requires PIL/opencv not present in "
+                    "this environment; use decoder='fake'"
+                )
+            out = []
+            for p in pdf["payload"]:
+                src = bytes(p or b"")
+                # deterministic fake: stretch/shrink the byte stream to
+                # exactly w·h bytes, seeded by a content hash
+                rep = (src * (n // max(len(src), 1) + 1))[:n] if src else bytes(n)
+                out.append(hashlib.sha256(src).digest()[:1] + rep[1:] if n else b"")
+            res = pdf.copy()
+            res["payload"] = out
+            res["meta"] = [
+                {**(m if isinstance(m, dict) else m.asDict()), "width": width, "height": height}
+                for m in pdf["meta"]
+            ]
+            yield res
+
+    return df.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def sample_frames(df: DataFrame, every_ms: int = 1000, decoder: str = "fake") -> DataFrame:

@@ -318,6 +318,31 @@ def q_media_features_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_media_resize",
+    """
+    SELECT doc_id AS media_id, CAST(32 AS BIGINT) AS payload_len,
+           CAST(8 AS INT) AS width, CAST(4 AS INT) AS height
+    FROM documents
+    """,
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: every payload flows through the Arrow-batched
+    payload-in/payload-out resize UDF and comes back exactly
+    width·height bytes with meta dims set. The oracle pins the
+    relational contract (every media_id, exact payload size, dims); the
+    fake-codec bytes themselves are meaningless (codec libs absent)."""
+    from duckdb_vss_spark.pipeline.multimodal import resize_media
+
+    out = resize_media(_media_df(spark, sf_dir), width=8, height=4)
+    return out.select(
+        "media_id",
+        F.length("payload").cast("long").alias("payload_len"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
+@register(
     "q_embedding_neardup",
     """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,

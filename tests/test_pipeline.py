@@ -225,6 +225,26 @@ def test_extract_features_real_decoder_stubbed(spark):
         extract_features(media, decoder="real").collect()
 
 
+def test_resize_media_contract(spark):
+    from duckdb_vss_spark.pipeline.multimodal import resize_media
+
+    df = spark.createDataFrame(
+        [(1, b"img-one"), (2, b"img-two-longer")], "mid long, payload binary"
+    )
+    media = attach_media_metadata(df, "payload", kind="image", fmt="png", id_col="mid")
+    out = resize_media(media, width=8, height=4).collect()
+    assert len(out) == 2
+    for r in out:
+        assert len(bytes(r["payload"])) == 8 * 4
+        assert r["meta"]["width"] == 8 and r["meta"]["height"] == 4
+        assert r["meta"]["kind"] == "image" and r["meta"]["format"] == "png"
+    # deterministic: same input payload → same resized bytes
+    again = {r["media_id"]: bytes(r["payload"]) for r in resize_media(media, 8, 4).collect()}
+    assert again == {r["media_id"]: bytes(r["payload"]) for r in out}
+    with pytest.raises(Exception, match="NotImplementedError|PIL|opencv"):
+        resize_media(media, 8, 4, decoder="real").collect()
+
+
 def test_sample_frames(spark):
     df = spark.createDataFrame([(b"vid",)], "payload binary")
     media = attach_media_metadata(df, "payload", kind="video", fmt="mp4").withColumn(
