@@ -343,14 +343,17 @@ def create_hnsw_index(
         # size partitions so each graph builds in bounded time and memory:
         # the chunked bulk build is O(n²·d) BLAS per partition, so the
         # ceiling (64k vectors/graph) keeps a partition's build in the
-        # tens of seconds at d≈128 while small tables still split for
-        # build parallelism (~500 vectors/graph floor — below that,
-        # per-graph overhead beats the parallelism). At 100 TB this
-        # yields ~15k graphs per 10⁹ vectors — each an independent task.
+        # tens of seconds at d≈128 on one executor core-pair. The floor
+        # (~16k vectors/graph) keeps graphs MEATY: every extra graph
+        # adds search fan-out (candidates per query are P·k) and
+        # per-graph load/serialize overhead, while build wall-clock on a
+        # real cluster is set by the LARGEST partition, not the count.
+        # At 100 TB this yields ~15k graphs per 10⁹ vectors — each an
+        # independent task, one wave on 1000 executors.
         total = src.count()
         by_size = max(1, (total + 65_536 - 1) // 65_536)
         parallelism = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        num_partitions = max(by_size, min(parallelism, total // 500)) if total > 1_000 else by_size
+        num_partitions = max(by_size, min(parallelism, total // 16_384)) if total > 1_000 else by_size
     src = src.repartition(num_partitions)
 
     params = dict(metric=metric, m=m, m0=m0, ef_construction=ef_construction, dims=dims)

