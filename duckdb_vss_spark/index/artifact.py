@@ -350,10 +350,17 @@ def create_hnsw_index(
         # real cluster is set by the LARGEST partition, not the count.
         # At 100 TB this yields ~15k graphs per 10⁹ vectors — each an
         # independent task, one wave on 1000 executors.
+        # Small tables split at most 8 ways (build parallelism without
+        # shredding the index into cluster-parallelism-many tiny graphs:
+        # at shuffle.partitions=8000 a //500 floor would make 2000
+        # graphs of 500 vectors from 1M rows); larger tables are sized
+        # purely by the ceiling.
         total = src.count()
         by_size = max(1, (total + 65_536 - 1) // 65_536)
         parallelism = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        num_partitions = max(by_size, min(parallelism, total // 16_384)) if total > 1_000 else by_size
+        num_partitions = (
+            max(by_size, min(parallelism, 8, total // 500)) if total > 1_000 else by_size
+        )
     src = src.repartition(num_partitions)
 
     params = dict(metric=metric, m=m, m0=m0, ef_construction=ef_construction, dims=dims)
