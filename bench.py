@@ -63,7 +63,12 @@ def main() -> None:
         "q03_shipping_priority",
         "q04_priority_semi",
         "q05_local_supplier_volume",
+        "q06_forecast_revenue",
         "q07_volume_shipping",
+        "q10_returned_items",
+        "q14_type_revenue_share",
+        "q16_parts_supplier",
+        "q18_large_orders",
         "q19_discounted_revenue",
         "q22_inactive_customers",
         "q_json_event_stats",
