@@ -499,12 +499,16 @@ class VssPlanner:
     def _index_for_join(self, ml: LateralMatch | None):
         if ml is None:
             return None
-        # graph indexes only: the batched multi-query scan is HNSW's
-        # ExecuteMultiScan shape; IVF serves the API path (IvfIndex.knn_join)
+        # prefer the graph index (the batched multi-query scan is HNSW's
+        # ExecuteMultiScan shape); fall back to IVF's list-routed join
+        fallback = None
         for idx in self._indexes.get((ml.inner.lower(), ml.item_col.lower()), []):
-            if idx.metric == ml.metric and type(idx).__name__ == "HnswIndex":
+            if idx.metric != ml.metric:
+                continue
+            if type(idx).__name__ == "HnswIndex":
                 return idx
-        return None
+            fallback = fallback or idx
+        return fallback
 
     def _run_lateral_brute(self, ml: LateralMatch) -> DataFrame:
         """No index: run the lateral intent through the brute-force
@@ -541,7 +545,12 @@ class VssPlanner:
         inner = self.spark.table(ml.inner)
         qid = "__vss_qid__"
         q = outer.withColumn(qid, F.monotonically_increasing_id())
-        joined = idx.knn_join(q.select(qid, ml.query_col), inner, ml.query_col, ml.k, qid)
+        if type(idx).__name__ == "IvfIndex":
+            # IVF joins against its own inverted lists (same rows as the
+            # registered table); route every query to its probed lists
+            joined = idx.knn_join(q.select(qid, ml.query_col), ml.query_col, ml.k, qid)
+        else:
+            joined = idx.knn_join(q.select(qid, ml.query_col), inner, ml.query_col, ml.k, qid)
         out = joined.join(q.drop(ml.query_col), qid).drop(qid, "rn")
         if ml.cols == "*":
             return out

@@ -301,6 +301,42 @@ def test_planner_lateral_indexed(spark, grid, planner_with_index):
     assert 0 in by_q[0] and 400 in by_q[400]
 
 
+def test_planner_lateral_ivf_fallback(spark, grid, tmp_path_factory):
+    """With only an IVF index registered, the lateral top-k routes to
+    the list-routed IVF join (marker IVF_INDEX_JOIN); full default
+    probe makes it exact vs the brute crossjoin path."""
+    from duckdb_vss_spark.index import create_ivf_index, drop_ivf_index
+
+    grid.createOrReplaceTempView("grid_ivf_items")
+    path = str(tmp_path_factory.mktemp("ivfjoin") / "grid_ivf")
+    idx = create_ivf_index(
+        spark, grid, vec_col="vec", id_col="id", path=path, nlist=8,
+        default_nprobe=8, overwrite=True,
+    )
+    try:
+        queries = grid.where(F.col("id").isin([0, 400])).select(
+            F.col("id").alias("qid"), F.col("vec").alias("qv")
+        )
+        queries.createOrReplaceTempView("grid_ivf_queries")
+        sql = (
+            "SELECT qid, id, dist FROM grid_ivf_queries a, LATERAL "
+            "(SELECT b.id FROM grid_ivf_items b "
+            "ORDER BY array_distance(a.qv, b.vec) LIMIT 3) nn"
+        )
+        p = VssPlanner(spark)
+        p.register_index("grid_ivf_items", "vec", idx)
+        got = p.sql(sql)
+        assert p.last_plan == "IVF_INDEX_JOIN"
+        p2 = VssPlanner(spark)
+        want = p2.sql(sql)
+        assert p2.last_plan == "SEQ_SCAN"
+        a = sorted((r["qid"], r["id"]) for r in got.collect())
+        b = sorted((r["qid"], r["id"]) for r in want.collect())
+        assert a == b and len(a) == 6
+    finally:
+        drop_ivf_index(path)
+
+
 def test_planner_metric_mismatch_no_rewrite(spark, grid, planner_with_index):
     # l2sq index must not serve a cosine query (hnsw_metrics.test)
     p = planner_with_index
