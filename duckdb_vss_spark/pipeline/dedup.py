@@ -209,28 +209,33 @@ def jaccard_pairs(
     the 8-byte hash only, and sizes ride along from the same base — no
     distinct shuffle, no per-doc size aggregate."""
     base = _materialize(doc_shingles(df, text_col, id_col, n))
-    sh = base.select("id", F.explode("shs").alias("shh"))
     if max_df is not None:
         # stop-shingle cap (bounds join fan-out at scale; dropped
         # shingles slightly underestimate Jaccard) — sizes must then be
         # recounted over the surviving shingles
-        freq = sh.groupBy("shh").agg(F.count(F.lit(1)).alias("df"))
-        sh = sh.join(freq.where(F.col("df") <= max_df).select("shh"), "shh", "inner")
-        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+        sh0 = base.select("id", F.explode("shs").alias("shh"))
+        freq = sh0.groupBy("shh").agg(F.count(F.lit(1)).alias("df"))
+        sh0 = sh0.join(freq.where(F.col("df") <= max_df).select("shh"), "shh", "inner")
+        sizes = sh0.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+        sh = sh0.join(sizes, "id")
     else:
-        sizes = base.select("id", "sz")
-    a = sh.select(F.col("id").alias("id_a"), "shh")
-    b = sh.select(F.col("id").alias("id_b"), "shh")
+        sh = base.select("id", "sz", F.explode("shs").alias("shh"))
+    # sizes ride along through the inverted-index self-join (two extra
+    # ints per shuffled row) so no post-aggregation size joins exist
+    a = sh.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "shh")
+    b = sh.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "shh")
     inter = (
         a.join(b, "shh")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("sz_a").alias("sz_a"),
+            F.first("sz_b").alias("sz_b"),
+        )
     )
     return (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             (F.col("inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).cast(
                 "double"
