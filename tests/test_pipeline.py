@@ -109,6 +109,15 @@ def test_doc_shingles_matches_relational_form(spark):
         (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
         for i in range(40)
     ]
+    # adversarial shapes: unicode, double spaces (empty tokens), tabs
+    # (NOT separators — split is on a literal single space), punctuation
+    rows += [
+        (100, "héllo wörld ünïcode tëxt dàta"),
+        (101, "a  b  c  d  e"),
+        (102, "tab\there stays one\ttoken with others"),
+        (103, "x y"),  # shorter than n → absent from both forms
+        (104, ""),
+    ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     base = doc_shingles(df, "text", "doc_id", 3, 2)
     got = {
