@@ -14,6 +14,13 @@ usearch index.hpp:1097-1107; option mapping hnsw_index.cpp:168-187):
   with ``ef = max(ef_search, k)`` in the base layer
   (usearch index.hpp:2510-2523).
 
+``ef_construction`` governs the incremental insert path's candidate
+search (``_insert``, as in usearch). The bulk builder supersedes it:
+candidates there are EXACT top-(2·m_max) from tiled BLAS scans — a
+strictly stronger candidate set than any ef_construction-bounded graph
+search discovers — so the option is accepted for surface parity but
+does not bound bulk-build quality.
+
 Graph distances use the *index metric* (l2sq without sqrt — "won't
 affect the ordering", index_plugins.hpp:1033-1053); user-visible
 distances are recomputed by the SQL-level functions, exactly as the
