@@ -34,7 +34,9 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("bench")
 
-    qfns = Q.queries()
+    # extra registry = locally-checked queries not in the driver's
+    # 50-row declared window (q06, q_simhash, q_lang_id live there)
+    qfns = {**Q.queries(), **Q.extra_queries()}
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
 

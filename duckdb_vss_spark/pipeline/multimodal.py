@@ -5,12 +5,15 @@ columns with a typed metadata struct; decode / feature-extract /
 resize / frame-sample run as Arrow-batched pandas functions over
 ``mapInPandas`` so payload bytes never surface into JVM row objects.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container,
-so the decode kernel is stubbed: ``decoder="fake"`` produces a
-deterministic feature vector from the bytes (real, testable plumbing);
-``decoder="real"`` raises NotImplementedError at the exact seam where
-a codec library would be called. Schema, partitioning, UDF signature
-and batch shape are the real design.
+Codec tiers: ``decoder="png"`` is a REAL codec — pure-stdlib zlib
+decode/unfilter/encode (pipeline/png.py), so PNG payloads get actual
+pixel work (grayscale pooling features, nearest-neighbor resize).
+General codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so
+``decoder="fake"`` produces a deterministic feature vector from the
+bytes (real, testable plumbing) and ``decoder="real"`` raises
+NotImplementedError at the exact seam where a codec library would be
+called. Schema, partitioning, UDF signature and batch shape are the
+real design in every tier.
 """
 
 from __future__ import annotations
@@ -95,17 +98,38 @@ def _fake_decode(payload: bytes, dim: int):
     return np.random.default_rng(seed).standard_normal(dim).astype(np.float32)
 
 
+def _png_features(payload: bytes, dim: int):
+    """REAL decode path: PNG → grayscale → average-pool to a square
+    grid of ``dim`` cells (dim must be a square) → [0,1] floats."""
+    import math
+
+    import numpy as np
+
+    from duckdb_vss_spark.pipeline.png import decode_png, resize_nearest, to_gray
+
+    side = int(math.isqrt(dim))
+    if side * side != dim:
+        raise ValueError(f"png feature dim must be a perfect square, got {dim}")
+    gray = to_gray(decode_png(payload))
+    pooled = resize_nearest(gray, side, side)
+    return (pooled.reshape(-1) / 255.0).astype(np.float32)
+
+
 def extract_features(
     df: DataFrame, dim: int = 64, decoder: str = "fake", batch_limit_bytes: int = 64 << 20
 ) -> DataFrame:
     """media rows → (media_id, feature array<float>).
 
+    ``decoder="png"`` runs the real stdlib PNG codec (decode → gray →
+    pooled pixel grid); ``"fake"`` hashes bytes to a deterministic
+    vector; ``"real"`` marks the seam for codecs absent here.
+
     Arrow batches flow through ``mapInPandas``; ``batch_limit_bytes``
     documents the contract that a partition's in-flight payload batch is
     bounded (set ``spark.sql.execution.arrow.maxRecordsPerBatch``
     accordingly for large payloads at scale)."""
-    if decoder not in ("fake", "real"):
-        raise ValueError("decoder must be 'fake' or 'real'")
+    if decoder not in ("fake", "png", "real"):
+        raise ValueError("decoder must be 'fake', 'png' or 'real'")
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
@@ -115,9 +139,12 @@ def extract_features(
                 # the seam where PIL/ffmpeg/torchaudio would decode
                 raise NotImplementedError(
                     "real media decoding requires codec libraries not present "
-                    "in this environment; use decoder='fake'"
+                    "in this environment; use decoder='fake' or 'png'"
                 )
-            feats = [ _fake_decode(p, dim) for p in pdf["payload"] ]
+            if decoder == "png":
+                feats = [_png_features(p, dim) for p in pdf["payload"]]
+            else:
+                feats = [_fake_decode(p, dim) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "feature": [f.tolist() for f in feats]}
             )
@@ -131,14 +158,16 @@ def resize_media(
     """media rows → media rows with payload re-encoded at (width, height)
     and meta.width/height set — the resize stage of an image pipeline.
 
-    Plumbing is real (Arrow-batched payload-in/payload-out mapInPandas
-    preserving the canonical media schema); the pixel work is behind the
-    stub seam: ``decoder='fake'`` emits a deterministic payload of
-    exactly width·height bytes derived from the source bytes (so
-    downstream size/shape contracts are testable), ``decoder='real'``
-    raises at the seam where PIL would decode-resize-encode."""
-    if decoder not in ("fake", "real"):
-        raise ValueError("decoder must be 'fake' or 'real'")
+    Plumbing is real in every tier (Arrow-batched payload-in/payload-out
+    mapInPandas preserving the canonical media schema). Pixel work:
+    ``decoder='png'`` runs the REAL stdlib codec — decode, nearest-
+    neighbor resample to (width, height), re-encode PNG; ``'fake'``
+    emits a deterministic payload of exactly width·height bytes derived
+    from the source bytes (so downstream size/shape contracts are
+    testable without a codec); ``'real'`` raises at the seam where PIL
+    would decode-resize-encode other formats."""
+    if decoder not in ("fake", "png", "real"):
+        raise ValueError("decoder must be 'fake', 'png' or 'real'")
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import hashlib
@@ -150,11 +179,20 @@ def resize_media(
             if decoder == "real":
                 raise NotImplementedError(
                     "real image resize requires PIL/opencv not present in "
-                    "this environment; use decoder='fake'"
+                    "this environment; use decoder='fake' or 'png'"
                 )
             out = []
             for p in pdf["payload"]:
                 src = bytes(p or b"")
+                if decoder == "png":
+                    from duckdb_vss_spark.pipeline.png import (
+                        decode_png,
+                        encode_png,
+                        resize_nearest,
+                    )
+
+                    out.append(encode_png(resize_nearest(decode_png(src), width, height)))
+                    continue
                 # deterministic fake: stretch/shrink the byte stream to
                 # exactly w·h bytes, seeded by a content hash
                 rep = (src * (n // max(len(src), 1) + 1))[:n] if src else bytes(n)

@@ -1,0 +1,191 @@
+"""Pure-stdlib PNG codec (zlib + numpy): the one REAL media codec.
+
+The container has no PIL/opencv/ffmpeg, but PNG needs neither: the
+format is zlib-compressed scanlines with 5 per-row difference filters
+(PNG spec §6, public). This module implements decode (all five
+filters, 8-bit gray/RGB/palette/alpha), nearest-neighbor resize, and
+encode (filter 0), so the multimodal pipeline's ``decoder="png"`` path
+is a real decode→transform→encode, not a stub.
+
+Scale note: these kernels run inside Arrow-batched ``mapInPandas``
+workers — per-image numpy work, no Spark-side state. Throughput is
+bounded by zlib, exactly like a libpng-based pipeline.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+__all__ = ["decode_png", "encode_png", "resize_nearest", "to_gray", "PngError"]
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+
+# color type → samples per pixel (8-bit depth only)
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+class PngError(ValueError):
+    """Malformed or unsupported PNG payload."""
+
+
+def _chunks(data: bytes):
+    pos = 8
+    n = len(data)
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise PngError("truncated chunk")
+        yield ctype, body
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IEND":
+            return
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → (height, width, channels) uint8 array.
+
+    Supports 8-bit depth, color types 0/2/3/4/6, non-interlaced.
+    Palette images are expanded to RGB. Raises PngError otherwise.
+    """
+    if not data or not bytes(data).startswith(_SIG):
+        raise PngError("not a PNG (bad signature)")
+    data = bytes(data)
+    w = h = None
+    ctype_code = None
+    palette = None
+    idat = bytearray()
+    for ctype, body in _chunks(data):
+        if ctype == b"IHDR":
+            w, h, depth, ctype_code, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8:
+                raise PngError(f"unsupported bit depth {depth} (only 8)")
+            if ctype_code not in _CHANNELS:
+                raise PngError(f"unsupported color type {ctype_code}")
+            if comp or filt:
+                raise PngError("nonstandard compression/filter method")
+            if interlace:
+                raise PngError("interlaced PNG not supported")
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += body
+    if w is None:
+        raise PngError("missing IHDR")
+    ch = _CHANNELS[ctype_code]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise PngError("IDAT size mismatch")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters = raw[:, 0]
+    img = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        line = _unfilter_row(filters[y], raw[y, 1:], prev, ch)
+        img[y] = line
+        prev = line
+    img = img.reshape(h, w, ch)
+    if ctype_code == 3:
+        if palette is None:
+            raise PngError("palette image without PLTE")
+        img = palette[img[:, :, 0]]
+    return img
+
+
+def _unfilter_row(ftype: int, row: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    """Reverse one scanline filter (PNG spec §6.2-6.6). ``bpp`` is bytes
+    per pixel; left/up-left references are at pixel offset, per spec."""
+    out = row.astype(np.int32, copy=True)
+    if ftype == 0:  # None
+        return row.copy()
+    if ftype == 2:  # Up — fully vectorized
+        return ((out + prev) & 0xFF).astype(np.uint8)
+    if ftype == 1 and len(row) % bpp == 0:
+        # Sub: res[i] = row[i] + res[i-bpp] → per-lane running sum.
+        # uint8 accumulate wraps mod 256, exactly the spec arithmetic.
+        lanes = row.reshape(-1, bpp)
+        return np.add.accumulate(lanes, axis=0, dtype=np.uint8).reshape(-1)
+    if ftype == 3 and bpp >= len(row):  # Average with no left neighbor
+        return ((out + prev // 2) & 0xFF).astype(np.uint8)
+    # Sub / Average / Paeth carry a left-pixel dependency → per-byte scan
+    # within the row (numpy per row for Up; C-speed enough for the
+    # mapInPandas batch sizes this feeds)
+    res = np.empty_like(row)
+    prev_i = prev.astype(np.int32)
+    for i in range(len(row)):
+        a = int(res[i - bpp]) if i >= bpp else 0  # left
+        b = int(prev_i[i])  # up
+        if ftype == 1:  # Sub
+            v = out[i] + a
+        elif ftype == 3:  # Average
+            v = out[i] + (a + b) // 2
+        elif ftype == 4:  # Paeth
+            c = int(prev_i[i - bpp]) if i >= bpp else 0  # up-left
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            if pa <= pb and pa <= pc:
+                pred = a
+            elif pb <= pc:
+                pred = b
+            else:
+                pred = c
+            v = out[i] + pred
+        else:
+            raise PngError(f"bad filter type {ftype}")
+        res[i] = v & 0xFF
+    return res
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w[, channels]) uint8 array → PNG bytes (filter 0, one IDAT).
+
+    Gray (2-D or 1-channel), gray+alpha, RGB and RGBA inputs map to
+    color types 0/4/2/6."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.ndim != 3:
+        raise PngError("image must be 2-D or 3-D uint8")
+    h, w, ch = img.shape
+    ctype_code = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
+    if ctype_code is None:
+        raise PngError(f"unsupported channel count {ch}")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype_code, 0, 0, 0)
+    # filter byte 0 prepended to each scanline
+    raw = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), img.reshape(h, w * ch)], axis=1
+    ).tobytes()
+    idat = zlib.compress(raw, 6)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    return _SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample to (height, width) — pure index math."""
+    h, w = img.shape[:2]
+    ys = np.minimum((np.arange(height) + 0.5) * h / height, h - 1).astype(np.int64)
+    xs = np.minimum((np.arange(width) + 0.5) * w / width, w - 1).astype(np.int64)
+    return img[ys[:, None], xs[None, :]]
+
+
+def to_gray(img: np.ndarray) -> np.ndarray:
+    """(h, w, ch) uint8 → (h, w) float64 luma (Rec. 601 weights for RGB;
+    alpha ignored; gray passthrough)."""
+    ch = img.shape[2] if img.ndim == 3 else 1
+    if img.ndim == 2:
+        return img.astype(np.float64)
+    if ch in (1, 2):  # gray / gray+alpha
+        return img[:, :, 0].astype(np.float64)
+    rgb = img[:, :, :3].astype(np.float64)
+    return rgb @ np.array([0.299, 0.587, 0.114])

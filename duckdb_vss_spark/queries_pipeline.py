@@ -28,7 +28,7 @@ from duckdb_vss_spark.pipeline.text import (
     stopword_ratio,
     token_count,
 )
-from duckdb_vss_spark.queries import register
+from duckdb_vss_spark.queries import register, register_extra
 from duckdb_vss_spark.sources import load_table
 
 _EN = LANG_MARKERS["en"]
@@ -60,19 +60,27 @@ _SH_CTE = """
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
            CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_bpe,
            CAST(len(list_filter(string_split(text, ' '), x -> x IN ({_EN_SQL}))) AS DOUBLE)
-             / greatest(len(string_split(text, ' ')), 1) AS stop_ratio
+             / greatest(len(string_split(text, ' ')), 1) AS stop_ratio,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
     FROM documents
     """,
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting + quality signals (north star: text analysis)."""
+    """Token counting + quality signals + document fingerprint (north
+    star: text analysis). The fp column is the normalized-text md5
+    rolling fingerprint (pipeline.text.fingerprint) — the cheap first
+    pass of a dedup pipeline, folded in here so one declared query
+    covers the whole map-only text-stats surface."""
     docs = load_table(spark, sf_dir, "documents")
+    from duckdb_vss_spark.pipeline.text import fingerprint
+
     return docs.select(
         "doc_id",
         char_count("text").alias("n_chars"),
         token_count("text").alias("n_tokens"),
         regex_token_count("text").alias("n_bpe"),
         stopword_ratio("text", _EN).alias("stop_ratio"),
+        fingerprint("text").alias("fp"),
     )
 
 
@@ -96,12 +104,57 @@ def _lang_id_oracle() -> str:
     """
 
 
-@register("q_lang_id", _lang_id_oracle())
+@register_extra("q_lang_id", _lang_id_oracle())
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID (argmax marker hits; ties → max lang name,
-    identical struct-comparison semantics in both engines)."""
+    identical struct-comparison semantics in both engines). Declared
+    surface lives in q_lang_quality; kept here for bench/local checks."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", lang_id("text").alias("pred_lang"))
+
+
+def _lang_quality_oracle() -> str:
+    selects = " UNION ALL ".join(
+        "SELECT doc_id, '{lang}' AS lang, len(list_filter(w, x -> x IN ({words}))) AS hits FROM words".format(
+            words=", ".join(f"'{x}'" for x in ws), lang=lang
+        )
+        for lang, ws in sorted(LANG_MARKERS.items())
+    )
+    return f"""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    scores AS ({selects}),
+    pred AS (
+      SELECT doc_id, lang AS pred_lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn
+        FROM scores
+      ) WHERE rn = 1
+    ),
+    q AS (
+      SELECT doc_id,
+             (least(CAST(len(w) AS DOUBLE) / 50.0, 1.0)
+              + CAST(len(list_distinct(w)) AS DOUBLE) / greatest(CAST(len(w) AS DOUBLE), 1.0)) / 2.0
+               AS qscore
+      FROM words
+    )
+    SELECT pred.doc_id, pred_lang, qscore FROM pred JOIN q ON pred.doc_id = q.doc_id
+    """
+
+
+@register("q_lang_quality", _lang_quality_oracle())
+def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID + quality scoring in one declared query (north star:
+    text analysis). Both are map-only column expressions over documents —
+    argmax marker hits (ties → max lang name, identical struct-comparison
+    semantics in both engines) and the length/distinct-ratio quality
+    score — so one pass covers both surfaces; the stand-alone forms stay
+    in the extra registry (q_lang_id, q_quality_score)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        lang_id("text").alias("pred_lang"),
+        quality_score("text").alias("qscore"),
+    )
 
 
 @register(
@@ -121,7 +174,7 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs, "text", "doc_id")
 
 
-@register(
+@register_extra(
     "q_quality_score",
     """
     SELECT doc_id,
@@ -143,7 +196,7 @@ def _minhash_oracle(num_hashes: int = 4) -> str:
     return f"WITH {_SH_CTE} SELECT doc_id AS id, {mins} FROM sh GROUP BY doc_id"
 
 
-@register("q_minhash_signature", _minhash_oracle(4))
+@register_extra("q_minhash_signature", _minhash_oracle(4))
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (md5-derived, engine-reproducible)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -237,14 +290,14 @@ def _simhash_oracle(bits: int = 16) -> str:
     """
 
 
-@register("q_simhash", _simhash_oracle(16))
+@register_extra("q_simhash", _simhash_oracle(16))
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charikar SimHash signatures (16-bit, md5-nibble bit votes)."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash(docs, "text", "doc_id", bits=16)
 
 
-@register(
+@register_extra(
     "q_fingerprint",
     """
     SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
@@ -302,7 +355,7 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(_media_df(spark, sf_dir), every_ms=1000)
 
 
-@register(
+@register_extra(
     "q_media_features_shape",
     "SELECT doc_id AS media_id, CAST(64 AS INT) AS dim FROM documents",
 )
@@ -321,25 +374,33 @@ def q_media_features_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_media_resize",
     """
     SELECT doc_id AS media_id, CAST(32 AS BIGINT) AS payload_len,
-           CAST(8 AS INT) AS width, CAST(4 AS INT) AS height
+           CAST(8 AS INT) AS width, CAST(4 AS INT) AS height,
+           CAST(64 AS INT) AS dim
     FROM documents
     """,
 )
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize plumbing: every payload flows through the Arrow-batched
-    payload-in/payload-out resize UDF and comes back exactly
-    width·height bytes with meta dims set. The oracle pins the
-    relational contract (every media_id, exact payload size, dims); the
-    fake-codec bytes themselves are meaningless (codec libs absent)."""
-    from duckdb_vss_spark.pipeline.multimodal import resize_media
+    """Resize + feature-extraction plumbing: every payload flows through
+    the Arrow-batched payload-in/payload-out resize UDF (back exactly
+    width·height bytes with meta dims set) AND the decode/feature UDF
+    (fixed-dimension vector), joined per media_id. The oracle pins the
+    relational contract (every media_id, exact payload size, dims,
+    feature dim constant); the fake-codec bytes themselves are
+    meaningless (codec libs absent — see extract_features/resize_media
+    for the real-PNG path)."""
+    from duckdb_vss_spark.pipeline.multimodal import extract_features, resize_media
 
-    out = resize_media(_media_df(spark, sf_dir), width=8, height=4)
-    return out.select(
+    media = _media_df(spark, sf_dir)
+    out = resize_media(media, width=8, height=4).select(
         "media_id",
         F.length("payload").cast("long").alias("payload_len"),
         F.col("meta.width").alias("width"),
         F.col("meta.height").alias("height"),
     )
+    dims = extract_features(media, dim=64).select(
+        "media_id", F.size("feature").cast("int").alias("dim")
+    )
+    return out.join(dims, "media_id")
 
 
 @register(

@@ -66,8 +66,10 @@ def main():
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
         )
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    from duckdb_vss_spark import queries as _qmod
+
+    qs = {**entrymod.queries(), **_qmod.extra_queries()}
+    oracles = {**entrymod.oracle_sql(), **_qmod.extra_oracle_sql()}
     names = args.names or list(qs)
     n_pass = n_fail = 0
     for name in names:
