@@ -810,7 +810,9 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline staple; exact integer-millisecond arithmetic on both sides."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
-    ms = F.unix_millis(F.col("ts"))
+    # parquet NTZ timestamps need the LTZ cast before unix_millis (the
+    # session TZ is pinned UTC, so the cast is value-preserving)
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
     lag_ms = F.lag(ms).over(w)
     new_session = F.when(lag_ms.isNull() | ((ms - lag_ms) > 1800000), 1).otherwise(0)
     return (

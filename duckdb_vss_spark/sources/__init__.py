@@ -26,21 +26,32 @@ TABLES = (
 )
 
 
+def events_ts_unit(path: str) -> str:
+    """Physical unit of the events table's ``ts`` column, read from the
+    parquet footer (pyarrow — no Spark job, no session conf). The
+    driver's testdata has shipped both TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS) across rounds; every consumer derives the unit
+    from the file instead of assuming one."""
+    import pyarrow.parquet as pq
+
+    return str(pq.read_schema(path).field("ts").type)  # e.g. 'timestamp[us]'
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
-        # reader rejects; read the raw int64 nanos and derive a proper
-        # microsecond timestamp (DuckDB truncates ns→us the same way).
+    if name == "events" and events_ts_unit(path) == "timestamp[ns]":
+        # Spark's parquet reader rejects TIMESTAMP(NANOS); read the raw
+        # int64 nanos and derive a microsecond timestamp (DuckDB
+        # truncates ns→us the same way). The conf only changes how
+        # NANOS-typed columns read, so it cannot affect other tables.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            from pyspark.sql import functions as F
+        from pyspark.sql import functions as F
 
-            df = df.withColumn("ts_ns", F.col("ts")).withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
-        return df
+        return (
+            spark.read.parquet(path)
+            .withColumn("ts_ns", F.col("ts"))
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
     return spark.read.parquet(path)
 
 

@@ -20,22 +20,35 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw nanos (see sources)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read of the events table (file source; in production a
-    Kafka source lands here — same downstream operators)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Kafka source lands here — same downstream operators).
+
+    The event-time unit is derived from the parquet footer, never
+    assumed (the driver's testdata has shipped both TIMESTAMP(NANOS)
+    and TIMESTAMP(MICROS) across rounds; a hard-coded unit silently
+    rescaled all of event time by 1000× in round 4). Either way the
+    returned ``ts`` is a session-TZ TIMESTAMP — the session TZ is
+    pinned UTC (session.py), so the NTZ→LTZ cast is value-preserving
+    and downstream ``unix_micros``/``window`` consumers see identical
+    values for both file layouts."""
+    from duckdb_vss_spark.sources import events_ts_unit
+
+    path = os.path.join(sf_dir, "events.parquet")
+    nanos = events_ts_unit(path) == "timestamp[ns]"
     # Spark's file stream source requires a *directory*; stage a symlink
     # to the (read-only) events file in a scratch dir.
     import hashlib
@@ -46,9 +59,15 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
-    df = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        os.symlink(path, link)
+    if nanos:
+        # legacy NANOS files are unreadable as timestamps; take the raw
+        # int64 and truncate ns→us (conf only affects NANOS columns)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.readStream.schema(_events_schema(T.LongType())).parquet(stage)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    df = spark.readStream.schema(_events_schema(T.TimestampNTZType())).parquet(stage)
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_event_counts(
