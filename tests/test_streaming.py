@@ -24,25 +24,99 @@ def _drive(stream_df, name, mode="append"):
     q.stop()
 
 
-def test_windowed_counts(spark):
-    ev = read_events_stream(spark, SF)
-    _drive(windowed_event_counts(ev, "1 hour"), "win_counts", mode="append")
-    out = spark.sql("SELECT * FROM win_counts")
-    # append mode emits only watermark-closed windows; all but the last
-    # hour of the fixture closes
-    rows = out.collect()
-    assert len(rows) > 0
-    assert {r["event_type"] for r in rows} <= {"click", "view", "purchase", "signup", "error"}
-    total_batch = spark.read.parquet(f"{SF}/events.parquet").count()
-    assert sum(r["n"] for r in rows) <= total_batch
+def _batch_events_us(spark):
+    """Batch events with epoch-microsecond event time, computed
+    independently of the streaming reader (footer-derived load_table +
+    integer us arithmetic) — the reference computation both streaming
+    aggregates must reproduce row-for-row. A unit error anywhere in the
+    stream path (e.g. round 4's silent 1000× time collapse) shows up as
+    a value diff here, not a weak `len > 0`."""
+    from duckdb_vss_spark.sources import load_table
+
+    ev = load_table(spark, SF, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
 
 
-def test_session_windows(spark):
+def _rows_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_windowed_counts_match_batch(spark):
+    """Complete-mode streaming tumbling windows == batch integer-bucket
+    aggregation, exact values (decimal sums on both sides)."""
     ev = read_events_stream(spark, SF)
-    _drive(session_window_stats(ev, gap="30 minutes"), "sessions")
-    rows = spark.sql("SELECT * FROM sessions").collect()
-    assert len(rows) > 0
-    assert all(r["n_events"] >= 1 for r in rows)
+    _drive(
+        windowed_event_counts(ev, "1 hour", exact_sum=True),
+        "win_counts",
+        mode="complete",
+    )
+    got = _rows_set(
+        spark.sql("SELECT * FROM win_counts").select(
+            F.unix_micros(F.col("window.start")).alias("w_us"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            "sum_value",
+        )
+    )
+    hour_us = 3_600_000_000
+    want = _rows_set(
+        _batch_events_us(spark)
+        .groupBy(
+            (F.col("us") - F.col("us") % hour_us).alias("w_us"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+        )
+    )
+    assert got == want
+
+
+def test_session_windows_match_batch(spark):
+    """Complete-mode streaming session windows == batch lag/flag-sum
+    sessionization (30-min gap; window end = last event + gap)."""
+    from pyspark.sql import Window
+
+    ev = read_events_stream(spark, SF)
+    _drive(
+        session_window_stats(ev, gap="30 minutes", exact_sum=True),
+        "sessions",
+        mode="complete",
+    )
+    got = _rows_set(
+        spark.sql("SELECT * FROM sessions").select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("s_us"),
+            F.unix_micros(F.col("session_window.end")).alias("e_us"),
+            F.col("n_events").cast("long").alias("n_events"),
+            "sum_value",
+        )
+    )
+    gap_us = 1_800_000_000
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    base = _batch_events_us(spark)
+    flagged = base.withColumn(
+        "new_s",
+        F.when(
+            F.lag("us").over(w).isNull() | ((F.col("us") - F.lag("us").over(w)) > gap_us),
+            1,
+        ).otherwise(0),
+    ).withColumn("sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    want = _rows_set(
+        flagged.groupBy("user_id", "sid").agg(
+            F.min("us").alias("s_us"),
+            (F.max("us") + gap_us).alias("e_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+        ).drop("sid")
+    )
+    assert got == want
 
 
 def test_streaming_dedup_state_across_batches(spark, tmp_path):
