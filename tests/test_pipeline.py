@@ -368,3 +368,18 @@ def test_png_decoder_through_spark(spark):
         arr = img[:, :, None] if img.ndim == 2 else img
         want = (resize_nearest(to_gray(arr), 4, 4).reshape(-1) / 255.0).astype(np.float32)
         assert np.allclose(feats[k], want)
+
+
+def test_dedup_pipelines_leave_no_session_cache(spark, docs):
+    """The LSH pipelines materialize intermediates (checkpoint-before-
+    self-join); that storage must be tied to the returned DataFrame's
+    lifetime, not leaked into the session-global CacheManager — library
+    callers must not need clearCache() between calls (VERDICT r4 #8)."""
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0]) for i in range(20)], "vec_id long, embedding array<float>"
+    )
+    jaccard_pairs(docs, "text", "doc_id", threshold=0.5).count()
+    minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5).count()
+    simhash_pairs(docs, "text", "doc_id").count()
+    embedding_neardup_lsh(emb, "embedding", "vec_id", 0.9).count()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
