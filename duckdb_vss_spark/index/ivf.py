@@ -99,6 +99,19 @@ def _assign_udf(centroids: np.ndarray, metric: str):
     return pandas_udf(assign, IntegerType())
 
 
+def _fits_broadcast(queries: DataFrame, nprobe: int, budget_bytes: int) -> bool:
+    """Whether the exploded (queries·nprobe) side fits a broadcast
+    budget, from Catalyst's logical size estimate — a plan statistic,
+    not a driver job. Unknown/failed estimates return True (small query
+    sets are the overwhelmingly common case; the caller can force
+    ``broadcast_queries=False``)."""
+    try:
+        size = int(queries._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — estimate is best-effort
+        return True
+    return size * nprobe <= budget_bytes
+
+
 class IvfIndex:
     """Handle over a built IVF artifact."""
 
@@ -178,13 +191,21 @@ class IvfIndex:
         nprobe: int | None = None,
         dist_col: str = "dist",
         rn_col: str = "rn",
-        broadcast_queries: bool = True,
+        broadcast_queries: bool | None = None,
+        broadcast_budget_bytes: int = 64 << 20,
     ) -> DataFrame:
         """Each query explodes to its ``nprobe`` probe lists; an
         equi-join on ``list_id`` routes it to exactly those candidates
         (shuffle ∝ queries·nprobe + probed lists, never queries×rows);
         window ``row_number ≤ k`` merges. Emits 1-indexed ``rn`` like
-        the reference join operator (hnsw_optimize_join.cpp:148)."""
+        the reference join operator (hnsw_optimize_join.cpp:148).
+
+        ``broadcast_queries=None`` (default) auto-decides from the
+        optimizer's size estimate: the probed side is forced broadcast
+        only when queries·nprobe fits ``broadcast_budget_bytes``;
+        larger query sets fall back to the shuffle join (AQE splits
+        skewed hot lists) instead of OOMing executors on a forced
+        broadcast."""
         nprobe = int(nprobe or self.manifest["default_nprobe"])
         id_col = self.manifest["id_col"]
         vec_col = self.manifest["vec_col"]
@@ -212,10 +233,12 @@ class IvfIndex:
         )
         dist_fn = distance_for_metric(self.metric)
         # queries·nprobe rows is usually the small side — broadcast it so
-        # the inverted lists never shuffle. No driver-side count() job to
-        # size it: the caller passes broadcast_queries=False for huge
-        # query sets, which falls back to a shuffle join on list_id (AQE
-        # splits skewed hot lists) instead of OOMing the executors.
+        # the inverted lists never shuffle. Sizing uses the optimizer's
+        # estimate (no driver-side count() job); past the budget the
+        # join degrades to a shuffle on list_id rather than a forced
+        # broadcast that could OOM executors.
+        if broadcast_queries is None:
+            broadcast_queries = _fits_broadcast(queries, nprobe, broadcast_budget_bytes)
         probed_side = F.broadcast(probed) if broadcast_queries else probed
         scored = (
             self._lists_df()

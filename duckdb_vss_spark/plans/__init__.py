@@ -4,5 +4,6 @@ from duckdb_vss_spark.plans.rewrite import (  # noqa: F401
     match_lateral,
     match_minby,
     match_topk,
+    pushable_where,
     rewrite_operators,
 )

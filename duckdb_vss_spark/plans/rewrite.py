@@ -35,7 +35,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["rewrite_operators", "canonicalize_cosine", "match_topk", "VssPlanner"]
+__all__ = ["rewrite_operators", "canonicalize_cosine", "match_topk", "pushable_where", "VssPlanner"]
 
 
 # -- operator aliases -> function names (hnsw_index.cpp:636-643) -----------
@@ -139,7 +139,7 @@ _TOPK_SQL = re.compile(
     (?:WHERE\s+(?P<where>.+?)\s+)?
     ORDER\s+BY\s+
         (?P<fn>array_distance|array_distance_sq|array_cosine_distance|array_negative_inner_product)
-        \s*\(\s*(?P<vcol>[A-Za-z_][A-Za-z0-9_]*)\s*,\s*(?P<qvec>.+?)\s*\)
+        \s*\(\s*(?P<vcol>(?:[A-Za-z_][A-Za-z0-9_]*\.)?[A-Za-z_][A-Za-z0-9_]*)\s*,\s*(?P<qvec>.+?)\s*\)
         (?:\s+ASC)?\s+
     LIMIT\s+(?P<k>\d+)\s*;?\s*$""",
     re.IGNORECASE | re.VERBOSE | re.DOTALL,
@@ -150,6 +150,59 @@ _ARRAY_LIT = re.compile(
     re.IGNORECASE,
 )
 
+# -- pushable-predicate gate for the WHERE route ---------------------------
+#
+# The reference only pulls up filters DuckDB already pushed into the scan
+# as table_filters — simple column-vs-constant shapes; any residual
+# LogicalFilter BLOCKS the TopN→index rewrite entirely, preserving exact
+# filter-first semantics (hnsw_optimize_scan.cpp:58-84). Mirror that: the
+# index post-filter route accepts only conjunctions of the shapes below;
+# anything else (OR, LIKE, expressions, subqueries) falls back to
+# SEQ_SCAN instead of silently under-returning.
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_.]*"
+_CONST = r"(?:'[^']*'|-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?|TRUE|FALSE|(?:DATE|TIMESTAMP)\s+'[^']*')"
+_CMP = r"(?:=|==|!=|<>|<=|>=|<|>)"
+_SIMPLE_PRED = re.compile(
+    rf"""^\s*(?:
+        {_IDENT}\s*{_CMP}\s*{_CONST}
+      | {_CONST}\s*{_CMP}\s*{_IDENT}
+      | {_IDENT}\s+IS\s+(?:NOT\s+)?NULL
+      | {_IDENT}\s+(?:NOT\s+)?IN\s*\(\s*{_CONST}(?:\s*,\s*{_CONST})*\s*\)
+    )\s*$""",
+    re.IGNORECASE | re.VERBOSE,
+)
+_BETWEEN_LHS = re.compile(rf"^\s*{_IDENT}\s+(?:NOT\s+)?BETWEEN\s+{_CONST}\s*$", re.IGNORECASE)
+_CONST_ONLY = re.compile(rf"^\s*{_CONST}\s*$", re.IGNORECASE)
+
+
+def pushable_where(where: str) -> bool:
+    """True iff ``where`` is a conjunction of scan-pushable filters:
+    column-vs-constant comparison, IS [NOT] NULL, [NOT] IN(consts),
+    [NOT] BETWEEN consts. These are exactly the predicates a parquet
+    scan would accept as pushed filters, so applying them ABOVE the
+    index scan (filter pull-up, may under-return) matches the
+    reference's documented behavior; everything else blocks the
+    rewrite."""
+    s = re.sub(r"'(?:[^']|'')*'", "'S'", where)  # neutralize string literals
+    if re.search(r"\bOR\b|\bLIKE\b|\bCASE\b|\bSELECT\b|\bNOT\s*\(|\|\|", s, re.IGNORECASE):
+        return False
+    parts = re.split(r"\bAND\b", s, flags=re.IGNORECASE)
+    i = 0
+    while i < len(parts):
+        p = parts[i]
+        if _BETWEEN_LHS.match(p):
+            # BETWEEN's own AND was split off — the next part must be
+            # the upper-bound constant
+            if i + 1 >= len(parts) or not _CONST_ONLY.match(parts[i + 1]):
+                return False
+            i += 2
+            continue
+        if not _SIMPLE_PRED.match(p):
+            return False
+        i += 1
+    return True
+
 # the alias-ordered projection form every reference plan test uses:
 #   SELECT [...,] dist_fn(vec, CONST) AS x [, ...] FROM t ORDER BY x LIMIT k
 # (hnsw_result.test:16-26, hnsw_metrics.test:22-38, hnsw_projection.test)
@@ -158,7 +211,7 @@ _TOPK_ALIAS_SQL = re.compile(
     rf"""^\s*
     SELECT\s+(?P<pre>.*?)
         (?P<fn>array_distance|array_distance_sq|array_cosine_distance|array_negative_inner_product)
-        \s*\(\s*(?P<vcol>[A-Za-z_][A-Za-z0-9_]*)\s*,\s*(?P<qvec>{_QVEC_PAT})\s*\)
+        \s*\(\s*(?P<vcol>(?:[A-Za-z_][A-Za-z0-9_]*\.)?[A-Za-z_][A-Za-z0-9_]*)\s*,\s*(?P<qvec>{_QVEC_PAT})\s*\)
         \s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*)
         (?P<post>.*?)\s+
     FROM\s+(?P<table>[A-Za-z_][A-Za-z0-9_.]*)\s+
@@ -215,15 +268,27 @@ def match_topk(sql: str) -> TopKMatch | None:
     except ValueError:
         return None
     fn = m["fn"].lower()
+    # qualified ref (t.vec): must name the scanned table, then binds to
+    # the bare column — any other qualifier is not this table's scan
+    vcol = m["vcol"]
+    if "." in vcol:
+        qual, vcol = vcol.rsplit(".", 1)
+        if qual.lower() != m["table"].rsplit(".", 1)[-1].lower():
+            return None
+    where = m["where"].strip() if m["where"] else None
+    if where is not None and not pushable_where(where):
+        # residual (non-pushable) filter blocks the rewrite entirely —
+        # exact filter-first semantics via SEQ_SCAN, like the reference
+        return None
     return TopKMatch(
         cols=cols,
         table=m["table"],
         fn=fn,
         metric=_METRIC_FOR_FN[fn],
-        vec_col=m["vcol"],
+        vec_col=vcol,
         query_vec=qv,
         k=int(m["k"]),
-        where=m["where"].strip() if m["where"] else None,
+        where=where,
     )
 
 

@@ -119,3 +119,29 @@ def test_cosine_metric_spherical(spark, emb, tmp_path_factory):
     got2 = {r["vec_id"] for r in idx.knn_search(qv, 5, nprobe=4).collect()}
     assert len(got2 & set(want)) >= 3
     drop_ivf_index(path)
+
+
+def test_knn_join_broadcast_guard(spark, emb, ivf):
+    """broadcast_queries=None auto-decides from Catalyst's size
+    estimate; past the budget the join degrades to a shuffle join with
+    identical results (never a forced broadcast that could OOM)."""
+    from duckdb_vss_spark.index.ivf import _fits_broadcast
+
+    q = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    assert _fits_broadcast(q, nprobe=4, budget_bytes=64 << 20)
+    assert not _fits_broadcast(q, nprobe=4, budget_bytes=1)
+
+    def ordered(df):
+        return [
+            (r["qid"], r["rn"], r["vec_id"])
+            for r in df.orderBy("qid", "rn").collect()
+        ]
+
+    via_bcast = ivf.knn_join(q, "qvec", 3, "qid", nprobe=16, broadcast_queries=True)
+    via_shuffle = ivf.knn_join(q, "qvec", 3, "qid", nprobe=16, broadcast_queries=False)
+    via_auto_tiny_budget = ivf.knn_join(
+        q, "qvec", 3, "qid", nprobe=16, broadcast_budget_bytes=1
+    )
+    assert ordered(via_bcast) == ordered(via_shuffle) == ordered(via_auto_tiny_budget)

@@ -363,3 +363,87 @@ def test_native_lateral_sql_fallback(spark, grid, planner_with_index):
         for r in knn_search(grid, "vec", [1.0, 1.0, 1.0], 3).select("id").collect()
     )
     assert ids == want
+
+
+def test_pushable_where_gate():
+    """Only scan-pushable conjunctions ride the index post-filter route
+    (hnsw_optimize_scan.cpp:58-84: a residual filter BLOCKS the
+    rewrite); everything else must fall through to SEQ_SCAN."""
+    from duckdb_vss_spark.plans import pushable_where
+
+    for ok in (
+        "x > 1",
+        "label < 3",
+        "id >= 400",
+        "name = 'a b c'",
+        "x IS NOT NULL",
+        "x IN (1, 2, 3)",
+        "name NOT IN ('a', 'b')",
+        "x BETWEEN 1 AND 15 AND y = 2",
+        "d >= DATE '1996-01-01' AND d < DATE '1997-01-01'",
+        "a = 1 AND b <> 'z' AND c IS NULL",
+    ):
+        assert pushable_where(ok), ok
+    for bad in (
+        "x > 1 OR y > 2",
+        "name LIKE 'a%'",
+        "x + 1 > 2",
+        "lower(name) = 'a'",
+        "x IN (SELECT id FROM t)",
+        "NOT (x > 1)",
+        "x > y",
+        "CASE WHEN x > 1 THEN 1 ELSE 0 END = 1",
+    ):
+        assert not pushable_where(bad), bad
+    # non-pushable WHERE blocks the TopN match entirely
+    assert (
+        match_topk(
+            "SELECT id FROM t WHERE name LIKE 'a%' "
+            "ORDER BY array_distance(v, array(1.0)) LIMIT 5"
+        )
+        is None
+    )
+    # pushable WHERE still matches and carries the predicate
+    m = match_topk(
+        "SELECT id FROM t WHERE x > 1 AND y BETWEEN 1 AND 3 "
+        "ORDER BY array_distance(v, array(1.0)) LIMIT 5"
+    )
+    assert m is not None and m.where == "x > 1 AND y BETWEEN 1 AND 3"
+
+
+def test_planner_nonpushable_where_filters_first(spark, grid, planner_with_index):
+    """LIKE predicate + ORDER BY dist LIMIT k: the planner must NOT use
+    the index (which searches k first and under-returns) — it falls to
+    SEQ_SCAN and returns the exact filter-first top-k."""
+    p = planner_with_index
+    got = p.sql(
+        "SELECT id FROM grid_items WHERE CAST(id AS STRING) LIKE '4%' "
+        "ORDER BY vec <-> [1.0,1.0,1.0]::FLOAT[3] LIMIT 5"
+    )
+    assert p.last_plan == "SEQ_SCAN"
+    rows = got.collect()
+    assert len(rows) == 5
+    assert all(str(r["id"]).startswith("4") for r in rows)
+
+
+def test_match_topk_qualified_column(spark, grid, planner_with_index):
+    """t.vec qualified refs rewrite when the qualifier names the scanned
+    table; foreign qualifiers don't match."""
+    m = match_topk(
+        "SELECT id FROM items ORDER BY items.vec <-> [1.0,2.0,3.0]::FLOAT[3] LIMIT 5"
+    )
+    assert m is not None and m.vec_col == "vec" and m.table == "items"
+    assert (
+        match_topk(
+            "SELECT id FROM items ORDER BY other.vec <-> [1.0,2.0,3.0]::FLOAT[3] LIMIT 5"
+        )
+        is None
+    )
+    # end-to-end: the qualified form routes to the registered index
+    p = planner_with_index
+    df = p.sql(
+        "SELECT id FROM grid_items "
+        "ORDER BY grid_items.vec <-> [1.0,1.0,1.0]::FLOAT[3] LIMIT 3"
+    )
+    assert p.last_plan == "HNSW_INDEX_SCAN"
+    assert df.count() == 3
