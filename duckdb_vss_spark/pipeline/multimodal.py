@@ -99,8 +99,10 @@ def _fake_decode(payload: bytes, dim: int):
 
 
 def _png_features(payload: bytes, dim: int):
-    """REAL decode path: PNG → grayscale → average-pool to a square
-    grid of ``dim`` cells (dim must be a square) → [0,1] floats."""
+    """REAL decode path: PNG → grayscale → nearest-neighbor sample a
+    square grid of ``dim`` points (dim must be a square) → [0,1]
+    floats. Point samples, not pooled means — cheap and deterministic;
+    swap in block-mean pooling here if anti-aliased features matter."""
     import math
 
     import numpy as np

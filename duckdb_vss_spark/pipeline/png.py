@@ -8,8 +8,12 @@ encode (filter 0), so the multimodal pipeline's ``decoder="png"`` path
 is a real decode→transform→encode, not a stub.
 
 Scale note: these kernels run inside Arrow-batched ``mapInPandas``
-workers — per-image numpy work, no Spark-side state. Throughput is
-bounded by zlib, exactly like a libpng-based pipeline.
+workers — per-image numpy work, no Spark-side state. Rows filtered
+with None/Up (and whole-image Sub) unfilter fully vectorized, so
+decode is zlib-bound for those; Average/Paeth rows have a sequential
+left-pixel recurrence that pure numpy can't vectorize and take a
+Python-loop path — externally-produced Paeth-heavy PNGs decode
+markedly slower (see ``_unfilter_row``).
 """
 
 from __future__ import annotations
@@ -79,7 +83,12 @@ def decode_png(data: bytes) -> np.ndarray:
     if w is None:
         raise PngError("missing IHDR")
     ch = _CHANNELS[ctype_code]
-    raw = zlib.decompress(bytes(idat))
+    if not idat:
+        raise PngError("missing IDAT")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise PngError(f"bad IDAT stream: {e}") from e
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise PngError("IDAT size mismatch")
@@ -95,7 +104,10 @@ def decode_png(data: bytes) -> np.ndarray:
     if ctype_code == 3:
         if palette is None:
             raise PngError("palette image without PLTE")
-        img = palette[img[:, :, 0]]
+        idxs = img[:, :, 0]
+        if int(idxs.max(initial=0)) >= len(palette):
+            raise PngError("palette index out of range")
+        img = palette[idxs]
     return img
 
 
@@ -114,20 +126,29 @@ def _unfilter_row(ftype: int, row: np.ndarray, prev: np.ndarray, bpp: int) -> np
         return np.add.accumulate(lanes, axis=0, dtype=np.uint8).reshape(-1)
     if ftype == 3 and bpp >= len(row):  # Average with no left neighbor
         return ((out + prev // 2) & 0xFF).astype(np.uint8)
-    # Sub / Average / Paeth carry a left-pixel dependency → per-byte scan
-    # within the row (numpy per row for Up; C-speed enough for the
-    # mapInPandas batch sizes this feeds)
-    res = np.empty_like(row)
-    prev_i = prev.astype(np.int32)
-    for i in range(len(row)):
-        a = int(res[i - bpp]) if i >= bpp else 0  # left
-        b = int(prev_i[i])  # up
+    # Sub / Average / Paeth carry a left-pixel dependency, which no
+    # numpy formulation removes (each byte needs the DECODED byte one
+    # pixel left — a sequential recurrence; libpng vectorizes it only
+    # with SIMD intrinsics). This is the SLOW path: O(w·bpp)
+    # interpreted steps per row, so externally-produced Paeth-heavy
+    # PNGs decode substantially slower than the vectorized
+    # None/Up/Sub paths above. Plain-int lists keep the constant low
+    # (~4× faster than per-element numpy indexing).
+    if ftype not in (1, 3, 4):
+        raise PngError(f"bad filter type {ftype}")
+    row_l = row.tolist()
+    prev_l = prev.tolist()
+    n_b = len(row_l)
+    res = [0] * n_b
+    for i in range(n_b):
+        a = res[i - bpp] if i >= bpp else 0  # left
         if ftype == 1:  # Sub
-            v = out[i] + a
+            v = row_l[i] + a
         elif ftype == 3:  # Average
-            v = out[i] + (a + b) // 2
-        elif ftype == 4:  # Paeth
-            c = int(prev_i[i - bpp]) if i >= bpp else 0  # up-left
+            v = row_l[i] + (a + prev_l[i]) // 2
+        else:  # Paeth
+            b = prev_l[i]  # up
+            c = prev_l[i - bpp] if i >= bpp else 0  # up-left
             p = a + b - c
             pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
             if pa <= pb and pa <= pc:
@@ -136,11 +157,9 @@ def _unfilter_row(ftype: int, row: np.ndarray, prev: np.ndarray, bpp: int) -> np
                 pred = b
             else:
                 pred = c
-            v = out[i] + pred
-        else:
-            raise PngError(f"bad filter type {ftype}")
+            v = row_l[i] + pred
         res[i] = v & 0xFF
-    return res
+    return np.array(res, dtype=np.uint8)
 
 
 def encode_png(img: np.ndarray) -> bytes:
