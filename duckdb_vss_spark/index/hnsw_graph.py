@@ -269,14 +269,23 @@ class HNSWGraph:
 
     @staticmethod
     def _batch_select(dq, P, m_max, counts=None):
-        """Vectorized diversity heuristic (HNSW paper Alg. 4 / usearch's
-        occlusion test) for a batch of nodes. ``dq`` (A, L) candidate
-        distances ascending (pad +inf), ``P`` (A, L, L) candidate-pair
-        distances. A candidate is occluded if some strictly-closer
-        candidate is at least as close to it as the query is; occluded
-        candidates backfill in distance order up to ``m_max`` (same
-        backfill as the sequential ``_select_neighbors``). Returns a list
-        of kept index-arrays into the L axis."""
+        """Vectorized diversity select for a batch of nodes. ``dq``
+        (A, L) candidate distances ascending (pad +inf), ``P``
+        (A, L, L) candidate-pair distances. Returns kept index-arrays
+        into the L axis.
+
+        Deliberately a STRICTER variant of the paper's Alg. 4 /
+        ``_select_neighbors``: a candidate is occluded if ANY
+        strictly-closer candidate is at least as close to it as the
+        query is — Alg. 4 only tests against the already-KEPT set,
+        whose sequential recurrence (kept depends on kept) does not
+        vectorize across a batch. The stricter test can occlude a
+        candidate whose occluder was itself occluded, so it may keep
+        fewer diverse edges in dense clusters; the distance-order
+        backfill then tops the degree back up to ``m_max``, and the
+        measured recall matches the sequential path on the test
+        corpora (test_index.py recall pins). The incremental insert
+        path (``_select_neighbors``) keeps exact Alg. 4 semantics."""
         dom = ((P <= dq[:, :, None]) & (dq[:, None, :] < dq[:, :, None])).any(axis=2)
         out = []
         for a in range(len(dq)):
