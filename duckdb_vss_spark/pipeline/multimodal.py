@@ -5,15 +5,17 @@ columns with a typed metadata struct; decode / feature-extract /
 resize / frame-sample run as Arrow-batched pandas functions over
 ``mapInPandas`` so payload bytes never surface into JVM row objects.
 
-Codec tiers: ``decoder="png"`` is a REAL codec — pure-stdlib zlib
-decode/unfilter/encode (pipeline/png.py), so PNG payloads get actual
-pixel work (grayscale pooling features, nearest-neighbor resize).
-General codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so
-``decoder="fake"`` produces a deterministic feature vector from the
-bytes (real, testable plumbing) and ``decoder="real"`` raises
-NotImplementedError at the exact seam where a codec library would be
-called. Schema, partitioning, UDF signature and batch shape are the
-real design in every tier.
+Codec tiers: ``decoder="png"`` and ``decoder="wav"`` are REAL codecs —
+pure-stdlib implementations (pipeline/png.py: zlib decode/unfilter/
+encode; pipeline/wav.py: RIFF/PCM decode/encode), so PNG payloads get
+actual pixel work (grayscale grid features, nearest-neighbor resize)
+and WAV payloads get actual sample work (frame-energy features).
+General codecs (PIL/ffmpeg for JPEG/MP4/...) are NOT in this
+container, so ``decoder="fake"`` produces a deterministic feature
+vector from the bytes (real, testable plumbing) and ``decoder="real"``
+raises NotImplementedError at the exact seam where a codec library
+would be called. Schema, partitioning, UDF signature and batch shape
+are the real design in every tier.
 """
 
 from __future__ import annotations
@@ -117,21 +119,32 @@ def _png_features(payload: bytes, dim: int):
     return (pooled.reshape(-1) / 255.0).astype(np.float32)
 
 
+def _wav_features(payload: bytes, dim: int):
+    """REAL audio decode path: WAV → channel-mean → ``dim``-frame RMS
+    energy vector in [0, 1] (pipeline/wav.py)."""
+    from duckdb_vss_spark.pipeline.wav import decode_wav, frame_energy
+
+    samples, _rate = decode_wav(payload)
+    return frame_energy(samples, dim)
+
+
 def extract_features(
     df: DataFrame, dim: int = 64, decoder: str = "fake", batch_limit_bytes: int = 64 << 20
 ) -> DataFrame:
     """media rows → (media_id, feature array<float>).
 
     ``decoder="png"`` runs the real stdlib PNG codec (decode → gray →
-    pooled pixel grid); ``"fake"`` hashes bytes to a deterministic
-    vector; ``"real"`` marks the seam for codecs absent here.
+    sampled pixel grid); ``"wav"`` runs the real stdlib WAV codec
+    (decode → frame-energy vector); ``"fake"`` hashes bytes to a
+    deterministic vector; ``"real"`` marks the seam for codecs absent
+    here (JPEG/MP4/... need PIL/ffmpeg).
 
     Arrow batches flow through ``mapInPandas``; ``batch_limit_bytes``
     documents the contract that a partition's in-flight payload batch is
     bounded (set ``spark.sql.execution.arrow.maxRecordsPerBatch``
     accordingly for large payloads at scale)."""
-    if decoder not in ("fake", "png", "real"):
-        raise ValueError("decoder must be 'fake', 'png' or 'real'")
+    if decoder not in ("fake", "png", "wav", "real"):
+        raise ValueError("decoder must be 'fake', 'png', 'wav' or 'real'")
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
@@ -141,10 +154,12 @@ def extract_features(
                 # the seam where PIL/ffmpeg/torchaudio would decode
                 raise NotImplementedError(
                     "real media decoding requires codec libraries not present "
-                    "in this environment; use decoder='fake' or 'png'"
+                    "in this environment; use decoder='fake', 'png' or 'wav'"
                 )
             if decoder == "png":
                 feats = [_png_features(p, dim) for p in pdf["payload"]]
+            elif decoder == "wav":
+                feats = [_wav_features(p, dim) for p in pdf["payload"]]
             else:
                 feats = [_fake_decode(p, dim) for p in pdf["payload"]]
             yield pd.DataFrame(

@@ -390,3 +390,99 @@ def test_dedup_pipelines_leave_no_session_cache(spark, docs):
     simhash_pairs(docs, "text", "doc_id").count()
     embedding_neardup_lsh(emb, "embedding", "vec_id", 0.9).count()
     assert n_cached() == before
+
+
+def test_wav_roundtrip_and_depths():
+    """encode(16-bit) → decode recovers samples within quantization;
+    8/24-bit and float32 payloads decode; malformed payloads raise
+    WavError (never a bare struct/index error from inside executors)."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from duckdb_vss_spark.pipeline.wav import (
+        WavError,
+        decode_wav,
+        encode_wav,
+        frame_energy,
+    )
+
+    t = np.linspace(0, 1, 800, endpoint=False)
+    stereo = np.stack([np.sin(2 * np.pi * 5 * t), 0.5 * np.cos(2 * np.pi * 3 * t)], axis=1)
+    data = encode_wav(stereo, 8000)
+    dec, rate = decode_wav(data)
+    assert rate == 8000 and dec.shape == (800, 2)
+    assert np.abs(dec - stereo).max() < 1.5 / 32768
+
+    # 8-bit unsigned: midpoint 128 decodes to 0
+    fmt = struct.pack("<HHIIHH", 1, 1, 4000, 4000, 1, 8)
+    pcm = bytes([128, 255, 0])
+    wav8 = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    d8, _ = decode_wav(wav8)
+    assert d8[0, 0] == 0.0 and d8[1, 0] > 0.9 and d8[2, 0] == -1.0
+
+    # 24-bit packed: full-scale positive/negative
+    fmt24 = struct.pack("<HHIIHH", 1, 1, 4000, 12000, 3, 24)
+    pcm24 = b"\xff\xff\x7f" + b"\x00\x00\x80"
+    wav24 = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt24) + 8 + len(pcm24)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt24)) + fmt24
+        + b"data" + struct.pack("<I", len(pcm24)) + pcm24
+    )
+    d24, _ = decode_wav(wav24)
+    assert abs(d24[0, 0] - 1.0) < 1e-6 and d24[1, 0] == -1.0
+
+    # float32 payload (tag 3)
+    fl = np.array([0.25, -0.5], dtype="<f4").tobytes()
+    fmtf = struct.pack("<HHIIHH", 3, 1, 4000, 16000, 4, 32)
+    wavf = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmtf) + 8 + len(fl)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmtf)) + fmtf
+        + b"data" + struct.pack("<I", len(fl)) + fl
+    )
+    df_, _ = decode_wav(wavf)
+    assert np.allclose(df_[:, 0], [0.25, -0.5])
+
+    for bad in (b"", b"RIFFxxxx", b"RIFF\x00\x00\x00\x00WAVE", data[:30]):
+        with _pytest.raises(WavError):
+            decode_wav(bad)
+
+    # frame energy: loud half / silent half → first frames ~1, last ~0
+    sig = np.concatenate([np.ones(400), np.zeros(400)])
+    e = frame_energy(sig, 8)
+    assert e.shape == (8,) and e.dtype == np.float32
+    assert e[0] == 1.0 and e[-1] == 0.0
+
+
+def test_wav_decoder_through_spark(spark):
+    """decoder='wav': real decode inside mapInPandas — feature is the
+    clip's frame-energy vector, matching the local computation."""
+    import numpy as np
+
+    from duckdb_vss_spark.pipeline.wav import decode_wav, encode_wav, frame_energy
+
+    t = np.linspace(0, 1, 1600, endpoint=False)
+    clips = {
+        1: np.sin(2 * np.pi * 10 * t) * np.linspace(1, 0, 1600),  # decaying
+        2: np.concatenate([np.zeros(800), 0.8 * np.ones(800)]),   # step up
+    }
+    df = spark.createDataFrame(
+        [(k, encode_wav(v, 16000)) for k, v in clips.items()],
+        "mid long, payload binary",
+    )
+    media = attach_media_metadata(df, "payload", kind="audio", fmt="wav", id_col="mid")
+    got = {
+        r["media_id"]: np.array(r["feature"])
+        for r in extract_features(media, dim=16, decoder="wav").collect()
+    }
+    for k, clip in clips.items():
+        want = frame_energy(decode_wav(encode_wav(clip, 16000))[0], 16)
+        assert np.allclose(got[k], want)
+    # decaying clip: energy decreases; step clip: energy increases
+    assert got[1][0] > got[1][-1]
+    assert got[2][0] < got[2][-1]
