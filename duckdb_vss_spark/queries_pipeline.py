@@ -651,3 +651,63 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale defaults are 64-bit/4-block (full recall at hamming ≤ 3)
     out = simhash_pairs(docs, "text", "doc_id", bits=16, max_hamming=3, blocks=2)
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+@register_extra(
+    "q_media_audio_energy",
+    """
+    SELECT doc_id AS media_id,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE 0.5 END AS DOUBLE) AS e0,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE 0.5 END AS DOUBLE) AS e1,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 0.5 ELSE 1.0 END AS DOUBLE) AS e2,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 0.5 ELSE 1.0 END AS DOUBLE) AS e3
+    FROM documents
+    """,
+)
+def q_media_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec, value-checked end-to-end: per doc, synthesize a
+    64-sample WAV whose loud half (amplitude 0.5) and quiet half (0.25)
+    flip with doc parity, push the bytes through the pipeline's real
+    RIFF/PCM decode + frame-energy feature (pipeline/wav.py inside
+    Arrow-batched mapInPandas), and emit the 4 frame energies. The
+    amplitudes are chosen so 16-bit quantization is exact (0.5 →
+    16384/32768, 0.25 → 8192/32768), making the peak-normalized
+    energies exactly {1.0, 0.5} — the oracle derives them from parity
+    alone, so ANY codec bug (header, widths, scaling, framing) breaks
+    the value match."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from duckdb_vss_spark.pipeline.multimodal import (
+        attach_media_metadata,
+        extract_features,
+    )
+
+    def _synth(doc_id):
+        from duckdb_vss_spark.pipeline.wav import encode_wav
+
+        out = []
+        for d in doc_id:
+            loud_first = int(d) % 2 == 0
+            a, b = (0.5, 0.25) if loud_first else (0.25, 0.5)
+            sig = np.concatenate([np.full(32, a), np.full(32, b)])
+            out.append(encode_wav(sig, 8000))
+        return pd.Series(out)
+
+    synth = pandas_udf(_synth, BinaryType())
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = attach_media_metadata(
+        docs.withColumn("payload", synth(F.col("doc_id"))),
+        "payload",
+        kind="audio",
+        fmt="wav",
+        id_col="doc_id",
+    )
+    feats = extract_features(media, dim=4, decoder="wav")
+    return feats.select(
+        "media_id",
+        *[F.col("feature")[i].cast("double").alias(f"e{i}") for i in range(4)],
+    )
