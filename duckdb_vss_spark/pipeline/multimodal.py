@@ -5,13 +5,14 @@ columns with a typed metadata struct; decode / feature-extract /
 resize / frame-sample run as Arrow-batched pandas functions over
 ``mapInPandas`` so payload bytes never surface into JVM row objects.
 
-Codec tiers: ``decoder="png"`` and ``decoder="wav"`` are REAL codecs —
-pure-stdlib implementations (pipeline/png.py: zlib decode/unfilter/
-encode; pipeline/wav.py: RIFF/PCM decode/encode), so PNG payloads get
-actual pixel work (grayscale grid features, nearest-neighbor resize)
-and WAV payloads get actual sample work (frame-energy features).
-General codecs (PIL/ffmpeg for JPEG/MP4/...) are NOT in this
-container, so ``decoder="fake"`` produces a deterministic feature
+Codec tiers: ``decoder="png"``, ``"jpeg"`` and ``"wav"`` are REAL
+codecs — pure-stdlib implementations (pipeline/png.py: zlib decode/
+unfilter/encode; pipeline/jpeg.py: baseline T.81 DCT+Huffman, decodes
+external 4:2:0 files; pipeline/wav.py: RIFF/PCM decode/encode), so
+image payloads get actual pixel work (grayscale grid features,
+nearest-neighbor resize, re-encode) and WAV payloads get actual sample
+work (frame-energy features). Video containers (MP4/...) need ffmpeg,
+absent here, so ``decoder="fake"`` produces a deterministic feature
 vector from the bytes (real, testable plumbing) and ``decoder="real"``
 raises NotImplementedError at the exact seam where a codec library
 would be called. Schema, partitioning, UDF signature and batch shape
@@ -128,36 +129,57 @@ def _wav_features(payload: bytes, dim: int):
     return frame_energy(samples, dim)
 
 
+def _jpeg_features(payload: bytes, dim: int):
+    """REAL decode path: baseline JPEG → grayscale → nearest-neighbor
+    sample a square grid of ``dim`` points → [0,1] floats (same grid
+    contract as _png_features; pipeline/jpeg.py)."""
+    import math
+
+    import numpy as np
+
+    from duckdb_vss_spark.pipeline.jpeg import decode_jpeg
+    from duckdb_vss_spark.pipeline.png import resize_nearest, to_gray
+
+    side = int(math.isqrt(dim))
+    if side * side != dim:
+        raise ValueError(f"jpeg feature dim must be a perfect square, got {dim}")
+    gray = to_gray(decode_jpeg(payload))
+    pooled = resize_nearest(gray, side, side)
+    return (pooled.reshape(-1) / 255.0).astype(np.float32)
+
+
 def extract_features(
     df: DataFrame, dim: int = 64, decoder: str = "fake", batch_limit_bytes: int = 64 << 20
 ) -> DataFrame:
     """media rows → (media_id, feature array<float>).
 
-    ``decoder="png"`` runs the real stdlib PNG codec (decode → gray →
-    sampled pixel grid); ``"wav"`` runs the real stdlib WAV codec
-    (decode → frame-energy vector); ``"fake"`` hashes bytes to a
-    deterministic vector; ``"real"`` marks the seam for codecs absent
-    here (JPEG/MP4/... need PIL/ffmpeg).
+    ``decoder="png"``/``"jpeg"`` run the real stdlib image codecs
+    (decode → gray → sampled pixel grid); ``"wav"`` runs the real
+    stdlib WAV codec (decode → frame-energy vector); ``"fake"`` hashes
+    bytes to a deterministic vector; ``"real"`` marks the seam for
+    codecs absent here (MP4/... need ffmpeg).
 
     Arrow batches flow through ``mapInPandas``; ``batch_limit_bytes``
     documents the contract that a partition's in-flight payload batch is
     bounded (set ``spark.sql.execution.arrow.maxRecordsPerBatch``
     accordingly for large payloads at scale)."""
-    if decoder not in ("fake", "png", "wav", "real"):
-        raise ValueError("decoder must be 'fake', 'png', 'wav' or 'real'")
+    if decoder not in ("fake", "png", "jpeg", "wav", "real"):
+        raise ValueError("decoder must be 'fake', 'png', 'jpeg', 'wav' or 'real'")
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
         for pdf in batches:
             if decoder == "real":
-                # the seam where PIL/ffmpeg/torchaudio would decode
+                # the seam where ffmpeg/torchaudio would decode
                 raise NotImplementedError(
                     "real media decoding requires codec libraries not present "
-                    "in this environment; use decoder='fake', 'png' or 'wav'"
+                    "in this environment; use decoder='fake', 'png', 'jpeg' or 'wav'"
                 )
             if decoder == "png":
                 feats = [_png_features(p, dim) for p in pdf["payload"]]
+            elif decoder == "jpeg":
+                feats = [_jpeg_features(p, dim) for p in pdf["payload"]]
             elif decoder == "wav":
                 feats = [_wav_features(p, dim) for p in pdf["payload"]]
             else:
@@ -177,14 +199,14 @@ def resize_media(
 
     Plumbing is real in every tier (Arrow-batched payload-in/payload-out
     mapInPandas preserving the canonical media schema). Pixel work:
-    ``decoder='png'`` runs the REAL stdlib codec — decode, nearest-
-    neighbor resample to (width, height), re-encode PNG; ``'fake'``
-    emits a deterministic payload of exactly width·height bytes derived
-    from the source bytes (so downstream size/shape contracts are
-    testable without a codec); ``'real'`` raises at the seam where PIL
-    would decode-resize-encode other formats."""
-    if decoder not in ("fake", "png", "real"):
-        raise ValueError("decoder must be 'fake', 'png' or 'real'")
+    ``decoder='png'``/``'jpeg'`` run the REAL stdlib codecs — decode,
+    nearest-neighbor resample to (width, height), re-encode same
+    format; ``'fake'`` emits a deterministic payload of exactly
+    width·height bytes derived from the source bytes (so downstream
+    size/shape contracts are testable without a codec); ``'real'``
+    raises at the seam where ffmpeg would handle other formats."""
+    if decoder not in ("fake", "png", "jpeg", "real"):
+        raise ValueError("decoder must be 'fake', 'png', 'jpeg' or 'real'")
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import hashlib
@@ -195,8 +217,8 @@ def resize_media(
         for pdf in batches:
             if decoder == "real":
                 raise NotImplementedError(
-                    "real image resize requires PIL/opencv not present in "
-                    "this environment; use decoder='fake' or 'png'"
+                    "real resize for non-PNG/JPEG formats requires codec "
+                    "libraries not present in this environment"
                 )
             out = []
             for p in pdf["payload"]:
@@ -209,6 +231,12 @@ def resize_media(
                     )
 
                     out.append(encode_png(resize_nearest(decode_png(src), width, height)))
+                    continue
+                if decoder == "jpeg":
+                    from duckdb_vss_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+                    from duckdb_vss_spark.pipeline.png import resize_nearest
+
+                    out.append(encode_jpeg(resize_nearest(decode_jpeg(src), width, height)))
                     continue
                 # deterministic fake: stretch/shrink the byte stream to
                 # exactly w·h bytes, seeded by a content hash
