@@ -711,3 +711,83 @@ def q_media_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         *[F.col("feature")[i].cast("double").alias(f"e{i}") for i in range(4)],
     )
+
+
+@register_extra(
+    "q_media_jpeg_pipeline",
+    """
+    SELECT doc_id AS media_id,
+           CAST(4 AS INT) AS height, CAST(8 AS INT) AS width,
+           CAST(16 AS INT) AS dim,
+           CAST(1.0 AS DOUBLE) AS f_first
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+)
+def q_media_jpeg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec end-to-end: per sampled doc, synthesize a
+    white-top gradient, encode baseline JPEG (pipeline/jpeg.py), run
+    the real resize (decode → resample → re-encode JPEG) and the real
+    feature grid (decode → gray → sampled grid), and emit the decoded
+    output dims plus the first grid sample. The top row is pure white,
+    which survives JPEG's DCT/quantization exactly (uniform 8×8 blocks
+    have only a DC coefficient), so f_first pins decoded VALUES — a
+    codec bug in either direction breaks the match, not just shapes."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from duckdb_vss_spark.pipeline.multimodal import (
+        attach_media_metadata,
+        extract_features,
+        resize_media,
+    )
+
+    def _synth(doc_id):
+        from duckdb_vss_spark.pipeline.jpeg import encode_jpeg
+
+        out = []
+        for _d in doc_id:
+            img = np.full((32, 32), 255, dtype=np.uint8)
+            img[16:, :] = 0  # white top half, black bottom half
+            out.append(encode_jpeg(img, quality=90))
+        return pd.Series(out)
+
+    synth = pandas_udf(_synth, BinaryType())
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0).select("doc_id")
+    media = attach_media_metadata(
+        docs.withColumn("payload", synth(F.col("doc_id"))),
+        "payload",
+        kind="image",
+        fmt="jpeg",
+        id_col="doc_id",
+    )
+
+    def _dims(payload):
+        from duckdb_vss_spark.pipeline.jpeg import decode_jpeg
+
+        hs, ws = [], []
+        for p in payload:
+            img = decode_jpeg(bytes(p))
+            hs.append(img.shape[0])
+            ws.append(img.shape[1])
+        return pd.DataFrame({"h": hs, "w": ws})
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    dims_udf = pandas_udf(
+        _dims, StructType([StructField("h", IntegerType()), StructField("w", IntegerType())])
+    )
+    resized = resize_media(media, width=8, height=4, decoder="jpeg").select(
+        "media_id", dims_udf(F.col("payload")).alias("d")
+    )
+    feats = extract_features(media, dim=16, decoder="jpeg").select(
+        "media_id", F.col("feature")[0].cast("double").alias("f_first")
+    )
+    return resized.join(feats, "media_id").select(
+        "media_id",
+        F.col("d.h").alias("height"),
+        F.col("d.w").alias("width"),
+        F.lit(16).cast("int").alias("dim"),
+        "f_first",
+    )
