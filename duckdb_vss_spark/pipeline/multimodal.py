@@ -11,12 +11,15 @@ unfilter/encode; pipeline/jpeg.py: baseline T.81 DCT+Huffman, decodes
 external 4:2:0 files; pipeline/wav.py: RIFF/PCM decode/encode), so
 image payloads get actual pixel work (grayscale grid features,
 nearest-neighbor resize, re-encode) and WAV payloads get actual sample
-work (frame-energy features). Video containers (MP4/...) need ffmpeg,
-absent here, so ``decoder="fake"`` produces a deterministic feature
-vector from the bytes (real, testable plumbing) and ``decoder="real"``
-raises NotImplementedError at the exact seam where a codec library
-would be called. Schema, partitioning, UDF signature and batch shape
-are the real design in every tier.
+work (frame-energy features). Video is half-real: container METADATA
+parses for real (pipeline/mp4.py ISO-BMFF probe →
+``probe_video_metadata`` fills duration/dims from payload bytes), but
+FRAME pixel decode (H.264-class) needs ffmpeg, absent here — so
+``decoder="fake"`` produces a deterministic feature vector from the
+bytes (real, testable plumbing) and ``decoder="real"`` raises
+NotImplementedError at the exact seam where a codec library would be
+called. Schema, partitioning, UDF signature and batch shape are the
+real design in every tier.
 """
 
 from __future__ import annotations
@@ -31,6 +34,7 @@ __all__ = [
     "MEDIA_SCHEMA",
     "attach_media_metadata",
     "extract_features",
+    "probe_video_metadata",
     "resize_media",
     "sample_frames",
 ]
@@ -248,6 +252,38 @@ def resize_media(
                 {**(m if isinstance(m, dict) else m.asDict()), "width": width, "height": height}
                 for m in pdf["meta"]
             ]
+            yield res
+
+    return df.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def probe_video_metadata(df: DataFrame) -> DataFrame:
+    """media rows → media rows with meta.duration_ms/width/height
+    REPLACED by values probed from the payload's MP4 box headers
+    (pipeline/mp4.py — real ISO-BMFF parsing, no ffmpeg). Non-video
+    rows and rows whose payload fails the probe pass through with their
+    original metadata. Downstream ``sample_frames`` then derives its
+    frame grid from actual container bytes instead of caller-supplied
+    durations."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        from duckdb_vss_spark.pipeline.mp4 import Mp4Error, probe_mp4
+
+        for pdf in batches:
+            metas = []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                m = dict(meta if isinstance(meta, dict) else meta.asDict())
+                if m.get("kind") == "video":
+                    try:
+                        info = probe_mp4(bytes(payload or b""))
+                        m["duration_ms"] = info["duration_ms"]
+                        m["width"] = info["width"]
+                        m["height"] = info["height"]
+                    except Mp4Error:
+                        pass  # keep caller-supplied metadata
+                metas.append(m)
+            res = pdf.copy()
+            res["meta"] = metas
             yield res
 
     return df.mapInPandas(run, schema=MEDIA_SCHEMA)

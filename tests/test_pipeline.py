@@ -581,3 +581,79 @@ def test_jpeg_decoder_through_spark(spark):
         dec = decode_jpeg(encode_jpeg(arr if arr.shape[2] == 3 else arr[:, :, 0], quality=90))
         want = (resize_nearest(to_gray(dec), 4, 4).reshape(-1) / 255.0).astype(np.float32)
         assert np.allclose(feats[k], want)
+
+
+def _mini_mp4(duration_ms=5000, timescale=1000, width=64, height=48, version=0):
+    """Hand-assemble a minimal ISO-BMFF file: ftyp + moov{mvhd, trak{tkhd}}."""
+    import struct
+
+    def box(btype, body):
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    dur = duration_ms * timescale // 1000
+    if version == 1:
+        mvhd = box(
+            b"mvhd",
+            b"\x01" + b"\x00" * 3 + b"\x00" * 16
+            + struct.pack(">IQ", timescale, dur) + b"\x00" * 80,
+        )
+    else:
+        mvhd = box(
+            b"mvhd",
+            b"\x00" * 4 + b"\x00" * 8 + struct.pack(">II", timescale, dur) + b"\x00" * 80,
+        )
+    tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x07" + b"\x00" * 72 + struct.pack(">II", width << 16, height << 16),
+    )
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    return ftyp + moov
+
+
+def test_mp4_probe_and_errors():
+    import pytest as _pytest
+
+    from duckdb_vss_spark.pipeline.mp4 import Mp4Error, probe_mp4
+
+    info = probe_mp4(_mini_mp4(duration_ms=7500, timescale=600, width=128, height=96))
+    # 7500ms at timescale 600 → 4500 ticks → floor back to 7500ms
+    assert info["duration_ms"] == 7500
+    assert info["width"] == 128 and info["height"] == 96
+    assert info["track_count"] == 1
+
+    # 64-bit (version 1) movie header
+    assert probe_mp4(_mini_mp4(duration_ms=61000, version=1))["duration_ms"] == 61000
+
+    for bad in (b"", b"\x00\x00\x00\x08free", _mini_mp4()[:20], bytes(64)):
+        with _pytest.raises(Mp4Error):
+            probe_mp4(bad)
+
+
+def test_probe_video_metadata_through_spark(spark):
+    """probe_video_metadata fills duration/dims from real container
+    bytes; sample_frames then derives the frame grid from them. Rows
+    with unparseable payloads keep caller metadata."""
+    from duckdb_vss_spark.pipeline.multimodal import probe_video_metadata
+
+    rows = [
+        (1, _mini_mp4(duration_ms=3000, width=320, height=240)),
+        (2, _mini_mp4(duration_ms=500, width=64, height=64)),
+        (3, b"not an mp4 at all"),
+    ]
+    df = spark.createDataFrame(rows, "mid long, payload binary")
+    media = attach_media_metadata(
+        df, "payload", kind="video", fmt="mp4", id_col="mid", duration_ms=F.lit(9999)
+    )
+    probed = probe_video_metadata(media)
+    metas = {r["media_id"]: r["meta"] for r in probed.collect()}
+    assert metas[1]["duration_ms"] == 3000 and metas[1]["width"] == 320
+    assert metas[2]["duration_ms"] == 500 and metas[2]["height"] == 64
+    assert metas[3]["duration_ms"] == 9999  # probe failed → caller value kept
+
+    frames = sample_frames(probed, every_ms=1000).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r["frame_ts_ms"])
+    assert sorted(by_id[1]) == [0, 1000, 2000]  # 3s @ 1fps
+    assert sorted(by_id[2]) == [0]              # short clip → 1 frame
