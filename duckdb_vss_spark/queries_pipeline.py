@@ -791,3 +791,84 @@ def q_media_jpeg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(16).cast("int").alias("dim"),
         "f_first",
     )
+
+
+@register_extra(
+    "q_media_video_probe",
+    """
+    SELECT doc_id AS media_id,
+           CAST(n_chars * 10 AS BIGINT) AS duration_ms,
+           CAST(320 AS INT) AS width,
+           CAST(240 AS INT) AS height,
+           CAST(greatest(CAST(floor(n_chars * 10 / 1000) AS INT), 1) AS INT) AS n_frames
+    FROM documents WHERE doc_id % 10 = 1
+    """,
+)
+def q_media_video_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-metadata path, value-checked: per sampled doc,
+    assemble a minimal ISO-BMFF container (ftyp + moov{mvhd,trak{tkhd}})
+    whose mvhd duration is n_chars·10 ms, probe it back through
+    pipeline/mp4.py inside mapInPandas (probe_video_metadata), and
+    count sample_frames' 1 fps grid. The oracle derives every value
+    from n_chars alone, so any box-walk/timescale/fixed-point bug
+    breaks the match."""
+    import struct
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from duckdb_vss_spark.pipeline.multimodal import (
+        attach_media_metadata,
+        probe_video_metadata,
+        sample_frames,
+    )
+
+    def _mux(n_chars):
+        def box(btype, body):
+            return struct.pack(">I", len(body) + 8) + btype + body
+
+        out = []
+        for nc in n_chars:
+            dur = int(nc) * 10  # ms at timescale 1000
+            mvhd = box(
+                b"mvhd",
+                b"\x00" * 4 + b"\x00" * 8 + struct.pack(">II", 1000, dur) + b"\x00" * 80,
+            )
+            tkhd = box(
+                b"tkhd",
+                b"\x00\x00\x00\x07" + b"\x00" * 72
+                + struct.pack(">II", 320 << 16, 240 << 16),
+            )
+            out.append(
+                box(b"ftyp", b"isom\x00\x00\x02\x00isom")
+                + box(b"moov", mvhd + box(b"trak", tkhd))
+            )
+        return pd.Series(out)
+
+    mux = pandas_udf(_mux, BinaryType())
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 1)
+        .select("doc_id", "n_chars")
+    )
+    media = attach_media_metadata(
+        docs.withColumn("payload", mux(F.col("n_chars"))),
+        "payload",
+        kind="video",
+        fmt="mp4",
+        id_col="doc_id",
+    )
+    probed = probe_video_metadata(media)
+    frames = (
+        sample_frames(probed, every_ms=1000)
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_frames"))
+    )
+    meta = probed.select(
+        "media_id",
+        F.col("meta.duration_ms").alias("duration_ms"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+    return meta.join(frames, "media_id")
