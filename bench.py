@@ -85,11 +85,14 @@ def main() -> None:
         "q05_local_supplier_volume",
         "q06_forecast_revenue",
         "q07_volume_shipping",
+        "q08_market_share",
         "q10_returned_items",
+        "q12_late_priority",
         "q14_type_revenue_share",
         "q16_parts_supplier",
         "q18_large_orders",
         "q19_discounted_revenue",
+        "q21_waiting_suppliers",
         "q22_inactive_customers",
         "q_json_event_stats",
         "q_window_top_events",
