@@ -70,6 +70,14 @@ _PROMOTED: frozenset[str] = frozenset(
         "q_simhash",
         "q_fingerprint",
         "q_media_features_shape",
+        # brand-new in r5 (real-codec + TPC-H shapes): declare now so
+        # their first driver rows land this round
+        "q_media_audio_energy",
+        "q_media_jpeg_pipeline",
+        "q_media_video_probe",
+        "q08_market_share",
+        "q12_late_priority",
+        "q21_waiting_suppliers",
     }
 )
 _DEMOTED: frozenset[str] = frozenset(
@@ -85,6 +93,14 @@ _DEMOTED: frozenset[str] = frozenset(
         "q17_small_quantity_revenue",
         "q19_discounted_revenue",
         "q22_inactive_customers",
+        # r4-green rows whose surfaces the promoted stand-alone forms +
+        # the extras CI gate keep enforced
+        "q_embedding_neardup",
+        "q_media_frame_sample",
+        "q_media_resize",
+        "q_simhash_pairs",
+        "q_lang_quality",
+        "q_text_stats",
     }
 )
 
@@ -100,6 +116,13 @@ _PRIORITY: list[str] = [
     # §2.1 operator evidence with no r4 driver row
     "q_hnsw_index_info",
     "q_sql_minby_topk",
+    # brand-new r5 surface: first driver rows
+    "q_media_audio_energy",
+    "q_media_jpeg_pipeline",
+    "q_media_video_probe",
+    "q08_market_share",
+    "q12_late_priority",
+    "q21_waiting_suppliers",
     # remaining promoted extras (r2/r3-green only)
     "q06_forecast_revenue",
     "q_knn_grid",
