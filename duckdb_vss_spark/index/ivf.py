@@ -26,6 +26,7 @@ the write is the only shuffle.
 from __future__ import annotations
 
 import json
+import logging
 import math
 import os
 import shutil
@@ -39,6 +40,8 @@ from pyspark.sql.types import ArrayType, IntegerType
 from duckdb_vss_spark.functions.distance import distance_for_metric
 
 __all__ = ["create_ivf_index", "load_ivf_index", "drop_ivf_index", "IvfIndex"]
+
+_LOG = logging.getLogger(__name__)
 
 
 def _kmeans(sample: np.ndarray, nlist: int, iters: int, seed: int) -> np.ndarray:
@@ -102,14 +105,30 @@ def _assign_udf(centroids: np.ndarray, metric: str):
 def _fits_broadcast(queries: DataFrame, nprobe: int, budget_bytes: int) -> bool:
     """Whether the exploded (queries·nprobe) side fits a broadcast
     budget, from Catalyst's logical size estimate — a plan statistic,
-    not a driver job. Unknown/failed estimates return True (small query
-    sets are the overwhelmingly common case; the caller can force
-    ``broadcast_queries=False``)."""
+    not a driver job.
+
+    Unknown/FAILED estimates return False (VERDICT r5 #3): the shuffle
+    join is always safe and AQE re-promotes the broadcast at runtime
+    when actual sizes are known, whereas a forced broadcast of a side
+    nothing is known about is the one path that can OOM executors. The
+    decision (estimate vs budget) is logged so a demotion is visible to
+    the caller — Catalyst wildly inflates sizeInBytes for plans without
+    file-backed stats (UDF/join outputs multiply toward Long.MaxValue),
+    and ``broadcast_queries=True`` remains the explicit override."""
     try:
         size = int(queries._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    except Exception:  # noqa: BLE001 — estimate is best-effort
-        return True
-    return size * nprobe <= budget_bytes
+    except Exception as e:  # noqa: BLE001 — estimate is best-effort
+        _LOG.info("ivf.knn_join broadcast auto-decision: estimate failed (%s) -> shuffle join", e)
+        return False
+    fits = size * nprobe <= budget_bytes
+    _LOG.info(
+        "ivf.knn_join broadcast auto-decision: estimate=%d B x nprobe=%d vs budget=%d B -> %s",
+        size,
+        nprobe,
+        budget_bytes,
+        "broadcast" if fits else "shuffle join",
+    )
+    return fits
 
 
 class IvfIndex:

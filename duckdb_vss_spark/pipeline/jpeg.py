@@ -481,6 +481,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise JpegError("only baseline sequential (SOF0) supported")
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise JpegError("truncated DRI")
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
             if sof is None:

@@ -73,10 +73,17 @@ def probe_mp4(data: bytes) -> dict:
         for btype, b0, b1 in _boxes(data, start, end):
             if btype == b"mvhd":
                 body = data[b0:b1]
+                # version 1 widens creation/modification/duration to 64
+                # bits, pushing timescale+duration to bytes [20, 32); a
+                # body shorter than its version's field layout must fail
+                # as Mp4Error, never escape as struct.error (the probe's
+                # documented malformed-payload contract)
                 if len(body) < 20:
                     raise Mp4Error("truncated mvhd")
                 version = body[0]
                 if version == 1:
+                    if len(body) < 32:
+                        raise Mp4Error("truncated mvhd")
                     timescale, dur = struct.unpack(">IQ", body[20:32])
                 else:
                     timescale, dur = struct.unpack(">II", body[12:20])
@@ -84,6 +91,10 @@ def probe_mp4(data: bytes) -> dict:
                     duration_ms = int(dur * 1000 // timescale)
             elif btype == b"tkhd":
                 body = data[b0:b1]
+                # need at least version byte + flags + the trailing
+                # 8-byte 16.16 width/height this probe reads
+                if len(body) < 12:
+                    raise Mp4Error("truncated tkhd")
                 version = body[0]
                 # width/height are the last two 16.16 fields of tkhd
                 w_fp, h_fp = struct.unpack(">II", body[-8:])

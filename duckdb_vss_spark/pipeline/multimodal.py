@@ -24,6 +24,7 @@ real design in every tier.
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 from pyspark.sql import DataFrame
@@ -279,7 +280,10 @@ def probe_video_metadata(df: DataFrame) -> DataFrame:
                         m["duration_ms"] = info["duration_ms"]
                         m["width"] = info["width"]
                         m["height"] = info["height"]
-                    except Mp4Error:
+                    except (Mp4Error, struct.error, IndexError):
+                        # Mp4Error is the probe's contract; struct/Index
+                        # guard against any parser gap so one malformed
+                        # payload can never fail the whole Spark job
                         pass  # keep caller-supplied metadata
                 metas.append(m)
             res = pdf.copy()

@@ -133,6 +133,15 @@ def test_knn_join_broadcast_guard(spark, emb, ivf):
     assert _fits_broadcast(q, nprobe=4, budget_bytes=64 << 20)
     assert not _fits_broadcast(q, nprobe=4, budget_bytes=1)
 
+    # VERDICT r5 #3: a FAILED/unknown estimate must route to the shuffle
+    # join (never force-broadcast the side nothing is known about)
+    class _NoPlan:
+        @property
+        def _jdf(self):
+            raise RuntimeError("no query execution available")
+
+    assert _fits_broadcast(_NoPlan(), nprobe=4, budget_bytes=64 << 20) is False
+
     def ordered(df):
         return [
             (r["qid"], r["rn"], r["vec_id"])

@@ -69,3 +69,108 @@ def test_frame_energy_contract(n, dim, seed):
     assert (e >= 0).all() and (e <= 1.0).all()
     if n and np.abs(sig).max() > 0:
         assert e.max() == 1.0  # peak-normalized
+
+
+# --------------------------------------------------------------------------
+# MP4 probe: malformed payloads must raise Mp4Error, never struct.error /
+# IndexError (VERDICT r5 #8 / ADVICE r5) — probe_video_metadata only
+# catches Mp4Error, so an escaping parser exception would fail a whole
+# Spark job on one bad payload.
+# --------------------------------------------------------------------------
+
+import struct as _struct  # noqa: E402
+
+from duckdb_vss_spark.pipeline.jpeg import JpegError  # noqa: E402
+from duckdb_vss_spark.pipeline.mp4 import Mp4Error, probe_mp4  # noqa: E402
+
+
+def _box(btype: bytes, body: bytes, large: bool = False) -> bytes:
+    if large:
+        return _struct.pack(">I", 1) + btype + _struct.pack(">Q", len(body) + 16) + body
+    return _struct.pack(">I", len(body) + 8) + btype + body
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.integers(0, 40),
+    st.integers(0, 40),
+    st.integers(0, 3),
+    st.booleans(),
+    st.booleans(),
+)
+def test_probe_mp4_short_header_bodies_raise_mp4error(
+    mvhd_len, tkhd_len, version, large_moov, large_trak
+):
+    """mvhd/tkhd bodies of arbitrary (mostly too-short) lengths inside an
+    otherwise valid box tree, under both 32-bit and 64-bit largesize
+    containers: probe either succeeds or raises Mp4Error."""
+    mvhd_body = bytes([version]) + b"\x00" * mvhd_len
+    tkhd_body = bytes([version]) + b"\x00" * tkhd_len
+    trak = _box(b"trak", _box(b"tkhd", tkhd_body), large=large_trak)
+    moov = _box(b"moov", _box(b"mvhd", mvhd_body) + trak, large=large_moov)
+    data = _box(b"ftyp", b"isom\x00\x00\x02\x00") + moov
+    try:
+        info = probe_mp4(data)
+    except Mp4Error:
+        return
+    assert isinstance(info["duration_ms"], int)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(0, 180))
+def test_probe_mp4_truncation_and_bitflips_never_escape(seed, cut):
+    """Truncations and random byte corruptions of a valid file: the
+    probe returns a dict or raises Mp4Error — nothing else."""
+    # a valid container assembled like tests/test_pipeline._mini_mp4
+    mvhd = _box(
+        b"mvhd",
+        b"\x00" * 4 + b"\x00" * 8 + _struct.pack(">II", 1000, 5000) + b"\x00" * 80,
+    )
+    tkhd = _box(
+        b"tkhd",
+        b"\x00\x00\x00\x07" + b"\x00" * 72 + _struct.pack(">II", 64 << 16, 48 << 16),
+    )
+    valid = _box(b"ftyp", b"isom\x00\x00\x02\x00") + _box(
+        b"moov", mvhd + _box(b"trak", tkhd)
+    )
+    rng = np.random.default_rng(seed)
+    data = bytearray(valid[: min(cut, len(valid))])
+    for _ in range(rng.integers(0, 6)):
+        if not data:
+            break
+        data[rng.integers(0, len(data))] = rng.integers(0, 256)
+    try:
+        info = probe_mp4(bytes(data))
+        assert isinstance(info, dict)
+    except Mp4Error:
+        pass
+
+
+def test_jpeg_short_dri_raises_jpegerror():
+    """A DRI segment with an empty body (seglen=2) must raise JpegError,
+    not struct.error (ADVICE r5)."""
+    import pytest
+
+    data = b"\xff\xd8" + b"\xff\xdd\x00\x02" + b"\xff\xd9"
+    with pytest.raises(JpegError):
+        decode_jpeg(data)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(0, 400))
+def test_jpeg_truncation_never_escapes(seed, cut):
+    """Truncations/corruptions of a valid encode: decode_jpeg either
+    returns an image or raises JpegError — the module's documented
+    malformed-payload contract."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    valid = bytearray(encode_jpeg(img, quality=80)[: cut if cut else None])
+    for _ in range(rng.integers(0, 4)):
+        if not valid:
+            break
+        valid[rng.integers(0, len(valid))] = rng.integers(0, 256)
+    try:
+        out = decode_jpeg(bytes(valid))
+        assert out.dtype == np.uint8
+    except JpegError:
+        pass
