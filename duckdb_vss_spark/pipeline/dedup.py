@@ -113,6 +113,7 @@ def doc_shingles(
     """
     import hashlib
 
+    import numpy as np
     import pandas as pd
 
     schema = "id long, shs array<long>, sz int" + "".join(
@@ -121,60 +122,108 @@ def doc_shingles(
     salts = [f"{i}_".encode() for i in range(num_hashes)]
 
     def gen(batches):
+        """Batch-vectorized shingle pass (VERDICT r5 #2): instead of
+        per-shingle Python dict/set work with an inner loop over the
+        ``num_hashes`` salts, each Arrow batch is processed as arrays —
+
+        1. flatten every doc's shingles into one list (+ doc index),
+        2. ``pd.factorize`` it (one C-speed hash pass over the batch),
+        3. md5 only the batch's UNIQUE shingles (memoized across
+           batches — the vocab repeats heavily),
+        4. per-doc dedup via one ``np.unique`` over packed
+           (doc, code) int64 keys,
+        5. per-salt MinHash mins via ``np.minimum.reduceat`` over the
+           digests split into two big-endian uint64 halves: min of the
+           hi half per doc segment, then min of the lo half restricted
+           to rows achieving that hi — lexicographic byte order ==
+           (hi, lo) integer order, so the pair is the exact min digest.
+
+        Python-level work is O(unique shingles) per batch; everything
+        per-occurrence is numpy."""
         md5 = hashlib.md5
-        # md5 state pre-seeded with each salt prefix: per shingle, copy()
-        # + update(shingle) instead of re-hashing salt||shingle from
-        # scratch — same digests, ~40% less hashing in the vocab loop
-        # (VERDICT r3 #2 / r4 #4)
+        # md5 state pre-seeded with each salt prefix: per unique shingle,
+        # copy() + update(shingle) instead of re-hashing salt||shingle
+        # from scratch (VERDICT r3 #2 / r4 #4)
         seeds = [md5(s) for s in salts]
-        # shingle → (hash, per-salt digests); vocab repeats heavily
-        # across docs, so memoize per python worker batch stream
+        # shingle → (shh, (hi, lo) per salt) memo, shared across batches
         cache: dict[str, tuple] = {}
+        empty = pd.DataFrame(
+            {
+                "id": pd.Series([], dtype="int64"),
+                "shs": pd.Series([], dtype="object"),
+                "sz": pd.Series([], dtype="int32"),
+                **{f"h{i}": pd.Series([], dtype="object") for i in range(num_hashes)},
+            }
+        )
         for pdf in batches:
-            ids, shs_col, sz_col = [], [], []
-            hcols = [[] for _ in range(num_hashes)]
+            doc_ids: list = []
+            flat: list = []
+            lens: list = []
             for doc_id, text in zip(pdf["id"], pdf["txt"]):
                 if text is None:
                     continue
                 words = text.split(" ")
                 if len(words) < n:
                     continue
-                shingles = {
-                    " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
-                }
-                hs = []
-                mins = [None] * num_hashes
-                for sh in shingles:
-                    ent = cache.get(sh)
-                    if ent is None:
-                        b = sh.encode()
-                        shh = int.from_bytes(md5(b).digest()[:8], "big") >> 4
-                        digs = []
-                        for sd in seeds:
-                            m = sd.copy()
-                            m.update(b)
-                            digs.append(m.digest())
-                        ent = (shh, digs)
-                        cache[sh] = ent
-                    hs.append(ent[0])
-                    for i in range(num_hashes):
-                        d = ent[1][i]
-                        if mins[i] is None or d < mins[i]:
-                            mins[i] = d
-                ids.append(doc_id)
-                shs_col.append(hs)
-                sz_col.append(len(hs))
-                for i in range(num_hashes):
-                    hcols[i].append(mins[i].hex())
+                doc_ids.append(doc_id)
+                sh = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+                flat.extend(sh)
+                lens.append(len(sh))
+            if not doc_ids:
+                yield empty
+                continue
+            codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+            nu = len(uniques)
+            doc_of = np.repeat(np.arange(len(doc_ids), dtype=np.int64), lens)
+            # per-doc distinct shingles: one unique over packed keys
+            distinct = np.unique(doc_of * nu + codes)
+            d_doc = distinct // nu
+            d_code = distinct % nu
+            # hash the batch's unique shingles only (memoized); the
+            # cache stores a flat int tuple so the batch's digest matrix
+            # materializes in ONE np.array call, not per-scalar stores
+            def _ent(s: str) -> tuple:
+                ent = cache.get(s)
+                if ent is None:
+                    b = s.encode()
+                    row = [int.from_bytes(md5(b).digest()[:8], "big") >> 4]
+                    for sd in seeds:
+                        m = sd.copy()
+                        m.update(b)
+                        dg = m.digest()
+                        row.append(int.from_bytes(dg[:8], "big"))
+                        row.append(int.from_bytes(dg[8:], "big"))
+                    ent = tuple(row)
+                    cache[s] = ent
+                return ent
+
+            ents = np.array([_ent(s) for s in uniques], dtype=np.uint64)
+            shh_u = ents[:, 0].astype(np.int64)
+            # d_doc is sorted (primary key of the packed unique) — the
+            # segment boundaries are the per-doc slices
+            starts = np.flatnonzero(np.r_[True, d_doc[1:] != d_doc[:-1]])
+            sz = np.diff(np.r_[starts, len(d_doc)]).astype(np.int32)
+            shs_col = np.split(shh_u[d_code], starts[1:])
             res = pd.DataFrame(
                 {
-                    "id": pd.Series(ids, dtype="int64"),
+                    "id": pd.Series(doc_ids, dtype="int64"),
                     "shs": pd.Series(shs_col, dtype="object"),
-                    "sz": pd.Series(sz_col, dtype="int32"),
+                    "sz": pd.Series(sz, dtype="int32"),
                 }
             )
             for i in range(num_hashes):
-                res[f"h{i}"] = pd.Series(hcols[i], dtype="object")
+                hi = ents[:, 1 + 2 * i][d_code]
+                lo = ents[:, 2 + 2 * i][d_code]
+                min_hi = np.minimum.reduceat(hi, starts)
+                # min lo among rows achieving the doc's min hi — the
+                # (min_hi, min_lo) pair is the lexicographic min digest
+                lo_masked = np.where(
+                    hi == min_hi[d_doc], lo, np.uint64(0xFFFFFFFFFFFFFFFF)
+                )
+                min_lo = np.minimum.reduceat(lo_masked, starts)
+                res[f"h{i}"] = [
+                    f"{int(h):016x}{int(l):016x}" for h, l in zip(min_hi, min_lo)
+                ]
             yield res
 
     src = _spread(df).select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
