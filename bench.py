@@ -188,6 +188,134 @@ def main() -> None:
             lambda: embedding_neardup_lsh(emb, "embedding", "vec_id", 0.4).count(),
         )
 
+    # -- ANN recall@10 vs exact brute force (VERDICT r5 #4) ---------------
+    # Speed without a recall number is half a benchmark. Reference
+    # quality anchor: >0.9 recall@10 in the M=16, ef=64-128 regime
+    # (BASELINE.md; usearch defaults). Exact top-10 computed driver-side
+    # (sf0.1 embeddings are driver-sized); indexes searched at DEFAULTS.
+    recall: dict[str, float] = {}
+
+    def _recall_section():
+        import numpy as np
+
+        rows = emb.select("vec_id", "embedding").collect()
+        ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+        mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+        qmask = ids % 40 == 0
+        q_ids = ids[qmask]
+        qm = mat[qmask]
+        d = ((qm[:, None, :] - mat[None, :, :]) ** 2).sum(-1)
+        exact = {
+            int(q): set(ids[np.argsort(dq, kind="stable")[:10]].tolist())
+            for q, dq in zip(q_ids, d)
+        }
+        qdf10 = emb.where(F.col("vec_id") % 40 == 0).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+
+        def measure(out_df):
+            got: dict[int, set] = {}
+            for r in out_df.select("qid", "vec_id").collect():
+                got.setdefault(r["qid"], set()).add(r["vec_id"])
+            hits = sum(len(got.get(q, set()) & exact[q]) for q in exact)
+            return round(hits / (10 * len(exact)), 4)
+
+        if "i" in idx:
+            recall["hnsw_knn@10"] = measure(
+                idx["i"].knn_join(
+                    qdf10, emb.select("vec_id", "embedding"), "qvec", 10, "qid"
+                )
+            )
+        if "i" in ivf:
+            recall["ivf_knn@10"] = measure(ivf["i"].knn_join(qdf10, "qvec", 10, "qid"))
+
+    if emb is not None:
+        section("recall", _recall_section)
+
+    # -- scale8: one heavy shape at 8x the data (VERDICT r5 #6) -----------
+    # Shows the scaling curve as the workload outgrows Spark's ~0.3-1.0s
+    # local job floor. Replicas get a per-replica vowel rotation so they
+    # do NOT near-dup each other: pair volume grows ~linearly (8x), not
+    # quadratically, keeping the workload an honest 8x of the base. The
+    # same 8x union runs on DuckDB (same SQL as the q_minhash_lsh
+    # oracle) for the single-node curve.
+    scale8: dict[str, float] = {}
+
+    def _scale8_section():
+        from functools import reduce
+
+        import duckdb
+
+        from duckdb_vss_spark.pipeline import minhash_lsh_pairs
+        from duckdb_vss_spark.index import create_hnsw_index as _mk_hnsw
+
+        reps = 8
+        rot = "etaoin"
+
+        def _rot(i):
+            r = i % len(rot)
+            return rot[r:] + rot[:r]
+
+        docs = load_table(spark, sf_dir, "documents")
+        big = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                docs.select(
+                    (F.col("doc_id") + i * 100_000_000).alias("doc_id"),
+                    (
+                        F.col("text")
+                        if i == 0
+                        else F.translate(F.col("text"), rot, _rot(i))
+                    ).alias("text"),
+                )
+                for i in range(reps)
+            ],
+        )
+        t0 = time.time()
+        n_pairs = minhash_lsh_pairs(
+            big, "text", "doc_id", num_hashes=8, bands=4, n=3, threshold=0.1
+        ).count()
+        scale8["minhash_lsh_spark_x8"] = round(time.time() - t0, 3)
+        scale8["minhash_lsh_pairs_x8"] = n_pairs
+
+        if emb is not None:
+            emb8 = reduce(
+                lambda a, b: a.unionByName(b),
+                [
+                    emb.select(
+                        (F.col("vec_id") + i * 10_000_000).alias("vec_id"), "embedding"
+                    )
+                    for i in range(reps)
+                ],
+            )
+            t0 = time.time()
+            _mk_hnsw(
+                spark, emb8, "embedding", "vec_id", "/tmp/bench_hnsw_idx8",
+                overwrite=True,
+            )
+            scale8["hnsw_build_spark_x8"] = round(time.time() - t0, 3)
+
+        # DuckDB single-node on the identical 8x relation
+        oracles = {**Q.oracle_sql(), **Q.extra_oracle_sql()}
+        lsh_sql = oracles.get("q_minhash_lsh")
+        if lsh_sql:
+            con = duckdb.connect()
+            con.execute(f"SET threads={os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+            union_sql = " UNION ALL ".join(
+                f"SELECT doc_id + {i * 100_000_000} AS doc_id, "
+                f"translate(text, '{rot}', '{_rot(i)}') AS text "
+                f"FROM read_parquet('{sf_dir}/documents.parquet')"
+                for i in range(reps)
+            )
+            con.execute(f"CREATE VIEW documents AS {union_sql}")
+            t0 = time.time()
+            rows = con.execute(lsh_sql).fetchall()
+            scale8["minhash_lsh_duckdb_x8"] = round(time.time() - t0, 3)
+            scale8["minhash_lsh_duckdb_pairs_x8"] = len(rows)
+            con.close()
+
+    section("scale8", _scale8_section)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_total",
@@ -197,6 +325,10 @@ def main() -> None:
         "cold": cold,
         "sf": sf,
     }
+    if recall:
+        out["recall"] = recall
+    if scale8:
+        out["scale8"] = scale8
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

@@ -47,92 +47,46 @@ _ORACLES: dict[str, str] = {}
 _EXTRA_QUERIES: dict[str, QueryFn] = {}
 _EXTRA_ORACLES: dict[str, str] = {}
 
-# Round-5 window rotation (VERDICT r4 #9): every query keeps its oracle
+# Round-6 window rotation (VERDICT r5 #5): every query keeps its oracle
 # and stays enforced — tools/check_correctness.py and the CI gate
 # (tests/test_registry_oracle.py) run declared + extra alike — but the
 # driver's CORRECTNESS window holds 50 rows, so membership rotates each
 # round to give every query a fresh driver-verified row at least every
-# other round. This round the 11 r2/r3-only extras come IN (they have no
-# r4 driver row; q_hnsw_index_info and q_sql_minby_topk are §2.1
-# operator evidence) and 11 TPC-H rows with r3+r4 green rows go OUT
-# (q01/q13/q18 stay declared as the relational agg/outer-join/semi-join
-# evidence).
-_PROMOTED: frozenset[str] = frozenset(
-    {
-        "q06_forecast_revenue",
-        "q_knn_grid",
-        "q_hnsw_index_info",
-        "q_sql_minby_topk",
-        "q_semantic_doc_search",
-        "q_lang_id",
-        "q_quality_score",
-        "q_minhash_signature",
-        "q_simhash",
-        "q_fingerprint",
-        "q_media_features_shape",
-        # brand-new in r5 (real-codec + TPC-H shapes): declare now so
-        # their first driver rows land this round
-        "q_media_audio_energy",
-        "q_media_jpeg_pipeline",
-        "q_media_video_probe",
-        "q08_market_share",
-        "q12_late_priority",
-        "q21_waiting_suppliers",
-    }
-)
-_DEMOTED: frozenset[str] = frozenset(
-    {
-        "q03_shipping_priority",
-        "q04_priority_semi",
-        "q05_local_supplier_volume",
-        "q07_volume_shipping",
-        "q10_returned_items",
-        "q14_type_revenue_share",
-        "q15_top_supplier",
-        "q16_parts_supplier",
-        "q17_small_quantity_revenue",
-        "q19_discounted_revenue",
-        "q22_inactive_customers",
-        # r4-green rows whose surfaces the promoted stand-alone forms +
-        # the extras CI gate keep enforced
-        "q_embedding_neardup",
-        "q_media_frame_sample",
-        "q_media_resize",
-        "q_simhash_pairs",
-        "q_lang_quality",
-        "q_text_stats",
-    }
-)
+# other round. This round the 17 rows demoted in r5 (last driver row:
+# r4) come BACK IN, and the 17 extras promoted in r5 (fresh r5 rows)
+# rotate back out to the CI-enforced extra registry. One r5-green base
+# row (q_json_event_stats — stable since r2) rotates out to make room
+# for the new q_hnsw_knn_filtered_empty under the 50-row cap.
+_PROMOTED: frozenset[str] = frozenset()
+_DEMOTED: frozenset[str] = frozenset({"q_json_event_stats"})
 
 # Declared queries listed here are emitted FIRST (dict insertion order is
 # the driver's check order): the rows that most recently changed or were
 # least recently driver-verified lead, so a partial window always covers
 # them.
 _PRIORITY: list[str] = [
-    # broken in r4 (timestamp-unit regression), fixed this round
-    "q_sessionize_events",
-    "q_stream_window_counts",
-    "q_stream_session_windows",
-    # §2.1 operator evidence with no r4 driver row
-    "q_hnsw_index_info",
-    "q_sql_minby_topk",
-    # brand-new r5 surface: first driver rows
-    "q_media_audio_energy",
-    "q_media_jpeg_pipeline",
-    "q_media_video_probe",
-    "q08_market_share",
-    "q12_late_priority",
-    "q21_waiting_suppliers",
-    # remaining promoted extras (r2/r3-green only)
-    "q06_forecast_revenue",
-    "q_knn_grid",
-    "q_semantic_doc_search",
-    "q_lang_id",
-    "q_quality_score",
-    "q_minhash_signature",
-    "q_simhash",
-    "q_fingerprint",
-    "q_media_features_shape",
+    # brand-new r6 surface: first driver row (0-row filter pull-up edge)
+    "q_hnsw_knn_filtered_empty",
+    # the 17 rows whose last driver evidence is r4 (VERDICT r5 #5)
+    "q03_shipping_priority",
+    "q04_priority_semi",
+    "q05_local_supplier_volume",
+    "q07_volume_shipping",
+    "q10_returned_items",
+    "q14_type_revenue_share",
+    "q15_top_supplier",
+    "q16_parts_supplier",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q22_inactive_customers",
+    "q_embedding_neardup",
+    "q_media_frame_sample",
+    "q_media_resize",
+    "q_simhash_pairs",
+    "q_lang_quality",
+    "q_text_stats",
+    # paths touched by this round's executor-side knn_join rewrite
+    "q_hnsw_knn_join",
 ]
 
 
@@ -1206,6 +1160,47 @@ def q_hnsw_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         lit = ",".join(repr(x) for x in qv)
         df = planner.sql(
             f"SELECT vec_id, label, dist FROM embeddings WHERE label < 3 "
+            f"ORDER BY embedding <-> [{lit}]::FLOAT[{len(qv)}] LIMIT 10"
+        )
+        assert planner.last_plan == "HNSW_INDEX_SCAN", planner.last_plan
+        return df
+    finally:
+        spark.conf.unset("spark.vss.ef_search")
+
+
+@register(
+    "q_hnsw_knn_filtered_empty",
+    f"""
+    SELECT vec_id, label, dist FROM (
+      SELECT vec_id, label,
+             list_distance(CAST(embedding AS DOUBLE[]), {_ORACLE_QVEC.format(vid=23)}) AS dist
+      FROM embeddings
+      WHERE embedding IS NOT NULL
+      ORDER BY dist, vec_id
+      LIMIT 10
+    ) WHERE label = 3
+    """,
+)
+def q_hnsw_knn_filtered_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 0-row edge of the filter pull-up (VERDICT r5 #7): the WHERE
+    eliminates ALL of the top-k. Rows with label = 3 exist in the table,
+    but none are among vec 23's 10 nearest — the reference's documented
+    trade (hnsw_optimize_scan.cpp:161-191) returns an EMPTY result here
+    rather than searching past k, and so do we. Schema must survive the
+    empty result (the driver hash-compares schema + 0 rows)."""
+    from duckdb_vss_spark.plans import VssPlanner
+
+    idx = _get_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.createOrReplaceTempView("embeddings")
+    spark.conf.set("spark.vss.ef_search", "400")
+    try:
+        planner = VssPlanner(spark)
+        planner.register_index("embeddings", "embedding", idx)
+        qv = _query_vec(spark, sf_dir, 23)
+        lit = ",".join(repr(x) for x in qv)
+        df = planner.sql(
+            f"SELECT vec_id, label, dist FROM embeddings WHERE label = 3 "
             f"ORDER BY embedding <-> [{lit}]::FLOAT[{len(qv)}] LIMIT 10"
         )
         assert planner.last_plan == "HNSW_INDEX_SCAN", planner.last_plan
