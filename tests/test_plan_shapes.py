@@ -107,3 +107,26 @@ def test_lateral_knn_join_has_no_cartesian_blowup_markers(spark):
         joined = idx.knn_join(q, emb.select("vec_id", "embedding"), "qvec", 3, "qid")
         plan = plan_of(joined, "simple")
         assert "CartesianProduct" not in plan
+
+
+def test_hnsw_knn_join_is_single_stage_no_union(spark):
+    """VERDICT r5 #1 done-criterion: the executor-side ANN lateral join
+    plans ONE MapInPandas over the queries side — no per-chunk
+    broadcast/union chain (the old driver-relay shape grew the plan by
+    one Union + broadcast per 65k queries)."""
+    from duckdb_vss_spark.index import create_hnsw_index
+    import tempfile
+
+    emb = load_table(spark, SF, "embeddings")
+    with tempfile.TemporaryDirectory() as d:
+        idx = create_hnsw_index(
+            spark, emb, "embedding", "vec_id", f"{d}/idx", overwrite=True
+        )
+        q = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+        joined = idx.knn_join(
+            q, emb.select("vec_id", "embedding"), "qvec", 3, "qid",
+            queries_per_batch=2,  # tiny chunks must NOT multiply plan nodes
+        )
+        plan = plan_of(joined, "simple")
+        assert plan.count("MapInPandas") == 1, plan
+        assert "Union" not in plan, plan
