@@ -1,4 +1,5 @@
 from duckdb_vss_spark.pipeline.dedup import (  # noqa: F401
+    dedup_clusters,
     embedding_neardup_lsh,
     embedding_neardup_pairs,
     exact_dedup,

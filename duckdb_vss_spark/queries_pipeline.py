@@ -636,6 +636,42 @@ def _simhash_pairs_oracle(bits: int = 16, max_hamming: int = 3) -> str:
     """
 
 
+def _dedup_clusters_oracle() -> str:
+    pairs_sql = _simhash_pairs_oracle().strip()
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, lab) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id
+    """
+
+
+@register("q_dedup_clusters", _dedup_clusters_oracle())
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup cluster resolution: near-dup pairs → connected components →
+    canonical id per component (min id). Near-dup is not transitive, so
+    a keep-list built from raw pairs over-deletes; clustering is the
+    step a real pipeline runs before dropping documents. Spark side is
+    iterative min-label propagation (pipeline/dedup.dedup_clusters,
+    O(diameter) rounds of skinny (id, lab) shuffles); the oracle is the
+    same fixpoint as a DuckDB recursive CTE over the identical
+    (engine-reproducible) simhash pair list."""
+    from duckdb_vss_spark.pipeline.dedup import dedup_clusters, simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash_pairs(docs, "text", "doc_id", bits=16, max_hamming=3, blocks=2)
+    return dedup_clusters(pairs)
+
+
 @register("q_simhash_pairs", _simhash_pairs_oracle())
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: bucketing on signature halves, bucket

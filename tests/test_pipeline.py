@@ -657,3 +657,31 @@ def test_probe_video_metadata_through_spark(spark):
         by_id.setdefault(r["media_id"], []).append(r["frame_ts_ms"])
     assert sorted(by_id[1]) == [0, 1000, 2000]  # 3s @ 1fps
     assert sorted(by_id[2]) == [0]              # short clip → 1 frame
+
+
+def test_dedup_clusters_known_components(spark):
+    """Connected components over an explicit pair list: chain, triangle
+    + pendant, isolated pair, and a component whose min id arrives via
+    a multi-hop path (propagation must cross >1 round)."""
+    from duckdb_vss_spark.pipeline.dedup import dedup_clusters
+
+    pairs = [
+        (1, 5), (5, 9),            # chain 1-5-9            -> cluster 1
+        (20, 21), (21, 22), (20, 22), (22, 23),  # triangle + pendant -> 20
+        (40, 41),                  # isolated pair           -> 40
+        (54, 53), (53, 52), (52, 51), (51, 50),  # long chain, min at far end -> 50
+    ]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        r["id"]: r["cluster_id"] for r in dedup_clusters(df).collect()
+    }
+    want = {
+        1: 1, 5: 1, 9: 1,
+        20: 20, 21: 20, 22: 20, 23: 20,
+        40: 40, 41: 40,
+        50: 50, 51: 50, 52: 50, 53: 50, 54: 50,
+    }
+    assert got == want
+    # keep-list: exactly one survivor per component
+    survivors = {i for i, c in got.items() if i == c}
+    assert survivors == {1, 20, 40, 50}
