@@ -10,6 +10,11 @@ from duckdb_vss_spark.pipeline.dedup import (  # noqa: F401
     simhash,
     simhash_pairs,
 )
+from duckdb_vss_spark.pipeline.sample import (  # noqa: F401
+    hash60,
+    hash_sample,
+    shuffle_shards,
+)
 from duckdb_vss_spark.pipeline.multimodal import (  # noqa: F401
     MEDIA_SCHEMA,
     attach_media_metadata,

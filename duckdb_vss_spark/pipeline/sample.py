@@ -1,0 +1,75 @@
+"""Deterministic sampling + seeded shuffle-sharding for training-data
+export.
+
+Two operations every large-scale training pipeline needs and
+``df.sample`` cannot provide:
+
+- **hash_sample** — a Bernoulli sample that is a pure FUNCTION of
+  (seed, id): the same rows are kept on any engine, any partitioning,
+  any cluster size, any day. Spark's ``df.sample`` draws from a
+  per-partition RNG stream, so its output changes with the physical
+  split — useless for reproducible corpus construction or held-out
+  splits. Hash thresholding is the standard fix (as used for dataset
+  decontamination / train-test splitting in public LLM-data pipelines):
+  keep a row iff the top 60 bits of md5(seed || '_' || id) fall below
+  fraction·2⁶⁰.
+
+- **shuffle_shards** — a seeded GLOBAL shuffle materialized as shard
+  assignments: shard = h % num_shards, within-shard order = h. Training
+  wants i.i.d.-looking input order; sorting by a keyed hash is a
+  deterministic global permutation, and writing
+  ``partitionBy(shard) ... sortWithinPartitions(pos)`` streams it out
+  with ONE shuffle at any scale (no global sort of the payload — the
+  sort key is 8 bytes and rides the shuffle).
+
+Both reuse the engine-reproducible 60-bit md5-prefix idiom of the dedup
+family (md5 hex → first 15 nibbles → BIGINT), so a DuckDB oracle
+computes identical keep-sets/shard assignments bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hash_sample", "shuffle_shards", "hash60"]
+
+
+def hash60(id_col: Column | str, seed: int) -> Column:
+    """60-bit uniform hash of (seed, id): first 15 hex digits of
+    md5('<seed>_<id>') as a BIGINT — the same value any SQL engine
+    derives via CAST('0x' || substr(md5(...), 1, 15) AS BIGINT)."""
+    key = F.concat_ws("_", F.lit(str(int(seed))), F.col(id_col).cast("string") if isinstance(id_col, str) else id_col.cast("string"))
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, seed: int = 42
+) -> DataFrame:
+    """Deterministic Bernoulli sample: rows whose ``hash60`` falls under
+    ``fraction`` of the 60-bit space. Map-only (no shuffle, no RNG
+    state); the kept set is identical across engines, partitionings and
+    cluster sizes. E[|sample|] = fraction·n with Binomial concentration;
+    disjoint seeds give independent samples (held-out splits)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    bound = int(fraction * float(2**60))
+    return df.where(hash60(id_col, seed) < F.lit(bound))
+
+
+def shuffle_shards(
+    df: DataFrame, id_col: str, num_shards: int, seed: int = 42
+) -> DataFrame:
+    """Seeded global shuffle for training-data export: adds ``shard``
+    (h mod num_shards) and ``pos`` (h) columns. Writing with
+    ``.repartition("shard").sortWithinPartitions("pos")`` (or
+    ``partitionBy("shard")``) yields a deterministic global permutation
+    in ONE shuffle — the payload is never globally sorted, only routed
+    by an 8-byte key. Deterministic given (seed, ids): re-running on
+    re-partitioned input produces byte-identical shards."""
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
+    h = hash60(id_col, seed)
+    return df.withColumn("pos", h).withColumn(
+        "shard", (F.col("pos") % num_shards).cast("int")
+    )

@@ -54,12 +54,21 @@ _EXTRA_ORACLES: dict[str, str] = {}
 # round to give every query a fresh driver-verified row at least every
 # other round. This round the 17 rows demoted in r5 (last driver row:
 # r4) come BACK IN, and the 17 extras promoted in r5 (fresh r5 rows)
-# rotate back out to the CI-enforced extra registry. Two r5-green base
-# rows (q_json_event_stats, q_window_top_events — stable since r2)
-# rotate out to make room for the new q_hnsw_knn_filtered_empty and
-# q_dedup_clusters under the 50-row cap.
+# rotate back out to the CI-enforced extra registry. Four r5-green base
+# rows (q_json_event_stats, q_window_top_events, q_sessionize_events,
+# q_knn_join_grouped — all stable, all with fresh r5 rows) rotate out to
+# make room for the four NEW r6 surfaces (q_hnsw_knn_filtered_empty,
+# q_dedup_clusters, q_hash_sample, q_shuffle_shards) under the 50-row
+# cap.
 _PROMOTED: frozenset[str] = frozenset()
-_DEMOTED: frozenset[str] = frozenset({"q_json_event_stats", "q_window_top_events"})
+_DEMOTED: frozenset[str] = frozenset(
+    {
+        "q_json_event_stats",
+        "q_window_top_events",
+        "q_sessionize_events",
+        "q_knn_join_grouped",
+    }
+)
 
 # Declared queries listed here are emitted FIRST (dict insertion order is
 # the driver's check order): the rows that most recently changed or were
@@ -67,9 +76,12 @@ _DEMOTED: frozenset[str] = frozenset({"q_json_event_stats", "q_window_top_events
 # them.
 _PRIORITY: list[str] = [
     # brand-new r6 surfaces: first driver rows (0-row filter pull-up
-    # edge; connected-components cluster resolution)
+    # edge; connected-components cluster resolution; deterministic
+    # sampling; seeded shuffle-sharding)
     "q_hnsw_knn_filtered_empty",
     "q_dedup_clusters",
+    "q_hash_sample",
+    "q_shuffle_shards",
     # the 17 rows whose last driver evidence is r4 (VERDICT r5 #5)
     "q03_shipping_priority",
     "q04_priority_semi",

@@ -636,6 +636,50 @@ def _simhash_pairs_oracle(bits: int = 16, max_hamming: int = 3) -> str:
     """
 
 
+@register(
+    "q_hash_sample",
+    f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE CAST('0x' || substr(md5('42_' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+          < {int(0.1 * float(2 ** 60))}
+    """,
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli sampling (pipeline/sample.hash_sample):
+    the kept set is a pure function of (seed, id) — identical on any
+    engine/partitioning, unlike df.sample's per-partition RNG. The
+    oracle recomputes the identical 60-bit md5-prefix threshold."""
+    from duckdb_vss_spark.pipeline.sample import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.1, seed=42).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@register(
+    "q_shuffle_shards",
+    """
+    SELECT doc_id,
+           CAST('0x' || substr(md5('7_' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS pos,
+           CAST(CAST('0x' || substr(md5('7_' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 16 AS INT) AS shard
+    FROM documents
+    """,
+)
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded global shuffle-shard assignment for training export
+    (pipeline/sample.shuffle_shards): shard routing + within-shard order
+    from one 60-bit keyed hash — a deterministic global permutation in
+    one shuffle, never a global payload sort."""
+    from duckdb_vss_spark.pipeline.sample import shuffle_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shuffle_shards(docs, "doc_id", 16, seed=7).select(
+        "doc_id", "pos", "shard"
+    )
+
+
 def _dedup_clusters_oracle() -> str:
     pairs_sql = _simhash_pairs_oracle().strip()
     return f"""
