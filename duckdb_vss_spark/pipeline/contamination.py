@@ -1,0 +1,68 @@
+"""Train/eval contamination detection (benchmark-leak scan).
+
+The standard n-gram decontamination check run before training (GPT-3
+appendix C / PaLM-style): an eval document is *contaminated* if it
+shares word n-grams with any training document. Architecture is an
+inverted-index join, never an all-pairs scan:
+
+1. per-doc DISTINCT word n-grams, map-only (in-row window + dedup);
+2. each gram hashed to a 60-bit md5-prefix BIGINT — the shuffle carries
+   (doc_id, 8-byte gram key), never gram strings;
+3. eval grams ⋈ train grams on the hash key (the eval side is the
+   small side by construction — AQE broadcasts it; the train side is
+   never collected or broadcast);
+4. per-eval-doc aggregation: distinct shared grams + distinct matching
+   train docs.
+
+``max_train_df`` optionally drops grams appearing in more than that
+many train docs before the join (the stop-shingle cap of the dedup
+family): a boilerplate gram present in every train doc would otherwise
+fan out |eval| × |train| rows. Contamination semantics tolerate the
+cap — a gram that common is boilerplate, not leakage.
+
+60-bit hash collisions under-count nothing in practice (P[any
+collision] < 1e-9 at 10⁹ distinct grams per eval doc scale) and the
+SQL oracle applies the identical hash, so results stay bit-equal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from duckdb_vss_spark.pipeline.text import word_ngrams
+
+__all__ = ["ngram_contamination"]
+
+
+def _gram_hash(gm: Column) -> Column:
+    return F.conv(F.substring(F.md5(gm), 1, 15), 16, 10).cast("long")
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    is_eval: Column,
+    n: int = 4,
+    max_train_df: int | None = None,
+) -> DataFrame:
+    """Per-eval-doc contamination report: (id_col, n_shared_grams,
+    n_train_docs), eval docs with zero overlap omitted."""
+    grams = docs.select(
+        F.col(id_col),
+        is_eval.alias("is_eval"),
+        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gm"),
+    ).select(id_col, "is_eval", _gram_hash(F.col("gm")).alias("gh"))
+    ev = grams.where(F.col("is_eval")).select(id_col, "gh")
+    tr = grams.where(~F.col("is_eval")).select(
+        F.col(id_col).alias("train_id"), "gh"
+    )
+    if max_train_df is not None:
+        dfreq = tr.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
+        tr = tr.join(dfreq.where(F.col("df") <= max_train_df).select("gh"), "gh")
+    hits = ev.join(tr, "gh")
+    return hits.groupBy(id_col).agg(
+        F.countDistinct("gh").cast("bigint").alias("n_shared_grams"),
+        F.countDistinct("train_id").cast("bigint").alias("n_train_docs"),
+    )

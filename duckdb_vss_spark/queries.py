@@ -59,7 +59,11 @@ _EXTRA_ORACLES: dict[str, str] = {}
 # q_knn_join_grouped — all stable, all with fresh r5 rows) rotate out to
 # make room for the four NEW r6 surfaces (q_hnsw_knn_filtered_empty,
 # q_dedup_clusters, q_hash_sample, q_shuffle_shards) under the 50-row
-# cap.
+# cap. The second r6 batch (curation-pipeline surface:
+# q_repetition_stats, q_pii_scrub, q_vocab_topk, q_doc_oov_rate,
+# q_contamination) displaces five more stable rows with fresh r5 driver
+# evidence (q01, q13, q18, q_knn_cosine, q_knn_inner_product — the
+# brute-knn surface keeps q_knn_l2 as its declared representative).
 _PROMOTED: frozenset[str] = frozenset()
 _DEMOTED: frozenset[str] = frozenset(
     {
@@ -67,6 +71,11 @@ _DEMOTED: frozenset[str] = frozenset(
         "q_window_top_events",
         "q_sessionize_events",
         "q_knn_join_grouped",
+        "q01_pricing_summary",
+        "q13_customer_distribution",
+        "q18_large_orders",
+        "q_knn_cosine",
+        "q_knn_inner_product",
     }
 )
 
@@ -82,6 +91,13 @@ _PRIORITY: list[str] = [
     "q_dedup_clusters",
     "q_hash_sample",
     "q_shuffle_shards",
+    # r6 curation-pipeline surface: repetition filters, PII scrub,
+    # vocabulary/OOV, contamination scan
+    "q_repetition_stats",
+    "q_pii_scrub",
+    "q_vocab_topk",
+    "q_doc_oov_rate",
+    "q_contamination",
     # the 17 rows whose last driver evidence is r4 (VERDICT r5 #5)
     "q03_shipping_priority",
     "q04_priority_semi",

@@ -952,3 +952,229 @@ def q_media_video_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.height").alias("height"),
     )
     return meta.join(frames, "media_id")
+
+
+# --------------------------------------------------------------------------
+# Round 6: curation-pipeline surface — repetition/quality filters, PII
+# scrubbing, corpus vocabulary + OOV, train/eval contamination detection
+# --------------------------------------------------------------------------
+
+@register(
+    "q_repetition_stats",
+    """
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    toks AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS pos FROM words),
+    runs AS (
+      SELECT doc_id, tok,
+             pos - row_number() OVER (PARTITION BY doc_id, tok ORDER BY pos) AS grp
+      FROM toks
+    ),
+    maxrun AS (
+      SELECT doc_id, CAST(max(cnt) AS INT) AS max_run FROM (
+        SELECT doc_id, tok, grp, count(*) AS cnt FROM runs GROUP BY 1, 2, 3
+      ) GROUP BY doc_id
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(w), 1)),
+                    i -> w[i] || ' ' || w[i+1])) AS gm
+      FROM words
+    ),
+    gstat AS (
+      SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM (
+        SELECT doc_id, gm, count(*) AS c FROM grams GROUP BY 1, 2
+      ) GROUP BY doc_id
+    ),
+    base AS (
+      SELECT doc_id,
+             1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / greatest(len(w), 1) AS dup_frac,
+             CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+               / greatest(len(w), 1) AS mean_wlen
+      FROM words
+    )
+    SELECT b.doc_id, m.max_run,
+           COALESCE(CAST(g.mx AS DOUBLE) / g.tot, 0.0) AS top_bigram_frac,
+           b.dup_frac, b.mean_wlen,
+           (m.max_run <= 2 AND COALESCE(CAST(g.mx AS DOUBLE) / g.tot, 0.0) <= 0.07
+            AND b.dup_frac <= 0.68 AND b.mean_wlen BETWEEN 2.0 AND 10.0) AS keep
+    FROM base b JOIN maxrun m USING (doc_id) LEFT JOIN gstat g USING (doc_id)
+    """,
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (pipeline/quality.py): longest
+    same-token run, top-bigram mass fraction, duplicate-token fraction,
+    mean word length, and the AND-of-cutoffs keep decision — all pure
+    map-only Column folds (in-row sorted-run statistics, never an
+    explode+shuffle per doc). The oracle computes the same values
+    relationally (gaps-and-islands / unnest+group), pinning the fold
+    semantics from an independent direction."""
+    from duckdb_vss_spark.pipeline.quality import (
+        duplicate_token_fraction,
+        max_token_run,
+        mean_word_length,
+        repetition_keep,
+        top_ngram_fraction,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        max_token_run("text").alias("max_run"),
+        top_ngram_fraction("text", 2).alias("top_bigram_frac"),
+        duplicate_token_fraction("text").alias("dup_frac"),
+        mean_word_length("text").alias("mean_wlen"),
+        repetition_keep("text").alias("keep"),
+    )
+
+
+def _pii_aug_sql() -> str:
+    return """
+      SELECT doc_id, text
+        || CASE WHEN doc_id % 2 = 0 THEN ' contact admin' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END
+        || CASE WHEN doc_id % 3 = 0 THEN ' see http://ex.example/d/' || CAST(doc_id AS VARCHAR) ELSE '' END
+        || CASE WHEN doc_id % 5 = 0 THEN ' host 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.1' ELSE '' END
+        || CASE WHEN doc_id % 7 = 0 THEN ' call +1-555-0' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ELSE '' END
+        AS t FROM documents
+    """
+
+
+def _pii_scrub_oracle() -> str:
+    from duckdb_vss_spark.pipeline.scrub import PII_PATTERNS
+
+    chain = "t"
+    for _, pat, repl in PII_PATTERNS:
+        chain = f"regexp_replace({chain}, '{pat}', '{repl}', 'g')"
+    counts = ",\n      ".join(
+        f"CAST(len(regexp_extract_all(t, '{pat}')) AS INT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    return f"""
+    WITH aug AS ({_pii_aug_sql()})
+    SELECT doc_id, md5({chain}) AS clean_fp,
+      {counts}
+    FROM aug
+    """
+
+
+@register("q_pii_scrub", _pii_scrub_oracle())
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass (pipeline/scrub.py): typed regex redaction (URL →
+    email → IPv4 → phone, fixed order) + per-type match counts, over
+    text augmented with deterministic synthetic PII (the corpus itself
+    is clean words — the injection, reproduced verbatim in the oracle
+    SQL, makes every counter and replacement branch carry signal,
+    including the zero-count rows). Map-only, JVM-side regex chain; the
+    redacted text is compared by md5 so the driver row stays skinny."""
+    from duckdb_vss_spark.pipeline.scrub import pii_counts, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            d % 2 == 0,
+            F.concat(F.lit(" contact admin"), d.cast("string"), F.lit("@mail.example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit(" see http://ex.example/d/"), d.cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(F.lit(" host 10.0."), (d % 200).cast("string"), F.lit(".1")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 7 == 0,
+            F.concat(F.lit(" call +1-555-0"), F.lpad((d % 1000).cast("string"), 3, "0")),
+        ).otherwise(F.lit("")),
+    )
+    base = docs.select("doc_id", aug.alias("t"))
+    cnts = pii_counts("t")
+    return base.select(
+        "doc_id",
+        F.md5(redact_pii("t")).alias("clean_fp"),
+        *[c.alias(nm) for nm, c in cnts.items()],
+    )
+
+
+@register(
+    "q_vocab_topk",
+    """
+    SELECT tok, CAST(count(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok ORDER BY freq DESC, tok LIMIT 50
+    """,
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build (pipeline/corpus.py): token frequencies
+    via one partial-agg shuffle (map-side combine ⇒ the exchange
+    carries per-partition local vocabs, not token occurrences), global
+    top-k via TakeOrderedAndProject — no full-vocabulary sort. Ties
+    break (freq DESC, tok ASC) in both engines."""
+    from duckdb_vss_spark.pipeline.corpus import vocab_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_topk(docs, "text", 50)
+
+
+@register(
+    "q_doc_oov_rate",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    vocab AS (
+      SELECT tok FROM toks GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 20
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS oov_rate
+    FROM toks LEFT JOIN vocab v USING (tok)
+    GROUP BY doc_id
+    """,
+)
+def q_doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document OOV fraction vs the top-20 corpus vocabulary
+    (pipeline/corpus.py): the vocabulary is broadcast (top-k small by
+    construction), the rate is one skinny-keyed aggregation — tokenizer
+    coverage analysis at scan cost."""
+    from duckdb_vss_spark.pipeline.corpus import oov_rate, vocab_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return oov_rate(docs, "text", "doc_id", vocab_topk(docs, "text", 20))
+
+
+@register(
+    "q_contamination",
+    """
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(w) - 2, 1)),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS gm
+      FROM words
+    ),
+    gh AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(gm), 1, 15)) AS BIGINT) AS gh FROM g
+    ),
+    ev AS (SELECT doc_id, gh FROM gh WHERE doc_id % 41 = 0),
+    tr AS (SELECT doc_id AS train_id, gh FROM gh WHERE doc_id % 41 <> 0)
+    SELECT ev.doc_id,
+           CAST(count(DISTINCT ev.gh) AS BIGINT) AS n_shared_grams,
+           CAST(count(DISTINCT tr.train_id) AS BIGINT) AS n_train_docs
+    FROM ev JOIN tr ON ev.gh = tr.gh
+    GROUP BY ev.doc_id
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination scan (pipeline/contamination.py): eval
+    split = doc_id % 41 = 0, word-4-gram inverted-index join on 60-bit
+    md5-prefix keys (the shuffle never carries gram strings), per-eval-
+    doc distinct shared grams + matching train docs. The GPT-3-style
+    decontamination check as one bucketed join — no all-pairs scan."""
+    from duckdb_vss_spark.pipeline.contamination import ngram_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_contamination(
+        docs, "text", "doc_id", F.col("doc_id") % 41 == 0, n=4
+    )
