@@ -166,6 +166,33 @@ def main() -> None:
             lambda: ivf["i"].knn_join(qdf, "qvec", 5, "qid").count(),
         )
 
+    # vector: PQ build + ADC scan (the byte-compression scale path —
+    # composes with IVF: lists prune rows, codes shrink bytes/row)
+    from duckdb_vss_spark.index import create_pq_index
+
+    pq_path = "/tmp/bench_pq_idx"
+    pq = {}
+    if emb is not None:
+        n_emb = emb.count()
+        timed(
+            "pq_build",
+            lambda: pq.__setitem__(
+                "i",
+                create_pq_index(
+                    spark, emb, "embedding", "vec_id", pq_path,
+                    m=32, ksub=min(64, max(4, n_emb // 4)), overwrite=True,
+                ),
+            ),
+            runs=1,
+        )
+        timed("pq_search_adc", lambda: pq["i"].knn_search(qv, 10).collect())
+        timed(
+            "pq_search_rerank",
+            lambda: pq["i"]
+            .knn_search(qv, 10, rerank=max(250, n_emb // 4), source=emb)
+            .collect(),
+        )
+
     # pipeline: dedup family + text analysis. Each LSH query persists a
     # fresh signature base; drop those caches after each query so the
     # session doesn't accumulate dead cached RDDs across the suite.
@@ -176,6 +203,12 @@ def main() -> None:
         "q_simhash",
         "q_text_stats",
         "q_lang_id",
+        # r6 curation surface
+        "q_repetition_stats",
+        "q_pii_scrub",
+        "q_vocab_topk",
+        "q_doc_oov_rate",
+        "q_contamination",
     ):
         # the python-heavy dedup queries are the most sensitive to
         # external CPU contention in this container (observed 3-17x
@@ -228,6 +261,15 @@ def main() -> None:
             )
         if "i" in ivf:
             recall["ivf_knn@10"] = measure(ivf["i"].knn_join(qdf10, "qvec", 10, "qid"))
+        if "i" in pq:
+            # ADC-only: the honest compression-loss number (no rerank)
+            recall["pq_knn@10"] = measure(pq["i"].knn_join(qdf10, "qvec", 10, "qid"))
+            recall["pq_rerank@10"] = measure(
+                pq["i"].knn_join(
+                    qdf10, "qvec", 10, "qid",
+                    rerank=max(250, emb.count() // 4), source=emb,
+                )
+            )
 
     if emb is not None:
         section("recall", _recall_section)

@@ -12,3 +12,10 @@ from duckdb_vss_spark.index.ivf import (  # noqa: F401
     drop_ivf_index,
     load_ivf_index,
 )
+from duckdb_vss_spark.index.pq import (  # noqa: F401
+    PqIndex,
+    create_pq_index,
+    drop_pq_index,
+    load_pq_index,
+    train_pq_codebooks,
+)

@@ -1,0 +1,388 @@
+"""Product quantization (PQ): vector compression for ANN at 100 TB.
+
+The reference ships exactly one ANN structure (HNSW over full-precision
+vectors via vendored usearch; its fp16/bf16 "quantization" is scalar
+casting, src/hnsw/hnsw_index.cpp options). At the 100 TB design point
+the dominant ANN cost is neither graph hops nor list routing but
+**bytes scanned per candidate**: a 1024-dim float32 corpus is 4 KiB per
+vector, while an m=16 PQ code is 16 *bytes* — a 256× scan reduction.
+This module adds the classic IVF-companion (Jégou, Douze, Schmid,
+"Product Quantization for Nearest Neighbor Search", TPAMI 2011):
+
+- **train**: split dims into ``m`` subspaces; per-subspace seeded
+  k-means over a driver-sized sample → ``m × ksub × dsub`` codebooks
+  (driver memory is m·ksub·dsub floats — KBs, broadcast-friendly).
+- **encode**: map-only Arrow pass, one BLAS argmin per subspace per
+  batch; codes stored as an m-byte BINARY column in parquet.
+- **search (ADC)**: asymmetric distance — the query builds an
+  ``m × ksub`` lookup table once; each candidate's approximate
+  distance is m table gathers summed. The scan is a map-only Arrow
+  stage over the codes parquet + TakeOrderedAndProject; nothing but
+  (id, m bytes) is ever read.
+- **re-rank**: exact-distance rescoring of the top-``rerank`` ADC
+  candidates against the ORIGINAL vectors — a broadcast semi-join of
+  candidate ids back to the source (late materialization, same rowid-
+  fetch shape as the HNSW artifact). ADC compresses the scan; the
+  rerank restores exactness at the top.
+
+Composition with IVF: IVF prunes *which rows* are scanned (parquet
+partition pruning, ivf.py); PQ shrinks *bytes per scanned row*. They
+multiply — at nlist=4096/nprobe=32 with m=16 codes, a 100 TB corpus
+scans (32/4096)·(16/4096) ≈ 1/32,768 of the raw bytes. The layouts
+stay orthogonal on purpose: a PQ codes file can be written
+``partitionBy(list_id)`` to get both.
+
+Metric conventions follow the IVF index: l2sq trains/scores in the raw
+space; cosine trains on L2-normalized vectors (unit-sphere l2 is
+rank-equivalent to cosine distance); ip uses a negative-dot-product
+LUT. ADC distances are rank-oriented approximations (like the
+reference's index-internal l2sq-without-sqrt); re-ranked output
+recomputes the exact SQL-visible metric via functions/distance.py.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import shutil
+import time
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, DoubleType
+
+from duckdb_vss_spark.functions.distance import distance_for_metric
+from duckdb_vss_spark.index.ivf import _kmeans, _norm_rows
+
+__all__ = ["train_pq_codebooks", "create_pq_index", "load_pq_index", "drop_pq_index", "PqIndex"]
+
+_LOG = logging.getLogger(__name__)
+
+
+def train_pq_codebooks(
+    sample: np.ndarray, m: int, ksub: int, iters: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Per-subspace seeded k-means → codebooks of shape (m, ksub, dsub).
+
+    Deterministic given (sample, m, ksub, iters, seed): each subspace
+    reuses the IVF trainer with a distinct derived seed. dims must be
+    divisible by m (standard PQ constraint — pad upstream if not)."""
+    n, dims = sample.shape
+    if dims % m != 0:
+        raise ValueError(f"PQ requires dims % m == 0 (got dims={dims}, m={m})")
+    if ksub > n:
+        raise ValueError(f"PQ training needs >= ksub sample rows (ksub={ksub}, n={n})")
+    dsub = dims // m
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = sample[:, j * dsub : (j + 1) * dsub]
+        books[j] = _kmeans(sub, ksub, iters, seed + 1000 * j)
+    return books
+
+
+def _encode_batch(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, dims) float64 → (n, m) uint8 codes: one BLAS argmin per
+    subspace."""
+    m, ksub, dsub = books.shape
+    codes = np.empty((len(mat), m), dtype=np.uint8)
+    for j in range(m):
+        sub = mat[:, j * dsub : (j + 1) * dsub]
+        cb = books[j]
+        dist = (sub**2).sum(axis=1, keepdims=True) + (cb**2).sum(axis=1) - 2.0 * sub @ cb.T
+        codes[:, j] = dist.argmin(axis=1).astype(np.uint8)
+    return codes
+
+
+def _encode_udf(books: np.ndarray, metric: str):
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def enc(v):
+        mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        mat = _norm_rows(mat, metric)
+        return pd.Series([c.tobytes() for c in _encode_batch(mat, books)])
+
+    return pandas_udf(enc, BinaryType())
+
+
+def _adc_lut(query: np.ndarray, books: np.ndarray, metric: str) -> np.ndarray:
+    """(m, ksub) lookup table of per-subspace distance contributions."""
+    m, ksub, dsub = books.shape
+    q = _norm_rows(query[None, :], metric)[0]
+    lut = np.empty((m, ksub), dtype=np.float64)
+    for j in range(m):
+        qs = q[j * dsub : (j + 1) * dsub]
+        if metric == "ip":
+            lut[j] = -books[j] @ qs
+        else:  # l2sq; cosine scores unit-sphere l2 (rank-equivalent)
+            lut[j] = ((books[j] - qs) ** 2).sum(axis=1)
+    return lut
+
+
+def _adc_dist_udf(lut: np.ndarray, m: int):
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def dist(codes):
+        arr = np.frombuffer(b"".join(codes), dtype=np.uint8).reshape(len(codes), m)
+        return pd.Series(lut[np.arange(m), arr].sum(axis=1))
+
+    return pandas_udf(dist, DoubleType())
+
+
+class PqIndex:
+    """Handle over a built PQ artifact (manifest + codes parquet)."""
+
+    def __init__(self, spark: SparkSession, path: str, manifest: dict):
+        self.spark = spark
+        self.path = path
+        self.manifest = manifest
+        self._books = np.asarray(manifest["codebooks"], dtype=np.float64)
+
+    @property
+    def metric(self) -> str:
+        return self.manifest["metric"]
+
+    @property
+    def m(self) -> int:
+        return self.manifest["m"]
+
+    @property
+    def dims(self) -> int:
+        return self.manifest["dimensions"]
+
+    def _codes_df(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "codes"))
+
+    def decode(self, codes: np.ndarray) -> np.ndarray:
+        """(n, m) uint8 → (n, dims) reconstructed centroids (testing and
+        reconstruction-error reporting)."""
+        m, ksub, dsub = self._books.shape
+        return np.concatenate(
+            [self._books[j][codes[:, j]] for j in range(m)], axis=1
+        )
+
+    # -- single-query ADC top-k ------------------------------------------
+
+    def knn_search(
+        self,
+        query_vec,
+        k: int,
+        rerank: int | None = None,
+        source: DataFrame | None = None,
+        dist_col: str = "dist",
+    ) -> DataFrame:
+        """ADC scan over the codes parquet → top-k (or top-``rerank``
+        then exact re-rank against ``source``; exact distances use the
+        SQL-visible metric so re-ranked output is hash-comparable to a
+        brute-force oracle). The scan stage reads (id, m bytes) per row
+        — nothing else; the merge is TakeOrderedAndProject."""
+        q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+        if q.shape[0] != self.dims:
+            raise ValueError(f"PQ index keys must be of type FLOAT[{self.dims}]")
+        lut = _adc_lut(q, self._books, self.metric)
+        id_col = self.manifest["id_col"]
+        adc = _adc_dist_udf(lut, self.m)
+        take = int(rerank) if rerank else int(k)
+        cand = (
+            self._codes_df()
+            .withColumn(dist_col, adc(F.col("pq_code")))
+            .orderBy(F.col(dist_col).asc_nulls_last(), F.col(id_col))
+            .limit(take)
+            .select(id_col, dist_col)
+        )
+        if not rerank:
+            return cand
+        if source is None:
+            raise ValueError("rerank requires the source DataFrame with original vectors")
+        vec_col = self.manifest["vec_col"]
+        dist_fn = distance_for_metric(self.metric)
+        exact = (
+            source.join(F.broadcast(cand.drop(dist_col)), id_col)
+            .withColumn(dist_col, dist_fn(F.col(vec_col), [float(x) for x in q]))
+            .orderBy(F.col(dist_col).asc_nulls_last(), F.col(id_col))
+            .limit(int(k))
+            .drop(vec_col)
+        )
+        return exact
+
+    # -- batched multi-query ADC join ------------------------------------
+
+    def knn_join(
+        self,
+        queries: DataFrame,
+        query_vec_col: str,
+        k: int,
+        query_id_col: str,
+        rerank: int | None = None,
+        source: DataFrame | None = None,
+        dist_col: str = "dist",
+        rn_col: str = "rn",
+    ) -> DataFrame:
+        """Multi-query ADC: the query set broadcasts as a raw (Q, dims)
+        matrix (512 B/query at 64 dims — 32× smaller than shipping
+        precomputed LUTs); each executor builds the stacked (Q, m, ksub)
+        LUT tensor ONCE (worker-cached) and cross-scores every codes
+        batch against all queries in one gather-sum per subspace. Then a
+        per-query window top-k; optional exact re-rank joins candidates
+        back to ``source``. Shuffle carries only (qid, id, dist) rows
+        pre-pruned per task by the partial WindowGroupLimit.
+
+        Regime: this is the broadcast-queries shape (Q ≲ 10⁵ per call,
+        the IVF ``broadcast_queries=True`` counterpart) — the corpus
+        side streams, the query side rides the closure. Query sets past
+        executor memory should be chunked by the caller or routed
+        through the IVF join."""
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        books, metric, m = self._books, self.metric, self.m
+        id_col = self.manifest["id_col"]
+        qrows = queries.select(query_id_col, query_vec_col).where(
+            F.col(query_vec_col).isNotNull()
+        )
+        qdata = qrows.collect()
+        qids = np.asarray([r[0] for r in qdata], dtype=np.int64)
+        qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qdata])
+        cache: dict[str, np.ndarray] = {}
+
+        def score(codes):
+            luts = cache.get("luts")
+            if luts is None:
+                luts = np.stack([_adc_lut(q, books, metric) for q in qmat])
+                cache["luts"] = luts
+            arr = np.frombuffer(b"".join(codes), dtype=np.uint8).reshape(len(codes), m)
+            # (Q, n) = sum_j luts[:, j, arr[:, j]]
+            d = np.zeros((len(qids), len(arr)), dtype=np.float64)
+            for j in range(m):
+                d += luts[:, j, arr[:, j]]
+            return pd.Series(list(d.T))
+
+        from pyspark.sql.types import ArrayType
+
+        score_udf = pandas_udf(score, ArrayType(DoubleType()))
+        scored = (
+            self._codes_df()
+            .withColumn("_d", score_udf(F.col("pq_code")))
+            .select(
+                id_col,
+                F.posexplode(F.col("_d")).alias("_qpos", dist_col),
+            )
+        )
+        qmap = self.spark.createDataFrame(
+            [(int(i), int(q)) for i, q in enumerate(qids)], "_qpos int, _qid long"
+        ).withColumnRenamed("_qid", query_id_col)
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col(dist_col).asc_nulls_last(), F.col(id_col)
+        )
+        take = int(rerank) if rerank else int(k)
+        cand = (
+            scored.join(F.broadcast(qmap), "_qpos")
+            .withColumn(rn_col, F.row_number().over(w))
+            .where(F.col(rn_col) <= take)
+            .drop("_qpos")
+        )
+        if not rerank:
+            return cand
+        if source is None:
+            raise ValueError("rerank requires the source DataFrame with original vectors")
+        vec_col = self.manifest["vec_col"]
+        dist_fn = distance_for_metric(metric)
+        qvecs = qrows.withColumnRenamed(query_vec_col, "_qvec")
+        exact = (
+            source.join(F.broadcast(cand.select(query_id_col, id_col)), id_col)
+            .join(F.broadcast(qvecs), query_id_col)
+            .withColumn(dist_col, dist_fn(F.col(vec_col), F.col("_qvec")))
+            .withColumn(rn_col, F.row_number().over(w))
+            .where(F.col(rn_col) <= int(k))
+            .drop(vec_col, "_qvec")
+        )
+        return exact
+
+
+def create_pq_index(
+    spark: SparkSession,
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    name: str = "pq_idx",
+    metric: str = "l2sq",
+    m: int = 8,
+    ksub: int = 16,
+    sample_rows: int = 65536,
+    kmeans_iters: int = 10,
+    seed: int = 42,
+    overwrite: bool = False,
+) -> PqIndex:
+    """Train codebooks on a driver-sized seeded sample, encode the full
+    corpus in one map-only Arrow stage, write (id, pq_code) parquet.
+    ``ksub`` defaults low for test-scale corpora; production PQ uses
+    ksub=256 (one byte per subspace exactly)."""
+    if metric not in ("l2sq", "cosine", "ip"):
+        raise ValueError("PQ index 'metric' must be one of: 'cosine', 'ip', 'l2sq'")
+    if ksub > 256:
+        raise ValueError("ksub must be <= 256 (codes are one byte per subspace)")
+    from duckdb_vss_spark.session import check_persistence_enabled
+
+    check_persistence_enabled(spark)
+    src = df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
+    ).where(F.col(vec_col).isNotNull())
+    total = src.count()
+    if total == 0:
+        raise ValueError("cannot build a PQ index over an empty vector column")
+    first = src.select(vec_col).first()
+    dims = len(first[0])
+
+    frac = min(1.0, sample_rows / total)
+    rows = (
+        src.select(vec_col).sample(fraction=frac, seed=seed).limit(sample_rows).collect()
+        if frac < 1.0
+        else src.select(vec_col).collect()
+    )
+    sample = _norm_rows(
+        np.stack([np.asarray(r[0], dtype=np.float64) for r in rows]), metric
+    )
+    books = train_pq_codebooks(sample, m, ksub, kmeans_iters, seed)
+
+    if os.path.exists(path):
+        if not overwrite:
+            raise ValueError(f"index path {path!r} already exists (use overwrite=True)")
+        shutil.rmtree(path)
+    os.makedirs(path)
+
+    codes_dir = os.path.join(path, "codes")
+    src.withColumn("pq_code", _encode_udf(books, metric)(F.col(vec_col))).select(
+        id_col, "pq_code"
+    ).write.parquet(codes_dir)
+
+    manifest = {
+        "index_name": name,
+        "vec_col": vec_col,
+        "id_col": id_col,
+        "metric": metric,
+        "dimensions": dims,
+        "m": m,
+        "ksub": ksub,
+        "count": int(total),
+        "codebooks": [[[float(x) for x in row] for row in book] for book in books],
+        "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    tmp = os.path.join(path, ".manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(path, "manifest.json"))
+    return PqIndex(spark, path, manifest)
+
+
+def load_pq_index(spark: SparkSession, path: str) -> PqIndex:
+    with open(os.path.join(path, "manifest.json")) as f:
+        return PqIndex(spark, path, json.load(f))
+
+
+def drop_pq_index(path: str) -> None:
+    if os.path.exists(os.path.join(path, "manifest.json")):
+        shutil.rmtree(path)

@@ -1,0 +1,145 @@
+"""Product-quantization index tests (index/pq.py).
+
+Pins: codebook/encode determinism, ADC == exact distance on
+reconstructed vectors (the defining ADC identity), reconstruction
+error below raw variance, rerank exactness vs brute force, multi-query
+join parity with single-query search, and the binder-style error
+paths."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_vss_spark.index.pq import (
+    _adc_lut,
+    _encode_batch,
+    create_pq_index,
+    load_pq_index,
+    train_pq_codebooks,
+)
+from duckdb_vss_spark.operators.topk import knn_search
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def pq_idx(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("pq") / "idx")
+    return create_pq_index(
+        spark, emb, "embedding", "vec_id", path, m=16, ksub=32, overwrite=True
+    )
+
+
+def _sample(emb, n=200):
+    rows = emb.limit(n).collect()
+    return np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+
+
+def test_train_determinism_and_shapes(emb):
+    s = _sample(emb)
+    b1 = train_pq_codebooks(s, m=8, ksub=16, seed=7)
+    b2 = train_pq_codebooks(s, m=8, ksub=16, seed=7)
+    assert b1.shape == (8, 16, 8)
+    assert np.array_equal(b1, b2)
+    c1 = _encode_batch(s, b1)
+    assert c1.shape == (len(s), 8) and c1.dtype == np.uint8
+    assert np.array_equal(c1, _encode_batch(s, b1))
+
+
+def test_adc_equals_exact_on_reconstruction(emb):
+    """ADC(q, code) must equal the exact l2sq between q and the DECODED
+    vector — the identity that makes the LUT a distance."""
+    s = _sample(emb, 64)
+    books = train_pq_codebooks(s, m=16, ksub=8, seed=3)
+    codes = _encode_batch(s, books)
+    q = s[0]
+    lut = _adc_lut(q, books, "l2sq")
+    adc = lut[np.arange(16), codes].sum(axis=1)
+    dsub = s.shape[1] // 16
+    recon = np.concatenate([books[j][codes[:, j]] for j in range(16)], axis=1)
+    exact = ((recon - q) ** 2).sum(axis=1)
+    assert np.allclose(adc, exact, rtol=1e-12, atol=1e-12)
+
+
+def test_reconstruction_error_below_variance(pq_idx, emb):
+    s = _sample(emb, 300)
+    codes = _encode_batch(s, np.asarray(pq_idx.manifest["codebooks"]))
+    recon = pq_idx.decode(codes)
+    mse = ((recon - s) ** 2).sum(axis=1).mean()
+    var = ((s - s.mean(axis=0)) ** 2).sum(axis=1).mean()
+    assert mse < var  # quantization must beat the trivial mean predictor
+
+
+def test_rerank_matches_brute_force(spark, pq_idx, emb):
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 29).first()["embedding"]]
+    brute = [r["vec_id"] for r in knn_search(emb, "embedding", qv, 10).collect()]
+    rr = [
+        r["vec_id"]
+        for r in pq_idx.knn_search(qv, 10, rerank=250, source=emb).collect()
+    ]
+    assert rr == brute
+
+
+def test_adc_only_returns_k_and_recall(spark, pq_idx, emb):
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+    adc = [r["vec_id"] for r in pq_idx.knn_search(qv, 10).collect()]
+    assert len(adc) == 10
+    brute = {r["vec_id"] for r in knn_search(emb, "embedding", qv, 10).collect()}
+    # honest floor: m=16/ksub=32 on unclustered Gaussians
+    assert len(set(adc) & brute) >= 3
+
+
+def test_knn_join_parity_with_search(spark, pq_idx, emb):
+    qs = emb.where(F.col("vec_id").isin(0, 100)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    joined = pq_idx.knn_join(qs, "qv", 5, "qid", rerank=100, source=emb)
+    got = {
+        qid: [r["vec_id"] for r in rows]
+        for qid, rows in (
+            (q, sorted(
+                [r for r in joined.collect() if r["qid"] == q], key=lambda r: r["rn"]
+            ))
+            for q in (0, 100)
+        )
+    }
+    for qid in (0, 100):
+        qv = [float(x) for x in emb.where(F.col("vec_id") == qid).first()["embedding"]]
+        single = [
+            r["vec_id"]
+            for r in pq_idx.knn_search(qv, 5, rerank=100, source=emb).collect()
+        ]
+        assert got[qid] == single
+
+
+def test_persistence_roundtrip(spark, pq_idx):
+    loaded = load_pq_index(spark, pq_idx.path)
+    assert loaded.manifest["m"] == pq_idx.manifest["m"]
+    assert np.array_equal(
+        np.asarray(loaded.manifest["codebooks"]),
+        np.asarray(pq_idx.manifest["codebooks"]),
+    )
+    assert loaded._codes_df().count() == pq_idx.manifest["count"]
+
+
+def test_error_paths(spark, emb, tmp_path):
+    with pytest.raises(ValueError, match="metric"):
+        create_pq_index(spark, emb, "embedding", "vec_id", str(tmp_path / "x"), metric="bad")
+    with pytest.raises(ValueError, match="ksub"):
+        create_pq_index(spark, emb, "embedding", "vec_id", str(tmp_path / "y"), ksub=300)
+    with pytest.raises(ValueError, match="dims % m"):
+        train_pq_codebooks(np.zeros((32, 10)), m=3, ksub=4)
+    with pytest.raises(ValueError, match="sample"):
+        train_pq_codebooks(np.zeros((4, 8)), m=2, ksub=16)
+    with pytest.raises(ValueError, match="rerank requires"):
+        qv = [0.0] * 64
+        # build a tiny index to hit the guard without touching the module fixture
+        from duckdb_vss_spark.index.pq import PqIndex  # noqa: F401
+        idx = create_pq_index(
+            spark, emb.limit(50), "embedding", "vec_id", str(tmp_path / "z"),
+            m=8, ksub=8, overwrite=True,
+        )
+        idx.knn_search(qv, 5, rerank=20, source=None)
