@@ -130,3 +130,64 @@ def test_hnsw_knn_join_is_single_stage_no_union(spark):
         plan = plan_of(joined, "simple")
         assert plan.count("MapInPandas") == 1, plan
         assert "Union" not in plan, plan
+
+
+def test_repetition_stats_is_map_only(spark):
+    """Per-doc quality statistics must never cost a corpus-wide
+    exchange: the whole query is a Project over the scan (in-row folds,
+    no explode, no shuffle)."""
+    import duckdb_vss_spark.queries_pipeline as QP
+
+    df = QP.q_repetition_stats(spark, SF)
+    plan = plan_of(df, "simple")
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode of tokens
+
+
+def test_pii_scrub_is_map_only(spark):
+    import duckdb_vss_spark.queries_pipeline as QP
+
+    df = QP.q_pii_scrub(spark, SF)
+    plan = plan_of(df, "simple")
+    assert "Exchange" not in plan
+
+
+def test_vocab_topk_partial_agg_and_take_ordered(spark):
+    """One partial->final aggregation shuffle keyed by token, then a
+    bounded-heap top-k — never a global sort of the vocabulary."""
+    import duckdb_vss_spark.queries_pipeline as QP
+
+    df = QP.q_vocab_topk(spark, SF)
+    plan = plan_of(df, "simple")
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_contamination_no_cartesian(spark):
+    """The contamination scan must be an equi-join on the gram hash —
+    a cartesian/nested-loop marker means the inverted index broke."""
+    import duckdb_vss_spark.queries_pipeline as QP
+
+    df = QP.q_contamination(spark, SF)
+    plan = plan_of(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_adc_scan_reads_only_codes(spark, tmp_path):
+    """The ADC scan stage must read (id, pq_code) from the codes file —
+    never original vectors — and merge via TakeOrderedAndProject."""
+    from duckdb_vss_spark.index import create_pq_index
+
+    emb = load_table(spark, SF, "embeddings")
+    idx = create_pq_index(
+        spark, emb, "embedding", "vec_id", str(tmp_path / "pq"),
+        m=8, ksub=8, overwrite=True,
+    )
+    qv = [float(x) for x in emb.first()["embedding"]]
+    df = idx.knn_search(qv, 5)
+    plan = plan_of(df)
+    read = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "pq_code" in read and "embedding" not in read
+    assert "TakeOrderedAndProject" in plan
