@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_sample", "shuffle_shards", "hash60"]
+__all__ = ["hash_sample", "stratified_hash_sample", "shuffle_shards", "hash60"]
 
 
 def hash60(id_col: Column | str, seed: int) -> Column:
@@ -55,6 +55,35 @@ def hash_sample(
         raise ValueError("fraction must be in [0, 1]")
     bound = int(fraction * float(2**60))
     return df.where(hash60(id_col, seed) < F.lit(bound))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-group deterministic sampling — the data-mixing primitive
+    (sample 10% of web, 100% of books, ...). Each row's keep decision
+    is a pure function of (seed, id) against its group's threshold, so
+    the mix is reproducible on any engine/partitioning AND monotone in
+    the fraction: raising a group's fraction strictly grows its kept
+    set (the hash order is a fixed global priority), which lets mix
+    re-weights reuse already-materialized subsets. Map-only — the
+    group threshold compiles to a CASE expression, no shuffle, no
+    per-group job."""
+    for g, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for group {g!r} must be in [0, 1]")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError("default_fraction must be in [0, 1]")
+    bound = F.lit(int(default_fraction * float(2**60)))
+    gc = F.col(group_col)
+    for g, f in sorted(fractions.items()):
+        bound = F.when(gc == g, F.lit(int(f * float(2**60)))).otherwise(bound)
+    return df.where(hash60(id_col, seed) < bound)
 
 
 def shuffle_shards(

@@ -79,6 +79,10 @@ _DEMOTED: frozenset[str] = frozenset(
         # q_pq_knn (new PQ index surface) displaces q_vss_join —
         # q_vss_match_stats keeps the macro family's declared row
         "q_vss_join",
+        # q_stratified_sample (new sampling surface) displaces
+        # q_exact_dedup (stable since r2, fresh r5 driver row; still
+        # CI-enforced in the extra registry)
+        "q_exact_dedup",
     }
 )
 
@@ -102,6 +106,7 @@ _PRIORITY: list[str] = [
     "q_doc_oov_rate",
     "q_contamination",
     "q_pq_knn",
+    "q_stratified_sample",
     # the 17 rows whose last driver evidence is r4 (VERDICT r5 #5)
     "q03_shipping_priority",
     "q04_priority_semi",

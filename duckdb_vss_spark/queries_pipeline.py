@@ -1178,3 +1178,29 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(
         docs, "text", "doc_id", F.col("doc_id") % 41 == 0, n=4
     )
+
+
+def _stratified_oracle() -> str:
+    b = lambda f: int(f * float(2**60))
+    return f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE CAST(('0x' || substr(md5('9_' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      < CASE lang WHEN 'en' THEN {b(0.5)} WHEN 'de' THEN {b(0.05)} ELSE {b(0.15)} END
+    """
+
+
+@register("q_stratified_sample", _stratified_oracle())
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group deterministic sampling (pipeline/sample.
+    stratified_hash_sample) — the data-mixing primitive: 50% of en, 5%
+    of de, 15% of everything else, with the keep set a pure function of
+    (seed, id, group threshold). Map-only (the mix compiles to one CASE
+    expression against the 60-bit keyed hash); monotone in the
+    fraction, so mix re-weights extend already-materialized subsets."""
+    from duckdb_vss_spark.pipeline.sample import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "de": 0.05},
+        default_fraction=0.15, seed=9,
+    ).select("doc_id", "lang", "source")

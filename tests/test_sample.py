@@ -72,3 +72,38 @@ def test_hash60_matches_sql_idiom(spark):
         for i in range(50)
     }
     assert got == want
+
+
+def test_stratified_sample_mix_and_monotonicity(spark):
+    from duckdb_vss_spark.pipeline.sample import stratified_hash_sample
+
+    df = spark.range(0, 4000).select(
+        F.col("id"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("de").alias("g"),
+    )
+    out = stratified_hash_sample(df, "id", "g", {"en": 0.5, "de": 0.05}, seed=5)
+    by_g = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    n_en = df.where(F.col("g") == "en").count()
+    n_de = df.where(F.col("g") == "de").count()
+    assert abs(by_g.get("en", 0) / n_en - 0.5) < 0.06
+    assert abs(by_g.get("de", 0) / n_de - 0.05) < 0.03
+    # monotone: raising a fraction strictly extends the kept set
+    small = {r["id"] for r in stratified_hash_sample(
+        df, "id", "g", {"en": 0.2, "de": 0.05}, seed=5).collect()}
+    big = {r["id"] for r in out.collect()}
+    assert small <= big
+    # default_fraction=0 drops unlisted groups entirely
+    only_en = stratified_hash_sample(df, "id", "g", {"en": 0.5}, seed=5)
+    assert only_en.where(F.col("g") == "de").count() == 0
+
+
+def test_stratified_sample_validates_fractions(spark):
+    import pytest
+
+    from duckdb_vss_spark.pipeline.sample import stratified_hash_sample
+
+    df = spark.range(5).select(F.col("id"), F.lit("x").alias("g"))
+    with pytest.raises(ValueError):
+        stratified_hash_sample(df, "id", "g", {"x": 1.5})
+    with pytest.raises(ValueError):
+        stratified_hash_sample(df, "id", "g", {}, default_fraction=-0.1)
