@@ -193,6 +193,27 @@ def main() -> None:
             .collect(),
         )
 
+    # vector: IVFADC — both scale levers composed (pruned lists ×
+    # residual-PQ bytes)
+    from duckdb_vss_spark.index import create_ivfpq_index
+
+    ivfpq_path = "/tmp/bench_ivfpq_idx"
+    ivfpq = {}
+    if emb is not None:
+        timed(
+            "ivfpq_build",
+            lambda: ivfpq.__setitem__(
+                "i",
+                create_ivfpq_index(
+                    spark, emb, "embedding", "vec_id", ivfpq_path,
+                    nlist=16, m=32, ksub=min(64, max(4, n_emb // 4)),
+                    overwrite=True,
+                ),
+            ),
+            runs=1,
+        )
+        timed("ivfpq_search", lambda: ivfpq["i"].knn_search(qv, 10).collect())
+
     # pipeline: dedup family + text analysis. Each LSH query persists a
     # fresh signature base; drop those caches after each query so the
     # session doesn't accumulate dead cached RDDs across the suite.
@@ -261,6 +282,16 @@ def main() -> None:
             )
         if "i" in ivf:
             recall["ivf_knn@10"] = measure(ivf["i"].knn_join(qdf10, "qvec", 10, "qid"))
+        if "i" in ivfpq:
+            # IVFADC at default nprobe (honest partial-probe + residual-
+            # quantization number); real Spark path, capped query subset
+            sub = list(exact)[:16]
+            hits = 0
+            for qq in sub:
+                qvq = [float(x) for x in mat[ids == qq][0]]
+                got = {r["vec_id"] for r in ivfpq["i"].knn_search(qvq, 10).collect()}
+                hits += len(got & exact[qq])
+            recall["ivfpq_knn@10"] = round(hits / (10 * len(sub)), 4)
         if "i" in pq:
             # ADC-only: the honest compression-loss number (no rerank)
             recall["pq_knn@10"] = measure(pq["i"].knn_join(qdf10, "qvec", 10, "qid"))

@@ -19,3 +19,9 @@ from duckdb_vss_spark.index.pq import (  # noqa: F401
     load_pq_index,
     train_pq_codebooks,
 )
+from duckdb_vss_spark.index.ivfpq import (  # noqa: F401
+    IvfPqIndex,
+    create_ivfpq_index,
+    drop_ivfpq_index,
+    load_ivfpq_index,
+)

@@ -504,6 +504,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 def _decode_scan(data, pos, sof, scomps, qts, huff, restart_interval):
     h, w, comps = sof
     by_id = {c["id"]: c for c in comps}
+    for sc in scomps:
+        if sc["id"] not in by_id:
+            raise JpegError(f"SOS references undefined component id {sc['id']}")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     if hmax > 2 or vmax > 2 or any(c["h"] not in (1, 2) or c["v"] not in (1, 2) for c in comps):

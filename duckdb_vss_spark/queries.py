@@ -83,6 +83,10 @@ _DEMOTED: frozenset[str] = frozenset(
         # q_exact_dedup (stable since r2, fresh r5 driver row; still
         # CI-enforced in the extra registry)
         "q_exact_dedup",
+        # q_ivfpq_knn (new IVFADC surface) displaces
+        # q_embedding_neardup_lsh (fresh r5 row; q_embedding_neardup
+        # keeps the family's declared row this round)
+        "q_embedding_neardup_lsh",
     }
 )
 
@@ -107,6 +111,7 @@ _PRIORITY: list[str] = [
     "q_contamination",
     "q_pq_knn",
     "q_stratified_sample",
+    "q_ivfpq_knn",
     # the 17 rows whose last driver evidence is r4 (VERDICT r5 #5)
     "q03_shipping_priority",
     "q04_priority_semi",
@@ -1572,6 +1577,58 @@ def q_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     rerank = max(250, idx.manifest["count"] // 4)
     hits = idx.knn_search(
         qv, 10, rerank=rerank, source=emb.select("vec_id", "embedding")
+    ).select("vec_id", "dist")
+    return (
+        emb.select("vec_id", "label")
+        .join(F.broadcast(hits), "vec_id")
+        .select("vec_id", "label", F.col("dist").cast("double").alias("dist"))
+        .orderBy("dist", "vec_id")
+    )
+
+
+def _get_ivfpq_index(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir) the IVFADC artifact over embeddings."""
+    from duckdb_vss_spark.index import create_ivfpq_index, load_ivfpq_index
+
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/vss_ivfpq_{_ARTIFACT_VERSION}_{tag}"
+    if _os.path.exists(_os.path.join(path, "manifest.json")):
+        return load_ivfpq_index(spark, path)
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.where(F.col("embedding").isNotNull()).count()
+    return create_ivfpq_index(
+        spark, emb, vec_col="embedding", id_col="vec_id", path=path,
+        name="emb_ivfpq", metric="l2sq", nlist=16, m=32,
+        ksub=min(64, max(4, n // 4)), overwrite=True,
+    )
+
+
+@register(
+    "q_ivfpq_knn",
+    f"""
+    SELECT vec_id, label,
+           list_distance(CAST(embedding AS DOUBLE[]), {_ORACLE_QVEC.format(vid=37)}) AS dist
+    FROM embeddings
+    WHERE embedding IS NOT NULL
+    ORDER BY dist, vec_id
+    LIMIT 10
+    """,
+)
+def q_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC composed top-k (index/ivfpq.py): partition-pruned probe of
+    the inverted lists × residual-PQ ADC scoring × exact re-rank — the
+    canonical billion-scale layout (Jegou 2011) with both scale levers
+    (rows pruned, bytes/row shrunk) multiplying. Full probe + an n/4
+    re-rank window make the result exact at oracle scales, so the
+    brute-force SQL is a strict oracle; partial-probe recall curves are
+    pinned in tests/test_ivfpq.py and bench reports ivfpq_knn@10."""
+    idx = _get_ivfpq_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 37)
+    rerank = max(250, idx.manifest["count"] // 4)
+    hits = idx.knn_search(
+        qv, 10, nprobe=idx.nlist, rerank=rerank,
+        source=emb.select("vec_id", "embedding"),
     ).select("vec_id", "dist")
     return (
         emb.select("vec_id", "label")

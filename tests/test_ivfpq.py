@@ -1,0 +1,105 @@
+"""IVFADC (IVF x residual-PQ) tests — index/ivfpq.py.
+
+Pins: partition pruning of the probed scan, full-probe+rerank
+exactness vs brute force, residual codes beating flat-PQ
+reconstruction on the same budget, determinism, and error paths."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_vss_spark.index.ivfpq import create_ivfpq_index, load_ivfpq_index
+from duckdb_vss_spark.index.pq import _encode_batch, train_pq_codebooks
+from duckdb_vss_spark.operators.topk import knn_search
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def ivfpq(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivfpq") / "idx")
+    return create_ivfpq_index(
+        spark, emb, "embedding", "vec_id", path,
+        nlist=8, m=16, ksub=32, overwrite=True,
+    )
+
+
+def test_probe_is_partition_pruned(ivfpq, emb):
+    qv = [float(x) for x in emb.first()["embedding"]]
+    df = ivfpq.knn_search(qv, 5, nprobe=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1][:200]
+    assert "list_id" in seg and "IN" in seg
+    # and the scan reads codes, never original vectors
+    read = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "pq_code" in read and "embedding" not in read
+
+
+def test_full_probe_rerank_matches_brute(spark, ivfpq, emb):
+    n = emb.count()
+    for qid in (29, 123):
+        qv = [float(x) for x in emb.where(F.col("vec_id") == qid).first()["embedding"]]
+        brute = [r["vec_id"] for r in knn_search(emb, "embedding", qv, 10).collect()]
+        rr = [
+            r["vec_id"]
+            for r in ivfpq.knn_search(
+                qv, 10, nprobe=ivfpq.nlist, rerank=max(250, n // 4), source=emb
+            ).collect()
+        ]
+        assert rr == brute
+
+
+def test_partial_probe_returns_k_from_probed_lists_only(ivfpq, emb):
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+    out = ivfpq.knn_search(qv, 10, nprobe=2)
+    assert out.count() == 10
+
+
+def test_residual_quantization_beats_flat_on_same_budget(emb):
+    """The IVFADC argument itself: residuals after a coarse quantizer
+    carry less variance, so the same (m, ksub) budget reconstructs them
+    with lower MSE than raw coordinates."""
+    rows = emb.limit(400).collect()
+    mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    from duckdb_vss_spark.index.ivf import _kmeans
+
+    cents = _kmeans(mat, 8, 10, 42)
+    d = (mat**2).sum(1, keepdims=True) + (cents**2).sum(1) - 2.0 * mat @ cents.T
+    assign = d.argmin(1)
+    resid = mat - cents[assign]
+
+    def mse(data, books):
+        codes = _encode_batch(data, books)
+        m, ksub, dsub = books.shape
+        recon = np.concatenate([books[j][codes[:, j]] for j in range(m)], axis=1)
+        return ((recon - data) ** 2).sum(1).mean()
+
+    flat_books = train_pq_codebooks(mat, 8, 16, seed=1)
+    res_books = train_pq_codebooks(resid, 8, 16, seed=1)
+    # total error: flat reconstructs x directly; ivfadc reconstructs
+    # c + r̂ so its error IS the residual reconstruction error
+    assert mse(resid, res_books) < mse(mat, flat_books)
+
+
+def test_persistence_roundtrip_and_determinism(spark, ivfpq, emb):
+    loaded = load_ivfpq_index(spark, ivfpq.path)
+    assert loaded.nlist == ivfpq.nlist and loaded.m == ivfpq.m
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 3).first()["embedding"]]
+    a = [(r["vec_id"], r["dist"]) for r in ivfpq.knn_search(qv, 5, nprobe=4).collect()]
+    b = [(r["vec_id"], r["dist"]) for r in loaded.knn_search(qv, 5, nprobe=4).collect()]
+    assert a == b
+
+
+def test_error_paths(spark, emb, tmp_path):
+    with pytest.raises(ValueError, match="metric"):
+        create_ivfpq_index(spark, emb, "embedding", "vec_id", str(tmp_path / "x"), metric="ip")
+    with pytest.raises(ValueError, match="rerank requires"):
+        idx = create_ivfpq_index(
+            spark, emb.limit(64), "embedding", "vec_id", str(tmp_path / "y"),
+            nlist=4, m=8, ksub=8, overwrite=True,
+        )
+        idx.knn_search([0.0] * 64, 5, rerank=10, source=None)
