@@ -87,6 +87,10 @@ _DEMOTED: frozenset[str] = frozenset(
         # q_embedding_neardup_lsh (fresh r5 row; q_embedding_neardup
         # keeps the family's declared row this round)
         "q_embedding_neardup_lsh",
+        # q_pack_sequences (new packing surface) displaces
+        # q_hnsw_self_consistency (fresh r5 row; its agreement property
+        # is also CI-pinned by test_index.py's chunked equality)
+        "q_hnsw_self_consistency",
     }
 )
 
@@ -112,6 +116,7 @@ _PRIORITY: list[str] = [
     "q_pq_knn",
     "q_stratified_sample",
     "q_ivfpq_knn",
+    "q_pack_sequences",
     # the 17 rows whose last driver evidence is r4 (VERDICT r5 #5)
     "q03_shipping_priority",
     "q04_priority_semi",

@@ -1204,3 +1204,38 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "lang", {"en": 0.5, "de": 0.05},
         default_fraction=0.15, seed=9,
     ).select("doc_id", "lang", "source")
+
+
+@register(
+    "q_pack_sequences",
+    """
+    WITH laid AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('11_' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS pos,
+             CAST(CAST(('0x' || substr(md5('11_' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS INT) AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    )
+    SELECT doc_id, shard, n_tok,
+           COALESCE(sum(n_tok) OVER (PARTITION BY shard ORDER BY pos, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset,
+           COALESCE(sum(n_tok) OVER (PARTITION BY shard ORDER BY pos, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS seq_id,
+           COALESCE(sum(n_tok) OVER (PARTITION BY shard ORDER BY pos, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) % 512 AS seq_pos
+    FROM laid
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (pipeline/pack.py): seeded
+    global layout via the 60-bit keyed hash, running token offset per
+    shard, 512-token sequence boundaries. One window over skinny
+    (pos, n_tok) rows — each shard packs independently (the
+    1000-executor export shape); deterministic on any engine or
+    partitioning, reproduced bit-for-bit by the oracle window SQL."""
+    from duckdb_vss_spark.pipeline.pack import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, "doc_id", "text", budget=512, num_shards=8, seed=11).select(
+        "doc_id", "shard", "n_tok", "offset", "seq_id", "seq_pos"
+    )
