@@ -48,16 +48,22 @@ def ngram_contamination(
     max_train_df: int | None = None,
 ) -> DataFrame:
     """Per-eval-doc contamination report: (id_col, n_shared_grams,
-    n_train_docs), eval docs with zero overlap omitted."""
-    grams = docs.select(
-        F.col(id_col),
-        is_eval.alias("is_eval"),
-        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gm"),
-    ).select(id_col, "is_eval", _gram_hash(F.col("gm")).alias("gh"))
-    ev = grams.where(F.col("is_eval")).select(id_col, "gh")
-    tr = grams.where(~F.col("is_eval")).select(
-        F.col(id_col).alias("train_id"), "gh"
-    )
+    n_train_docs), eval docs with zero overlap omitted.
+
+    The eval/train split applies BEFORE gram extraction: Spark
+    re-evaluates a shared subtree once per consuming branch, so
+    filtering after shingling would shingle the full corpus twice
+    (measured 2x on this query's wall time). Filtering first also
+    means the (tiny) eval side shingles only eval docs."""
+
+    def _grams(side: DataFrame, out_id: str) -> DataFrame:
+        return side.select(
+            F.col(id_col).alias(out_id),
+            F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gm"),
+        ).select(out_id, _gram_hash(F.col("gm")).alias("gh"))
+
+    ev = _grams(docs.where(is_eval), id_col)
+    tr = _grams(docs.where(~is_eval), "train_id")
     if max_train_df is not None:
         dfreq = tr.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
         tr = tr.join(dfreq.where(F.col("df") <= max_train_df).select("gh"), "gh")
