@@ -191,6 +191,136 @@ class IvfPqIndex:
         )
 
 
+    def knn_join(
+        self,
+        queries: DataFrame,
+        query_vec_col: str,
+        k: int,
+        query_id_col: str,
+        nprobe: int | None = None,
+        rerank: int | None = None,
+        source: DataFrame | None = None,
+        dist_col: str = "dist",
+        rn_col: str = "rn",
+    ) -> DataFrame:
+        """Batched multi-query IVFADC: queries broadcast as a raw
+        (Q, dims) matrix; the scan prunes to the UNION of all probed
+        lists; each worker lazily builds the (query, probed-list)
+        residual LUTs it needs (≤ Q·nprobe·m·ksub doubles, computed
+        once per worker) and scores every pruned Arrow batch against
+        exactly the queries probing that batch's list. Per-query
+        window top-k after one skinny (qid, id, dist) shuffle;
+        optional exact re-rank against ``source``.
+
+        Same broadcast-queries regime as PqIndex.knn_join (Q ≲ 10⁵
+        per call); larger query sets chunk at the caller."""
+        import pandas as pd
+        from pyspark.sql import Window
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField as SF_, StructType as ST_
+
+        books, metric, m = self._books, self.metric, self.m
+        cents = self._centroids
+        nprobe = int(nprobe or self.manifest["default_nprobe"])
+        id_col = self.manifest["id_col"]
+        qrows = queries.select(query_id_col, query_vec_col).where(
+            F.col(query_vec_col).isNotNull()
+        )
+        qdata = qrows.collect()
+        qids = np.asarray([r[0] for r in qdata], dtype=np.int64)
+        qmat = _norm_rows(
+            np.stack([np.asarray(r[1], dtype=np.float64) for r in qdata]), metric
+        )
+        cd = (
+            (qmat**2).sum(axis=1, keepdims=True)
+            + (cents**2).sum(axis=1)
+            - 2.0 * qmat @ cents.T
+        )
+        probes = np.argsort(cd, axis=1, kind="stable")[:, :nprobe]  # (Q, nprobe)
+        union = sorted({int(x) for x in probes.ravel()})
+        # per-list -> probing query indices (broadcast via closure)
+        by_list: dict[int, np.ndarray] = {}
+        for qi in range(len(qids)):
+            for lid in probes[qi]:
+                by_list.setdefault(int(lid), []).append(qi)
+        by_list = {lid: np.asarray(v, dtype=np.int64) for lid, v in by_list.items()}
+        _, ksub, dsub = books.shape
+        cache: dict[tuple[int, int], np.ndarray] = {}
+
+        def _lut(qi: int, lid: int) -> np.ndarray:
+            key = (qi, lid)
+            lut = cache.get(key)
+            if lut is None:
+                r = qmat[qi] - cents[lid]
+                lut = np.empty((m, ksub), dtype=np.float64)
+                for j in range(m):
+                    rs = r[j * dsub : (j + 1) * dsub]
+                    lut[j] = ((books[j] - rs) ** 2).sum(axis=1)
+                cache[key] = lut
+            return lut
+
+        out_t = ArrayType(
+            ST_([SF_("qid", LongType()), SF_(dist_col, DoubleType())])
+        )
+
+        def score(list_ids, codes):
+            arr = np.frombuffer(b"".join(codes), dtype=np.uint8).reshape(len(codes), m)
+            lids = np.asarray(list_ids, dtype=np.int64)
+            out = [None] * len(arr)
+            for lid in np.unique(lids):
+                rows = np.nonzero(lids == lid)[0]
+                qs = by_list.get(int(lid))
+                sub = arr[rows]
+                dists = np.stack(
+                    [
+                        _lut(int(qi), int(lid))[np.arange(m), sub].sum(axis=1)
+                        for qi in qs
+                    ]
+                )  # (|qs|, |rows|)
+                qv = qids[qs]
+                for ri, row in enumerate(rows):
+                    out[row] = [
+                        (int(qv[x]), float(dists[x, ri])) for x in range(len(qs))
+                    ]
+            return pd.Series(out)
+
+        score_udf = pandas_udf(score, out_t)
+        scored = (
+            self._codes_df()
+            .where(F.col("list_id").isin(union))
+            .withColumn("_s", score_udf(F.col("list_id"), F.col("pq_code")))
+            .select(id_col, F.explode("_s").alias("_e"))
+            .select(
+                id_col,
+                F.col("_e.qid").alias(query_id_col),
+                F.col(f"_e.{dist_col}").alias(dist_col),
+            )
+        )
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col(dist_col).asc_nulls_last(), F.col(id_col)
+        )
+        take = int(rerank) if rerank else int(k)
+        cand = (
+            scored.withColumn(rn_col, F.row_number().over(w))
+            .where(F.col(rn_col) <= take)
+        )
+        if not rerank:
+            return cand
+        if source is None:
+            raise ValueError("rerank requires the source DataFrame with original vectors")
+        vec_col = self.manifest["vec_col"]
+        dist_fn = distance_for_metric(metric)
+        qvecs = qrows.withColumnRenamed(query_vec_col, "_qvec")
+        return (
+            source.join(F.broadcast(cand.select(query_id_col, id_col)), id_col)
+            .join(F.broadcast(qvecs), query_id_col)
+            .withColumn(dist_col, dist_fn(F.col(vec_col), F.col("_qvec")))
+            .withColumn(rn_col, F.row_number().over(w))
+            .where(F.col(rn_col) <= int(k))
+            .drop(vec_col, "_qvec")
+        )
+
+
 def create_ivfpq_index(
     spark: SparkSession,
     df: DataFrame,

@@ -103,3 +103,33 @@ def test_error_paths(spark, emb, tmp_path):
             nlist=4, m=8, ksub=8, overwrite=True,
         )
         idx.knn_search([0.0] * 64, 5, rerank=10, source=None)
+
+
+def test_knn_join_parity_with_search(spark, ivfpq, emb):
+    qs = emb.where(F.col("vec_id").isin(0, 100, 250)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    joined = ivfpq.knn_join(qs, "qv", 5, "qid", nprobe=ivfpq.nlist, rerank=100, source=emb)
+    rows = joined.collect()
+    for qid in (0, 100, 250):
+        got = [r["vec_id"] for r in sorted(
+            (r for r in rows if r["qid"] == qid), key=lambda r: r["rn"])]
+        qv = [float(x) for x in emb.where(F.col("vec_id") == qid).first()["embedding"]]
+        single = [
+            r["vec_id"]
+            for r in ivfpq.knn_search(
+                qv, 5, nprobe=ivfpq.nlist, rerank=100, source=emb
+            ).collect()
+        ]
+        assert got == single
+
+
+def test_knn_join_adc_only_partial_probe(spark, ivfpq, emb):
+    qs = emb.where(F.col("vec_id").isin(7, 42)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    out = ivfpq.knn_join(qs, "qv", 4, "qid", nprobe=2)
+    counts = {r["qid"]: 0 for r in out.collect()}
+    for r in out.collect():
+        counts[r["qid"]] += 1
+    assert counts == {7: 4, 42: 4}
