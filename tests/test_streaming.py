@@ -183,3 +183,46 @@ def test_streaming_index_refresh(spark, tmp_path):
     q.stop()
     idx = load_index(spark, idx_path)
     assert idx.count == spark.read.parquet(emb_path).count()
+
+
+def test_curation_filters_compose_with_streams(spark, tmp_path):
+    """The curation surface (quality folds, PII scrub, stratified
+    sampling) is pure Column expressions, so it must apply unchanged to
+    a Structured Streaming source: run the same keep-filter + scrub on
+    a file stream (availableNow) and on the batch frame, and compare
+    exactly. This is the streaming ingest shape of a curation pipeline:
+    filter-and-scrub at the edge, no state, no watermark needed."""
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark.pipeline.quality import repetition_keep
+    from duckdb_vss_spark.pipeline.sample import hash_sample
+    from duckdb_vss_spark.pipeline.scrub import redact_pii
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    src = str(tmp_path / "src")
+    docs.write.parquet(src)
+
+    def curate(df):
+        kept = hash_sample(
+            df.where(repetition_keep("text")), "doc_id", 0.5, seed=3
+        )
+        return kept.select("doc_id", F.md5(redact_pii("text")).alias("fp"))
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    (
+        curate(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = {(r["doc_id"], r["fp"]) for r in spark.read.parquet(out).collect()}
+    want = {(r["doc_id"], r["fp"]) for r in curate(docs).collect()}
+    assert got == want and len(want) > 0
