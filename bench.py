@@ -351,6 +351,17 @@ def main() -> None:
         scale8["minhash_lsh_spark_x8"] = round(time.time() - t0, 3)
         scale8["minhash_lsh_pairs_x8"] = n_pairs
 
+        # contamination scan on the same 8x union (the inverted-index
+        # join shape; same eval split predicate as q_contamination)
+        from duckdb_vss_spark.pipeline.contamination import ngram_contamination
+
+        t0 = time.time()
+        n_contam = ngram_contamination(
+            big, "text", "doc_id", F.col("doc_id") % 41 == 0, n=4
+        ).count()
+        scale8["contamination_spark_x8"] = round(time.time() - t0, 3)
+        scale8["contamination_rows_x8"] = n_contam
+
         if emb is not None:
             emb8 = reduce(
                 lambda a, b: a.unionByName(b),
@@ -385,9 +396,25 @@ def main() -> None:
             rows = con.execute(lsh_sql).fetchall()
             scale8["minhash_lsh_duckdb_x8"] = round(time.time() - t0, 3)
             scale8["minhash_lsh_duckdb_pairs_x8"] = len(rows)
+            contam_sql = oracles.get("q_contamination")
+            if contam_sql:
+                t0 = time.time()
+                rows = con.execute(contam_sql).fetchall()
+                scale8["contamination_duckdb_x8"] = round(time.time() - t0, 3)
+                scale8["contamination_duckdb_rows_x8"] = len(rows)
             con.close()
 
     section("scale8", _scale8_section)
+
+    # measured per-job floor: the fastest possible Spark action in this
+    # session (scheduler + stage + task round-trip). Nearly every query
+    # above differs from DuckDB by a near-constant multiple of this
+    # floor; it is the denominator for reading small-sf ratios honestly.
+    floor = 1e9
+    for _ in range(5):
+        t0 = time.time()
+        spark.range(1).count()
+        floor = min(floor, time.time() - t0)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -396,6 +423,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "cold": cold,
+        "job_floor": round(floor, 3),
         "sf": sf,
     }
     if recall:

@@ -30,13 +30,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from duckdb_vss_spark.pipeline.text import word_ngrams
+from duckdb_vss_spark.pipeline.dedup import doc_shingles
 
 __all__ = ["ngram_contamination"]
-
-
-def _gram_hash(gm: Column) -> Column:
-    return F.conv(F.substring(F.md5(gm), 1, 15), 16, 10).cast("long")
 
 
 def ngram_contamination(
@@ -54,13 +50,19 @@ def ngram_contamination(
     re-evaluates a shared subtree once per consuming branch, so
     filtering after shingling would shingle the full corpus twice
     (measured 2x on this query's wall time). Filtering first also
-    means the (tiny) eval side shingles only eval docs."""
+    means the (tiny) eval side shingles only eval docs.
+
+    Gram extraction reuses the dedup family's vectorized Arrow
+    shingle pass (``doc_shingles`` — factorize + memoized md5 over
+    batch-unique shingles), which computes the IDENTICAL 60-bit
+    md5-prefix hashes the SQL oracle derives relationally; the
+    interpreted HOF n-gram form measured ~4x slower at 8x data."""
 
     def _grams(side: DataFrame, out_id: str) -> DataFrame:
-        return side.select(
-            F.col(id_col).alias(out_id),
-            F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gm"),
-        ).select(out_id, _gram_hash(F.col("gm")).alias("gh"))
+        base = doc_shingles(side, text_col, id_col, n)
+        return base.select(
+            F.col("id").alias(out_id), F.explode("shs").alias("gh")
+        )
 
     ev = _grams(docs.where(is_eval), id_col)
     tr = _grams(docs.where(~is_eval), "train_id")

@@ -133,3 +133,19 @@ def test_knn_join_adc_only_partial_probe(spark, ivfpq, emb):
     for r in out.collect():
         counts[r["qid"]] += 1
     assert counts == {7: 4, 42: 4}
+
+
+def test_cosine_metric_rerank_matches_brute(spark, emb, tmp_path):
+    idx = create_ivfpq_index(
+        spark, emb, "embedding", "vec_id", str(tmp_path / "ivfpqc"),
+        metric="cosine", nlist=8, m=16, ksub=32, overwrite=True,
+    )
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 11).first()["embedding"]]
+    brute = [
+        r["vec_id"] for r in knn_search(emb, "embedding", qv, 8, metric="cosine").collect()
+    ]
+    rr = [
+        r["vec_id"]
+        for r in idx.knn_search(qv, 8, nprobe=8, rerank=250, source=emb).collect()
+    ]
+    assert rr == brute

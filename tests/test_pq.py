@@ -143,3 +143,18 @@ def test_error_paths(spark, emb, tmp_path):
             m=8, ksub=8, overwrite=True,
         )
         idx.knn_search(qv, 5, rerank=20, source=None)
+
+
+def test_cosine_metric_rerank_matches_brute(spark, emb, tmp_path):
+    """Cosine PQ: codebooks train on the unit sphere; re-ranked output
+    must equal the brute-force cosine top-k exactly."""
+    idx = create_pq_index(
+        spark, emb, "embedding", "vec_id", str(tmp_path / "pqc"),
+        metric="cosine", m=16, ksub=32, overwrite=True,
+    )
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 11).first()["embedding"]]
+    brute = [
+        r["vec_id"] for r in knn_search(emb, "embedding", qv, 8, metric="cosine").collect()
+    ]
+    rr = [r["vec_id"] for r in idx.knn_search(qv, 8, rerank=250, source=emb).collect()]
+    assert rr == brute
