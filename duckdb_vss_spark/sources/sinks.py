@@ -27,16 +27,28 @@ from pyspark.sql import functions as F
 __all__ = ["save_table", "insert_into", "delete_where", "overwrite_where", "read_table"]
 
 
+_FORMATS = ("parquet", "csv", "json")
+
+
 def save_table(
     df: DataFrame,
     path: str,
     partition_by: list[str] | None = None,
     bucket_by: tuple[int, list[str]] | None = None,
     mode: str = "error",
+    fmt: str = "parquet",
 ) -> None:
     """CREATE TABLE AS: parquet write, optionally partitioned (partition
     pruning for downstream filters) or bucketed (co-located joins without
-    a shuffle — pre-shuffling once at write time)."""
+    a shuffle — pre-shuffling once at write time).
+
+    ``fmt`` covers the reference host's other table formats (DuckDB
+    reads/writes CSV and JSON natively — read_csv_auto / read_json /
+    COPY TO): 'csv' writes headered CSV, 'json' writes JSON Lines;
+    both are cross-engine readable (pinned by tests that read the
+    Spark-written files back through DuckDB)."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"fmt must be one of {_FORMATS}")
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
@@ -47,10 +59,28 @@ def save_table(
         name = os.path.basename(path.rstrip("/"))
         w.bucketBy(n, *cols).sortBy(*cols).option("path", path).saveAsTable(name)
         return
-    w.parquet(path)
+    if fmt == "csv":
+        w.option("header", "true").csv(path)
+    elif fmt == "json":
+        w.json(path)
+    else:
+        w.parquet(path)
 
 
-def read_table(spark: SparkSession, path: str) -> DataFrame:
+def read_table(
+    spark: SparkSession, path: str, fmt: str = "parquet", schema: str | None = None
+) -> DataFrame:
+    """Read a table directory. CSV needs ``schema`` (or falls back to
+    header + inference — fine for exploration, not for contracts)."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"fmt must be one of {_FORMATS}")
+    if fmt == "csv":
+        r = spark.read.option("header", "true")
+        return r.schema(schema).csv(path) if schema else r.option(
+            "inferSchema", "true"
+        ).csv(path)
+    if fmt == "json":
+        return spark.read.schema(schema).json(path) if schema else spark.read.json(path)
     return spark.read.parquet(path)
 
 

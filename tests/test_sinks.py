@@ -70,3 +70,54 @@ def test_overwrite_where_replaces_only_touched_partitions(spark, tmp_path):
     got = read_table(spark, p)
     assert got.where(F.col("g") == 2).count() == 10  # replaced
     assert got.where(F.col("g") == 1).count() == 25  # untouched
+
+
+def test_csv_roundtrip_and_duckdb_cross_read(spark, tmp_path):
+    """CSV sink parity with the reference host (DuckDB COPY TO /
+    read_csv): Spark-written headered CSV must roundtrip through Spark
+    AND read identically through DuckDB's csv reader."""
+    import duckdb
+
+    from duckdb_vss_spark.sources.sinks import read_table, save_table
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "lang", "n_chars")
+    )
+    path = str(tmp_path / "docs_csv")
+    save_table(docs, path, fmt="csv")
+    back = read_table(spark, path, fmt="csv", schema="doc_id long, lang string, n_chars long")
+    want = {(r["doc_id"], r["lang"], r["n_chars"]) for r in docs.collect()}
+    assert {(r["doc_id"], r["lang"], r["n_chars"]) for r in back.collect()} == want
+    duck = duckdb.sql(
+        f"SELECT doc_id, lang, n_chars FROM read_csv('{path}/*.csv', header=true)"
+    ).fetchall()
+    assert {(r[0], r[1], r[2]) for r in duck} == want
+
+
+def test_json_roundtrip_and_duckdb_cross_read(spark, tmp_path):
+    import duckdb
+
+    from duckdb_vss_spark.sources.sinks import read_table, save_table
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "label")
+    )
+    path = str(tmp_path / "emb_json")
+    save_table(emb, path, fmt="json")
+    back = read_table(spark, path, fmt="json", schema="vec_id long, label bigint")
+    want = {(r["vec_id"], r["label"]) for r in emb.collect()}
+    assert {(r["vec_id"], r["label"]) for r in back.collect()} == want
+    duck = duckdb.sql(f"SELECT vec_id, label FROM read_json('{path}/*.json')").fetchall()
+    assert {(r[0], r[1]) for r in duck} == want
+
+
+def test_save_table_rejects_unknown_format(spark, tmp_path):
+    import pytest
+
+    from duckdb_vss_spark.sources.sinks import save_table
+
+    docs = spark.range(3)
+    with pytest.raises(ValueError, match="fmt"):
+        save_table(docs, str(tmp_path / "x"), fmt="avro")
