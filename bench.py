@@ -230,6 +230,8 @@ def main() -> None:
         "q_vocab_topk",
         "q_doc_oov_rate",
         "q_contamination",
+        "q_stratified_sample",
+        "q_pack_sequences",
     ):
         # the python-heavy dedup queries are the most sensitive to
         # external CPU contention in this container (observed 3-17x
