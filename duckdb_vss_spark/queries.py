@@ -91,6 +91,10 @@ _DEMOTED: frozenset[str] = frozenset(
         # q_hnsw_self_consistency (fresh r5 row; its agreement property
         # is also CI-pinned by test_index.py's chunked equality)
         "q_hnsw_self_consistency",
+        # q_kmv_distinct (new sketch surface) displaces q_sql_maxby_topk
+        # (fresh r5 row; the k-ary min_by/max_by family keeps
+        # q_min_by_topk declared)
+        "q_sql_maxby_topk",
     }
 )
 
@@ -117,6 +121,7 @@ _PRIORITY: list[str] = [
     "q_stratified_sample",
     "q_ivfpq_knn",
     "q_pack_sequences",
+    "q_kmv_distinct",
     # the 17 rows whose last driver evidence is r4 (VERDICT r5 #5)
     "q03_shipping_priority",
     "q04_priority_semi",

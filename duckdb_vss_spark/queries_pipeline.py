@@ -1239,3 +1239,48 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, "doc_id", "text", budget=512, num_shards=8, seed=11).select(
         "doc_id", "shard", "n_tok", "offset", "seq_id", "seq_pos"
     )
+
+
+@register(
+    "q_kmv_distinct",
+    """
+    WITH words AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
+    toks AS (
+      SELECT lang,
+             unnest(list_transform(range(1, greatest(len(w), 1)),
+                    i -> w[i] || ' ' || w[i+1])) AS gm
+      FROM words
+    ),
+    h AS (
+      SELECT DISTINCT lang,
+             CAST(('0x' || substr(md5('0_' || gm), 1, 15)) AS BIGINT) AS hv
+      FROM toks
+    ),
+    rk AS (
+      SELECT lang, hv, row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn FROM h
+    ),
+    s AS (
+      SELECT lang, max(hv) AS hk, count(*) AS n_seen FROM rk WHERE rn <= 128 GROUP BY lang
+    )
+    SELECT lang,
+           CASE WHEN n_seen < 128 THEN CAST(n_seen AS DOUBLE)
+                ELSE CAST(n_seen - 1 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                     / CAST(hk AS DOUBLE) END AS n_est,
+           CAST(n_seen AS BIGINT) AS n_seen
+    FROM s
+    """,
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-bigram cardinality via the KMV sketch
+    (pipeline/sketch.py): bottom-128 of the reproducible 60-bit hash,
+    pruned to k per Arrow batch BEFORE the shuffle (the exchange never
+    carries the distinct key set), merged per group, one-row estimate.
+    Unlike HLL-based approx_count_distinct the estimate is a pure
+    function of the distinct values, so the oracle reproduces it
+    bit-for-bit — an oracle-checkable sketch."""
+    from duckdb_vss_spark.pipeline.sketch import kmv_distinct
+    from duckdb_vss_spark.pipeline.text import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select("lang", F.explode(word_ngrams("text", 2)).alias("gm"))
+    return kmv_distinct(grams, "gm", k=128, group_cols=["lang"])
