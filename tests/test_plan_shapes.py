@@ -191,3 +191,19 @@ def test_pq_adc_scan_reads_only_codes(spark, tmp_path):
     read = plan.split("ReadSchema")[1].splitlines()[0]
     assert "pq_code" in read and "embedding" not in read
     assert "TakeOrderedAndProject" in plan
+
+
+def test_kmv_sketch_single_group_shuffle(spark):
+    """The KMV estimate's exchange must carry only the pre-pruned
+    bottom-k rows: one shuffle (on the group key), no distinct/Expand
+    over the raw key set."""
+    from duckdb_vss_spark.pipeline.sketch import kmv_distinct
+    from duckdb_vss_spark.pipeline.text import word_ngrams
+
+    docs = load_table(spark, SF, "documents")
+    grams = docs.select("lang", F.explode(word_ngrams("text", 2)).alias("gm"))
+    df = kmv_distinct(grams, "gm", k=64, group_cols=["lang"])
+    plan = plan_of(df, "simple")
+    assert plan.count("Exchange") == 1
+    assert "Expand" not in plan
+    assert "FlatMapGroupsInPandas" in plan
