@@ -232,6 +232,7 @@ def main() -> None:
         "q_contamination",
         "q_stratified_sample",
         "q_pack_sequences",
+        "q_kmv_distinct",
     ):
         # the python-heavy dedup queries are the most sensitive to
         # external CPU contention in this container (observed 3-17x
