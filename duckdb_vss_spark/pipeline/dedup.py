@@ -682,3 +682,21 @@ def dedup_clusters(
         if changed == 0:
             break
     return labels.select("id", F.col("lab").alias(cluster_col))
+
+
+def dedup_keep(
+    docs: DataFrame,
+    id_col: str,
+    clusters: DataFrame,
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Materialize the deduplicated corpus: drop every cluster member
+    that is not its component's canonical representative (min id), keep
+    everything else (singletons never appear in ``clusters`` and
+    survive by construction). The drop-list is (id) longs only and is
+    broadcast-small relative to the corpus (≤ the near-dup mass), so
+    the anti-join never shuffles the payload."""
+    drop = clusters.where(F.col("id") != F.col(cluster_col)).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(drop, id_col, "left_anti")

@@ -1284,3 +1284,42 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     grams = docs.select("lang", F.explode(word_ngrams("text", 2)).alias("gm"))
     return kmv_distinct(grams, "gm", k=128, group_cols=["lang"])
+
+
+def _dedup_keep_oracle() -> str:
+    pairs_sql = _simhash_pairs_oracle().strip()
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, lab) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    clusters AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)
+    """
+
+
+@register_extra("q_dedup_keep", _dedup_keep_oracle())
+def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's terminal step, end-to-end: simhash pairs →
+    connected components → drop non-canonical members → surviving
+    corpus (pipeline/dedup.dedup_keep). The drop-list anti-join carries
+    ids only; payloads never shuffle."""
+    from duckdb_vss_spark.pipeline.dedup import (
+        dedup_clusters,
+        dedup_keep,
+        simhash_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash_pairs(docs, "text", "doc_id", bits=16, max_hamming=3, blocks=2)
+    keep = dedup_keep(docs, "doc_id", dedup_clusters(pairs))
+    return keep.select("doc_id", "lang", "n_chars")
