@@ -207,3 +207,32 @@ def test_kmv_sketch_single_group_shuffle(spark):
     assert plan.count("Exchange") == 1
     assert "Expand" not in plan
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_pq_and_ivfpq_joins_have_no_cartesian(spark, tmp_path):
+    """The batched ADC joins must stay scan+window shapes: one Arrow
+    scoring stage over the codes, a per-query window top-k, and (for
+    IVFADC) a partition-pruned scan — never a cartesian/NLJ."""
+    from duckdb_vss_spark.index import create_ivfpq_index, create_pq_index
+
+    emb = load_table(spark, SF, "embeddings")
+    qs = emb.limit(2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    pq = create_pq_index(
+        spark, emb, "embedding", "vec_id", str(tmp_path / "pq"),
+        m=8, ksub=8, overwrite=True,
+    )
+    plan = plan_of(pq.knn_join(qs, "qv", 3, "qid"), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    ipq = create_ivfpq_index(
+        spark, emb, "embedding", "vec_id", str(tmp_path / "ivfpq"),
+        nlist=4, m=8, ksub=8, overwrite=True,
+    )
+    jplan = plan_of(ipq.knn_join(qs, "qv", 3, "qid", nprobe=2), "formatted")
+    assert "CartesianProduct" not in jplan
+    assert "PartitionFilters" in jplan  # the probe union prunes the scan
+    read = jplan.split("ReadSchema")[1].splitlines()[0]
+    assert "pq_code" in read and "embedding" not in read
