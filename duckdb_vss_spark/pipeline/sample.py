@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_sample", "stratified_hash_sample", "shuffle_shards", "hash60"]
+__all__ = ["hash_sample", "stratified_hash_sample", "shuffle_shards", "source_cap", "hash60"]
 
 
 def hash60(id_col: Column | str, seed: int) -> Column:
@@ -101,4 +101,34 @@ def shuffle_shards(
     h = hash60(id_col, seed)
     return df.withColumn("pos", h).withColumn(
         "shard", (F.col("pos") % num_shards).cast("int")
+    )
+
+
+def source_cap(
+    df: DataFrame, id_col: str, group_col: str, cap: int, seed: int = 42
+) -> DataFrame:
+    """Cap each group (domain / source / crawl host) at ``cap`` rows —
+    the standard web-corpus guard against a single domain dominating
+    the mix. Which rows survive is a deterministic uniform draw: rows
+    rank within their group by the engine-reproducible ``hash60`` (ties
+    impossible for distinct ids — the id is the tiebreak), and rank
+    <= cap stays. So the kept subset is a pure function of
+    (seed, ids), reproducible on any engine/partitioning, and NESTED:
+    lowering the cap yields a subset of the higher-cap selection.
+
+    Scale shape: rank-within-group compiles to row_number over
+    (group, hash) — Spark plans a map-side WindowGroupLimit, so every
+    task pre-prunes to ``cap`` rows per group BEFORE the single
+    shuffle; a skewed mega-domain ships at most tasks·cap rows, not
+    its full population."""
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    from pyspark.sql import Window
+
+    h = hash60(id_col, seed)
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= cap)
+        .drop("__rn")
     )

@@ -95,6 +95,26 @@ _DEMOTED: frozenset[str] = frozenset(
         # (fresh r5 row; the k-ary min_by/max_by family keeps
         # q_min_by_topk declared)
         "q_sql_maxby_topk",
+        # The five r6b surfaces (q_asof_join, q_interval_join,
+        # q_rollup_revenue, q_pivot_events, q_event_percentiles)
+        # displace five stable rows with fresh r5 driver evidence whose
+        # families stay declared elsewhere: the rewrite family keeps
+        # q_sql_topk_rewrite + q_sql_lateral_rewrite; the HNSW family
+        # keeps q_hnsw_knn/_filtered/_filtered_empty/_knn_join; the
+        # lateral family keeps q_sql_lateral_rewrite; streaming keeps
+        # q_stream_window_counts + q_stream_dedup_state.
+        "q_sql_metric_rewrite",
+        "q_hnsw_compact",
+        "q_knn_join_lateral",
+        "q_stream_session_windows",
+        "q_cosine_rewrite",
+        # q_chunk_docs and q_source_cap (r6b curation surfaces) displace
+        # two more fresh-r5 rows whose families stay declared:
+        # q_hnsw_knn (scan family keeps _filtered/_filtered_empty/
+        # _knn_join) and q_ivf_knn_join (IVF family keeps q_ivf_knn +
+        # q_ivfpq_knn).
+        "q_hnsw_knn",
+        "q_ivf_knn_join",
     }
 )
 
@@ -103,6 +123,15 @@ _DEMOTED: frozenset[str] = frozenset(
 # least recently driver-verified lead, so a partial window always covers
 # them.
 _PRIORITY: list[str] = [
+    # r6b surfaces: temporal joins (ASOF, interval) + OLAP grouping
+    # (ROLLUP, PIVOT, exact percentiles) — first driver rows
+    "q_asof_join",
+    "q_interval_join",
+    "q_rollup_revenue",
+    "q_pivot_events",
+    "q_event_percentiles",
+    "q_chunk_docs",
+    "q_source_cap",
     # brand-new r6 surfaces: first driver rows (0-row filter pull-up
     # edge; connected-components cluster resolution; deterministic
     # sampling; seeded shuffle-sharding)
@@ -2019,4 +2048,194 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# round 6b: temporal joins + OLAP grouping surfaces
+# --------------------------------------------------------------------------
+
+@register(
+    "q_asof_join",
+    """
+    WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
+         r AS (SELECT * FROM events WHERE event_type = 'error')
+    SELECT l.event_id AS click_id, l.user_id AS user_id,
+           r.event_id AS err_id, r.value AS err_value,
+           epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    ORDER BY click_id
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join — DuckDB's dedicated ASOF JOIN operator, re-expressed
+    Spark-native as the union-merge idiom (operators/asof.py): ONE
+    shuffle on user_id, sort within partition, running last() window.
+    The oracle runs the real `ASOF LEFT JOIN` SQL, pinning inclusive
+    (r.ts <= l.ts) semantics and NULL rows for never-matched clicks."""
+    from duckdb_vss_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    errors = ev.where(F.col("event_type") == "error")
+    j = asof_join(
+        clicks, errors, on="ts", by="user_id",
+        right_cols=["event_id", "value"], suffix="_err",
+    )
+    return j.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("event_id_err").alias("err_id"),
+        F.col("value_err").alias("err_value"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts_err").cast("timestamp"))
+        ).alias("gap_us"),
+    ).orderBy("click_id")
+
+
+@register(
+    "q_interval_join",
+    """
+    WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
+         r AS (SELECT * FROM events WHERE event_type = 'error')
+    SELECT l.event_id AS click_id,
+           count(r.event_id) AS n_err_10m
+    FROM l LEFT JOIN r
+      ON l.user_id = r.user_id
+     AND r.ts BETWEEN l.ts - INTERVAL 10 MINUTE AND l.ts
+    GROUP BY l.event_id
+    ORDER BY click_id
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join — count errors in the 10 minutes before
+    each click, per user. DuckDB runs the raw inequality join (its
+    IEJoin path); Spark would plan that as a nested loop, so
+    operators/interval.py buckets time into window-width buckets and
+    equi-joins on (user_id, bucket) — constant fan-out, shuffle-hash
+    join, pair produced exactly once. Left-outer semantics (clicks with
+    zero errors) come from joining the inner-join counts back to the
+    click set."""
+    from duckdb_vss_spark.operators.interval import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id", "ts"
+    )
+    pairs = interval_join(
+        clicks, errors, on="ts", by="user_id",
+        lower=-600_000_000, upper=0, right_cols=["err_id"],
+    )
+    counts = pairs.groupBy("event_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        clicks.join(counts, "event_id", "left")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_err_10m"),
+        )
+        .orderBy("click_id")
+    )
+
+
+@register(
+    "q_rollup_revenue",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_revenue
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets — the OLAP subtotal surface (DuckDB
+    GROUP BY ROLLUP ≡ Spark `Dataset.rollup`). One shuffle: Spark
+    expands the grouping sets map-side (Expand node) and aggregates
+    all three levels in a single pass — no per-level re-scan. Grouping
+    NULLs are coalesced to 'ALL' on both sides (the grouped columns are
+    never NULL in data, so the sentinel is unambiguous)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum(F.col("l_quantity")).alias("sum_qty"),
+            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_revenue"
+            ),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+            "sum_revenue",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@register(
+    "q_pivot_events",
+    """
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click'    THEN CAST(value AS DECIMAL(28,4)) END) AS DOUBLE) AS click,
+           CAST(sum(CASE WHEN event_type = 'error'    THEN CAST(value AS DECIMAL(28,4)) END) AS DOUBLE) AS error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(28,4)) END) AS DOUBLE) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup'   THEN CAST(value AS DECIMAL(28,4)) END) AS DOUBLE) AS signup,
+           CAST(sum(CASE WHEN event_type = 'view'     THEN CAST(value AS DECIMAL(28,4)) END) AS DOUBLE) AS view
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT — long-to-wide per-user event-value matrix (DuckDB PIVOT /
+    conditional aggregation). Spark's `groupBy().pivot(values=...)`
+    with the value list pinned compiles to exactly the oracle's
+    one-pass conditional aggregation — one shuffle on user_id, no
+    second distinct-values job (passing explicit values skips the
+    driver-side distinct scan Spark otherwise needs)."""
+    ev = load_table(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(_dec_sum(F.col("value")))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q_event_percentiles",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5)  AS p50,
+           quantile_cont(value, 0.9)  AS p90,
+           quantile_cont(value, 0.99) AS p99
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group — Spark `percentile`
+    (exact, linear interpolation) ≡ DuckDB `quantile_cont`; both
+    compute lower + (upper-lower)·frac over the sorted doubles, so the
+    values hash-match bit-for-bit. The exact form shuffles the values
+    (correct for the oracle); at 100 TB the drop-in scale path is
+    `approx_percentile` (t-digest sketch, partial-aggregated map-side),
+    traded behind the same column names."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+            F.expr("percentile(value, 0.99)").alias("p99"),
+        )
+        .orderBy("event_type")
     )

@@ -1323,3 +1323,83 @@ def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = simhash_pairs(docs, "text", "doc_id", bits=16, max_hamming=3, blocks=2)
     keep = dedup_keep(docs, "doc_id", dedup_clusters(pairs))
     return keep.select("doc_id", "lang", "n_chars")
+
+
+# --------------------------------------------------------------------------
+# round 6b: chunking + per-source caps
+# --------------------------------------------------------------------------
+
+@register(
+    "q_chunk_docs",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS toks,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, toks, n,
+             greatest(CAST(0 AS BIGINT),
+                      CAST(ceil((n - 32) / 24.0) AS BIGINT)) AS last_chunk
+      FROM t
+    )
+    SELECT doc_id,
+           i AS chunk_id,
+           least(CAST(32 AS BIGINT), n - i * 24) AS n_tokens,
+           array_to_string(list_slice(toks, i * 24 + 1, i * 24 + 32), ' ') AS chunk_text
+    FROM k, UNNEST(generate_series(CAST(0 AS BIGINT), last_chunk)) AS u(i)
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style document chunking (pipeline/chunk.py): 32-token
+    sliding windows with 8-token overlap, exploded map-only — zero
+    shuffles, zero Python; the oracle recomputes the identical window
+    layout with list_slice/generate_series."""
+    from duckdb_vss_spark.pipeline.chunk import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, "text", "doc_id", chunk_tokens=32, overlap=8
+    ).orderBy("doc_id", "chunk_id")
+
+
+@register(
+    "q_source_cap",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY CAST('0x' || substr(md5('7_' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+                        doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM ranked WHERE rn <= 10
+    GROUP BY source ORDER BY source
+    """,
+)
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (pipeline/sample.source_cap): at most 10
+    docs per source survive, chosen by the engine-reproducible 60-bit
+    hash ranking — Spark plans the rank filter as a map-side
+    WindowGroupLimit (each task pre-prunes to 10/group pre-shuffle).
+    The oracle recomputes the identical ranking; id_sum pins WHICH
+    rows were kept, not just how many."""
+    from duckdb_vss_spark.pipeline.sample import source_cap
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = source_cap(docs, "doc_id", "source", cap=10, seed=7)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+        )
+        .orderBy("source")
+    )

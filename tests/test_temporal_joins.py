@@ -1,0 +1,148 @@
+"""Unit tests for the temporal join operators (asof_join,
+interval_join): semantics DuckDB pins via ASOF JOIN / inequality
+joins, exercised here on hand-built frames where the expected matches
+are computable by eye."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_vss_spark.operators.asof import asof_join
+from duckdb_vss_spark.operators.interval import interval_join
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            # (id, key, t)
+            (1, "a", 100),
+            (2, "a", 205),
+            (3, "a", 300),
+            (4, "b", 50),
+            (5, "c", 10),  # key with no right rows at all
+        ],
+        "id long, key string, t long",
+    )
+    right = spark.createDataFrame(
+        [
+            # (rid, key, t, v)
+            (10, "a", 90, 1.0),
+            (11, "a", 205, 2.0),  # exact tie with left id=2 -> inclusive
+            (12, "a", 290, 3.0),
+            (13, "b", 60, 4.0),  # after left id=4 -> backward: no match
+        ],
+        "rid long, key string, t long, v double",
+    )
+    return left, right
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+class TestAsofJoin:
+    def test_backward_inclusive(self, frames):
+        left, right = frames
+        out = asof_join(left, right, on="t", by="key", right_cols=["rid", "v"])
+        got = _rows(out, "id", "rid", "v")
+        assert got == [
+            (1, 10, 1.0),  # latest t<=100 is 90
+            (2, 11, 2.0),  # exact tie 205 matches (inclusive)
+            (3, 12, 3.0),
+            (4, None, None),  # only right row for b is later
+            (5, None, None),  # no right rows for c
+        ]
+
+    def test_forward(self, frames):
+        left, right = frames
+        out = asof_join(
+            left, right, on="t", by="key", right_cols=["rid"], direction="forward"
+        )
+        got = _rows(out, "id", "rid")
+        assert got == [
+            (1, 11),  # earliest t>=100 is 205
+            (2, 11),  # inclusive tie
+            (3, None),  # nothing at/after 300 for a
+            (4, 13),
+            (5, None),
+        ]
+
+    def test_tolerance_nulls_far_matches(self, frames):
+        left, right = frames
+        out = asof_join(
+            left, right, on="t", by="key", right_cols=["rid"], tolerance=10
+        )
+        got = dict(_rows(out, "id", "rid"))
+        assert got == {1: 10, 2: 11, 3: 12, 4: None, 5: None}
+        out2 = asof_join(
+            left, right, on="t", by="key", right_cols=["rid"], tolerance=5
+        )
+        # gaps of 10 (ids 1 and 3) exceed 5 -> nulled, rows kept
+        # (left-join semantics)
+        got2 = dict(_rows(out2, "id", "rid"))
+        assert got2 == {1: None, 2: 11, 3: None, 4: None, 5: None}
+
+    def test_no_row_tearing_on_null_payload(self, spark):
+        # A right row whose carried column is NULL must still be THE
+        # match (not leak the previous row's value for that column).
+        left = spark.createDataFrame([(1, 100)], "id long, t long")
+        right = spark.createDataFrame(
+            [(10, 50, 1.0), (11, 80, None)], "rid long, t long, v double"
+        )
+        out = asof_join(left, right, on="t", right_cols=["rid", "v"])
+        [(rid, v)] = _rows(out, "rid", "v")
+        assert rid == 11 and v is None
+
+    def test_global_no_by(self, spark):
+        left = spark.createDataFrame([(1, 100), (2, 40)], "id long, t long")
+        right = spark.createDataFrame([(10, 50), (11, 99)], "rid long, t long")
+        out = asof_join(left, right, on="t", right_cols=["rid"])
+        assert dict(_rows(out, "id", "rid")) == {1: 11, 2: None}
+
+    def test_validation(self, frames):
+        left, right = frames
+        with pytest.raises(ValueError):
+            asof_join(left, right, on="nope")
+        with pytest.raises(ValueError):
+            asof_join(left, right, on="t", direction="sideways")
+        with pytest.raises(ValueError):
+            asof_join(left, right, on="t", right_cols=["missing"])
+
+
+class TestIntervalJoin:
+    def test_pairs_exact_once(self, frames):
+        left, right = frames
+        out = interval_join(
+            left, right, on="t", by="key", lower=-100, upper=0, right_cols=["rid"]
+        )
+        got = _rows(out, "id", "rid")
+        # id=1 t=100 window [0,100]: rids at 90 -> 10
+        # id=2 t=205 window [105,205]: 205 -> 11
+        # id=3 t=300 window [200,300]: 205,290 -> 11,12
+        # id=4 t=50 window [-50,50]: right b at 60 out
+        assert got == [(1, 10), (2, 11), (3, 11), (3, 12)]
+
+    def test_symmetric_window_and_boundaries(self, spark):
+        left = spark.createDataFrame([(1, 100)], "id long, t long")
+        right = spark.createDataFrame(
+            [(10, 90), (11, 110), (12, 89), (13, 111)], "rid long, t long"
+        )
+        out = interval_join(
+            left, right, on="t", lower=-10, upper=10, right_cols=["rid"]
+        )
+        assert [r for (_, r) in _rows(out, "id", "rid")] == [10, 11]
+
+    def test_no_nested_loop_in_plan(self, frames):
+        left, right = frames
+        out = interval_join(
+            left, right, on="t", by="key", lower=-100, upper=0, right_cols=["rid"]
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+    def test_validation(self, frames):
+        left, right = frames
+        with pytest.raises(ValueError):
+            interval_join(left, right, on="t", lower=5, upper=1)
