@@ -115,6 +115,10 @@ _DEMOTED: frozenset[str] = frozenset(
         # q_ivfpq_knn).
         "q_hnsw_knn",
         "q_ivf_knn_join",
+        # q_bm25_topk (r6b lexical-retrieval surface) displaces
+        # q_sql_lateral_rewrite (fresh r5 row; the SQL-rewrite family
+        # keeps q_sql_topk_rewrite declared).
+        "q_sql_lateral_rewrite",
     }
 )
 
@@ -132,6 +136,7 @@ _PRIORITY: list[str] = [
     "q_event_percentiles",
     "q_chunk_docs",
     "q_source_cap",
+    "q_bm25_topk",
     # brand-new r6 surfaces: first driver rows (0-row filter pull-up
     # edge; connected-components cluster resolution; deterministic
     # sampling; seeded shuffle-sharding)

@@ -28,6 +28,7 @@ from duckdb_vss_spark.pipeline.text import (
     stopword_ratio,
     token_count,
 )
+from duckdb_vss_spark.pipeline.bm25 import bm25_oracle_sql
 from duckdb_vss_spark.queries import register, register_extra
 from duckdb_vss_spark.sources import load_table
 
@@ -1402,4 +1403,25 @@ def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("bigint").alias("id_sum"),
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "q_bm25_topk",
+    bm25_oracle_sql(
+        "documents", "text", "doc_id", ["join", "window", "hash"], topk=15
+    ),
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (pipeline/bm25.py) — the lexical half of
+    hybrid search: top-15 documents for a 3-term query, scored with
+    the public Okapi BM25 formula. Integer statistics are exact;
+    per-term partial scores round through DECIMAL(18,6) before the
+    per-doc sum so partial-agg order cannot perturb the hash. The
+    oracle is the same dataflow generated as SQL (bm25_oracle_sql)."""
+    from duckdb_vss_spark.pipeline.bm25 import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_scores(
+        docs, "text", "doc_id", ["join", "window", "hash"], topk=15
     )
