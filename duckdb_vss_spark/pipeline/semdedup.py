@@ -1,0 +1,168 @@
+"""SemDeDup — semantic (embedding-space) deduplication, after the
+public SemDeDup recipe (Abbas et al., 2023, arXiv:2303.09540): cluster
+the embedding space, then look for near-duplicate pairs ONLY within a
+cluster. The cluster step turns the quadratic all-pairs cosine check
+into k independent, bounded sub-problems — the difference between
+"impossible at 10^9 docs" and "one shuffle keyed by cluster id".
+
+Spark-first shape:
+
+- **assignment is map-only JVM code** — the centroid list is inlined as
+  an array-of-(distance-expr, id)-structs and `array_min` picks the
+  lexicographic minimum (distance ASC, centroid id ASC tie-break). No
+  shuffle, no Python, no UDF: each task assigns its rows inside
+  whole-stage codegen. k centroids ride in the plan as literals
+  (broadcast-by-construction).
+- **pair generation** self-joins on cluster_id — ONE shuffle of
+  (cluster, id, vec); within-cluster population is bounded by the
+  cluster sizes (≈ n/k for balanced k-means), never the corpus.
+- verification = exact cosine on candidate pairs only.
+
+Centroids are explicit (data-independent for the oracle; use
+``kmeans_centroids`` for real corpus-adaptive clustering — same
+operator, better cluster balance). Distances/similarities evaluate
+with the same sequential-fold kernels DuckDB uses (array_distance ≡
+list_distance, array_cosine_similarity ≡ list_cosine_similarity —
+bit-for-bit, pinned by q_knn_l2 / q_embedding_neardup), so a SQL
+oracle reproduces cluster assignment AND pair scores exactly.
+
+Compose the output with ``dedup_clusters`` + ``dedup_keep`` (the
+near-dup terminal steps in pipeline/dedup.py) to materialize the
+corpus keep-list.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from duckdb_vss_spark.functions.distance import (
+    array_cosine_similarity,
+    array_distance,
+)
+
+__all__ = [
+    "seeded_centroids",
+    "kmeans_centroids",
+    "assign_clusters",
+    "semdedup_pairs",
+]
+
+
+def seeded_centroids(k: int, dim: int, seed: int = 42) -> np.ndarray:
+    """Deterministic Gaussian centroids — a pure function of
+    (k, dim, seed), so a SQL oracle can inline the identical literals.
+    Random centroids still induce a valid space partition (Voronoi
+    cells); k-means ones are just better balanced."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((k, dim))
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    vec_col: str,
+    k: int,
+    seed: int = 42,
+    sample_rows: int = 65536,
+    iters: int = 10,
+) -> np.ndarray:
+    """Corpus-adaptive centroids via the IVF trainer's seeded k-means
+    on a bounded sample (driver-sized by construction)."""
+    from duckdb_vss_spark.index.ivf import _kmeans
+
+    frac_df = df.select(F.col(vec_col).alias("v")).limit(sample_rows)
+    sample = np.asarray(
+        [np.asarray(r.v, dtype=np.float64) for r in frac_df.collect()]
+    )
+    return _kmeans(sample, k, iters=iters, seed=seed)
+
+
+def assign_clusters(
+    df: DataFrame, vec_col: str, id_col: str, centroids: np.ndarray
+) -> DataFrame:
+    """Add ``cluster_id``: index of the L2-nearest centroid (ties →
+    lowest index). Map-only; vectors are cast to double so the
+    distance fold is bit-identical to DuckDB's list_distance."""
+    centroids = np.asarray(centroids, dtype=np.float64)
+    v = F.col(vec_col).cast("array<double>")
+    cand = F.array(
+        *[
+            F.struct(
+                array_distance(v, F.lit([float(x) for x in c])).alias("d"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    best = F.array_min(cand)
+    return df.withColumn("cluster_id", best.getField("cid"))
+
+
+def semdedup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: np.ndarray,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Within-cluster near-duplicate pairs:
+    (id_a, id_b, cluster_id, cos_sim) with id_a < id_b and
+    cos_sim >= threshold. One shuffle keyed by cluster_id."""
+    asg = assign_clusters(df, vec_col, id_col, centroids).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        "cluster_id",
+    )
+    x, y = asg.alias("x"), asg.alias("y")
+    return (
+        x.join(y, "cluster_id")
+        .where(F.col("x.id") < F.col("y.id"))
+        .withColumn("cos_sim", array_cosine_similarity(F.col("x.v"), F.col("y.v")))
+        .where(F.col("cos_sim") >= threshold)
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            "cluster_id",
+            "cos_sim",
+        )
+    )
+
+
+def semdedup_oracle_sql(
+    table: str,
+    vec_col: str,
+    id_col: str,
+    centroids: np.ndarray,
+    threshold: float,
+) -> str:
+    """Equivalent DuckDB SQL with the centroid literals inlined —
+    identical assignment (list_distance + (d, cid) tie-break) and
+    identical pair scores."""
+    centroids = np.asarray(centroids, dtype=np.float64)
+    values = ",\n      ".join(
+        f"({i}, CAST([{', '.join(repr(float(x)) for x in c)}] AS DOUBLE[]))"
+        for i, c in enumerate(centroids)
+    )
+    return f"""
+    WITH c(cid, cv) AS (VALUES
+      {values}
+    ),
+    a AS (
+      SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v FROM {table}
+    ),
+    ranked AS (
+      SELECT id, v, cid,
+             row_number() OVER (
+               PARTITION BY id ORDER BY list_distance(v, cv), cid
+             ) AS rn
+      FROM a CROSS JOIN c
+    ),
+    m AS (SELECT id, v, cid FROM ranked WHERE rn = 1)
+    SELECT x.id AS id_a, y.id AS id_b,
+           x.cid AS cluster_id,
+           list_cosine_similarity(x.v, y.v) AS cos_sim
+    FROM m x JOIN m y ON x.cid = y.cid AND x.id < y.id
+    WHERE list_cosine_similarity(x.v, y.v) >= {threshold!r}
+    ORDER BY id_a, id_b
+    """

@@ -119,6 +119,10 @@ _DEMOTED: frozenset[str] = frozenset(
         # q_sql_lateral_rewrite (fresh r5 row; the SQL-rewrite family
         # keeps q_sql_topk_rewrite declared).
         "q_sql_lateral_rewrite",
+        # q_semdedup (r6b semantic-dedup surface) displaces
+        # q_stream_window_counts (fresh r5 row; streaming keeps
+        # q_stream_dedup_state declared).
+        "q_stream_window_counts",
     }
 )
 
@@ -137,6 +141,7 @@ _PRIORITY: list[str] = [
     "q_chunk_docs",
     "q_source_cap",
     "q_bm25_topk",
+    "q_semdedup",
     # brand-new r6 surfaces: first driver rows (0-row filter pull-up
     # edge; connected-components cluster resolution; deterministic
     # sampling; seeded shuffle-sharding)

@@ -29,6 +29,10 @@ from duckdb_vss_spark.pipeline.text import (
     token_count,
 )
 from duckdb_vss_spark.pipeline.bm25 import bm25_oracle_sql
+from duckdb_vss_spark.pipeline.semdedup import (
+    seeded_centroids,
+    semdedup_oracle_sql,
+)
 from duckdb_vss_spark.queries import register, register_extra
 from duckdb_vss_spark.sources import load_table
 
@@ -1424,4 +1428,30 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return bm25_scores(
         docs, "text", "doc_id", ["join", "window", "hash"], topk=15
+    )
+
+
+@register(
+    "q_semdedup",
+    semdedup_oracle_sql(
+        "embeddings", "embedding", "vec_id", seeded_centroids(8, 64, seed=11), 0.4
+    ),
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (pipeline/semdedup.py, after arXiv:2303.09540):
+    embedding-space clustering bounds the near-dup search to
+    within-cluster pairs — map-only JVM centroid assignment
+    (array_min over (distance, cid) structs, no UDF/shuffle), one
+    self-join keyed by cluster_id, exact cosine on candidates only.
+    The oracle inlines the identical seeded centroids and recomputes
+    assignment + pair scores bit-for-bit."""
+    from duckdb_vss_spark.pipeline.semdedup import (
+        seeded_centroids,
+        semdedup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    C = seeded_centroids(8, 64, seed=11)
+    return semdedup_pairs(emb, "embedding", "vec_id", C, threshold=0.4).orderBy(
+        "id_a", "id_b"
     )
