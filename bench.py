@@ -97,6 +97,12 @@ def main() -> None:
         "q_json_event_stats",
         "q_window_top_events",
         "q_sessionize_events",
+        # r6b: temporal joins + OLAP grouping
+        "q_asof_join",
+        "q_interval_join",
+        "q_rollup_revenue",
+        "q_pivot_events",
+        "q_event_percentiles",
     ):
         timed(name, lambda n=name: qfns[n](spark, sf_dir).count())
 
@@ -233,6 +239,12 @@ def main() -> None:
         "q_stratified_sample",
         "q_pack_sequences",
         "q_kmv_distinct",
+        # r6b: chunking, caps, lexical retrieval, semantic dedup
+        "q_chunk_docs",
+        "q_source_cap",
+        "q_bm25_topk",
+        "q_semdedup",
+        "q_hybrid_rrf",
     ):
         # the python-heavy dedup queries are the most sensitive to
         # external CPU contention in this container (observed 3-17x

@@ -101,7 +101,8 @@ def bm25_scores(
     return scored
 
 
-def bm25_oracle_sql(
+def bm25_oracle_ctes(
+    name: str,
     table: str,
     text_col: str,
     id_col: str,
@@ -110,16 +111,16 @@ def bm25_oracle_sql(
     b: float = 0.75,
     topk: int | None = None,
 ) -> str:
-    """The equivalent ANSI/DuckDB SQL — same dataflow, same DECIMAL
-    rounding point, for oracle comparison."""
+    """The oracle dataflow as a WITH-clause body whose final CTE is
+    ``name`` (id_col, score) — composable into larger oracle SQL
+    (e.g. hybrid-retrieval fusion)."""
     terms = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
     limit = (
         f"ORDER BY score DESC, {id_col} LIMIT {int(topk)}"
         if topk is not None
-        else f"ORDER BY {id_col}"
+        else ""
     )
-    return f"""
-    WITH tok AS (
+    return f"""tok AS (
       SELECT {id_col},
              CAST(len(string_split({text_col}, ' ')) AS BIGINT) AS dl,
              unnest(string_split({text_col}, ' ')) AS term
@@ -137,16 +138,40 @@ def bm25_oracle_sql(
       SELECT CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(len(string_split({text_col}, ' '))) AS BIGINT) AS sum_dl
       FROM {table}
+    ),
+    {name} AS (
+      SELECT {id_col},
+             CAST(sum(CAST(
+               ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                        / (CAST(df AS DOUBLE) + 0.5))
+               * (CAST(tf AS DOUBLE) * {k1 + 1.0!r})
+               / (CAST(tf AS DOUBLE) + {k1!r} * ({1.0 - b!r} + {b!r} * CAST(dl AS DOUBLE)
+                  / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+             AS DECIMAL(18,6))) AS DOUBLE) AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+      GROUP BY {id_col}
+      {limit}
+    )"""
+
+
+def bm25_oracle_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int | None = None,
+) -> str:
+    """The equivalent ANSI/DuckDB SQL — same dataflow, same DECIMAL
+    rounding point, for oracle comparison."""
+    ctes = bm25_oracle_ctes(
+        "bm", table, text_col, id_col, query_terms, k1, b, topk
     )
-    SELECT {id_col},
-           CAST(sum(CAST(
-             ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-                      / (CAST(df AS DOUBLE) + 0.5))
-             * (CAST(tf AS DOUBLE) * {k1 + 1.0!r})
-             / (CAST(tf AS DOUBLE) + {k1!r} * ({1.0 - b!r} + {b!r} * CAST(dl AS DOUBLE)
-                / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
-           AS DECIMAL(18,6))) AS DOUBLE) AS score
-    FROM tf JOIN dfreq USING (term) CROSS JOIN stats
-    GROUP BY {id_col}
-    {limit}
+    order = (
+        f"ORDER BY score DESC, {id_col}" if topk is not None else f"ORDER BY {id_col}"
+    )
+    return f"""
+    WITH {ctes}
+    SELECT {id_col}, score FROM bm {order}
     """

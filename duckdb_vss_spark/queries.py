@@ -123,6 +123,11 @@ _DEMOTED: frozenset[str] = frozenset(
         # q_stream_window_counts (fresh r5 row; streaming keeps
         # q_stream_dedup_state declared).
         "q_stream_window_counts",
+        # q_hybrid_rrf (r6b hybrid-retrieval surface) displaces q_knn_l2
+        # (driver-green r1-r5; the brute-knn surface stays exercised by
+        # q_hybrid_rrf's exact cosine leg and remains CI-enforced as an
+        # extra).
+        "q_knn_l2",
     }
 )
 
@@ -142,6 +147,7 @@ _PRIORITY: list[str] = [
     "q_source_cap",
     "q_bm25_topk",
     "q_semdedup",
+    "q_hybrid_rrf",
     # brand-new r6 surfaces: first driver rows (0-row filter pull-up
     # edge; connected-components cluster resolution; deterministic
     # sampling; seeded shuffle-sharding)

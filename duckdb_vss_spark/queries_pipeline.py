@@ -28,7 +28,7 @@ from duckdb_vss_spark.pipeline.text import (
     stopword_ratio,
     token_count,
 )
-from duckdb_vss_spark.pipeline.bm25 import bm25_oracle_sql
+from duckdb_vss_spark.pipeline.bm25 import bm25_oracle_ctes, bm25_oracle_sql
 from duckdb_vss_spark.pipeline.semdedup import (
     seeded_centroids,
     semdedup_oracle_sql,
@@ -1454,4 +1454,68 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     C = seeded_centroids(8, 64, seed=11)
     return semdedup_pairs(emb, "embedding", "vec_id", C, threshold=0.4).orderBy(
         "id_a", "id_b"
+    )
+
+
+def _hybrid_rrf_oracle() -> str:
+    lex_ctes = bm25_oracle_ctes(
+        "lex_scored", "documents", "text", "doc_id",
+        ["join", "window", "hash"], topk=50,
+    )
+    qvec = "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 5)"
+    return f"""
+    WITH {lex_ctes},
+    lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM lex_scored
+    ),
+    vec AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (
+               ORDER BY 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), {qvec}),
+                        vec_id
+             ) AS rank
+      FROM embeddings WHERE embedding IS NOT NULL
+      QUALIFY rank <= 50
+    ),
+    u AS (
+      SELECT doc_id, CAST(CAST(1.0 AS DOUBLE) / (60 + rank) AS DECIMAL(18,12)) AS c FROM lex
+      UNION ALL
+      SELECT doc_id, CAST(CAST(1.0 AS DOUBLE) / (60 + rank) AS DECIMAL(18,12)) AS c FROM vec
+    )
+    SELECT doc_id, CAST(sum(c) AS DOUBLE) AS rrf_score
+    FROM u GROUP BY doc_id
+    ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """
+
+
+@register("q_hybrid_rrf", _hybrid_rrf_oracle())
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — the engine's two halves fused: BM25 top-50
+    (lexical) + cosine top-50 (vector) combined with Reciprocal Rank
+    Fusion (operators/fuse.py, SIGIR'09). Both legs are top-n small
+    before fusion, so the fuse is a skinny union + one groupBy; the
+    DECIMAL-rounded contributions make the sum order-independent. The
+    oracle recomputes both legs and the fusion in SQL."""
+    from duckdb_vss_spark.operators.fuse import add_rank, rrf_fuse
+    from duckdb_vss_spark.pipeline.bm25 import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    from duckdb_vss_spark.operators.topk import knn_search
+    from duckdb_vss_spark.queries import _query_vec
+
+    qv = _query_vec(spark, sf_dir, 5)
+    lex = bm25_scores(docs, "text", "doc_id", ["join", "window", "hash"], topk=50)
+    lex = add_rank(lex, "doc_id", F.desc("score"), F.asc("doc_id"))
+    vec = knn_search(
+        emb.select("vec_id", "embedding"), "embedding", qv, 50, metric="cosine"
+    ).select(F.col("vec_id").alias("doc_id"), "dist")
+    vec = add_rank(vec, "doc_id", F.asc("dist"), F.asc("doc_id"))
+    return rrf_fuse(
+        [lex.select("doc_id", "rank"), vec.select("doc_id", "rank")],
+        "doc_id",
+        k=60,
+        topk=10,
     )
