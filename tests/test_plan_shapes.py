@@ -236,3 +236,85 @@ def test_pq_and_ivfpq_joins_have_no_cartesian(spark, tmp_path):
     assert "PartitionFilters" in jplan  # the probe union prunes the scan
     read = jplan.split("ReadSchema")[1].splitlines()[0]
     assert "pq_code" in read and "embedding" not in read
+
+
+def test_asof_join_single_exchange_no_nested_loop(spark):
+    """The asof union-merge idiom shuffles ONCE (on the by key) and
+    never plans a nested-loop/cartesian — the property that makes it
+    viable where the naive inequality join is not."""
+    from duckdb_vss_spark.operators.asof import asof_join
+
+    ev = load_table(spark, SF, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    errors = ev.where(F.col("event_type") == "error")
+    j = asof_join(clicks, errors, on="ts", by="user_id", right_cols=["event_id"])
+    plan = plan_of(j, "simple")
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    # one hashpartitioning exchange on user_id for the window
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_interval_join_is_equi_join(spark):
+    from duckdb_vss_spark.operators.interval import interval_join
+
+    ev = load_table(spark, SF, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id", "ts"
+    )
+    j = interval_join(
+        clicks, errors, on="ts", by="user_id", lower=-600_000_000, upper=0,
+        right_cols=["err_id"],
+    )
+    plan = plan_of(j)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "Join" in plan  # an actual (hash) equi-join on (user_id, bucket)
+
+
+def test_chunk_documents_zero_shuffle(spark):
+    from duckdb_vss_spark.pipeline.chunk import chunk_documents
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(chunk_documents(docs, "text", "doc_id", 32, 8))
+    assert "Exchange" not in plan  # map-only: explode + slice, no shuffle
+
+
+def test_source_cap_uses_window_group_limit(spark):
+    from duckdb_vss_spark.pipeline.sample import source_cap
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(source_cap(docs, "doc_id", "source", 10))
+    # Spark 4 plans rank<=k as WindowGroupLimit with a PARTIAL mode
+    # instance below the exchange: each task pre-prunes to cap rows per
+    # group before shuffling (the skew guard at 100 TB).
+    assert "WindowGroupLimit" in plan
+    assert plan.count("WindowGroupLimit") >= 2  # partial + final
+
+
+def test_rollup_single_exchange_expand(spark):
+    from duckdb_vss_spark.queries import _QUERIES
+
+    df = _QUERIES["q_rollup_revenue"](spark, SF)
+    plan = plan_of(df, "simple")
+    assert "Expand" in plan  # grouping sets expanded map-side
+    # a single agg exchange (the final orderBy adds a range exchange,
+    # not a second hash one)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bm25_term_filter_below_explode_and_broadcasts(spark):
+    from duckdb_vss_spark.pipeline.bm25 import bm25_scores
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(bm25_scores(docs, "text", "doc_id", ["join", "window"], topk=5))
+    assert "BroadcastExchange" in plan  # df + corpus stats ride broadcasts
+    assert "Cartesian" not in plan  # the 1-row stats cross join broadcasts too
+    assert "TakeOrderedAndProject" in plan  # topk never global-sorts
+
+
+def test_semdedup_assignment_is_shuffle_free_preagg(spark):
+    from duckdb_vss_spark.pipeline.semdedup import assign_clusters, seeded_centroids
+
+    emb = load_table(spark, SF, "embeddings")
+    plan = plan_of(assign_clusters(emb, "embedding", "vec_id", seeded_centroids(4, 64)))
+    assert "Exchange" not in plan and "pythonUDF" not in plan.lower()
