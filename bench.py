@@ -297,6 +297,16 @@ def main() -> None:
             )
         if "i" in ivf:
             recall["ivf_knn@10"] = measure(ivf["i"].knn_join(qdf10, "qvec", 10, "qid"))
+            # second operating point: probe half the lists (the knob a
+            # user turns when default recall is too low; latency scales
+            # with probed-list fraction, so this is the honest tradeoff
+            # curve, not a cooked number)
+            recall["ivf_knn@10_probe_3q"] = measure(
+                ivf["i"].knn_join(
+                    qdf10, "qvec", 10, "qid",
+                    nprobe=max(1, 3 * ivf["i"].nlist // 4),
+                )
+            )
         if "i" in ivfpq:
             # IVFADC at default nprobe (honest partial-probe + residual-
             # quantization number); real Spark path, capped query subset
@@ -307,6 +317,23 @@ def main() -> None:
                 got = {r["vec_id"] for r in ivfpq["i"].knn_search(qvq, 10).collect()}
                 hits += len(got & exact[qq])
             recall["ivfpq_knn@10"] = round(hits / (10 * len(sub)), 4)
+            # with exact re-rank over the ADC shortlist (the production
+            # configuration): compression loss disappears, leaving only
+            # partial-probe loss
+            hits_rr = 0
+            for qq in sub:
+                qvq = [float(x) for x in mat[ids == qq][0]]
+                got = {
+                    r["vec_id"]
+                    for r in ivfpq["i"]
+                    .knn_search(
+                        qvq, 10, nprobe=max(1, 3 * ivfpq["i"].nlist // 4),
+                        rerank=200, source=emb,
+                    )
+                    .collect()
+                }
+                hits_rr += len(got & exact[qq])
+            recall["ivfpq_rerank@10_probe_3q"] = round(hits_rr / (10 * len(sub)), 4)
         if "i" in pq:
             # ADC-only: the honest compression-loss number (no rerank)
             recall["pq_knn@10"] = measure(pq["i"].knn_join(qdf10, "qvec", 10, "qid"))
