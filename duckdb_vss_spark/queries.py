@@ -128,6 +128,12 @@ _DEMOTED: frozenset[str] = frozenset(
         # q_hybrid_rrf's exact cosine leg and remains CI-enforced as an
         # extra).
         "q_knn_l2",
+        # q_mix_budget (r6b token-budget mixing surface) displaces
+        # q_minhash_lsh (fresh r5 row; the near-dup family keeps
+        # q_ngram_jaccard, q_simhash_pairs, q_embedding_neardup,
+        # q_dedup_clusters and q_semdedup declared, and bench still
+        # times q_minhash_lsh every round).
+        "q_minhash_lsh",
     }
 )
 
@@ -148,6 +154,7 @@ _PRIORITY: list[str] = [
     "q_bm25_topk",
     "q_semdedup",
     "q_hybrid_rrf",
+    "q_mix_budget",
     # brand-new r6 surfaces: first driver rows (0-row filter pull-up
     # edge; connected-components cluster resolution; deterministic
     # sampling; seeded shuffle-sharding)

@@ -1519,3 +1519,55 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=60,
         topk=10,
     )
+
+
+@register(
+    "q_mix_budget",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST('0x' || substr(md5('13_' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tok,
+             sum(n_tok) OVER (
+               PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tok
+      FROM t
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS tokens,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM c
+    WHERE cum_tok <= CASE source WHEN 'src1' THEN 1500
+                                 WHEN 'src2' THEN 700
+                                 ELSE 300 END
+    GROUP BY source ORDER BY source
+    """,
+)
+def q_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data mixing (pipeline/mix.py): each source
+    contributes docs by hash priority until its token budget is hit
+    (src1: 1500 tokens, src2: 700, others: 300) — the primitive LLM
+    data recipes are written in. id_sum pins the exact kept set; the
+    oracle recomputes the identical hash-ordered running sum."""
+    from duckdb_vss_spark.pipeline.mix import mix_by_token_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = mix_by_token_budget(
+        docs, "text", "doc_id", "source",
+        budgets={"src1": 1500, "src2": 700}, default_budget=300, seed=13,
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("tokens"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+        )
+        .orderBy("source")
+    )
