@@ -134,6 +134,10 @@ _DEMOTED: frozenset[str] = frozenset(
         # q_dedup_clusters and q_semdedup declared, and bench still
         # times q_minhash_lsh every round).
         "q_minhash_lsh",
+        # q_dup_spans (r6b span-level dedup surface) displaces q_ivf_knn
+        # (fresh r5 row; IVF routing + partition pruning stays declared
+        # through q_ivfpq_knn, and test_ivf.py pins the pruned plan).
+        "q_ivf_knn",
     }
 )
 
@@ -155,6 +159,7 @@ _PRIORITY: list[str] = [
     "q_semdedup",
     "q_hybrid_rrf",
     "q_mix_budget",
+    "q_dup_spans",
     # brand-new r6 surfaces: first driver rows (0-row filter pull-up
     # edge; connected-components cluster resolution; deterministic
     # sampling; seeded shuffle-sharding)

@@ -1571,3 +1571,46 @@ def q_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_dup_spans",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i AS span_start,
+             CAST('0x' || substr(md5(array_to_string(list_slice(toks, i + 1, i + 10), ' ')), 1, 15) AS BIGINT) AS gh
+      FROM t, UNNEST(generate_series(0, n - 10)) AS u(i)
+      WHERE n >= 10
+    ),
+    rep AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+    h AS (SELECT doc_id, span_start FROM g JOIN rep USING (gh)),
+    isl AS (
+      SELECT doc_id, span_start,
+             span_start - row_number() OVER (PARTITION BY doc_id ORDER BY span_start) AS grp
+      FROM h
+    )
+    SELECT doc_id, CAST(min(span_start) AS BIGINT) AS span_start,
+           CAST(count(*) + 9 AS BIGINT) AS span_tokens
+    FROM isl GROUP BY doc_id, grp
+    ORDER BY doc_id, span_start
+    """,
+)
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup (pipeline/spandedup.py, after Lee et
+    al. arXiv:2107.06499): maximal token runs >= 10 tokens repeated
+    across documents, located by position — the span-level complement
+    to the doc-level near-dup family. Positioned 10-grams (map-only,
+    JVM md5) -> repeated-gram keys (one 8-byte-key shuffle) -> join
+    back -> gaps-and-islands merge. The oracle reproduces the same
+    relational dataflow."""
+    from duckdb_vss_spark.pipeline.spandedup import duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_spans(docs, "text", "doc_id", width=10).orderBy(
+        "doc_id", "span_start"
+    )
