@@ -245,6 +245,8 @@ def main() -> None:
         "q_bm25_topk",
         "q_semdedup",
         "q_hybrid_rrf",
+        "q_mix_budget",
+        "q_dup_spans",
     ):
         # the python-heavy dedup queries are the most sensitive to
         # external CPU contention in this container (observed 3-17x
