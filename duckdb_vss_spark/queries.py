@@ -138,6 +138,12 @@ _DEMOTED: frozenset[str] = frozenset(
         # (fresh r5 row; IVF routing + partition pruning stays declared
         # through q_ivfpq_knn, and test_ivf.py pins the pruned plan).
         "q_ivf_knn",
+        # q_stream_interval_join (r6b stream-stream join surface)
+        # displaces q_sql_topk_rewrite (fresh r5 row; the whole rewrite
+        # family rotates to CI-enforced extras this round — every member
+        # has an r5 driver row, and the per-other-round policy brings
+        # them back in r7).
+        "q_sql_topk_rewrite",
     }
 )
 
@@ -160,6 +166,7 @@ _PRIORITY: list[str] = [
     "q_hybrid_rrf",
     "q_mix_budget",
     "q_dup_spans",
+    "q_stream_interval_join",
     # brand-new r6 surfaces: first driver rows (0-row filter pull-up
     # edge; connected-components cluster resolution; deterministic
     # sampling; seeded shuffle-sharding)

@@ -1614,3 +1614,45 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(docs, "text", "doc_id", width=10).orderBy(
         "doc_id", "span_start"
     )
+
+
+@register(
+    "q_stream_interval_join",
+    """
+    WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
+         r AS (SELECT * FROM events WHERE event_type = 'error')
+    SELECT l.event_id AS click_id, r.event_id AS err_id, l.user_id AS user_id
+    FROM l JOIN r
+      ON l.user_id = r.user_id
+     AND r.ts BETWEEN l.ts - INTERVAL 120 MINUTE AND l.ts
+    ORDER BY click_id, err_id
+    """,
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, oracle-checked: the watermarked
+    time-range join (streaming/ops.stream_interval_join) runs as a REAL
+    Structured Streaming query (file sources, availableNow trigger,
+    append mode to a memory sink) and its pair multiset must equal the
+    batch inequality join DuckDB runs. Watermark + range bound are what
+    let join state GC — the property an unbounded stream needs."""
+    import uuid
+
+    from duckdb_vss_spark.streaming import read_events_stream, stream_interval_join
+
+    clicks = read_events_stream(spark, sf_dir).where(
+        F.col("event_type") == "click"
+    )
+    errors = read_events_stream(spark, sf_dir).where(
+        F.col("event_type") == "error"
+    )
+    pairs = stream_interval_join(clicks, errors, lookback="120 minutes")
+    sink = f"stream_ij_{uuid.uuid4().hex[:8]}"
+    q = (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink).orderBy("click_id", "err_id")

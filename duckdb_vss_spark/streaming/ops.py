@@ -121,6 +121,53 @@ def session_window_stats(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    lookback: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: each left event paired with every
+    right event of the same user in the trailing ``lookback`` window —
+    the streaming twin of operators/interval.interval_join (Flink's
+    interval join; DuckDB runs the same predicate as a batch
+    inequality join, which is this surface's oracle).
+
+    Spark-native: a watermarked stream-stream INNER join with a
+    time-range condition. The watermark + range bound is what lets the
+    join state GC old rows — without both, stream-stream join state
+    grows forever; with them, each side retains only
+    watermark + lookback of data regardless of total stream length
+    (the property that matters for an unbounded 100 TB/day stream).
+
+    `left` and `right` must be event streams with (event_id, user_id,
+    ts) columns; returns (click_id, err_id, user_id) pairs, append
+    mode.
+    """
+    l = (
+        left.select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("l_ts"),
+        ).withWatermark("l_ts", watermark)
+    )
+    r = (
+        right.select(
+            F.col("event_id").alias("err_id"),
+            F.col("user_id").alias("r_user_id"),
+            F.col("ts").alias("r_ts"),
+        ).withWatermark("r_ts", watermark)
+    )
+    return l.join(
+        r,
+        F.expr(
+            f"""user_id = r_user_id
+                AND r_ts BETWEEN l_ts - INTERVAL {lookback} AND l_ts"""
+        ),
+        "inner",
+    ).select("click_id", "err_id", "user_id")
+
+
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read of the documents table (file source)."""
     import hashlib

@@ -226,3 +226,47 @@ def test_curation_filters_compose_with_streams(spark, tmp_path):
     got = {(r["doc_id"], r["fp"]) for r in spark.read.parquet(out).collect()}
     want = {(r["doc_id"], r["fp"]) for r in curate(docs).collect()}
     assert got == want and len(want) > 0
+
+
+def test_stream_interval_join_matches_batch(spark):
+    """The watermarked stream-stream time-range join must produce the
+    identical pair multiset as the batch inequality join over the same
+    events (state GC must never drop an in-window pair under
+    availableNow processing)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark.operators.interval import interval_join
+    from duckdb_vss_spark.streaming import read_events_stream, stream_interval_join
+
+    sf = "/root/testdata/sf0.001"
+    clicks_s = read_events_stream(spark, sf).where(F.col("event_type") == "click")
+    errors_s = read_events_stream(spark, sf).where(F.col("event_type") == "error")
+    sink = f"t_ij_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_interval_join(clicks_s, errors_s, lookback="120 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.click_id, r.err_id) for r in spark.table(sink).collect()
+    )
+
+    from duckdb_vss_spark.sources import load_table
+
+    ev = load_table(spark, sf, "events")
+    c = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    e = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id", "ts"
+    )
+    batch = interval_join(
+        c, e, on="ts", by="user_id", lower=-7_200_000_000, upper=0,
+        right_cols=["err_id"],
+    )
+    want = sorted((r.event_id, r.err_id) for r in batch.collect())
+    assert got == want
