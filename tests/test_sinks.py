@@ -121,3 +121,33 @@ def test_save_table_rejects_unknown_format(spark, tmp_path):
     docs = spark.range(3)
     with pytest.raises(ValueError, match="fmt"):
         save_table(docs, str(tmp_path / "x"), fmt="avro")
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """The 100 TB co-location story: two tables bucketed on the join key
+    with the same bucket count join WITHOUT any Exchange — the shuffle
+    was paid once at write time. (Broadcast disabled for the test so the
+    plan can't sidestep the property.)"""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark.sources.sinks import save_table
+
+    suffix = uuid.uuid4().hex[:8]
+    ta, tb = f"bkt_a_{suffix}", f"bkt_b_{suffix}"
+    a = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(500).select(F.col("id").alias("k"), (F.col("id") + 7).alias("vb"))
+    save_table(a, str(tmp_path / ta), bucket_by=(8, ["k"]))
+    save_table(b, str(tmp_path / tb), bucket_by=(8, ["k"]))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table(ta).join(spark.table(tb), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert j.count() == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
