@@ -2274,3 +2274,71 @@ def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register_extra(
+    "q_ntile_value_buckets",
+    """
+    SELECT event_type, bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+    FROM (
+      SELECT event_type, value,
+             ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS bucket
+      FROM events
+    )
+    GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+)
+def q_ntile_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quartile bucketing per group — the remaining ranked-window
+    surface (row_number/lag covered elsewhere). Both engines assign
+    tiles by row position under the same deterministic total order, so
+    the bucket contents hash-match."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select("event_type", "value", F.ntile(4).over(w).alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            _dec_sum(F.col("value")).alias("sum_value"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+@register_extra(
+    "q_cube_events",
+    """
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(CAST(user_id % 4 AS VARCHAR), 'ALL') AS user_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY CUBE(event_type, CAST(user_id % 4 AS VARCHAR))
+    ORDER BY event_type, user_bucket
+    """,
+)
+def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 2^2 subtotal combinations in ONE Expand
+    pass + single shuffle) — completes the grouping-sets surface next
+    to ROLLUP. Grouping NULLs coalesce to 'ALL' on both sides."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 4).cast("string")
+    )
+    return (
+        ev.cube("event_type", "user_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            _dec_sum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("user_bucket"), F.lit("ALL")).alias("user_bucket"),
+            "n",
+            "sum_value",
+        )
+        .orderBy("event_type", "user_bucket")
+    )
