@@ -2342,3 +2342,117 @@ def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "user_bucket")
     )
+
+
+@register_extra(
+    "q_funnel",
+    """
+    WITH s AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_signup,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_after,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_after
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (signup → later click → later purchase):
+    each stage is a min-timestamp aggregate joined to the previous
+    stage with a strictly-later predicate — three skinny keyed
+    aggregates, no window over the full event stream, no self-join
+    blow-up. The classic product-analytics operator on the events
+    table."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    # one plan, no driver-side counts: three 1-row aggregates
+    # broadcast-cross-joined
+    return (
+        s.agg(F.count(F.lit(1)).cast("bigint").alias("n_signup"))
+        .crossJoin(c.agg(F.count(F.lit(1)).cast("bigint").alias("n_click_after")))
+        .crossJoin(
+            p.agg(F.count(F.lit(1)).cast("bigint").alias("n_purchase_after"))
+        )
+    )
+
+
+@register_extra(
+    "q_cohort_retention",
+    """
+    WITH first_seen AS (
+      SELECT user_id,
+             CAST(floor(epoch_us(min(ts)) / 604800000000) AS BIGINT) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             f.cohort_week,
+             CAST(floor(epoch_us(e.ts) / 604800000000) AS BIGINT) - f.cohort_week AS week_offset
+      FROM events e JOIN first_seen f USING (user_id)
+    )
+    SELECT cohort_week, week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week,
+    counted per week-offset of later activity — the other standard
+    product-analytics rollup. Two keyed aggregates + one distinct;
+    week arithmetic in integer epoch-microseconds so both engines
+    bucket identically."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    week = F.floor(us / F.lit(604800000000)).cast("bigint")
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = (
+        ev.select("user_id", week.alias("w"))
+        .groupBy("user_id")
+        .agg(F.min("w").alias("cohort_week"))
+    )
+    activity = (
+        ev.select("user_id", week.alias("w"))
+        .join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("w") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
