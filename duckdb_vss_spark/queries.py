@@ -144,6 +144,11 @@ _DEMOTED: frozenset[str] = frozenset(
         # has an r5 driver row, and the per-other-round policy brings
         # them back in r7).
         "q_sql_topk_rewrite",
+        # q_image_phash_dedup (r6b image-dedup surface, real decoded
+        # pixels) displaces q_vss_match_stats (fresh r5 row; both vss
+        # macros stay CI-enforced extras and sit on the same knn
+        # machinery pinned by the declared join/search rows).
+        "q_vss_match_stats",
     }
 )
 
@@ -167,6 +172,7 @@ _PRIORITY: list[str] = [
     "q_mix_budget",
     "q_dup_spans",
     "q_stream_interval_join",
+    "q_image_phash_dedup",
     # brand-new r6 surfaces: first driver rows (0-row filter pull-up
     # edge; connected-components cluster resolution; deterministic
     # sampling; seeded shuffle-sharding)

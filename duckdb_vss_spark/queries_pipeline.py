@@ -1656,3 +1656,63 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     return spark.table(sink).orderBy("click_id", "err_id")
+
+
+@register(
+    "q_image_phash_dedup",
+    """
+    WITH m AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(CASE WHEN (a.doc_id % 20 = 10) = (b.doc_id % 20 = 10)
+                     THEN 0 ELSE 2 END AS INT) AS hamming
+    FROM m a JOIN m b
+      ON a.doc_id % 4 = b.doc_id % 4 AND a.doc_id < b.doc_id
+    ORDER BY id_a, id_b
+    """,
+)
+def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup, end-to-end on REAL pixels: PNGs are
+    synthesized by construction (8x8-cell checkerboard patterns, 2x2
+    pixels per cell; pattern = doc_id % 4 with one row inverted per
+    pattern so cross-pattern hamming is 16; docs with doc_id % 20 = 10
+    carry two inverted noise cells), encoded with the repo's own PNG
+    codec, DECODED back (pipeline/imagehash.ahash_images), aHashed, and
+    paired via the banded hamming join (pipeline/imagehash.ahash_pairs,
+    pigeonhole-exact recall). The oracle derives the expected pairs and
+    exact hammings (0 within the clean/noisy class, 2 across) from the
+    construction — pinning decode, hashing, banding and verification in
+    one value-checked query."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from duckdb_vss_spark.pipeline.imagehash import ahash_images, ahash_pairs
+
+    def _synth(doc_id):
+        from duckdb_vss_spark.pipeline.png import encode_png
+
+        out = []
+        for d in doc_id:
+            d = int(d)
+            cells = (np.indices((8, 8)).sum(axis=0) % 2).astype(bool)
+            cells[2 * (d % 4), :] = ~cells[2 * (d % 4), :]
+            if d % 20 == 10:
+                cells[0, 1] = ~cells[0, 1]
+                cells[7, 6] = ~cells[7, 6]
+            img = np.where(cells, 255, 0).astype(np.uint8)
+            img = np.repeat(np.repeat(img, 2, axis=0), 2, axis=1)  # 16x16
+            out.append(encode_png(img))
+        return pd.Series(out)
+
+    synth = pandas_udf(_synth, BinaryType())
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+    )
+    imgs = docs.withColumn("payload", synth(F.col("doc_id")))
+    hashes = ahash_images(imgs, "payload", "doc_id")
+    return ahash_pairs(hashes, "doc_id", max_hamming=3, blocks=4).orderBy(
+        "id_a", "id_b"
+    )
