@@ -5,3 +5,6 @@ from duckdb_vss_spark.operators.topk import (  # noqa: F401
     min_by_k,
     topk_struct_agg,
 )
+from duckdb_vss_spark.operators.asof import asof_join  # noqa: F401
+from duckdb_vss_spark.operators.fuse import add_rank, rrf_fuse  # noqa: F401
+from duckdb_vss_spark.operators.interval import interval_join  # noqa: F401

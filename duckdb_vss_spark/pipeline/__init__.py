@@ -33,3 +33,20 @@ from duckdb_vss_spark.pipeline.text import (  # noqa: F401
     tokens,
     word_ngrams,
 )
+from duckdb_vss_spark.pipeline.bm25 import bm25_scores  # noqa: F401
+from duckdb_vss_spark.pipeline.chunk import chunk_documents  # noqa: F401
+from duckdb_vss_spark.pipeline.imagehash import (  # noqa: F401
+    ahash_images,
+    ahash_pairs,
+)
+from duckdb_vss_spark.pipeline.mix import mix_by_token_budget  # noqa: F401
+from duckdb_vss_spark.pipeline.sample import (  # noqa: F401
+    source_cap,
+    stratified_hash_sample,
+)
+from duckdb_vss_spark.pipeline.semdedup import (  # noqa: F401
+    assign_clusters,
+    kmeans_centroids,
+    semdedup_pairs,
+)
+from duckdb_vss_spark.pipeline.spandedup import duplicate_spans  # noqa: F401
