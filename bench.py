@@ -97,12 +97,14 @@ def main() -> None:
         "q_json_event_stats",
         "q_window_top_events",
         "q_sessionize_events",
-        # r6b: temporal joins + OLAP grouping
+        # r6b: temporal joins + OLAP grouping + product analytics
         "q_asof_join",
         "q_interval_join",
         "q_rollup_revenue",
         "q_pivot_events",
         "q_event_percentiles",
+        "q_funnel",
+        "q_cohort_retention",
     ):
         timed(name, lambda n=name: qfns[n](spark, sf_dir).count())
 
@@ -247,6 +249,7 @@ def main() -> None:
         "q_hybrid_rrf",
         "q_mix_budget",
         "q_dup_spans",
+        "q_image_phash_dedup",
     ):
         # the python-heavy dedup queries are the most sensitive to
         # external CPU contention in this container (observed 3-17x
