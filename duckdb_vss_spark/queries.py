@@ -2462,3 +2462,39 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def _zorder_oracle() -> str:
+    from duckdb_vss_spark.sources.layout import zorder_oracle_expr
+
+    expr = zorder_oracle_expr(["user_id", "vbucket"], bits=8)
+    return f"""
+    WITH e AS (
+      SELECT event_id, user_id,
+             CAST(least(floor(value), 255) AS BIGINT) AS vbucket
+      FROM events
+    )
+    SELECT event_id, {expr} AS zkey
+    FROM e ORDER BY zkey, event_id LIMIT 100
+    """
+
+
+@register_extra("q_zorder_key", _zorder_oracle())
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key (sources/layout.py) — the
+    multi-column clustering key behind OPTIMIZE ZORDER-style file
+    skipping, as pure integer Column arithmetic (codegen, no UDF).
+    The oracle recomputes the identical interleave with portable SQL
+    bit operators."""
+    from duckdb_vss_spark.sources.layout import zorder_key
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.least(F.floor(F.col("value")), F.lit(255)).cast("bigint").alias("vbucket"),
+    )
+    return (
+        ev.select("event_id", zorder_key(["user_id", "vbucket"], bits=8).alias("zkey"))
+        .orderBy("zkey", "event_id")
+        .limit(100)
+    )
