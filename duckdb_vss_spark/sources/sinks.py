@@ -24,7 +24,7 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["save_table", "insert_into", "delete_where", "overwrite_where", "read_table"]
+__all__ = ["save_table", "insert_into", "delete_where", "merge_upsert", "overwrite_where", "read_table"]
 
 
 _FORMATS = ("parquet", "csv", "json")
@@ -117,3 +117,40 @@ def overwrite_where(df: DataFrame, path: str, partition_by: list[str]) -> None:
         .partitionBy(*partition_by)
         .parquet(path)
     )
+
+
+def merge_upsert(
+    spark: SparkSession, path: str, updates: DataFrame, key_cols: list[str]
+) -> dict:
+    """MERGE (upsert): rows of ``updates`` replace target rows with the
+    same key; new keys append — DuckDB's INSERT OR REPLACE / the MERGE
+    INTO every table format exposes, as one anti-join + union rewrite
+    with the same temp-dir + rename atomicity as delete_where.
+
+    Returns {"updated": n, "inserted": n}. At scale the anti-join is a
+    broadcast when ``updates`` is small (AQE decides); for huge
+    targets partition the table and route through overwrite_where so
+    only touched partitions rewrite.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    target = spark.read.parquet(path)
+    for c in key_cols:
+        if c not in target.columns or c not in updates.columns:
+            raise ValueError(f"key column {c!r} missing from a side")
+    if set(target.columns) != set(updates.columns):
+        raise ValueError("updates schema must match target")
+    updates = updates.select(*target.columns)
+    n_target = target.count()
+    n_updates = updates.count()
+    survivors = target.join(updates.select(*key_cols), key_cols, "left_anti")
+    merged = survivors.unionByName(updates)
+    tmp = path.rstrip("/") + ".__rewrite__"
+    merged.write.mode("overwrite").parquet(tmp)
+    n_after = spark.read.parquet(tmp).count()
+    import shutil
+
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    inserted = n_after - n_target
+    return {"updated": n_updates - inserted, "inserted": inserted}

@@ -151,3 +151,35 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_merge_upsert_updates_and_inserts(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark.sources.sinks import merge_upsert
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    ).write.parquet(path)
+    updates = spark.createDataFrame(
+        [(2, "B"), (9, "Z")], "k long, v string"
+    )
+    stats = merge_upsert(spark, path, updates, ["k"])
+    assert stats == {"updated": 1, "inserted": 1}
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 9: "Z"}
+
+
+def test_merge_upsert_validates(spark, tmp_path):
+    import pytest as _pt
+
+    from duckdb_vss_spark.sources.sinks import merge_upsert
+
+    path = str(tmp_path / "t2")
+    spark.createDataFrame([(1, "a")], "k long, v string").write.parquet(path)
+    bad = spark.createDataFrame([(1,)], "k long")
+    with _pt.raises(ValueError):
+        merge_upsert(spark, path, bad, ["k"])
+    with _pt.raises(ValueError):
+        merge_upsert(spark, path, bad, [])
