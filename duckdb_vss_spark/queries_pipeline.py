@@ -1716,3 +1716,73 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ahash_pairs(hashes, "doc_id", max_hamming=3, blocks=4).orderBy(
         "id_a", "id_b"
     )
+
+
+@register_extra(
+    "q_dup_coverage",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i AS span_start,
+             CAST('0x' || substr(md5(array_to_string(list_slice(toks, i + 1, i + 10), ' ')), 1, 15) AS BIGINT) AS gh
+      FROM t, UNNEST(generate_series(0, n - 10)) AS u(i)
+      WHERE n >= 10
+    ),
+    rep AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+    h AS (SELECT doc_id, span_start FROM g JOIN rep USING (gh)),
+    isl AS (
+      SELECT doc_id, span_start,
+             span_start - row_number() OVER (PARTITION BY doc_id ORDER BY span_start) AS grp
+      FROM h
+    ),
+    spans AS (
+      SELECT doc_id, CAST(count(*) + 9 AS BIGINT) AS span_tokens
+      FROM isl GROUP BY doc_id, grp
+    )
+    SELECT t.doc_id,
+           CAST(coalesce(sum(spans.span_tokens), 0) AS BIGINT) AS dup_tokens,
+           CAST(t.n AS BIGINT) AS n_tokens,
+           CAST(coalesce(sum(spans.span_tokens), 0) AS DOUBLE) / t.n AS dup_frac
+    FROM t LEFT JOIN spans USING (doc_id)
+    WHERE t.n > 0
+    GROUP BY t.doc_id, t.n
+    ORDER BY doc_id
+    """,
+)
+def q_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-text coverage: the fraction of each doc's
+    tokens inside a cross-document repeated span (duplicate_spans
+    output joined back to token counts) — the quality signal span-level
+    dedup exists to produce (drop or trim docs above a dup_frac
+    threshold). Exact integer token accounting; one extra keyed agg on
+    top of the span operator."""
+    from duckdb_vss_spark.pipeline.spandedup import duplicate_spans
+    from duckdb_vss_spark.pipeline.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = duplicate_spans(docs, "text", "doc_id", width=10)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("span_tokens").cast("bigint").alias("dup_tokens")
+    )
+    base = docs.select("doc_id", token_count("text").alias("n_tokens")).where(
+        F.col("n_tokens") > 0
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("bigint").alias(
+                "dup_tokens"
+            ),
+            F.col("n_tokens").cast("bigint"),
+            (
+                F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
+                / F.col("n_tokens")
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
