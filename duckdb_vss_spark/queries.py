@@ -2498,3 +2498,37 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("zkey", "event_id")
         .limit(100)
     )
+
+
+@register_extra(
+    "q_salted_join",
+    """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join (operators/skew.py): the fact side scatters
+    each key's rows across 8 salt buckets (deterministic crc32, never
+    rand — retried tasks must re-salt identically) and the build side
+    replicates 8x, so a hot key spreads over 8 reducers. The oracle is
+    the PLAIN join SQL: salting is correctness-invariant by
+    construction, which is exactly what this query pins."""
+    from duckdb_vss_spark.operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    j = salted_join(orders, cust, on="o_custkey", salts=8, fact_disc="o_orderkey")
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            _dec_sum(F.col("o_totalprice")).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
