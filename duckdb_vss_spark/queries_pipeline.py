@@ -1786,3 +1786,32 @@ def q_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _profile_oracle() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    parts = [
+        f"""
+        SELECT '{c}' AS col_name,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+               CAST(count(DISTINCT CAST({c} AS DOUBLE)) AS BIGINT) AS n_distinct,
+               min(CAST({c} AS DOUBLE)) AS min_v,
+               max(CAST({c} AS DOUBLE)) AS max_v,
+               CAST(sum(CAST(CAST({c} AS DOUBLE) AS DECIMAL(28,4))) AS DOUBLE) AS sum_v
+        FROM lineitem"""
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
+@register_extra("q_profile_lineitem", _profile_oracle())
+def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass numeric profiling (pipeline/profile.py): stack-unpivot
+    then a single grouped aggregate computes count/null/distinct/range/
+    sum for every column over ONE scan — vs the oracle's k-scan UNION.
+    The data-quality pass run before training on any new source."""
+    from duckdb_vss_spark.pipeline.profile import profile_numeric
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_numeric(li, ["l_quantity", "l_extendedprice", "l_discount"])

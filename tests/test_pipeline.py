@@ -685,3 +685,42 @@ def test_dedup_clusters_known_components(spark):
     # keep-list: exactly one survivor per component
     survivors = {i for i, c in got.items() if i == c}
     assert survivors == {1, 20, 40, 50}
+
+
+def test_profile_numeric_stats_and_nulls(spark):
+    from duckdb_vss_spark.pipeline.profile import profile_numeric
+
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, None), (2.0, 30.0)], "a double, b double"
+    )
+    got = {r.col_name: r for r in profile_numeric(df, ["a", "b"]).collect()}
+    assert got["a"].n == 3 and got["a"].n_null == 0 and got["a"].n_distinct == 2
+    assert got["a"].min_v == 1.0 and got["a"].max_v == 2.0 and got["a"].sum_v == 5.0
+    assert got["b"].n_null == 1 and got["b"].n_distinct == 2 and got["b"].sum_v == 40.0
+
+
+def test_profile_numeric_single_shuffle(spark):
+    from duckdb_vss_spark.pipeline.profile import profile_numeric
+    from duckdb_vss_spark.sources import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    plan = (
+        profile_numeric(li, ["l_quantity", "l_discount"], exact_distinct=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one scan of the table, not one per profiled column
+    assert plan.count("Scan parquet") == 1
+
+
+def test_profile_numeric_validation(spark):
+    import pytest as _pt
+
+    from duckdb_vss_spark.pipeline.profile import profile_numeric
+
+    df = spark.createDataFrame([(1.0,)], "a double")
+    with _pt.raises(ValueError):
+        profile_numeric(df, [])
+    with _pt.raises(ValueError):
+        profile_numeric(df, ["zzz"])
