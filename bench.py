@@ -86,6 +86,7 @@ def main() -> None:
         "q06_forecast_revenue",
         "q07_volume_shipping",
         "q08_market_share",
+        "q09_profit_by_nation",
         "q10_returned_items",
         "q12_late_priority",
         "q14_type_revenue_share",
