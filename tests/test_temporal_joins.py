@@ -146,3 +146,92 @@ class TestIntervalJoin:
         left, right = frames
         with pytest.raises(ValueError):
             interval_join(left, right, on="t", lower=5, upper=1)
+
+
+class TestRandomizedCrossCheck:
+    """Randomized agreement with a brute-force pure-Python reference —
+    the oracle-style check at unit scale, covering tie/boundary
+    configurations hand-built cases miss."""
+
+    def _ref_asof(self, left, right, tolerance=None, direction="backward"):
+        out = {}
+        for (lid, k, lt) in left:
+            best = None
+            for (rid, rk, rt) in right:
+                if rk != k:
+                    continue
+                ok = rt <= lt if direction == "backward" else rt >= lt
+                if not ok:
+                    continue
+                key = (rt, rid) if direction == "backward" else (-rt, -rid)
+                if best is None or key > best[0]:
+                    best = (key, rid, rt)
+            if best is not None and tolerance is not None:
+                if abs(lt - best[2]) > tolerance:
+                    best = None
+            out[lid] = best[1] if best else None
+        return out
+
+    def test_random_frames_agree(self, spark):
+        import random
+
+        from duckdb_vss_spark.operators.asof import asof_join
+
+        rng = random.Random(1234)
+        for trial in range(3):
+            left = [
+                (i, f"k{rng.randrange(4)}", rng.randrange(50))
+                for i in range(60)
+            ]
+            right = [
+                (1000 + i, f"k{rng.randrange(4)}", rng.randrange(50))
+                for i in range(40)
+            ]
+            # unique (key, t) on the right, as the operator documents
+            seen, rdedup = set(), []
+            for (rid, k, t) in right:
+                if (k, t) not in seen:
+                    seen.add((k, t))
+                    rdedup.append((rid, k, t))
+            ldf = spark.createDataFrame(left, "id long, key string, t long")
+            rdf = spark.createDataFrame(rdedup, "rid long, key string, t long")
+            for direction in ("backward", "forward"):
+                for tol in (None, 7):
+                    got = {
+                        r.id: r.rid
+                        for r in asof_join(
+                            ldf, rdf, on="t", by="key", right_cols=["rid"],
+                            direction=direction, tolerance=tol,
+                        ).collect()
+                    }
+                    want = self._ref_asof(left, rdedup, tol, direction)
+                    assert got == want, (trial, direction, tol)
+
+    def test_interval_random_agree(self, spark):
+        import random
+
+        from duckdb_vss_spark.operators.interval import interval_join
+
+        rng = random.Random(99)
+        left = [(i, f"k{rng.randrange(3)}", rng.randrange(40)) for i in range(50)]
+        right = [
+            (1000 + i, f"k{rng.randrange(3)}", rng.randrange(40))
+            for i in range(50)
+        ]
+        ldf = spark.createDataFrame(left, "id long, key string, t long")
+        rdf = spark.createDataFrame(right, "rid long, key string, t long")
+        lo, hi = -6, 3
+        got = sorted(
+            (r.id, r.rid)
+            for r in interval_join(
+                ldf, rdf, on="t", by="key", lower=lo, upper=hi,
+                right_cols=["rid"],
+            ).collect()
+        )
+        want = sorted(
+            (lid, rid)
+            for (lid, lk, lt) in left
+            for (rid, rk, rt) in right
+            if lk == rk and lt + lo <= rt <= lt + hi
+        )
+        assert got == want
