@@ -1815,3 +1815,71 @@ def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return profile_numeric(li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+@register_extra(
+    "q_stream_join_window",
+    """
+    WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
+         r AS (SELECT * FROM events WHERE event_type = 'error'),
+         j AS (
+           SELECT l.ts AS l_ts
+           FROM l JOIN r
+             ON l.user_id = r.user_id
+            AND r.ts BETWEEN l.ts - INTERVAL 120 MINUTE AND l.ts
+         ),
+         wm AS (
+           -- the final watermark the WINDOW operator sees: the join
+           -- holds the left event-time watermark back by the range
+           -- bound (a right row up to 120 min in the future can still
+           -- match an l_ts), so w = min(max_l, max_r - 120 min); append
+           -- mode emits exactly the windows that CLOSED under it
+           SELECT least(
+             (SELECT max(epoch_us(ts)) FROM l),
+             (SELECT max(epoch_us(ts)) - 7200000000 FROM r)
+           ) AS w
+         )
+    SELECT CAST(epoch_us(l_ts) - (epoch_us(l_ts) % 1800000000) AS BIGINT)
+             AS window_start_us,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM j GROUP BY 1
+    HAVING window_start_us + 1800000000 <= (SELECT w FROM wm)
+    ORDER BY 1
+    """,
+)
+def q_stream_join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful streaming — a stream-stream interval join FED
+    INTO a watermarked tumbling-window aggregate in ONE streaming
+    query (Spark's multiple-stateful-operator append pipeline; the
+    join's watermark propagates so the window can finalize). The
+    oracle recomputes the join + 30-minute windows in batch SQL."""
+    import uuid
+
+    from duckdb_vss_spark.streaming import read_events_stream, stream_interval_join
+
+    clicks = read_events_stream(spark, sf_dir).where(F.col("event_type") == "click")
+    errors = read_events_stream(spark, sf_dir).where(F.col("event_type") == "error")
+    pairs = stream_interval_join(
+        clicks, errors, lookback="120 minutes", watermark="0 seconds",
+        keep_ts=True,
+    )
+    agg = pairs.groupBy(F.window("l_ts", "30 minutes")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    sink = f"stream_jw_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return (
+        spark.table(sink)
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "n_pairs",
+        )
+        .orderBy("window_start_us")
+    )

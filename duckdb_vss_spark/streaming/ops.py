@@ -126,6 +126,7 @@ def stream_interval_join(
     right: DataFrame,
     lookback: str = "10 minutes",
     watermark: str = "1 hour",
+    keep_ts: bool = False,
 ) -> DataFrame:
     """Stream-stream interval join: each left event paired with every
     right event of the same user in the trailing ``lookback`` window —
@@ -142,7 +143,9 @@ def stream_interval_join(
 
     `left` and `right` must be event streams with (event_id, user_id,
     ts) columns; returns (click_id, err_id, user_id) pairs, append
-    mode.
+    mode — plus the left timestamp as `l_ts` when ``keep_ts`` is set
+    (so a downstream windowed aggregate can chain onto the join:
+    Spark's multi-stateful append pipeline).
     """
     l = (
         left.select(
@@ -158,14 +161,16 @@ def stream_interval_join(
             F.col("ts").alias("r_ts"),
         ).withWatermark("r_ts", watermark)
     )
-    return l.join(
+    j = l.join(
         r,
         F.expr(
             f"""user_id = r_user_id
                 AND r_ts BETWEEN l_ts - INTERVAL {lookback} AND l_ts"""
         ),
         "inner",
-    ).select("click_id", "err_id", "user_id")
+    )
+    cols = ["click_id", "err_id", "user_id"] + (["l_ts"] if keep_ts else [])
+    return j.select(*cols)
 
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
