@@ -30,6 +30,7 @@ from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = [
+    "array_normalize",
     "array_value",
     "array_distance",
     "array_distance_sq",
@@ -96,6 +97,19 @@ def array_cosine_similarity(a, b) -> Column:
     na = F.sqrt(_fold_sum(F.transform(ac, lambda x: x * x)))
     nb = F.sqrt(_fold_sum(F.transform(bc, lambda x: x * x)))
     return dot / (na * nb)
+
+
+def array_normalize(a) -> Column:
+    """v / ||v||₂ — unit-normalize a vector (the preprocessing step for
+    cosine/IP indexes; usearch normalizes internally for cos). The norm
+    is the same sequential-fold sum the distance kernels use, so a SQL
+    oracle (list_transform / list_sum) reproduces every component
+    bit-for-bit. Zero vectors pass through unchanged (no NaNs)."""
+    ac = _d(a)
+    n = F.sqrt(_fold_sum(F.transform(ac, lambda x: x * x)))
+    return F.when(n == 0.0, ac).otherwise(
+        F.transform(ac, lambda x: x / n)
+    )
 
 
 def array_cosine_distance(a, b) -> Column:

@@ -2580,3 +2580,41 @@ def q09_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(_dec_sum(profit).alias("sum_profit"))
         .orderBy(F.asc("nation"), F.desc("o_year"))
     )
+
+
+@register_extra(
+    "q_vec_normalize",
+    """
+    SELECT vec_id,
+           u[1] AS e0, u[2] AS e1, u[3] AS e2, u[4] AS e3
+    FROM (
+      SELECT vec_id,
+             list_transform(
+               CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                                CAST(embedding AS DOUBLE[])))
+             ) AS u
+      FROM embeddings WHERE embedding IS NOT NULL
+    ) ORDER BY vec_id
+    """,
+)
+def q_vec_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector unit-normalization (functions/distance.array_normalize) —
+    the preprocessing step cosine/IP pipelines run before indexing. The
+    norm is the same sequential fold as the distance kernels
+    (‖v‖² ≡ inner_product(v,v), pinned bit-equal to DuckDB's
+    list_inner_product by q_knn_inner_product), so every normalized
+    component hash-matches."""
+    from duckdb_vss_spark.functions.distance import array_normalize
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    u = array_normalize(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        u[0].alias("e0"),
+        u[1].alias("e1"),
+        u[2].alias("e2"),
+        u[3].alias("e3"),
+    ).orderBy("vec_id")
