@@ -2618,3 +2618,32 @@ def q_vec_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         u[2].alias("e2"),
         u[3].alias("e3"),
     ).orderBy("vec_id")
+
+
+@register_extra(
+    "q_distinct_on",
+    """
+    SELECT user_id, event_id, event_type, value
+    FROM (
+      SELECT DISTINCT ON (user_id) user_id, event_id, event_type, value
+      FROM events
+      ORDER BY user_id, ts DESC, event_id DESC
+    ) ORDER BY user_id
+    """,
+)
+def q_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB's DISTINCT ON (latest row per key) — the Spark idiom is
+    row_number over (key ORDER BY ts DESC) = 1, which plans a map-side
+    WindowGroupLimit (each task pre-prunes to one row per key before
+    the shuffle). A total order (ts DESC, event_id DESC) makes the
+    picked row deterministic on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    )
