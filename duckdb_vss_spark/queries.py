@@ -2647,3 +2647,43 @@ def q_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "event_type", "value")
         .orderBy("user_id")
     )
+
+
+@register_extra(
+    "q_string_agg",
+    """
+    SELECT user_id,
+           string_agg(event_type || ':' || CAST(event_id AS VARCHAR), ','
+                      ORDER BY ts, event_id) AS history
+    FROM events
+    WHERE user_id < 20
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (DuckDB string_agg ... ORDER BY) —
+    Spark has no ordered agg, so the idiom is sort-slice: collect
+    (sortkey, text) structs, array_sort (struct order = sort key,
+    tiebreak on the text ride-along), then transform+array_join. The
+    collect_list partial-aggregates map-side; the deterministic total
+    order makes the concatenation hash-stable."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    item = F.struct(
+        F.col("ts").alias("ts"),
+        F.col("event_id").alias("eid"),
+        F.concat_ws(
+            ":", F.col("event_type"), F.col("event_id").cast("string")
+        ).alias("txt"),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(item)), lambda s: s.getField("txt")
+                ),
+                ",",
+            ).alias("history")
+        )
+        .orderBy("user_id")
+    )
