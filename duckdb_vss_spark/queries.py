@@ -2687,3 +2687,36 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register_extra(
+    "q_unpivot_events",
+    """
+    WITH wide AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(28,4)) END) AS DOUBLE) AS click,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(28,4)) END) AS DOUBLE) AS purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, kind, amount
+    FROM wide
+    UNPIVOT (amount FOR kind IN (click, purchase))
+    ORDER BY user_id, kind
+    """,
+)
+def q_unpivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (wide→long, the inverse of q_pivot_events) —
+    Spark's native `DataFrame.unpivot` ≡ DuckDB's UNPIVOT clause.
+    Map-only (an Expand node, no shuffle beyond the upstream agg);
+    both engines drop NULL measure cells."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase"])
+        .agg(_dec_sum(F.col("value")))
+    )
+    return (
+        wide.unpivot("user_id", ["click", "purchase"], "kind", "amount")
+        .where(F.col("amount").isNotNull())
+        .orderBy("user_id", "kind")
+    )
