@@ -98,6 +98,10 @@ def main() -> None:
         "q_json_event_stats",
         "q_window_top_events",
         "q_sessionize_events",
+        # r6c: the three remaining TPC-H subquery shapes
+        "q02_min_cost_supplier",
+        "q11_important_parts",
+        "q20_promotion_suppliers",
         # r6b: temporal joins + OLAP grouping + product analytics
         "q_asof_join",
         "q_interval_join",

@@ -2720,3 +2720,173 @@ def q_unpivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("amount").isNotNull())
         .orderBy("user_id", "kind")
     )
+
+
+@register_extra(
+    "q02_min_cost_supplier",
+    """
+    WITH supply AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             min(l_extendedprice / l_quantity) AS ps_supplycost
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost AS supply_cost
+    FROM part, supply, supplier, nation, region
+    WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+      AND p_size <= 10 AND p_type = 'LARGE'
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND ps_supplycost = (
+        SELECT min(ps_supplycost)
+        FROM supply s2, supplier, nation, region
+        WHERE s2.ps_partkey = part.p_partkey AND s2.ps_suppkey = s_suppkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape adapted to the trimmed schema (no partsupp: the
+    supply relation is derived from lineitem — per (part, supplier) the
+    cheapest observed unit price, an IEEE-deterministic double division
+    so min/equality are cross-engine exact).
+
+    The point is the CORRELATED SCALAR MIN: the reference's engine
+    decorrelates `cost = (SELECT min(cost) ... same part)` into a
+    delim/self join; the Spark-idiomatic plan is a window `min` over
+    the already-filtered join output, partitioned by part — one extra
+    exchange on p_partkey, no second scan of the supply side, no
+    correlated re-execution per row. supplier/nation/region broadcast;
+    the only wide shuffles carry (partkey, suppkey) pairs.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supply = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost"))
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "LARGE")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu = (
+        supply.join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    w = Window.partitionBy("ps_partkey")
+    best = eu.withColumn("__min_cost", F.min("supply_cost").over(w)).where(
+        F.col("supply_cost") == F.col("__min_cost")
+    )
+    return (
+        best.join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register_extra(
+    "q11_important_parts",
+    """
+    WITH vals AS (
+      SELECT l_partkey AS partkey,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS v
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      WHERE s_nationkey = 7
+      GROUP BY 1
+    )
+    SELECT partkey, CAST(v AS DOUBLE) AS part_value
+    FROM vals
+    WHERE v * (SELECT count(*) FROM vals) > 2 * (SELECT sum(v) FROM vals)
+    ORDER BY part_value DESC, partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock) adapted to the trimmed schema:
+    per-part traded value for one nation's suppliers, keeping parts
+    whose value exceeds 2x the mean part value (TPC-H's fixed 0.0001
+    fraction is meaningful only against a fixed part count; the mean
+    multiple keeps the predicate selective at every scale factor).
+
+    The point is the SCALAR SUBQUERY IN HAVING: the grand total is a
+    one-row aggregate of the SAME grouped relation, so Spark's plan
+    caches nothing and scans nothing twice that matters — the grouped
+    `vals` flows once into the per-part side and once into a one-row
+    global agg that comes back as a broadcast nested-loop (1-row cross
+    join), exactly how Catalyst decorrelates an uncorrelated scalar
+    subquery. The threshold compare stays in DECIMAL (`v*1000 > total`,
+    integer-scaled) so the boundary is exact in both engines — a
+    double-rounded total can flip boundary rows in the last ulp.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").where(F.col("s_nationkey") == 7)
+    v = (F.col("l_extendedprice").cast("decimal(12,2)") * F.col("l_quantity").cast("decimal(12,2)"))
+    vals = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(v).alias("v"))
+    )
+    total = vals.agg(F.sum("v").alias("__total"), F.count(F.lit(1)).alias("__cnt"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .where(F.col("v") * F.col("__cnt") > 2 * F.col("__total"))
+        .select("partkey", F.col("v").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "partkey")
+    )
+
+
+@register_extra(
+    "q20_promotion_suppliers",
+    """
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name = 'AMERICA')
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+          AND l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+        GROUP BY l_suppkey, l_partkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 40)
+    ORDER BY s_name
+    """,
+)
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion) adapted to the trimmed
+    schema: suppliers in a region who moved more than a threshold
+    quantity of 'small%' parts during 1997.
+
+    The point is the NESTED IN-SUBQUERY CHAIN: part-IN inside
+    lineitem-IN inside supplier. Spark plans each IN as a left-semi
+    join — the part filter broadcasts into the lineitem scan (so the
+    date + part predicates prune before the group-by), the grouped
+    supplier set broadcasts into the supplier scan. No correlated
+    re-execution, no distinct needed (semi join dedups by construction).
+    The quantity HAVING stays decimal-exact for a stable boundary.
+    """
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").like("small%"))
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    movers = (
+        li.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("__qty"))
+        .where(F.col("__qty") > 40)
+        .select("l_suppkey")
+    )
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region.select("r_regionkey")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+        "left_semi",
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .join(F.broadcast(movers), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )

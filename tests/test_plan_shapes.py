@@ -318,3 +318,43 @@ def test_semdedup_assignment_is_shuffle_free_preagg(spark):
     emb = load_table(spark, SF, "embeddings")
     plan = plan_of(assign_clusters(emb, "embedding", "vec_id", seeded_centroids(4, 64)))
     assert "Exchange" not in plan and "pythonUDF" not in plan.lower()
+
+
+def test_q02_decorrelates_scalar_min_to_single_window(spark):
+    """TPC-H Q2 shape: the correlated `cost = (SELECT min(cost) ...)`
+    must decorrelate to ONE window-min over the filtered join output —
+    never a correlated re-execution or a second scan of the supply
+    side — with every dimension broadcast."""
+    import duckdb_vss_spark.queries as Q
+
+    plan = plan_of(Q.q02_min_cost_supplier(spark, SF), "simple")
+    assert plan.count("Window") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    # supply agg runs partial->final (map-side combine before the shuffle)
+    assert "partial_min" in plan
+
+
+def test_q11_scalar_subquery_is_one_row_broadcast(spark):
+    """TPC-H Q11 shape: the grand-total scalar subquery must come back
+    as a 1-row broadcast nested-loop (the ONLY acceptable nested-loop:
+    one row × N), not a cartesian or a re-aggregation per row."""
+    import duckdb_vss_spark.queries as Q
+
+    plan = plan_of(Q.q11_important_parts(spark, SF), "simple")
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+
+
+def test_q20_nested_in_chain_is_stacked_broadcast_semis(spark):
+    """TPC-H Q20 shape: the nested IN-subquery chain must plan as
+    stacked broadcast LEFT SEMI joins (part→lineitem, movers→supplier,
+    region→nation) — no distinct, no sort-merge, no shuffle of the
+    supplier side."""
+    import duckdb_vss_spark.queries as Q
+
+    plan = plan_of(Q.q20_promotion_suppliers(spark, SF), "simple")
+    assert plan.count("LeftSemi") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan
