@@ -102,6 +102,9 @@ def main() -> None:
         "q02_min_cost_supplier",
         "q11_important_parts",
         "q20_promotion_suppliers",
+        # r6c: range-frame rolling window + time-spine gap fill
+        "q_moving_window_sum",
+        "q_time_gapfill",
         # r6b: temporal joins + OLAP grouping + product analytics
         "q_asof_join",
         "q_interval_join",

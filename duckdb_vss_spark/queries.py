@@ -2890,3 +2890,99 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
+
+
+@register_extra(
+    "q_moving_window_sum",
+    """
+    SELECT user_id,
+           epoch_us(ts) AS es,
+           CAST(sum(CAST(value AS DECIMAL(28,4))) OVER w AS DOUBLE) AS roll_sum,
+           CAST(count(*) OVER w AS BIGINT) AS roll_cnt
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, es
+    """,
+)
+def q_moving_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE-frame window: per-user rolling 24 h sum/count
+    (the metric-dashboard moving aggregate). A RANGE frame over integer
+    epoch-micros — not a ROWS frame — because RANGE is deterministic
+    under timestamp ties (all peers join the frame regardless of their
+    shuffle order), which is what makes the result cross-engine
+    hash-stable. One exchange on user_id; the frame itself is a
+    per-partition streaming scan, no extra shuffle. Decimal-cast sums
+    keep the accumulation order-independent.
+
+    ``unix_micros`` rejects TIMESTAMP_NTZ, so the NTZ event time is
+    cast to ``timestamp`` first (session TZ pinned UTC ⇒ the cast is
+    value-preserving and equals DuckDB's ``epoch_us``)."""
+    ev = load_table(spark, sf_dir, "events")
+    es = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(es)
+        .rangeBetween(-86_400_000_000, 0)
+    )
+    return (
+        ev.select(
+            "user_id",
+            es.alias("es"),
+            F.sum(F.col("value").cast("decimal(28,4)")).over(w).cast("double").alias("roll_sum"),
+            F.count(F.lit(1)).over(w).cast("bigint").alias("roll_cnt"),
+        )
+        .orderBy("user_id", "es")
+    )
+
+
+@register_extra(
+    "q_time_gapfill",
+    """
+    WITH b AS (
+      SELECT event_type,
+             epoch_us(ts) // 3600000000 AS h,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT t.event_type, gs.h
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series((SELECT min(h) FROM b),
+                                                (SELECT max(h) FROM b))) AS h) gs
+    )
+    SELECT spine.event_type, spine.h AS hour_bucket,
+           coalesce(cnt, CAST(0 AS BIGINT)) AS cnt
+    FROM spine LEFT JOIN b ON spine.event_type = b.event_type AND spine.h = b.h
+    """,
+)
+def q_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-spine gap fill: hourly counts per event type with empty
+    buckets zero-filled (DuckDB/warehouse ``generate_series`` idiom →
+    Spark ``sequence``+``explode``). The spine is generated
+    DECLARATIVELY from a one-row global min/max aggregate — no driver
+    collect, no literal dates baked in — then cross-joined with the
+    distinct-type dim (both broadcast-sized: hours × types, never
+    data-sized) and left-joined back to the bucketed aggregate.
+    Bucketing is integer epoch-micros DIV — integer division in both
+    engines, so boundary rows can't flip on a float ulp. At 100 TB the
+    only data-sized operation remains the one partial→final group-by;
+    the gap-fill itself is spine-sized (constant) work."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000")
+    b = (
+        ev.groupBy(F.col("event_type"), h.alias("h"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    span = b.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    hours = span.select(F.explode(F.sequence("mn", "mx")).alias("h"))
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(hours)
+    return (
+        spine.join(F.broadcast(b), ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.col("h").alias("hour_bucket"),
+            F.coalesce(F.col("cnt"), F.lit(0).cast("bigint")).alias("cnt"),
+        )
+    )

@@ -1883,3 +1883,47 @@ def q_stream_join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start_us")
     )
+
+
+@register_extra(
+    "q_stream_static_join",
+    """
+    SELECT CAST(epoch_us(ts) - (epoch_us(ts) % 900000000) AS BIGINT) AS window_start_us,
+           c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join, oracle-checked: the event stream
+    is joined per micro-batch to the STATIC customer dim (broadcast,
+    stateless — no join state, no dim watermark) and fed into a
+    watermarked 15-minute windowed aggregate per market segment; the
+    complete-mode result must agree with the batch join+group-by SQL.
+    Completes the streaming-join matrix: stream-stream interval join
+    (q_stream_interval_join) + stream-static dimension join (this)."""
+    import uuid
+
+    from duckdb_vss_spark.sources import load_table
+    from duckdb_vss_spark.streaming import read_events_stream, stream_static_enrich
+
+    ev = read_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    agg = stream_static_enrich(ev, dim, "user_id", "c_custkey", window="15 minutes")
+    sink = f"stream_static_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink).select(
+        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        "c_mktsegment",
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_value"),
+    )

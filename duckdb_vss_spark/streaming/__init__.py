@@ -3,6 +3,7 @@ from duckdb_vss_spark.streaming.ops import (  # noqa: F401
     read_events_stream,
     session_window_stats,
     stream_interval_join,
+    stream_static_enrich,
     streaming_dedup_first,
     streaming_index_refresh,
     windowed_event_counts,

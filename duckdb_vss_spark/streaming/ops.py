@@ -269,3 +269,37 @@ def streaming_index_refresh(
         .foreachBatch(refresh)
         .start()
     )
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    stream_key: str,
+    dim_key: str,
+    window: str = "15 minutes",
+    group_col: str = "c_mktsegment",
+) -> DataFrame:
+    """Stream-static enrichment join feeding a windowed aggregate — the
+    canonical streaming-ETL shape (fact stream × slowly-changing dim).
+
+    Spark-native: a stream-static join is STATELESS — the static side
+    is planned as a broadcast hash join probed per micro-batch, so no
+    watermark is needed on the dim and no join state accumulates;
+    state exists only in the downstream windowed aggregate. That is
+    the property that holds at 100 TB/day: dim re-broadcast is
+    per-batch constant work, stream rows never shuffle for the join
+    (only for the window aggregate's keys).
+
+    Returns per (window, group_col) event counts and an exact
+    decimal-cast value sum (order-independent across micro-batches, so
+    the complete-mode result hash-matches the batch oracle).
+    """
+    enriched = stream.join(F.broadcast(dim), stream[stream_key] == dim[dim_key], "inner")
+    return (
+        enriched.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", window), F.col(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+        )
+    )

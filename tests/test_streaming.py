@@ -270,3 +270,52 @@ def test_stream_interval_join_matches_batch(spark):
     )
     want = sorted((r.event_id, r.err_id) for r in batch.collect())
     assert got == want
+
+
+def test_stream_static_join_matches_batch_and_is_stateless(spark):
+    """The stream-static enrichment must (a) value-match the batch
+    join+window aggregate and (b) plan the dim side as a broadcast
+    probed per micro-batch — only ONE stateful operator (the window
+    agg), never stream-stream join state."""
+    from duckdb_vss_spark.sources import load_table
+    from duckdb_vss_spark.streaming import stream_static_enrich
+
+    dim = load_table(spark, SF, "customer").select("c_custkey", "c_mktsegment")
+    agg = stream_static_enrich(
+        read_events_stream(spark, SF), dim, "user_id", "c_custkey", window="15 minutes"
+    )
+    _drive(agg, "t_ss_join", mode="complete")
+    got = {
+        (r["window"].start, r["c_mktsegment"]): (r["n"], round(r["sum_value"], 6))
+        for r in spark.table("t_ss_join").collect()
+    }
+
+    ev = load_table(spark, SF, "events")
+    exp = {
+        (r["w"].start, r["c_mktsegment"]): (r["n"], round(r["sum_value"], 6))
+        for r in (
+            ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey)
+            .groupBy(F.window("ts", "15 minutes").alias("w"), "c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+            )
+            .collect()
+        )
+    }
+    assert got == exp and len(got) > 0
+    # stateless join: exactly one stateful operator in the streaming plan
+    prog = None
+    for q in spark.streams.active:
+        q.stop()
+    # re-drive once to capture lastProgress with state info
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_ss_join2")
+        .start()
+    )
+    q.processAllAvailable()
+    prog = q.lastProgress
+    q.stop()
+    assert prog is not None and len(prog["stateOperators"]) == 1
