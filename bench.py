@@ -459,6 +459,50 @@ def main() -> None:
                 scale8["contamination_duckdb_rows_x8"] = len(rows)
             con.close()
 
+        # relational curve: the q01 aggregation on 8x lineitem —
+        # both engines over the identical union. The shape where
+        # whole-stage codegen + partial aggs amortize the job floor.
+        li = load_table(spark, sf_dir, "lineitem")
+        li8 = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                li.select(
+                    (F.col("l_orderkey") + i * 100_000_000).alias("l_orderkey"),
+                    *[c for c in li.columns if c != "l_orderkey"],
+                )
+                for i in range(reps)
+            ],
+        ).cache()
+        li8.count()
+        qty = F.col("l_quantity").cast("decimal(12,2)")
+        price = F.col("l_extendedprice").cast("decimal(12,2)")
+        t0 = time.time()
+        (
+            li8.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(qty), F.sum(price), F.count(F.lit(1)))
+            .collect()
+        )
+        scale8["q01_agg_spark_x8"] = round(time.time() - t0, 3)
+        li8.unpersist()
+        con = duckdb.connect()
+        con.execute(f"SET threads={os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+        li_union = " UNION ALL ".join(
+            f"SELECT * FROM read_parquet('{sf_dir}/lineitem.parquet')"
+            for _ in range(reps)
+        )
+        con.execute(f"CREATE VIEW lineitem8 AS {li_union}")
+        t0 = time.time()
+        con.execute(
+            """SELECT l_returnflag, l_linestatus,
+                      sum(CAST(l_quantity AS DECIMAL(12,2))),
+                      sum(CAST(l_extendedprice AS DECIMAL(12,2))), count(*)
+               FROM lineitem8 WHERE l_shipdate <= DATE '1998-09-02'
+               GROUP BY 1, 2"""
+        ).fetchall()
+        scale8["q01_agg_duckdb_x8"] = round(time.time() - t0, 3)
+        con.close()
+
     section("scale8", _scale8_section)
 
     # measured per-job floor: the fastest possible Spark action in this

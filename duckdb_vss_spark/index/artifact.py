@@ -290,6 +290,105 @@ class HnswIndex:
             out = out.unionByName(null_part.select(*out.columns))
         return out
 
+    def knn_transform(
+        self,
+        queries: DataFrame,
+        items: DataFrame,
+        query_vec_col: str,
+        k: int,
+        query_id_col: str,
+        ef_search: int | None = None,
+        dist_col: str = "dist",
+        rn_col: str = "rn",
+    ) -> DataFrame:
+        """Stateless ANN serve: like ``knn_join`` but with the global
+        top-k merge done INSIDE the mapInPandas task (each task already
+        searches every partition graph, so the cross-graph merge needs
+        no shuffle) — which means the whole pipeline is mapInPandas →
+        stream-static payload join → projection, with NO window and NO
+        stateful operator.  That makes it legal in a Structured
+        Streaming APPEND query: a stream of query vectors is served
+        against the static index artifact continuously — the online
+        ANN-serving story that, with ``rebuild`` and
+        ``streaming_index_refresh``, replaces the reference's live
+        Insert/Delete DML (§2.1 #13).
+
+        Ranks come from the graph metric (rank-equivalent to the SQL
+        convention — l2sq vs l2 — as in ``knn_search``; ties break by
+        item id). The SQL-visible ``dist_col`` is recomputed from the
+        base vectors with the fold-order-exact Column distance, so
+        values hash-match the brute-force oracle when ef ≫ k. The query
+        vector rides through the task output (k duplicated rows per
+        query) precisely so the recompute needs no second join against
+        the query side — a stream cannot be joined to itself
+        statelessly."""
+        import numpy as np
+        import pandas as pd
+
+        id_col = self.manifest["id_col"]
+        vec_col = self.manifest["vec_col"]
+        files = [p["file"] for p in self.manifest["partitions"]]
+        ef = get_ef_search(self.spark, ef_search)
+        kk = int(k)
+
+        def serve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                vecs = pdf[query_vec_col]
+                mask = vecs.notna().to_numpy()
+                if not mask.any():
+                    continue
+                qids = pdf[query_id_col].to_numpy()[mask]
+                qlists = list(vecs[mask])
+                mat = np.stack([np.asarray(v, dtype=np.float32) for v in qlists])
+                nq = len(qids)
+                keys_acc: list[list] = [[] for _ in range(nq)]
+                dist_acc: list[list] = [[] for _ in range(nq)]
+                for file in files:
+                    g = _load_graph(file)
+                    keys_per_q, dists_per_q = g.search_batch(mat, kk, ef)
+                    for i in range(nq):
+                        keys_acc[i].append(keys_per_q[i])
+                        dist_acc[i].append(dists_per_q[i])
+                out_q: list = []
+                out_i: list = []
+                out_rn: list = []
+                out_v: list = []
+                for i in range(nq):
+                    ks = np.concatenate(keys_acc[i])
+                    ds = np.concatenate(dist_acc[i])
+                    top = np.lexsort((ks, ds))[:kk]
+                    sel = ks[top]
+                    out_q.extend([qids[i]] * len(sel))
+                    out_i.extend(sel.tolist())
+                    out_rn.extend(range(1, len(sel) + 1))
+                    out_v.extend([qlists[i]] * len(sel))
+                yield pd.DataFrame(
+                    {
+                        query_id_col: np.asarray(out_q, dtype=np.int64),
+                        id_col: np.asarray(out_i, dtype=np.int64),
+                        rn_col: np.asarray(out_rn, dtype=np.int32),
+                        "__qvec": out_v,
+                    }
+                )
+
+        cand = (
+            queries.select(query_id_col, query_vec_col)
+            .where(F.col(query_vec_col).isNotNull())
+            .mapInPandas(
+                serve,
+                schema=(
+                    f"{query_id_col} long, {id_col} long, {rn_col} int, "
+                    "__qvec array<float>"
+                ),
+            )
+        )
+        dist_fn = distance_for_metric(self.metric)
+        return (
+            cand.join(items, on=id_col, how="inner")
+            .withColumn(dist_col, dist_fn(F.col("__qvec"), F.col(vec_col)))
+            .drop("__qvec")
+        )
+
     # -- maintenance ------------------------------------------------------
 
     def rebuild(self, df: DataFrame) -> "HnswIndex":

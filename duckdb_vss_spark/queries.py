@@ -2986,3 +2986,60 @@ def q_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("cnt"), F.lit(0).cast("bigint")).alias("cnt"),
         )
     )
+
+
+@register_extra(
+    "q_stream_knn_serve",
+    """
+    SELECT qid, rid, dist, rn FROM (
+      SELECT q.vec_id AS qid, r.vec_id AS rid,
+             list_distance(CAST(q.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])) AS dist,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])) ASC,
+                        r.vec_id
+             ) AS rn
+      FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0) q,
+           embeddings r
+      WHERE r.embedding IS NOT NULL AND q.embedding IS NOT NULL
+    ) WHERE rn <= 4
+    """,
+)
+def q_stream_knn_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE ANN SERVING, oracle-checked: a real Structured Streaming
+    APPEND query — the query-vector stream flows through
+    ``HnswIndex.knn_transform`` (stateless mapInPandas serve with
+    in-task global top-k merge, then a stream-static payload join) and
+    must hash-match the brute-force lateral SQL (exact via ef ≫ k).
+    With ``rebuild`` + ``streaming_index_refresh`` this completes the
+    replacement story for the reference's online Insert/Delete DML
+    (§2.1 #13): mutations land via refresh, reads serve continuously
+    from the immutable artifact."""
+    import uuid
+
+    from duckdb_vss_spark.streaming import read_embeddings_stream
+
+    idx = _get_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qstream = (
+        read_embeddings_stream(spark, sf_dir)
+        .where((F.col("vec_id") % 100 == 0) & F.col("embedding").isNotNull())
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    )
+    items = emb.where(F.col("embedding").isNotNull()).select("vec_id", "embedding")
+    served = idx.knn_transform(qstream, items, "qvec", 4, "qid", ef_search=400)
+    sink = f"stream_knn_{uuid.uuid4().hex[:8]}"
+    q = (
+        served.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(sink).select(
+        "qid",
+        F.col("vec_id").alias("rid"),
+        F.col("dist").cast("double").alias("dist"),
+        "rn",
+    )

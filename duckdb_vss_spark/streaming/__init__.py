@@ -1,5 +1,6 @@
 from duckdb_vss_spark.streaming.ops import (  # noqa: F401
     read_documents_stream,
+    read_embeddings_stream,
     read_events_stream,
     session_window_stats,
     stream_interval_join,

@@ -303,3 +303,25 @@ def stream_static_enrich(
             F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
         )
     )
+
+
+def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the embeddings table (file source) — the query
+    stream for online ANN serving (HnswIndex.knn_transform)."""
+    import hashlib
+
+    stage = os.path.join(
+        "/tmp", f"vss_embstream_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "embeddings.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "embeddings.parquet"), link)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    return spark.readStream.schema(schema).parquet(stage)

@@ -311,3 +311,34 @@ def test_knn_join_chunked_matches_unchunked(spark, emb, idx):
     ka = {(r["qid"], r["rn"]): r["vec_id"] for r in a.collect()}
     kb = {(r["qid"], r["rn"]): r["vec_id"] for r in b.collect()}
     assert ka == kb and len(ka) > 0
+
+
+def test_knn_transform_matches_knn_join(spark, emb, idx):
+    """The stateless serve path (in-task global merge, no window) must
+    produce the same (qid, item, rn) set and the same SQL-convention
+    distances as the window-merged knn_join at ef >> k."""
+    q = emb.where(F.col("embedding").isNotNull()).limit(80).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    items = emb.where(F.col("embedding").isNotNull()).select("vec_id", "embedding")
+    joined = idx.knn_join(q, items, "qvec", 3, "qid", ef_search=400)
+    served = idx.knn_transform(q, items, "qvec", 3, "qid", ef_search=400)
+    a = sorted((r["qid"], r["vec_id"], r["rn"], round(r["dist"], 9)) for r in joined.collect())
+    b = sorted((r["qid"], r["vec_id"], r["rn"], round(r["dist"], 9)) for r in served.collect())
+    assert a == b and len(a) == 80 * 3
+
+
+def test_knn_transform_plan_has_no_window(spark, emb, idx):
+    """What makes knn_transform streaming-legal: no Window operator and
+    no aggregation anywhere in the plan — only mapInPandas + join."""
+    import contextlib
+    import io
+
+    q = emb.limit(10).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    items = emb.select("vec_id", "embedding")
+    df = idx.knn_transform(q, items, "qvec", 3, "qid")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    plan = buf.getvalue()
+    assert "Window" not in plan and "HashAggregate" not in plan

@@ -319,3 +319,50 @@ def test_stream_static_join_matches_batch_and_is_stateless(spark):
     prog = q.lastProgress
     q.stop()
     assert prog is not None and len(prog["stateOperators"]) == 1
+
+
+def test_stream_knn_serve_is_zero_state(spark, tmp_path):
+    """Online ANN serving must run as a ZERO-state append stream: no
+    stateful operators at all (mapInPandas serve + stream-static
+    payload join), and results must equal the batch knn_transform."""
+    from duckdb_vss_spark.index import create_hnsw_index, drop_index
+    from duckdb_vss_spark.sources import load_table
+    from duckdb_vss_spark.streaming import read_embeddings_stream
+
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "serve_idx")
+    idx = create_hnsw_index(
+        spark, emb, vec_col="embedding", id_col="vec_id", path=path, overwrite=True
+    )
+    try:
+        items = emb.where(F.col("embedding").isNotNull()).select("vec_id", "embedding")
+        qs = (
+            read_embeddings_stream(spark, SF)
+            .where((F.col("vec_id") % 10 == 0) & F.col("embedding").isNotNull())
+            .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+        )
+        served = idx.knn_transform(qs, items, "qvec", 3, "qid", ef_search=400)
+        q = (
+            served.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("t_knn_serve")
+            .start()
+        )
+        q.processAllAvailable()
+        prog = q.lastProgress
+        q.stop()
+        assert prog is not None and len(prog["stateOperators"]) == 0
+        got = sorted(
+            (r["qid"], r["vec_id"], r["rn"]) for r in spark.table("t_knn_serve").collect()
+        )
+        qb = (
+            emb.where((F.col("vec_id") % 10 == 0) & F.col("embedding").isNotNull())
+            .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+        )
+        exp = sorted(
+            (r["qid"], r["vec_id"], r["rn"])
+            for r in idx.knn_transform(qb, items, "qvec", 3, "qid", ef_search=400).collect()
+        )
+        assert got == exp and len(got) > 0
+    finally:
+        drop_index(path)
