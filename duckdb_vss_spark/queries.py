@@ -64,7 +64,23 @@ _EXTRA_ORACLES: dict[str, str] = {}
 # q_contamination) displaces five more stable rows with fresh r5 driver
 # evidence (q01, q13, q18, q_knn_cosine, q_knn_inner_product — the
 # brute-knn surface keeps q_knn_l2 as its declared representative).
-_PROMOTED: frozenset[str] = frozenset()
+# r6c promotions: four brand-new surfaces take declared rows for their
+# first driver evidence — q_stream_knn_serve (online ANN serving, the
+# §2.1 #13 closure), q02_min_cost_supplier (correlated scalar-min
+# decorrelation, the last TPC-H subquery shape family),
+# q_stream_static_join (the stream-static half of the streaming join
+# matrix), q_moving_window_sum (the RANGE-frame window surface, which
+# has no declared family member at all). The three r6c siblings left as
+# CI-enforced extras (q11_important_parts, q20_promotion_suppliers,
+# q_time_gapfill) rotate in next round.
+_PROMOTED: frozenset[str] = frozenset(
+    {
+        "q_stream_knn_serve",
+        "q02_min_cost_supplier",
+        "q_stream_static_join",
+        "q_moving_window_sum",
+    }
+)
 _DEMOTED: frozenset[str] = frozenset(
     {
         "q_json_event_stats",
@@ -149,6 +165,20 @@ _DEMOTED: frozenset[str] = frozenset(
         # macros stay CI-enforced extras and sit on the same knn
         # machinery pinned by the declared join/search rows).
         "q_vss_match_stats",
+        # The four r6c promotions displace four rows with fresh r5
+        # driver evidence whose families keep declared representation:
+        # q_min_by_topk (k-ary family machinery also exercised by the
+        # declared rewrite rows; r5-green), q_hnsw_knn_filtered
+        # (post_filter surface keeps the declared _filtered_empty edge
+        # + knn_join), q_ngram_jaccard (near-dup family keeps
+        # q_simhash_pairs, q_embedding_neardup, q_dedup_clusters,
+        # q_semdedup, q_dup_spans declared; bench still times it),
+        # q_stream_dedup_state (stateful-dedup restart behavior stays
+        # CI value-checked in test_streaming.py; r5-green).
+        "q_min_by_topk",
+        "q_hnsw_knn_filtered",
+        "q_ngram_jaccard",
+        "q_stream_dedup_state",
     }
 )
 
@@ -157,6 +187,11 @@ _DEMOTED: frozenset[str] = frozenset(
 # least recently driver-verified lead, so a partial window always covers
 # them.
 _PRIORITY: list[str] = [
+    # r6c surfaces: first driver rows
+    "q_stream_knn_serve",
+    "q02_min_cost_supplier",
+    "q_stream_static_join",
+    "q_moving_window_sum",
     # r6b surfaces: temporal joins (ASOF, interval) + OLAP grouping
     # (ROLLUP, PIVOT, exact percentiles) — first driver rows
     "q_asof_join",
