@@ -1927,3 +1927,46 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.col("sum_value"),
     )
+
+
+@register_extra(
+    "q_stream_matview",
+    """
+    SELECT CAST(epoch_us(ts) - (epoch_us(ts) % 900000000) AS BIGINT) AS window_start_us,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MATERIALIZED VIEW, oracle-checked end-to-end through
+    the SINK: the windowed aggregate runs in UPDATE mode, each
+    micro-batch's changed groups are merge-upserted by key into a
+    plain parquet table (anti-join + union + atomic rename), and the
+    oracle comparison reads THE TABLE — so what is verified is the
+    maintained materialized view itself, not a memory-sink echo. The
+    incremental-view-maintenance pattern for 100 TB/day: per-batch
+    work is changed-groups-sized, never a stream recompute."""
+    import shutil
+    import uuid
+
+    from duckdb_vss_spark.streaming import read_events_stream, streaming_matview, windowed_event_counts
+
+    tag = uuid.uuid4().hex[:8]
+    path = f"/tmp/vss_matview_{tag}"
+    ckpt = f"/tmp/vss_matview_ckpt_{tag}"
+    ev = read_events_stream(spark, sf_dir)
+    agg = windowed_event_counts(ev, window="15 minutes", exact_sum=True).select(
+        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        "sum_value",
+    )
+    q = streaming_matview(agg, path, ["window_start_us", "event_type"], ckpt)
+    q.awaitTermination(180)
+    out = spark.read.parquet(path).cache()
+    out.count()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out

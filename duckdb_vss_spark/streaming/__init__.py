@@ -7,5 +7,6 @@ from duckdb_vss_spark.streaming.ops import (  # noqa: F401
     stream_static_enrich,
     streaming_dedup_first,
     streaming_index_refresh,
+    streaming_matview,
     windowed_event_counts,
 )

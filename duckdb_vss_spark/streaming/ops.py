@@ -325,3 +325,45 @@ def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.readStream.schema(schema).parquet(stage)
+
+
+def streaming_matview(
+    stream_agg: DataFrame,
+    path: str,
+    key_cols: list[str],
+    checkpoint_dir: str,
+):
+    """Streaming MATERIALIZED VIEW: maintain a queryable parquet table
+    as the incremental result of a streaming aggregate.
+
+    The aggregate runs in UPDATE mode — each micro-batch emits only
+    the groups whose values changed — and ``foreachBatch`` merges
+    those rows into the parquet target by key (``merge_upsert``'s
+    anti-join + union + atomic rename). Readers always see a complete,
+    consistent snapshot of the aggregate so far; the table is just
+    parquet, so ANY engine can query it between refreshes.
+
+    This is the Spark-native shape of incremental view maintenance at
+    100 TB/day: per-batch work is (changed groups) + (one bounded
+    rewrite of the target), not a recompute of the stream — and with a
+    partitioned target the rewrite narrows to touched partitions via
+    ``overwrite_where``. Returns the StreamingQuery.
+    """
+    from duckdb_vss_spark.sources.sinks import merge_upsert
+
+    def refresh(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if not os.path.isdir(path) or not os.listdir(path):
+            batch_df.write.mode("overwrite").parquet(path)
+        else:
+            merge_upsert(spark, path, batch_df, key_cols)
+
+    return (
+        stream_agg.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(refresh)
+        .trigger(availableNow=True)
+        .start()
+    )

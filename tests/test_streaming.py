@@ -366,3 +366,68 @@ def test_stream_knn_serve_is_zero_state(spark, tmp_path):
         assert got == exp and len(got) > 0
     finally:
         drop_index(path)
+
+
+def test_streaming_matview_incremental_across_restarts(spark, tmp_path):
+    """The materialized view must stay correct as new data arrives in
+    later micro-batches/restarts: groups touched by batch 2 are
+    upserted (not duplicated), untouched groups survive, and the final
+    table equals the batch aggregate over ALL data."""
+    from duckdb_vss_spark.sources import load_table
+    from duckdb_vss_spark.streaming import streaming_matview, windowed_event_counts
+
+    src = tmp_path / "src"
+    tgt = str(tmp_path / "mv")
+    ckpt = str(tmp_path / "ckpt")
+    ev = load_table(spark, SF, "events").orderBy("event_id").cache()
+    half = ev.count() // 2
+    first = ev.limit(half)
+    first.write.parquet(str(src / "f1.parquet"))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(first.schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        agg = windowed_event_counts(stream, window="15 minutes", exact_sum=True).select(
+            F.unix_micros(F.col("window.start")).alias("ws"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            "sum_value",
+        )
+        q = streaming_matview(agg, tgt, ["ws", "event_type"], ckpt)
+        q.awaitTermination(120)
+
+    run_once()
+    n_half = spark.read.parquet(tgt).count()
+    assert n_half > 0
+    # second wave of data, new files in the same source dir
+    ev.subtract(first).write.mode("append").parquet(str(src / "f2.parquet"))
+    run_once()
+    got = {
+        (r["ws"], r["event_type"]): (r["n"], round(r["sum_value"], 6))
+        for r in spark.read.parquet(tgt).collect()
+    }
+    exp = {
+        (r["ws"], r["event_type"]): (r["n"], round(r["sum_value"], 6))
+        for r in (
+            ev.groupBy(
+                F.unix_micros(
+                    F.timestamp_micros(
+                        (F.unix_micros(F.col("ts").cast("timestamp")) / 900_000_000)
+                        .cast("long")
+                        * 900_000_000
+                    )
+                ).alias("ws"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+            )
+            .collect()
+        )
+    }
+    assert got == exp
