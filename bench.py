@@ -249,6 +249,7 @@ def main() -> None:
         "q_stratified_sample",
         "q_pack_sequences",
         "q_kmv_distinct",
+        "q_hash_embed",
         # r6b: chunking, caps, lexical retrieval, semantic dedup
         "q_chunk_docs",
         "q_source_cap",
@@ -501,6 +502,59 @@ def main() -> None:
                GROUP BY 1, 2"""
         ).fetchall()
         scale8["q01_agg_duckdb_x8"] = round(time.time() - t0, 3)
+        con.close()
+
+        # temporal curve: the ASOF join on 8x events (shifted users so
+        # per-user series stay realistic) — Spark union-merge idiom vs
+        # DuckDB's dedicated ASOF JOIN operator on the identical union.
+        from duckdb_vss_spark.operators.asof import asof_join
+        from duckdb_vss_spark.sources import load_table as _lt
+
+        ev = _lt(spark, sf_dir, "events")
+        ev8 = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                ev.select(
+                    (F.col("event_id") + i * 100_000_000).alias("event_id"),
+                    "ts",
+                    (F.col("user_id") + i * 1_000_000).alias("user_id"),
+                    "event_type",
+                    "value",
+                    "props",
+                )
+                for i in range(reps)
+            ],
+        ).cache()
+        ev8.count()
+        t0 = time.time()
+        asof_join(
+            ev8.where(F.col("event_type") == "click"),
+            ev8.where(F.col("event_type") == "error"),
+            on="ts",
+            by="user_id",
+            right_cols=["event_id"],
+            suffix="_err",
+        ).count()
+        scale8["asof_spark_x8"] = round(time.time() - t0, 3)
+        ev8.unpersist()
+        con = duckdb.connect()
+        con.execute(f"SET threads={os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+        ev_union = " UNION ALL ".join(
+            f"SELECT event_id + {i * 100_000_000} AS event_id, ts, "
+            f"user_id + {i * 1_000_000} AS user_id, event_type, value, props "
+            f"FROM read_parquet('{sf_dir}/events.parquet')"
+            for i in range(reps)
+        )
+        con.execute(f"CREATE VIEW events8 AS {ev_union}")
+        t0 = time.time()
+        con.execute(
+            """SELECT count(*) FROM
+               (SELECT * FROM events8 WHERE event_type = 'click') l
+               ASOF LEFT JOIN
+               (SELECT * FROM events8 WHERE event_type = 'error') r
+               ON l.user_id = r.user_id AND l.ts >= r.ts"""
+        ).fetchall()
+        scale8["asof_duckdb_x8"] = round(time.time() - t0, 3)
         con.close()
 
     section("scale8", _scale8_section)

@@ -60,3 +60,80 @@ def oov_rate(
         .cast("double")
         .alias("oov_rate")
     )
+
+
+def hash_embedding_long(
+    docs: DataFrame, text_col: str, id_col: str, dim: int = 16
+) -> DataFrame:
+    """Feature-hashed ("hashing trick") text embedding, long form:
+    (doc, bucket, signed token count). The model-free embedding every
+    curation stack can afford at 100 TB — tokens hash to one of ``dim``
+    buckets with a ±1 sign, so a document's vector is one group-by away
+    and needs no vocabulary, no model, no driver state (Weinberger et
+    al. 2009, feature hashing).
+
+    Cross-engine exact: bucket and sign derive from md5 hex characters
+    via ``ascii(substr(...))`` arithmetic — md5, substr, and ascii
+    agree bit-for-bit between Spark and DuckDB, so the oracle is plain
+    SQL and the values are integers (no float accumulation at all).
+
+    Plan shape: explode → map-side bucket/sign math → ONE partial→final
+    aggregation keyed (doc, bucket). The exchange carries at most
+    docs·dim rows regardless of token count. The dense-array form
+    (``hash_embedding``) is a second map-only pass over this output."""
+    tok = F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    toks = docs.select(F.col(id_col), tok).where(F.col("tok") != "")
+    h = F.md5(F.col("tok"))
+    bucket = (
+        F.ascii(F.substring(h, 1, 1)) * 16 + F.ascii(F.substring(h, 2, 1))
+    ) % dim
+    sign = F.when(F.ascii(F.substring(h, 3, 1)) % 2 == 0, F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    return (
+        toks.select(F.col(id_col), bucket.alias("bucket"), sign.alias("sign"))
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("sign").cast("bigint").alias("val"))
+    )
+
+
+def hash_embedding(
+    docs: DataFrame, text_col: str, id_col: str, dim: int = 16
+) -> DataFrame:
+    """Dense-array form of ``hash_embedding_long``: (doc, float array
+    of ``dim``), zero-filled, unit-normalized — drop-in for the
+    embedding-cosine dedup family (embedding_neardup_pairs, semdedup)
+    when no model embeddings exist. Sort-slice packs the array without
+    a window; empty docs get no row (no tokens → no vector)."""
+    long = hash_embedding_long(docs, text_col, id_col, dim)
+    packed = (
+        long.groupBy(id_col)
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("bucket"), F.collect_list("val")
+            ).alias("__m")
+        )
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("__m"), i), F.lit(0)
+                ).cast("double"),
+            ).alias("__raw"),
+        )
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("__raw"), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    return packed.select(
+        F.col(id_col),
+        F.when(
+            norm > 0,
+            F.transform(F.col("__raw"), lambda x: (x / norm).cast("float")),
+        )
+        .otherwise(F.transform(F.col("__raw"), lambda x: x.cast("float")))
+        .alias("embedding"),
+    )

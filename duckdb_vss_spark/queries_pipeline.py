@@ -1970,3 +1970,32 @@ def q_stream_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     shutil.rmtree(ckpt, ignore_errors=True)
     return out
+
+
+@register_extra(
+    "q_hash_embed",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             (ascii(substr(md5(tok), 1, 1)) * 16 + ascii(substr(md5(tok), 2, 1))) % 16 AS bucket,
+             CASE WHEN ascii(substr(md5(tok), 3, 1)) % 2 = 0 THEN 1 ELSE -1 END AS sign
+      FROM toks WHERE tok <> ''
+    )
+    SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS val
+    FROM h GROUP BY doc_id, bucket
+    """,
+)
+def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed text embedding (hashing trick), long form —
+    model-free document vectors for the dedup family. Buckets and
+    signs derive from md5 hex chars via ascii arithmetic, so both
+    engines compute identical INTEGER values (no float accumulation
+    anywhere). One explode + one (doc, bucket)-keyed partial→final
+    aggregation; the exchange is capped at docs x dim rows."""
+    from duckdb_vss_spark.pipeline.corpus import hash_embedding_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_embedding_long(docs, "text", "doc_id", dim=16)

