@@ -35,6 +35,7 @@ __all__ = [
     "MEDIA_SCHEMA",
     "attach_media_metadata",
     "extract_features",
+    "extract_frames",
     "probe_video_metadata",
     "resize_media",
     "sample_frames",
@@ -304,4 +305,62 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, decoder: str = "fake") ->
         df.where(F.col("meta.kind") == "video")
         .select("media_id", F.explode(idx).alias("frame_idx"))
         .withColumn("frame_ts_ms", (F.col("frame_idx") * every_ms).cast("long"))
+    )
+
+
+def extract_frames(df: DataFrame, decoder: str = "mjpeg") -> DataFrame:
+    """video rows → (media_id, frame_idx, height, width, f_first):
+    REAL per-frame PIXEL decode for the MJPEG profile — every AVI
+    ``00dc`` chunk is an independent baseline JPEG, decoded by the
+    repo's own codec (pipeline/avi.py + jpeg.py). ``f_first`` is the
+    first pixel of each frame normalized to [0, 1], so a query pins
+    decoded VALUES, not just shapes.
+
+    ``decoder="real"`` remains the seam for inter-frame entropy-coded
+    codecs (H.264/H.265/VP9/AV1), whose CABAC/arithmetic decode needs
+    codec libraries absent from this environment; MJPEG, images, and
+    audio are fully real. Corrupt payloads drop their row (a poisoned
+    file can't fail a 100 TB scan); only derived scalars leave the
+    worker — frame bytes never shuffle."""
+    if decoder not in ("mjpeg", "real"):
+        raise ValueError("decoder must be 'mjpeg' or 'real'")
+    if decoder == "real":
+        raise NotImplementedError(
+            "inter-frame codecs (H.264/H.265/VP9/AV1) require codec "
+            "libraries not present in this environment; MJPEG decode is "
+            "real — use decoder='mjpeg' on AVI payloads"
+        )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        from duckdb_vss_spark.pipeline.avi import AviError, decode_mjpeg_avi
+        from duckdb_vss_spark.pipeline.jpeg import JpegError
+
+        for pdf in batches:
+            ids, idxs, hs, ws, firsts = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    frames = decode_mjpeg_avi(bytes(payload or b""))
+                except (AviError, JpegError):
+                    continue  # poisoned payload: drop row, keep the job
+                for i, fr in enumerate(frames):
+                    ids.append(mid)
+                    idxs.append(i)
+                    hs.append(fr.shape[0])
+                    ws.append(fr.shape[1])
+                    firsts.append(float(fr.reshape(-1)[0]) / 255.0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "f_first": pd.Series(firsts, dtype="float64"),
+                }
+            )
+
+    return df.mapInPandas(
+        run,
+        schema="media_id long, frame_idx int, height int, width int, f_first double",
     )

@@ -1999,3 +1999,54 @@ def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return hash_embedding_long(docs, "text", "doc_id", dim=16)
+
+
+@register_extra(
+    "q_media_mjpeg_frames",
+    """
+    SELECT doc_id AS media_id,
+           CAST(f.frame_idx AS INT) AS frame_idx,
+           CAST(12 AS INT) AS height, CAST(16 AS INT) AS width,
+           CAST(CASE WHEN f.frame_idx = 0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS f_first
+    FROM documents
+    CROSS JOIN (SELECT unnest([0, 1]) AS frame_idx) f
+    WHERE doc_id % 20 = 0
+    """,
+)
+def q_media_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL VIDEO FRAME DECODE (MJPEG profile): per sampled doc,
+    synthesize a two-frame MJPEG AVI (frame 0 pure white, frame 1 pure
+    black — uniform 8×8 blocks carry only a DC coefficient, so the
+    values survive JPEG quantization exactly), then decode frames back
+    through the container walk + the repo's own JPEG decoder and emit
+    per-frame dims and the first pixel. A codec bug in the RIFF walk,
+    the JPEG entropy decode, or the IDCT breaks the VALUE match, not
+    just row counts. This closes the r5 seam for intra-frame video;
+    H.264-class inter-frame codecs remain the documented exception."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from duckdb_vss_spark.pipeline.multimodal import attach_media_metadata, extract_frames
+
+    def _synth(doc_id):
+        from duckdb_vss_spark.pipeline.avi import encode_mjpeg_avi
+
+        out = []
+        for _d in doc_id:
+            white = np.full((12, 16), 255, dtype=np.uint8)
+            black = np.zeros((12, 16), dtype=np.uint8)
+            out.append(encode_mjpeg_avi([white, black], fps=10, quality=90))
+        return pd.Series(out)
+
+    synth = pandas_udf(_synth, BinaryType())
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0).select("doc_id")
+    media = attach_media_metadata(
+        docs.withColumn("payload", synth(F.col("doc_id"))),
+        "payload",
+        kind="video",
+        fmt="avi",
+        id_col="doc_id",
+    )
+    return extract_frames(media, decoder="mjpeg")

@@ -174,3 +174,62 @@ def test_jpeg_truncation_never_escapes(seed, cut):
         assert out.dtype == np.uint8
     except JpegError:
         pass
+
+
+# ---------------------------------------------------------------------------
+# AVI / MJPEG container (pipeline/avi.py)
+
+from duckdb_vss_spark.pipeline.avi import (  # noqa: E402
+    AviError,
+    decode_mjpeg_avi,
+    encode_mjpeg_avi,
+    probe_avi,
+)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=4),
+    h=st.integers(min_value=1, max_value=3),
+    w=st.integers(min_value=1, max_value=3),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=20, deadline=None)
+def test_avi_container_is_lossless_around_jpeg(n, h, w, seed):
+    """The container adds NO loss: decode(avi(frames)) must equal
+    decoding each frame's JPEG bytes directly — byte-exact."""
+    rng = np.random.default_rng(seed)
+    frames = [
+        rng.integers(0, 256, (h * 8, w * 8), dtype=np.int64).astype(np.uint8)
+        for _ in range(n)
+    ]
+    avi = encode_mjpeg_avi(frames, fps=10, quality=90)
+    got = decode_mjpeg_avi(avi)
+    ref = [decode_jpeg(encode_jpeg(f, quality=90)) for f in frames]
+    assert len(got) == n
+    assert all((a == b).all() for a, b in zip(got, ref))
+    p = probe_avi(avi)
+    assert p == {"width": w * 8, "height": h * 8, "n_frames": n, "fps": 10}
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    cut=st.integers(min_value=0, max_value=200),
+)
+@settings(max_examples=40, deadline=None)
+def test_avi_truncation_and_bitflips_never_escape(seed, cut):
+    """Truncated/corrupted AVIs raise AviError or JpegError — never
+    struct.error/IndexError (the contract that lets a Spark scan drop
+    poisoned rows instead of dying)."""
+    from duckdb_vss_spark.pipeline.jpeg import JpegError
+
+    rng = np.random.default_rng(seed)
+    f = rng.integers(0, 256, (8, 8), dtype=np.int64).astype(np.uint8)
+    avi = bytearray(encode_mjpeg_avi([f, f], fps=5))
+    avi = avi[: max(0, len(avi) - cut)]
+    if avi and seed % 3 == 0:
+        avi[seed % len(avi)] ^= 1 << (seed % 8)
+    try:
+        decode_mjpeg_avi(bytes(avi))
+        probe_avi(bytes(avi))
+    except (AviError, JpegError):
+        pass
