@@ -154,3 +154,53 @@ def merge_upsert(
     os.rename(tmp, path)
     inserted = n_after - n_target
     return {"updated": n_updates - inserted, "inserted": inserted}
+
+
+def compact_table(
+    spark: SparkSession, path: str, target_file_mb: int = 128
+) -> dict:
+    """Small-file compaction (OPTIMIZE): rewrite a parquet directory
+    into ~``target_file_mb``-sized files with the same temp-dir +
+    atomic-rename swap as the other maintenance ops.
+
+    The operational counterpart of the streaming sinks: micro-batch
+    writers (``streaming_matview``, ``insert_into``) accrete small
+    files whose per-file open/footer cost eventually dominates scans.
+    File count comes from the CURRENT on-disk byte size (driver-side
+    listing, no data job), then one ``coalesce`` rewrite — coalesce,
+    not repartition, so compaction itself is shuffle-free. For
+    partitioned tables run per partition directory (the same
+    bounded-blast-radius argument as overwrite_where).
+
+    Returns {"files_before": n, "files_after": n, "bytes": n}.
+    """
+    import shutil
+
+    files = [
+        os.path.join(dp, f)
+        for dp, _dn, fn in os.walk(path)
+        for f in fn
+        if f.endswith(".parquet")
+    ]
+    if not files:
+        raise ValueError(f"no parquet files under {path!r}")
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".__compact__"
+    df.coalesce(int(n_out)).write.mode("overwrite").parquet(tmp)
+    # verify before swapping — a failed rewrite must never eat the table
+    n_before = df.count()
+    n_after = spark.read.parquet(tmp).count()
+    if n_after != n_before:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError("compaction row-count mismatch; table untouched")
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    after = [
+        f
+        for dp, _dn, fn in os.walk(path)
+        for f in fn
+        if f.endswith(".parquet")
+    ]
+    return {"files_before": len(files), "files_after": len(after), "bytes": int(total)}

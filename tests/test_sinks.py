@@ -183,3 +183,36 @@ def test_merge_upsert_validates(spark, tmp_path):
         merge_upsert(spark, path, bad, ["k"])
     with _pt.raises(ValueError):
         merge_upsert(spark, path, bad, [])
+
+
+def test_compact_table_reduces_files_preserves_rows(spark, tmp_path):
+    """OPTIMIZE-style compaction: many small files become few, rows and
+    values survive byte-for-byte, swap is atomic (verify-then-rename)."""
+    from duckdb_vss_spark.sources import load_table
+    from duckdb_vss_spark.sources.sinks import compact_table
+
+    path = str(tmp_path / "frag")
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    li.repartition(37).write.parquet(path)
+    before = sorted(
+        (r["l_orderkey"], r["l_linenumber"]) for r in spark.read.parquet(path).collect()
+    )
+    stats = compact_table(spark, path, target_file_mb=128)
+    assert stats["files_before"] >= 37
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] == 1  # tiny table fits one 128 MB target
+    after = sorted(
+        (r["l_orderkey"], r["l_linenumber"]) for r in spark.read.parquet(path).collect()
+    )
+    assert after == before
+
+
+def test_compact_table_empty_dir_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from duckdb_vss_spark.sources.sinks import compact_table
+
+    p = tmp_path / "empty"
+    p.mkdir()
+    with _pytest.raises(ValueError, match="no parquet files"):
+        compact_table(spark, str(p))
