@@ -5,21 +5,23 @@ columns with a typed metadata struct; decode / feature-extract /
 resize / frame-sample run as Arrow-batched pandas functions over
 ``mapInPandas`` so payload bytes never surface into JVM row objects.
 
-Codec tiers: ``decoder="png"``, ``"jpeg"`` and ``"wav"`` are REAL
-codecs — pure-stdlib implementations (pipeline/png.py: zlib decode/
-unfilter/encode; pipeline/jpeg.py: baseline T.81 DCT+Huffman, decodes
-external 4:2:0 files; pipeline/wav.py: RIFF/PCM decode/encode), so
-image payloads get actual pixel work (grayscale grid features,
-nearest-neighbor resize, re-encode) and WAV payloads get actual sample
-work (frame-energy features). Video is half-real: container METADATA
-parses for real (pipeline/mp4.py ISO-BMFF probe →
-``probe_video_metadata`` fills duration/dims from payload bytes), but
-FRAME pixel decode (H.264-class) needs ffmpeg, absent here — so
-``decoder="fake"`` produces a deterministic feature vector from the
-bytes (real, testable plumbing) and ``decoder="real"`` raises
-NotImplementedError at the exact seam where a codec library would be
-called. Schema, partitioning, UDF signature and batch shape are the
-real design in every tier.
+Codec tiers: ``decoder="png"``, ``"jpeg"``, ``"wav"`` and ``"mjpeg"``
+are REAL codecs — pure-stdlib implementations (pipeline/png.py: zlib
+decode/unfilter/encode; pipeline/jpeg.py: baseline T.81 DCT+Huffman,
+decodes external 4:2:0 files; pipeline/wav.py: RIFF/PCM decode/encode;
+pipeline/avi.py: RIFF/MJPEG container whose frames decode through the
+JPEG codec), so image payloads get actual pixel work (grayscale grid
+features, nearest-neighbor resize, re-encode), WAV payloads actual
+sample work (frame-energy features), and MJPEG video actual per-frame
+PIXEL decode (``extract_frames``, temporal-mean features). MP4
+container METADATA parses for real too (pipeline/mp4.py ISO-BMFF
+probe → ``probe_video_metadata``). The one remaining seam is
+INTER-FRAME codecs (H.264/H.265/VP9/AV1), whose CABAC/arithmetic
+decode needs ffmpeg-class libraries absent here — ``decoder="fake"``
+produces a deterministic feature vector from the bytes (real,
+testable plumbing) and ``decoder="real"`` raises NotImplementedError
+at that exact seam. Schema, partitioning, UDF signature and batch
+shape are the real design in every tier.
 """
 
 from __future__ import annotations
@@ -154,6 +156,30 @@ def _jpeg_features(payload: bytes, dim: int):
     return (pooled.reshape(-1) / 255.0).astype(np.float32)
 
 
+def _mjpeg_features(payload: bytes, dim: int):
+    """REAL video decode path: MJPEG AVI → decode every frame (repo
+    JPEG codec) → temporal mean over frames → same spatial grid
+    contract as the image paths. The temporal mean is the cheapest
+    content summary that still reflects every frame's pixels — a
+    changed frame changes the feature."""
+    import math
+
+    import numpy as np
+
+    from duckdb_vss_spark.pipeline.avi import decode_mjpeg_avi
+    from duckdb_vss_spark.pipeline.png import resize_nearest, to_gray
+
+    side = int(math.isqrt(dim))
+    if side * side != dim:
+        raise ValueError(f"mjpeg feature dim must be a perfect square, got {dim}")
+    frames = decode_mjpeg_avi(payload)
+    acc = np.zeros((side, side), dtype=np.float64)
+    for fr in frames:
+        acc += resize_nearest(to_gray(fr), side, side)
+    pooled = acc / len(frames)
+    return (pooled.reshape(-1) / 255.0).astype(np.float32)
+
+
 def extract_features(
     df: DataFrame, dim: int = 64, decoder: str = "fake", batch_limit_bytes: int = 64 << 20
 ) -> DataFrame:
@@ -161,26 +187,32 @@ def extract_features(
 
     ``decoder="png"``/``"jpeg"`` run the real stdlib image codecs
     (decode → gray → sampled pixel grid); ``"wav"`` runs the real
-    stdlib WAV codec (decode → frame-energy vector); ``"fake"`` hashes
-    bytes to a deterministic vector; ``"real"`` marks the seam for
-    codecs absent here (MP4/... need ffmpeg).
+    stdlib WAV codec (decode → frame-energy vector); ``"mjpeg"`` runs
+    the real MJPEG video path (every frame decoded, temporal-mean
+    grid); ``"fake"`` hashes bytes to a deterministic vector;
+    ``"real"`` marks the seam for inter-frame codecs absent here
+    (H.264-class needs ffmpeg).
 
     Arrow batches flow through ``mapInPandas``; ``batch_limit_bytes``
     documents the contract that a partition's in-flight payload batch is
     bounded (set ``spark.sql.execution.arrow.maxRecordsPerBatch``
     accordingly for large payloads at scale)."""
-    if decoder not in ("fake", "png", "jpeg", "wav", "real"):
-        raise ValueError("decoder must be 'fake', 'png', 'jpeg', 'wav' or 'real'")
+    if decoder not in ("fake", "png", "jpeg", "wav", "mjpeg", "real"):
+        raise ValueError(
+            "decoder must be 'fake', 'png', 'jpeg', 'wav', 'mjpeg' or 'real'"
+        )
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
         for pdf in batches:
             if decoder == "real":
-                # the seam where ffmpeg/torchaudio would decode
+                # the seam where ffmpeg would decode INTER-FRAME codecs
+                # (H.264-class); PNG/JPEG/WAV/MJPEG are real
                 raise NotImplementedError(
-                    "real media decoding requires codec libraries not present "
-                    "in this environment; use decoder='fake', 'png', 'jpeg' or 'wav'"
+                    "inter-frame codecs require libraries not present in "
+                    "this environment; use decoder='png', 'jpeg', 'wav' or "
+                    "'mjpeg' (all real) or 'fake'"
                 )
             if decoder == "png":
                 feats = [_png_features(p, dim) for p in pdf["payload"]]
@@ -188,6 +220,8 @@ def extract_features(
                 feats = [_jpeg_features(p, dim) for p in pdf["payload"]]
             elif decoder == "wav":
                 feats = [_wav_features(p, dim) for p in pdf["payload"]]
+            elif decoder == "mjpeg":
+                feats = [_mjpeg_features(p, dim) for p in pdf["payload"]]
             else:
                 feats = [_fake_decode(p, dim) for p in pdf["payload"]]
             yield pd.DataFrame(

@@ -84,3 +84,29 @@ class TestAhashPairs:
         h = ahash_images(_img_df(spark, [(1, _checker())]), "payload", "doc_id")
         with pytest.raises(ValueError):
             ahash_pairs(h, "doc_id", blocks=5)
+
+
+def test_mjpeg_features_are_temporal_mean_of_frames(spark):
+    """extract_features(decoder='mjpeg') must decode EVERY frame: a
+    white+black two-frame clip pools to exactly 0.5 per grid cell, and
+    changing one frame changes the feature."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark.pipeline.avi import encode_mjpeg_avi
+    from duckdb_vss_spark.pipeline.multimodal import attach_media_metadata, extract_features
+
+    white = np.full((16, 16), 255, dtype=np.uint8)
+    black = np.zeros((16, 16), dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_mjpeg_avi([white, black]))),
+        (2, bytearray(encode_mjpeg_avi([white, white]))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    m = attach_media_metadata(df, "payload", kind="video", fmt="avi", id_col="doc_id")
+    feats = {
+        r["media_id"]: [float(x) for x in r["feature"]]
+        for r in extract_features(m, dim=16, decoder="mjpeg").collect()
+    }
+    assert all(abs(x - 0.5) < 1e-6 for x in feats[1])
+    assert all(abs(x - 1.0) < 1e-6 for x in feats[2])
