@@ -27,7 +27,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ahash_images", "ahash_pairs"]
+__all__ = ["ahash_images", "ahash_pairs", "video_ahash_frames", "video_neardup_pairs"]
 
 
 def _block_mean_gray(img: np.ndarray, hs: int) -> np.ndarray:
@@ -128,4 +128,114 @@ def ahash_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def video_ahash_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    hash_size: int = 8,
+) -> DataFrame:
+    """MJPEG AVI payloads → (id, frame_idx, ahash): the 64-bit
+    block-mean perceptual hash of EVERY decoded frame (real decode via
+    pipeline/avi.py + jpeg.py). Corrupt payloads drop their video;
+    only (id, idx, 8-byte hash) rows leave the scan — frame bytes
+    never shuffle."""
+    if hash_size * hash_size != 64:
+        raise ValueError("hash_size must be 8 (64-bit signature)")
+    import pandas as pd
+
+    def gen(batches):
+        from duckdb_vss_spark.pipeline.avi import AviError, decode_mjpeg_avi
+        from duckdb_vss_spark.pipeline.jpeg import JpegError
+        from duckdb_vss_spark.pipeline.png import to_gray
+
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    frames = decode_mjpeg_avi(bytes(payload))
+                except (AviError, JpegError):
+                    continue
+                for fi, fr in enumerate(frames):
+                    img = to_gray(fr).astype(np.float64)
+                    small = _block_mean_gray(img, hash_size)
+                    bits = (small >= small.mean()).flatten()
+                    h = 0
+                    for b in bits:
+                        h = (h << 1) | int(b)
+                    if h >= 1 << 63:
+                        h -= 1 << 64
+                    ids.append(i)
+                    idxs.append(fi)
+                    hashes.append(h)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "ahash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        gen, schema=f"{id_col} long, frame_idx int, ahash long"
+    )
+
+
+def video_neardup_pairs(
+    frame_hashes: DataFrame,
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Video near-dup pairs from ``video_ahash_frames`` output:
+    (id_a < id_b, matched_frames) where a frame pair matches when its
+    ALIGNED (same frame_idx) hashes are within ``max_hamming``.
+
+    Same pigeonhole-banded shape as the image/SimHash dedups, with
+    frame_idx folded into the bucket key — candidates only form
+    between videos sharing a hash band AT THE SAME FRAME POSITION, so
+    shuffle carries frames·blocks skinny rows and verification runs on
+    candidates only; videos are never compared all-pairs."""
+    if 64 % blocks:
+        raise ValueError("blocks must divide 64")
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    buckets = [
+        F.concat_ws(
+            ":",
+            F.col("frame_idx").cast("string"),
+            F.lit(str(b)),
+            F.shiftrightunsigned("ahash", 64 - (b + 1) * width)
+            .bitwiseAND(F.lit(mask))
+            .cast("string"),
+        )
+        for b in range(blocks)
+    ]
+    stacked = frame_hashes.select(
+        F.col(id_col).alias("id"),
+        "frame_idx",
+        "ahash",
+        F.explode(F.array(*buckets)).alias("bucket"),
+    )
+    cand = (
+        stacked.alias("x")
+        .join(stacked.alias("y"), "bucket")
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.frame_idx").alias("frame_idx"),
+            F.col("x.ahash").alias("ha"),
+            F.col("y.ahash").alias("hb"),
+        )
+        .distinct()
+    )
+    verified = cand.where(
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= max_hamming
+    )
+    return (
+        verified.groupBy("id_a", "id_b")
+        .agg(F.count_distinct("frame_idx").cast("bigint").alias("matched_frames"))
     )

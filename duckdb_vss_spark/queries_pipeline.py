@@ -2050,3 +2050,67 @@ def q_media_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
     )
     return extract_frames(media, decoder="mjpeg")
+
+
+@register_extra(
+    "q_video_neardup",
+    """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(2 AS BIGINT) AS matched_frames
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 20 = 0) a
+    JOIN (SELECT doc_id FROM documents WHERE doc_id % 20 = 0) b
+      ON a.doc_id < b.doc_id AND a.doc_id % 3 = b.doc_id % 3
+    """,
+)
+def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO NEAR-DUP DEDUP over real decoded frames: per sampled doc,
+    synthesize a two-frame MJPEG AVI whose frame patterns depend on
+    doc_id % 3 (three high-contrast variants ≥32 hamming apart, so
+    JPEG quantization cannot blur variants together), hash every
+    decoded frame (block-mean aHash), and find pairs whose ALIGNED
+    frames match within hamming 3 via the pigeonhole-banded join. The
+    oracle derives the expected pairs arithmetically: exactly the
+    same-variant pairs, with both frames matched."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from duckdb_vss_spark.pipeline.imagehash import (
+        video_ahash_frames,
+        video_neardup_pairs,
+    )
+    from duckdb_vss_spark.pipeline.multimodal import attach_media_metadata
+
+    def _synth(doc_id):
+        from duckdb_vss_spark.pipeline.avi import encode_mjpeg_avi
+
+        out = []
+        for d in doc_id:
+            v = int(d) % 3
+            f0 = np.zeros((16, 16), dtype=np.uint8)
+            f1 = np.zeros((16, 16), dtype=np.uint8)
+            if v == 0:
+                f0[:8, :] = 255   # top half white
+                f1[8:, :] = 255   # bottom half white
+            elif v == 1:
+                f0[:, :8] = 255   # left half white
+                f1[:, 8:] = 255   # right half white
+            else:
+                f0[::2, :] = 255  # row stripes
+                f1[:, ::2] = 255  # column stripes
+            out.append(encode_mjpeg_avi([f0, f1], fps=10, quality=90))
+        return pd.Series(out)
+
+    synth = pandas_udf(_synth, BinaryType())
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0).select("doc_id")
+    media = attach_media_metadata(
+        docs.withColumn("payload", synth(F.col("doc_id"))),
+        "payload",
+        kind="video",
+        fmt="avi",
+        id_col="doc_id",
+    )
+    frames = video_ahash_frames(media, "payload", "media_id")
+    return video_neardup_pairs(frames, "media_id", max_hamming=3).select(
+        F.col("id_a"), F.col("id_b"), "matched_frames"
+    )
