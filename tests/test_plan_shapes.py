@@ -358,3 +358,30 @@ def test_q20_nested_in_chain_is_stacked_broadcast_semis(spark):
     assert plan.count("LeftSemi") >= 3
     assert "SortMergeJoin" not in plan
     assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hash_embed_is_one_exchange_partial_agg(spark):
+    """Feature hashing must be explode → map-side bucket math → ONE
+    partial→final aggregation exchange — the exchange carries at most
+    docs×dim rows regardless of token count. No joins of any kind."""
+    import duckdb_vss_spark.queries_pipeline as QP
+
+    plan = plan_of(QP.q_hash_embed(spark, SF), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan
+    assert "Join" not in plan and "Cartesian" not in plan
+
+
+def test_time_gapfill_joins_are_constant_sized(spark):
+    """The gap-fill spine must be broadcast-shaped: the only
+    nested-loop is the constant-sized spine construction (types ×
+    hours, both derived from one-row/distinct aggregates) and the
+    fill itself is a BroadcastHashJoin — data-sized rows shuffle only
+    for the one bucketed group-by."""
+    import duckdb_vss_spark.queries as Q
+
+    plan = plan_of(Q.q_time_gapfill(spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "partial_count" in plan or "partial_sum" in plan or "partial_min" in plan
