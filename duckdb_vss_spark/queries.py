@@ -47,206 +47,88 @@ _ORACLES: dict[str, str] = {}
 _EXTRA_QUERIES: dict[str, QueryFn] = {}
 _EXTRA_ORACLES: dict[str, str] = {}
 
-# Round-6 window rotation (VERDICT r5 #5): every query keeps its oracle
+# Round-7 window: the rotation is now an explicit list (the r5/r6
+# _PROMOTED/_DEMOTED delta encoding grew unreadable at 121 queries).
+# Policy unchanged (VERDICT r5 #5 / r6 #3): every query keeps its oracle
 # and stays enforced — tools/check_correctness.py and the CI gate
 # (tests/test_registry_oracle.py) run declared + extra alike — but the
-# driver's CORRECTNESS window holds 50 rows, so membership rotates each
-# round to give every query a fresh driver-verified row at least every
-# other round. This round the 17 rows demoted in r5 (last driver row:
-# r4) come BACK IN, and the 17 extras promoted in r5 (fresh r5 rows)
-# rotate back out to the CI-enforced extra registry. Four r5-green base
-# rows (q_json_event_stats, q_window_top_events, q_sessionize_events,
-# q_knn_join_grouped — all stable, all with fresh r5 rows) rotate out to
-# make room for the four NEW r6 surfaces (q_hnsw_knn_filtered_empty,
-# q_dedup_clusters, q_hash_sample, q_shuffle_shards) under the 50-row
-# cap. The second r6 batch (curation-pipeline surface:
-# q_repetition_stats, q_pii_scrub, q_vocab_topk, q_doc_oov_rate,
-# q_contamination) displaces five more stable rows with fresh r5 driver
-# evidence (q01, q13, q18, q_knn_cosine, q_knn_inner_product — the
-# brute-knn surface keeps q_knn_l2 as its declared representative).
-# r6c promotions: four brand-new surfaces take declared rows for their
-# first driver evidence — q_stream_knn_serve (online ANN serving, the
-# §2.1 #13 closure), q02_min_cost_supplier (correlated scalar-min
-# decorrelation, the last TPC-H subquery shape family),
-# q_stream_static_join (the stream-static half of the streaming join
-# matrix), q_moving_window_sum (the RANGE-frame window surface, which
-# has no declared family member at all). The three r6c siblings left as
-# CI-enforced extras (q11_important_parts, q20_promotion_suppliers,
-# q_time_gapfill) rotate in next round.
-_PROMOTED: frozenset[str] = frozenset(
-    {
-        "q_stream_knn_serve",
-        "q02_min_cost_supplier",
-        "q_stream_static_join",
-        "q_moving_window_sum",
-    }
-)
-_DEMOTED: frozenset[str] = frozenset(
-    {
-        "q_json_event_stats",
-        "q_window_top_events",
-        "q_sessionize_events",
-        "q_knn_join_grouped",
-        "q01_pricing_summary",
-        "q13_customer_distribution",
-        "q18_large_orders",
-        "q_knn_cosine",
-        "q_knn_inner_product",
-        # q_pq_knn (new PQ index surface) displaces q_vss_join —
-        # q_vss_match_stats keeps the macro family's declared row
-        "q_vss_join",
-        # q_stratified_sample (new sampling surface) displaces
-        # q_exact_dedup (stable since r2, fresh r5 driver row; still
-        # CI-enforced in the extra registry)
-        "q_exact_dedup",
-        # q_ivfpq_knn (new IVFADC surface) displaces
-        # q_embedding_neardup_lsh (fresh r5 row; q_embedding_neardup
-        # keeps the family's declared row this round)
-        "q_embedding_neardup_lsh",
-        # q_pack_sequences (new packing surface) displaces
-        # q_hnsw_self_consistency (fresh r5 row; its agreement property
-        # is also CI-pinned by test_index.py's chunked equality)
-        "q_hnsw_self_consistency",
-        # q_kmv_distinct (new sketch surface) displaces q_sql_maxby_topk
-        # (fresh r5 row; the k-ary min_by/max_by family keeps
-        # q_min_by_topk declared)
-        "q_sql_maxby_topk",
-        # The five r6b surfaces (q_asof_join, q_interval_join,
-        # q_rollup_revenue, q_pivot_events, q_event_percentiles)
-        # displace five stable rows with fresh r5 driver evidence whose
-        # families stay declared elsewhere: the rewrite family keeps
-        # q_sql_topk_rewrite + q_sql_lateral_rewrite; the HNSW family
-        # keeps q_hnsw_knn/_filtered/_filtered_empty/_knn_join; the
-        # lateral family keeps q_sql_lateral_rewrite; streaming keeps
-        # q_stream_window_counts + q_stream_dedup_state.
-        "q_sql_metric_rewrite",
-        "q_hnsw_compact",
-        "q_knn_join_lateral",
-        "q_stream_session_windows",
-        "q_cosine_rewrite",
-        # q_chunk_docs and q_source_cap (r6b curation surfaces) displace
-        # two more fresh-r5 rows whose families stay declared:
-        # q_hnsw_knn (scan family keeps _filtered/_filtered_empty/
-        # _knn_join) and q_ivf_knn_join (IVF family keeps q_ivf_knn +
-        # q_ivfpq_knn).
-        "q_hnsw_knn",
-        "q_ivf_knn_join",
-        # q_bm25_topk (r6b lexical-retrieval surface) displaces
-        # q_sql_lateral_rewrite (fresh r5 row; the SQL-rewrite family
-        # keeps q_sql_topk_rewrite declared).
-        "q_sql_lateral_rewrite",
-        # q_semdedup (r6b semantic-dedup surface) displaces
-        # q_stream_window_counts (fresh r5 row; streaming keeps
-        # q_stream_dedup_state declared).
-        "q_stream_window_counts",
-        # q_hybrid_rrf (r6b hybrid-retrieval surface) displaces q_knn_l2
-        # (driver-green r1-r5; the brute-knn surface stays exercised by
-        # q_hybrid_rrf's exact cosine leg and remains CI-enforced as an
-        # extra).
-        "q_knn_l2",
-        # q_mix_budget (r6b token-budget mixing surface) displaces
-        # q_minhash_lsh (fresh r5 row; the near-dup family keeps
-        # q_ngram_jaccard, q_simhash_pairs, q_embedding_neardup,
-        # q_dedup_clusters and q_semdedup declared, and bench still
-        # times q_minhash_lsh every round).
-        "q_minhash_lsh",
-        # q_dup_spans (r6b span-level dedup surface) displaces q_ivf_knn
-        # (fresh r5 row; IVF routing + partition pruning stays declared
-        # through q_ivfpq_knn, and test_ivf.py pins the pruned plan).
-        "q_ivf_knn",
-        # q_stream_interval_join (r6b stream-stream join surface)
-        # displaces q_sql_topk_rewrite (fresh r5 row; the whole rewrite
-        # family rotates to CI-enforced extras this round — every member
-        # has an r5 driver row, and the per-other-round policy brings
-        # them back in r7).
-        "q_sql_topk_rewrite",
-        # q_image_phash_dedup (r6b image-dedup surface, real decoded
-        # pixels) displaces q_vss_match_stats (fresh r5 row; both vss
-        # macros stay CI-enforced extras and sit on the same knn
-        # machinery pinned by the declared join/search rows).
-        "q_vss_match_stats",
-        # The four r6c promotions displace four rows with fresh r5
-        # driver evidence whose families keep declared representation:
-        # q_min_by_topk (k-ary family machinery also exercised by the
-        # declared rewrite rows; r5-green), q_hnsw_knn_filtered
-        # (post_filter surface keeps the declared _filtered_empty edge
-        # + knn_join), q_ngram_jaccard (near-dup family keeps
-        # q_simhash_pairs, q_embedding_neardup, q_dedup_clusters,
-        # q_semdedup, q_dup_spans declared; bench still times it),
-        # q_stream_dedup_state (stateful-dedup restart behavior stays
-        # CI value-checked in test_streaming.py; r5-green).
-        "q_min_by_topk",
-        "q_hnsw_knn_filtered",
-        "q_ngram_jaccard",
-        "q_stream_dedup_state",
-    }
-)
-
-# Declared queries listed here are emitted FIRST (dict insertion order is
-# the driver's check order): the rows that most recently changed or were
-# least recently driver-verified lead, so a partial window always covers
-# them.
-_PRIORITY: list[str] = [
-    # r6c surfaces: first driver rows
-    "q_stream_knn_serve",
-    "q02_min_cost_supplier",
-    "q_stream_static_join",
-    "q_moving_window_sum",
-    # r6b surfaces: temporal joins (ASOF, interval) + OLAP grouping
-    # (ROLLUP, PIVOT, exact percentiles) — first driver rows
-    "q_asof_join",
-    "q_interval_join",
-    "q_rollup_revenue",
-    "q_pivot_events",
-    "q_event_percentiles",
-    "q_chunk_docs",
-    "q_source_cap",
-    "q_bm25_topk",
-    "q_semdedup",
-    "q_hybrid_rrf",
-    "q_mix_budget",
-    "q_dup_spans",
-    "q_stream_interval_join",
-    "q_image_phash_dedup",
-    # brand-new r6 surfaces: first driver rows (0-row filter pull-up
-    # edge; connected-components cluster resolution; deterministic
-    # sampling; seeded shuffle-sharding)
-    "q_hnsw_knn_filtered_empty",
-    "q_dedup_clusters",
-    "q_hash_sample",
-    "q_shuffle_shards",
-    # r6 curation-pipeline surface: repetition filters, PII scrub,
-    # vocabulary/OOV, contamination scan
-    "q_repetition_stats",
-    "q_pii_scrub",
-    "q_vocab_topk",
-    "q_doc_oov_rate",
-    "q_contamination",
-    "q_pq_knn",
-    "q_stratified_sample",
-    "q_ivfpq_knn",
+# driver's CORRECTNESS window holds 50 rows, so _DECLARED names the 50
+# rows the driver verifies this round, most-urgent first (the driver
+# checks in dict insertion order, so a partial window still covers the
+# head of the list).
+#
+# Round-7 composition (VERDICT r6 #1/#3):
+#   1. q_pack_sequences leads — r6's one red row (dtype-only oracle
+#      artifact, CAST fix) must show green first.
+#   2. The 22 queries that have NEVER held a driver row (VERDICT r6
+#      "What's missing #1"): q09/q11/q20 complete the declared TPC-H
+#      evidence; q_stream_matview, q_media_mjpeg_frames, q_video_neardup,
+#      q_time_gapfill and the rest of the r6c backlog.
+#   3. Queries whose implementation paths r7 touches (knn_join batch
+#      buffering; span-dedup rolling hash; semdedup cluster batching):
+#      q_hnsw_knn_join, q_dup_spans, q_semdedup.
+#   4. The remainder of the window refills from the rows rotated out in
+#      r6 (last driver evidence: r5), family representatives first.
+# Left for r8 (last driver row r5, family machinery declared elsewhere
+# this round): q_knn_cosine, q_knn_inner_product, q_sql_maxby_topk,
+# q_hnsw_self_consistency, q_embedding_neardup_lsh, q_sessionize_events,
+# q_knn_join_grouped, q_ivf_knn_join, q_vss_match_stats,
+# q_stream_session_windows, plus the r6-green rows rotating out here.
+_DECLARED: list[str] = [
+    # 1. the r6 red row, fixed (oracle CAST ... AS BIGINT)
     "q_pack_sequences",
-    "q_kmv_distinct",
-    # the 17 rows whose last driver evidence is r4 (VERDICT r5 #5)
-    "q03_shipping_priority",
-    "q04_priority_semi",
-    "q05_local_supplier_volume",
-    "q07_volume_shipping",
-    "q10_returned_items",
-    "q14_type_revenue_share",
-    "q15_top_supplier",
-    "q16_parts_supplier",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "q22_inactive_customers",
-    "q_embedding_neardup",
-    "q_media_frame_sample",
-    "q_media_resize",
-    "q_simhash_pairs",
-    "q_lang_quality",
-    "q_text_stats",
-    # paths touched by this round's executor-side knn_join rewrite
+    # 2. first-ever driver rows (22)
+    "q09_profit_by_nation",
+    "q11_important_parts",
+    "q20_promotion_suppliers",
+    "q_time_gapfill",
+    "q_stream_matview",
+    "q_hash_embed",
+    "q_media_mjpeg_frames",
+    "q_video_neardup",
+    "q_funnel",
+    "q_cohort_retention",
+    "q_cube_events",
+    "q_ntile_value_buckets",
+    "q_distinct_on",
+    "q_string_agg",
+    "q_unpivot_events",
+    "q_vec_normalize",
+    "q_salted_join",
+    "q_zorder_key",
+    "q_profile_lineitem",
+    "q_dup_coverage",
+    "q_dedup_keep",
+    "q_stream_join_window",
+    # 3. paths touched by r7 perf work
     "q_hnsw_knn_join",
+    "q_dup_spans",
+    "q_semdedup",
+    # 4. r5-rotated rows due their every-other-round driver evidence
+    "q_sql_topk_rewrite",
+    "q_sql_metric_rewrite",
+    "q_sql_lateral_rewrite",
+    "q_cosine_rewrite",
+    "q_hnsw_knn",
+    "q_hnsw_knn_filtered",
+    "q_hnsw_compact",
+    "q_knn_l2",
+    "q_knn_join_lateral",
+    "q_minhash_lsh",
+    "q_ngram_jaccard",
+    "q_exact_dedup",
+    "q_vss_join",
+    "q_stream_window_counts",
+    "q_stream_dedup_state",
+    "q01_pricing_summary",
+    "q13_customer_distribution",
+    "q18_large_orders",
+    "q_json_event_stats",
+    "q_window_top_events",
+    "q_min_by_topk",
+    "q_ivf_knn",
+    "q_stratified_sample",
+    "q_kmv_distinct",
 ]
 
 
@@ -270,31 +152,29 @@ def register_extra(name: str, oracle: str | None = None):
     return deco
 
 
-def _prioritized(d: dict) -> dict:
-    head = {k: d[k] for k in _PRIORITY if k in d}
-    return head | {k: v for k, v in d.items() if k not in head}
-
-
-def _rotate(base: dict, other: dict, out_of_base: frozenset, into_base: frozenset) -> dict:
-    out = {k: v for k, v in base.items() if k not in out_of_base}
-    out.update({k: v for k, v in other.items() if k in into_base})
-    return out
+def _split(base: dict, extra: dict) -> tuple[dict, dict]:
+    """(declared, extra) for this round: _DECLARED picks from the union
+    in list order; everything else stays CI-enforced in the extra half."""
+    pool = {**base, **extra}
+    declared = {k: pool[k] for k in _DECLARED if k in pool}
+    rest = {k: v for k, v in pool.items() if k not in declared}
+    return declared, rest
 
 
 def queries() -> dict[str, QueryFn]:
-    return _prioritized(_rotate(_QUERIES, _EXTRA_QUERIES, _DEMOTED, _PROMOTED))
+    return _split(_QUERIES, _EXTRA_QUERIES)[0]
 
 
 def oracle_sql() -> dict[str, str]:
-    return _prioritized(_rotate(_ORACLES, _EXTRA_ORACLES, _DEMOTED, _PROMOTED))
+    return _split(_ORACLES, _EXTRA_ORACLES)[0]
 
 
 def extra_queries() -> dict[str, QueryFn]:
-    return _rotate(_EXTRA_QUERIES, _QUERIES, _PROMOTED, _DEMOTED)
+    return _split(_QUERIES, _EXTRA_QUERIES)[1]
 
 
 def extra_oracle_sql() -> dict[str, str]:
-    return _rotate(_EXTRA_ORACLES, _ORACLES, _PROMOTED, _DEMOTED)
+    return _split(_ORACLES, _EXTRA_ORACLES)[1]
 
 
 # --------------------------------------------------------------------------

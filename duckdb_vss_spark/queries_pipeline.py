@@ -1222,12 +1222,12 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id, shard, n_tok,
-           COALESCE(sum(n_tok) OVER (PARTITION BY shard ORDER BY pos, doc_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset,
-           COALESCE(sum(n_tok) OVER (PARTITION BY shard ORDER BY pos, doc_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS seq_id,
-           COALESCE(sum(n_tok) OVER (PARTITION BY shard ORDER BY pos, doc_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) % 512 AS seq_pos
+           CAST(COALESCE(sum(n_tok) OVER (PARTITION BY shard ORDER BY pos, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+           CAST(COALESCE(sum(n_tok) OVER (PARTITION BY shard ORDER BY pos, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS seq_id,
+           CAST(COALESCE(sum(n_tok) OVER (PARTITION BY shard ORDER BY pos, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) % 512 AS BIGINT) AS seq_pos
     FROM laid
     """,
 )

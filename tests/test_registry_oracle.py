@@ -1,8 +1,8 @@
 """CI gate for the extra (non-driver-declared) query registry.
 
 The driver's CORRECTNESS window holds 50 rows, so queries rotate
-between the declared and extra registries each round (queries._PROMOTED
-/ _DEMOTED). The driver only verifies the declared half; this gate
+between the declared and extra registries each round (the explicit
+queries._DECLARED list). The driver only verifies the declared half; this gate
 enforces the extra half's oracles in-repo — whatever currently lives in
 ``extra_queries()`` must match its DuckDB oracle at sf0.001 with the
 same row-count + columns + order-insensitive exact-value compare the

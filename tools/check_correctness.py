@@ -19,6 +19,16 @@ sys.path.insert(0, "/root/repo")
 
 
 def canon(v, tol: float):
+    """Canonicalize a cell value, TYPE-TAGGED.
+
+    Dtype-strict (VERDICT r6 #2): the driver's value hash is
+    type-sensitive — DuckDB returning a windowed sum as HUGEINT→float64
+    while Spark emits int64 must FAIL here too, even though
+    ``500 == 500.0`` in Python. So scalars carry a kind tag: an int
+    column and a float column can never compare equal, mirroring the
+    driver's hash semantics. int32 vs int64 (same kind, same value)
+    still passes, as it does under a value-string hash.
+    """
     import numpy as np
 
     if v is None:
@@ -27,14 +37,19 @@ def canon(v, tol: float):
         return tuple(canon(x, tol) for x in v.tolist())
     if isinstance(v, (list, tuple)):
         return tuple(canon(x, tol) for x in v)
-    if isinstance(v, np.generic):
-        v = v.item()
-    if isinstance(v, float):
+    if isinstance(v, (np.bool_, bool)):
+        return ("b", bool(v))
+    if isinstance(v, (np.integer, int)):
+        return ("i", int(v))
+    if isinstance(v, (np.floating, float)):
+        v = float(v)
         if math.isnan(v):
             return "<NaN>"
         if tol > 0:
-            return round(v / tol) * tol
-        return v
+            return ("f", round(v / tol) * tol)
+        return ("f", v)
+    if isinstance(v, np.generic):
+        v = v.item()
     return v
 
 
