@@ -76,6 +76,84 @@ def _load_graph(path: str) -> HNSWGraph:
     return g
 
 
+def _search_query_stream(
+    batches: "Iterator[pd.DataFrame]",
+    query_vec_col: str,
+    query_id_col: str,
+    id_col: str,
+    files: list[str],
+    kk: int,
+    ef: int,
+    chunk: int,
+) -> "Iterator[pd.DataFrame]":
+    """Executor-side multi-query ANN search over a stream of Arrow batches.
+
+    Buffers queries ACROSS incoming Arrow batches (VERDICT r6 #4): Arrow
+    hands ~10k-row batches, so entering the per-graph-file loop per batch
+    would load each graph B times per task — with P partitions > the
+    LRU's 32 slots that's B×P cold loads (~100k 50MB reads per task at
+    10⁹ vectors). Accumulating up to ``chunk`` queries first makes the
+    file loop run ceil(rows/chunk) times per task — for typical
+    partitions exactly once, i.e. ≤ P graph loads total (CI-pinned by
+    test_index.py's _load_graph call counter). Buffer bound: 65536
+    queries × dims × 4B ≈ 16 MB at dims=64.
+
+    Module-level (not a closure) so the CI pin can drive it in-process
+    with a monkeypatched ``_load_graph``; on the cluster it runs inside
+    the mapInPandas python worker.
+    """
+    import numpy as np
+    import pandas as pd
+
+    buf_ids: list = []
+    buf_vecs: list = []
+    n_buf = 0
+
+    def flush():
+        nonlocal buf_ids, buf_vecs, n_buf
+        if not n_buf:
+            return None
+        ids_c = np.concatenate(buf_ids)
+        mat_c = np.vstack(buf_vecs)
+        buf_ids, buf_vecs, n_buf = [], [], 0
+        out_q: list = []
+        out_i: list = []
+        for file in files:
+            g = _load_graph(file)
+            keys_per_q, _ = g.search_batch(mat_c, kk, ef)
+            for qi, keys in zip(ids_c, keys_per_q):
+                out_q.extend([qi] * len(keys))
+                out_i.extend(keys.tolist())
+        return pd.DataFrame(
+            {
+                query_id_col: np.asarray(out_q, dtype=np.int64),
+                id_col: np.asarray(out_i, dtype=np.int64),
+            }
+        )
+
+    for pdf in batches:
+        vecs = pdf[query_vec_col]
+        mask = vecs.notna().to_numpy()
+        if not mask.any():
+            continue
+        qids = pdf[query_id_col].to_numpy()[mask]
+        mat = np.stack([np.asarray(v, dtype=np.float32) for v in vecs[mask]])
+        lo = 0
+        while lo < len(qids):
+            take = min(chunk - n_buf, len(qids) - lo)
+            buf_ids.append(qids[lo : lo + take])
+            buf_vecs.append(mat[lo : lo + take])
+            n_buf += take
+            lo += take
+            if n_buf >= chunk:
+                out = flush()
+                if out is not None:
+                    yield out
+    tail = flush()
+    if tail is not None:
+        yield tail
+
+
 def _validate_options(metric: str, ef_construction: int, ef_search: int, m: int, m0: int) -> None:
     """Mirror the reference binder's option validation + error messages
     (src/hnsw/hnsw_index_plan.cpp:33-80; test hnsw_options.test)."""
@@ -228,32 +306,11 @@ class HnswIndex:
         chunk = max(1, int(queries_per_batch))
 
         def search_queries(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                vecs = pdf[query_vec_col]
-                mask = vecs.notna().to_numpy()
-                if not mask.any():
-                    continue
-                qids = pdf[query_id_col].to_numpy()[mask]
-                mat = np.stack(
-                    [np.asarray(v, dtype=np.float32) for v in vecs[mask]]
-                )
-                for lo in range(0, len(qids), chunk):
-                    ids_c = qids[lo : lo + chunk]
-                    mat_c = mat[lo : lo + chunk]
-                    out_q: list = []
-                    out_i: list = []
-                    for file in files:
-                        g = _load_graph(file)
-                        keys_per_q, _ = g.search_batch(mat_c, kk, ef)
-                        for qi, keys in zip(ids_c, keys_per_q):
-                            out_q.extend([qi] * len(keys))
-                            out_i.extend(keys.tolist())
-                    yield pd.DataFrame(
-                        {
-                            query_id_col: np.asarray(out_q, dtype=np.int64),
-                            id_col: np.asarray(out_i, dtype=np.int64),
-                        }
-                    )
+            # thin picklable shim over the module-level buffered stream
+            # (see _search_query_stream for the batching rationale)
+            return _search_query_stream(
+                batches, query_vec_col, query_id_col, id_col, files, kk, ef, chunk
+            )
 
         cand = (
             queries.select(query_id_col, query_vec_col)

@@ -342,3 +342,54 @@ def test_knn_transform_plan_has_no_window(spark, emb, idx):
         df.explain("simple")
     plan = buf.getvalue()
     assert "Window" not in plan and "HashAggregate" not in plan
+
+
+def test_search_stream_loads_each_graph_once_across_batches(monkeypatch):
+    """VERDICT r6 #4: a task whose partition arrives as MANY Arrow
+    batches (Arrow defaults to ~10k rows/batch, far below
+    queries_per_batch=65536) must still load each graph file exactly
+    once — queries are buffered ACROSS batches before the per-file
+    loop. Pre-fix behavior was B×P loads per task (zero LRU reuse once
+    P > 32). Drives the module-level stream in-process with a counting
+    _load_graph stub, exactly how the mapInPandas worker runs it."""
+    import pandas as pd
+
+    from duckdb_vss_spark.index import artifact as A
+
+    loads: list[str] = []
+
+    class _FakeGraph:
+        def search_batch(self, mat, k, ef):
+            n = len(mat)
+            return [np.arange(k, dtype=np.int64) for _ in range(n)], None
+
+    monkeypatch.setattr(A, "_load_graph", lambda f: loads.append(f) or _FakeGraph())
+
+    files = [f"g{i}" for i in range(40)]  # > the 32-slot LRU
+    rng = np.random.default_rng(7)
+    batches = [
+        pd.DataFrame(
+            {
+                "qid": np.arange(b * 100, b * 100 + 100),
+                "qvec": [rng.standard_normal(8).astype(np.float32) for _ in range(100)],
+            }
+        )
+        for b in range(12)  # 12 Arrow batches, 1200 queries total
+    ]
+    out = list(
+        A._search_query_stream(
+            iter(batches), "qvec", "qid", "vec_id", files, 3, 64, 65536
+        )
+    )
+    assert len(loads) == len(files)  # one load per graph, not 12×40
+    total = sum(len(o) for o in out)
+    assert total == 1200 * 3 * len(files)  # every query × k × every file
+
+    # and with a small chunk the loads scale as ceil(1200/500)×P, not B×P
+    loads.clear()
+    list(
+        A._search_query_stream(
+            iter(batches), "qvec", "qid", "vec_id", files, 3, 64, 500
+        )
+    )
+    assert len(loads) == 3 * len(files)  # ceil(1200/500)=3 flushes
