@@ -80,3 +80,66 @@ def test_metric_dispatch_names():
     assert distance_for_metric("ip") is array_negative_inner_product
     with pytest.raises(ValueError, match="must be one of"):
         distance_for_metric("manhattan")
+
+
+def test_registered_sql_udfs_vectorized_match_native(spark):
+    """VERDICT r6 #7: the SQL-registered distance UDFs must be
+    whole-batch numpy kernels that agree with the native Column forms on
+    a 10k-row frame and stay within 5x native wall time (the old wrapper
+    looped per row inside the pandas UDF)."""
+    import time
+
+    import numpy as np
+
+    from duckdb_vss_spark.functions.distance import (
+        array_cosine_distance,
+        array_cosine_similarity,
+        array_distance,
+        array_distance_sq,
+        array_inner_product,
+        array_negative_inner_product,
+        register_sql_functions,
+    )
+
+    register_sql_functions(spark)
+    rng = np.random.default_rng(3)
+    rows = [
+        (
+            [float(x) for x in rng.standard_normal(16)],
+            [float(x) for x in rng.standard_normal(16)],
+        )
+        for _ in range(10_000)
+    ]
+    rows.append((None, [0.0] * 16))
+    df = spark.createDataFrame(rows, "a array<float>, b array<float>").cache()
+    df.count()
+
+    native_fns = {
+        "array_distance": array_distance,
+        "array_distance_sq": array_distance_sq,
+        "array_inner_product": array_inner_product,
+        "array_negative_inner_product": array_negative_inner_product,
+        "array_cosine_similarity": array_cosine_similarity,
+        "array_cosine_distance": array_cosine_distance,
+    }
+    df.createOrReplaceTempView("pairs_10k")
+    # warm the python-worker pool once so the 5x bound times the kernel,
+    # not worker startup
+    spark.sql("SELECT array_distance(a, b) AS d FROM pairs_10k").collect()
+    for name, fn in native_fns.items():
+        t0 = time.time()
+        nat = [r["d"] for r in df.select(fn("a", "b").alias("d")).collect()]
+        t_nat = time.time() - t0
+        t0 = time.time()
+        sql = [
+            r["d"]
+            for r in spark.sql(f"SELECT {name}(a, b) AS d FROM pairs_10k").collect()
+        ]
+        t_sql = time.time() - t0
+        assert sql[-1] is None and nat[-1] is None  # NULL propagates
+        a = np.array(nat[:-1], dtype=np.float64)
+        b = np.array(sql[:-1], dtype=np.float64)
+        # einsum vs sequential fold: identical up to accumulation-order ulps
+        np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-12)
+        assert t_sql < 5 * max(t_nat, 0.2), (name, t_sql, t_nat)
+    df.unpersist()
