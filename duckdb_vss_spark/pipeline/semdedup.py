@@ -83,20 +83,31 @@ def assign_clusters(
 ) -> DataFrame:
     """Add ``cluster_id``: index of the L2-nearest centroid (ties →
     lowest index). Map-only; vectors are cast to double so the
-    distance fold is bit-identical to DuckDB's list_distance."""
+    distance fold is bit-identical to DuckDB's list_distance.
+
+    The centroid matrix rides as ONE nested-array literal and the
+    per-centroid distance as ONE index-aware ``transform`` lambda (r7):
+    the r6 form built k separate fold expressions, and Catalyst +
+    AQE's per-stage replanning walked that O(k·dim) tree on every
+    stage boundary — ~0.07 s of pure planning per centroid, dwarfing
+    the actual 2000-row execution. Same sequential-fold distance, same
+    (d, cid) struct-min tie-break, byte-identical assignments."""
     centroids = np.asarray(centroids, dtype=np.float64)
     v = F.col(vec_col).cast("array<double>")
-    cand = F.array(
-        *[
-            F.struct(
-                array_distance(v, F.lit([float(x) for x in c])).alias("d"),
-                F.lit(i).alias("cid"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    # one py4j round-trip for the whole matrix: F.lit(nested_list) makes
+    # k·dim gateway calls (~0.3 s of socket chatter at k=8, dim=64 —
+    # profiled), while a JSON literal is a single string that Catalyst
+    # constant-folds to the same array<array<double>> before execution.
+    # repr() keeps full float64 precision (shortest round-trip repr).
+    payload = "[" + ",".join(
+        "[" + ",".join(repr(float(x)) for x in c) + "]" for c in centroids
+    ) + "]"
+    cents = F.from_json(F.lit(payload), "array<array<double>>")
+    cand = F.transform(
+        cents,
+        lambda c, i: F.struct(array_distance(v, c).alias("d"), i.alias("cid")),
     )
-    best = F.array_min(cand)
-    return df.withColumn("cluster_id", best.getField("cid"))
+    return df.withColumn("cluster_id", F.array_min(cand).getField("cid").cast("int"))
 
 
 def semdedup_pairs(
@@ -122,33 +133,52 @@ def semdedup_pairs(
     the dense matmul, still ~100× faster than per-pair folds)."""
     import pandas as pd
 
-    asg = assign_clusters(df, vec_col, id_col, centroids).select(
+    base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-        "cluster_id",
     )
+    # r7 profiling: the oracle-exact assignment (array_min over
+    # sequential-fold distance structs) is INTERPRETED per element —
+    # ~0.9 s for 2000×8×64 on one task — and the old plan computed it
+    # three times (candidate branch + both payload joins). Two fixes:
+    # (a) widen a narrow scan to the cluster (no-op at 100 TB where the
+    # scan already has thousands of splits); (b) assign once — the
+    # payload joins only need (id → vec), which the raw table already
+    # is; cluster_id rides out of the applyInPandas key instead.
+    from duckdb_vss_spark.sources.layout import widen_narrow_scan
+
+    base = widen_narrow_scan(base, F.col("id"))
+    asg = assign_clusters(base, "v", "id", centroids)
     margin = 1e-6
 
     def gen(key, pdf):
         pdf = pdf.sort_values("id")
         ids = pdf["id"].to_numpy(dtype=np.int64)
         if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype(np.int64)
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype=np.int64),
+                 "id_b": pd.Series([], dtype=np.int64),
+                 "cluster_id": pd.Series([], dtype=np.int32)}
+            )
         mat = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
         norms = np.sqrt((mat * mat).sum(axis=1))
         norms[norms == 0.0] = 1.0
         sims = (mat @ mat.T) / np.outer(norms, norms)
         ia, ib = np.triu_indices(len(ids), k=1)
         keep = sims[ia, ib] >= threshold - margin
-        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]]})
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "cluster_id": np.full(int(keep.sum()), key[0], dtype=np.int32),
+            }
+        )
 
     cand = asg.groupBy("cluster_id").applyInPandas(
-        gen, "id_a long, id_b long"
+        gen, "id_a long, id_b long, cluster_id int"
     )
-    va = asg.select(
-        F.col("id").alias("id_a"), F.col("v").alias("__va"), "cluster_id"
-    )
-    vb = asg.select(F.col("id").alias("id_b"), F.col("v").alias("__vb"))
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("__va"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("__vb"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")

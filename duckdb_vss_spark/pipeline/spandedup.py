@@ -57,9 +57,23 @@ def duplicate_spans(
 
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
+    base = docs.select(F.col(id_col), toks.alias("__toks"), n.alias("__n")).where(
+        F.col("__n") >= width
+    )
+    # r7 (profiling, not the r6 hypothesis): the md5 gram kernel is
+    # ~0.15 s of the 2.2 s at sf0.1 — the real cost was the whole
+    # map side running in ONE task (small corpus = one parquet
+    # row-group = one scan partition). widen_narrow_scan hash-
+    # repartitions by doc ONLY when the scan is narrower than the
+    # cluster: locally that takes 2.0 s → 0.77 s; at 100 TB it is a
+    # no-op (no added shuffle). Partitioning by id also lets the
+    # islands window reuse the exchange when the repeated-key join
+    # broadcasts.
+    from duckdb_vss_spark.sources.layout import widen_narrow_scan
+
+    base = widen_narrow_scan(base, F.col(id_col))
     g = (
-        docs.select(F.col(id_col), toks.alias("__toks"), n.alias("__n"))
-        .where(F.col("__n") >= width)
+        base
         .select(
             id_col,
             "__toks",
