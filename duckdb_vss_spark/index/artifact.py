@@ -361,7 +361,12 @@ class HnswIndex:
         """Stateless ANN serve: like ``knn_join`` but with the global
         top-k merge done INSIDE the mapInPandas task (each task already
         searches every partition graph, so the cross-graph merge needs
-        no shuffle) — which means the whole pipeline is mapInPandas →
+        no shuffle). One deliberate semantic difference from
+        ``knn_join``: NULL query vectors are DROPPED here, whereas
+        ``knn_join(keep_null_queries=True)`` can reproduce the
+        reference's NULL-outer rows (k matches with NULL dist) — an
+        append stream has no use for constant NULL-dist padding rows.
+        The pipeline is mapInPandas →
         stream-static payload join → projection, with NO window and NO
         stateful operator.  That makes it legal in a Structured
         Streaming APPEND query: a stream of query vectors is served

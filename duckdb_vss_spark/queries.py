@@ -60,14 +60,17 @@ _EXTRA_ORACLES: dict[str, str] = {}
 # Round-7 composition (VERDICT r6 #1/#3):
 #   1. q_pack_sequences leads — r6's one red row (dtype-only oracle
 #      artifact, CAST fix) must show green first.
-#   2. The 22 queries that have NEVER held a driver row (VERDICT r6
+#   2. q_stream_matview_restart — NEW r7 surface (restart-increment
+#      property of the streaming matview, VERDICT r6 #10) declared in
+#      its birth round.
+#   3. The 22 queries that have NEVER held a driver row (VERDICT r6
 #      "What's missing #1"): q09/q11/q20 complete the declared TPC-H
 #      evidence; q_stream_matview, q_media_mjpeg_frames, q_video_neardup,
 #      q_time_gapfill and the rest of the r6c backlog.
-#   3. Queries whose implementation paths r7 touches (knn_join batch
+#   4. Queries whose implementation paths r7 touches (knn_join batch
 #      buffering; span-dedup rolling hash; semdedup cluster batching):
 #      q_hnsw_knn_join, q_dup_spans, q_semdedup.
-#   4. The remainder of the window refills from the rows rotated out in
+#   5. The remainder of the window refills from the rows rotated out in
 #      r6 (last driver evidence: r5), family representatives first.
 # Left for r8 (last driver row r5, family machinery declared elsewhere
 # this round): q_knn_cosine, q_knn_inner_product, q_sql_maxby_topk,
@@ -83,6 +86,7 @@ _DECLARED: list[str] = [
     "q20_promotion_suppliers",
     "q_time_gapfill",
     "q_stream_matview",
+    "q_stream_matview_restart",
     "q_hash_embed",
     "q_media_mjpeg_frames",
     "q_video_neardup",
@@ -128,7 +132,6 @@ _DECLARED: list[str] = [
     "q_min_by_topk",
     "q_ivf_knn",
     "q_stratified_sample",
-    "q_kmv_distinct",
 ]
 
 
@@ -2731,9 +2734,14 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     `vals` flows once into the per-part side and once into a one-row
     global agg that comes back as a broadcast nested-loop (1-row cross
     join), exactly how Catalyst decorrelates an uncorrelated scalar
-    subquery. The threshold compare stays in DECIMAL (`v*1000 > total`,
-    integer-scaled) so the boundary is exact in both engines — a
-    double-rounded total can flip boundary rows in the last ulp.
+    subquery. The threshold compare is `v * count > 2 * total` — both
+    sides DECIMAL products of the summed per-part values, so "exceeds
+    2x the mean" is evaluated without any division. Note the decimal
+    typing: `v` is DECIMAL(22,2)-ish and the bigint count multiplies it
+    into DECIMAL(35,4)-range, where Spark reduces scale to keep
+    precision <= 38; both engines apply the same widened-product
+    comparison, so boundary rows cannot flip (a double-rounded mean
+    could flip them in the last ulp).
     """
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier").where(F.col("s_nationkey") == 7)

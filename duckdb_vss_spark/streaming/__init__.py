@@ -2,6 +2,7 @@ from duckdb_vss_spark.streaming.ops import (  # noqa: F401
     read_documents_stream,
     read_embeddings_stream,
     read_events_stream,
+    read_staged_events_stream,
     session_window_stats,
     stream_interval_join,
     stream_static_enrich,

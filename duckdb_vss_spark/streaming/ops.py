@@ -315,8 +315,17 @@ def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "embeddings.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "embeddings.parquet"), link)
+    # lexists, not exists: a dangling link (source sf_dir vanished)
+    # reports absent via exists() and then every call would raise
+    # FileExistsError; the try/except also closes the TOCTOU race
+    # between concurrent sessions sharing the /tmp staging dir.
+    if os.path.lexists(link) and not os.path.exists(link):
+        os.unlink(link)
+    if not os.path.lexists(link):
+        try:
+            os.symlink(os.path.join(sf_dir, "embeddings.parquet"), link)
+        except FileExistsError:
+            pass
     schema = T.StructType(
         [
             T.StructField("vec_id", T.LongType()),
@@ -367,3 +376,14 @@ def streaming_matview(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_staged_events_stream(spark: SparkSession, stage_dir: str) -> DataFrame:
+    """File-source stream over a RESTARTABLE staging directory whose
+    parquet files this engine wrote itself (``ts`` already a session-TZ
+    TIMESTAMP in micros — no footer-unit sniffing needed, unlike
+    ``read_events_stream`` which adapts the driver's raw testdata).
+    Appending more part files to ``stage_dir`` and starting a new query
+    on the same checkpoint continues exactly where the last run left
+    off — the restart half of the matview maintenance story."""
+    return spark.readStream.schema(_events_schema(T.TimestampType())).parquet(stage_dir)
