@@ -57,6 +57,10 @@ def bm25_scores(
     if len(set(query_terms)) != len(query_terms):
         raise ValueError("query_terms must be distinct")
 
+    # NOT widened (r7 A/B): the tokenize+explode map pass with the term
+    # filter below the explode is ~0.2 s single-task at sf0.1 — an added
+    # repartition shuffle measures 0.48 s -> 0.87 s. Narrow scans only
+    # pay off when the map stage dominates (decode, shingling).
     base = docs.select(
         F.col(id_col),
         tokens(text_col).alias("__toks"),

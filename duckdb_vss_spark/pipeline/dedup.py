@@ -83,11 +83,13 @@ def _spread(df: DataFrame) -> DataFrame:
     source arrives in fewer partitions (a small parquet file reads as
     ONE split, which would serialize the explode-heavy stages below on
     a single core). At scale the input already has >= cores partitions
-    and this is a no-op — no extra shuffle."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    and this is a no-op — no extra shuffle. Delegates to
+    widen_narrow_scan (r7), whose inputFiles-size width probe avoids
+    the ~0.1 s analysis+planning that df.rdd.getNumPartitions() costs
+    per fresh query plan."""
+    from duckdb_vss_spark.sources.layout import widen_narrow_scan
+
+    return widen_narrow_scan(df)
 
 
 # --------------------------------------------------------------------------

@@ -78,6 +78,10 @@ def ahash_images(
             yield pd.DataFrame({id_col: ids, "ahash": hashes})
 
     schema = f"{id_col} long, ahash long"
+    # NOT widened (r7 A/B): repartitioning the binary payloads costs
+    # more than the single-task decode at this corpus size (1.14 s ->
+    # 1.38 s); at real scale media lands in many files and the scan is
+    # already wide.
     return df.select(id_col, payload_col).mapInPandas(gen, schema)
 
 

@@ -80,7 +80,7 @@ def zorder_oracle_expr(cols: list[str], bits: int = 16) -> str:
     return " | ".join(terms)
 
 
-def widen_narrow_scan(df: DataFrame, key: Column | str) -> DataFrame:
+def widen_narrow_scan(df: DataFrame, key: Column | str | None = None) -> DataFrame:
     """Hash-repartition ``df`` to the cluster's parallelism — but ONLY
     when its file scan is narrower than the cluster.
 
@@ -119,5 +119,7 @@ def widen_narrow_scan(df: DataFrame, key: Column | str) -> DataFrame:
         splits = df.rdd.getNumPartitions()
     if splits >= target:
         return df
+    if key is None:
+        return df.repartition(target)  # round-robin: even map-side spread
     k = F.col(key) if isinstance(key, str) else key
     return df.repartition(target, k)
