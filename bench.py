@@ -631,6 +631,106 @@ def main() -> None:
         scale8["asof_duckdb_x8"] = round(time.time() - t0, 3)
         con.close()
 
+        # join curve (r7): the q03 3-table shipping-priority shape on 8x
+        # data — per-replica key shifts keep foreign keys consistent, so
+        # the join graph is 8 disjoint copies (selectivity and per-key
+        # fan-out identical to 1x; output = 8x candidate groups).
+        cu = load_table(spark, sf_dir, "customer")
+        orr = load_table(spark, sf_dir, "orders")
+        cu8 = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                cu.select(
+                    (F.col("c_custkey") + i * 10_000_000).alias("c_custkey"),
+                    *[c for c in cu.columns if c != "c_custkey"],
+                )
+                for i in range(reps)
+            ],
+        )
+        or8 = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                orr.select(
+                    (F.col("o_orderkey") + i * 100_000_000).alias("o_orderkey"),
+                    (F.col("o_custkey") + i * 10_000_000).alias("o_custkey"),
+                    *[c for c in orr.columns if c not in ("o_orderkey", "o_custkey")],
+                )
+                for i in range(reps)
+            ],
+        )
+        li8j = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                li.select(
+                    (F.col("l_orderkey") + i * 100_000_000).alias("l_orderkey"),
+                    *[c for c in li.columns if c != "l_orderkey"],
+                )
+                for i in range(reps)
+            ],
+        )
+        rev = F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit("1.00").cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)"))
+        ).cast("double")
+        t0 = time.time()
+        (
+            li8j.where(F.col("l_shipdate") > F.lit("1998-03-15").cast("date"))
+            .join(
+                or8.where(F.col("o_orderdate") < F.lit("1998-03-15").cast("date")),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .join(
+                F.broadcast(cu8.where(F.col("c_mktsegment") == "BUILDING")),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(rev.alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+            .limit(10)
+            .collect()
+        )
+        scale8["q03_join_spark_x8"] = round(time.time() - t0, 3)
+        con = duckdb.connect()
+        con.execute(f"SET threads={os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+        cu_cols = [c for c in cu.columns if c != "c_custkey"]
+        or_cols = [c for c in orr.columns if c not in ("o_orderkey", "o_custkey")]
+        li_cols = [c for c in li.columns if c != "l_orderkey"]
+        cu_union = " UNION ALL ".join(
+            f"SELECT c_custkey + {i * 10_000_000} AS c_custkey, {', '.join(cu_cols)} "
+            f"FROM read_parquet('{sf_dir}/customer.parquet')"
+            for i in range(reps)
+        )
+        or_union = " UNION ALL ".join(
+            f"SELECT o_orderkey + {i * 100_000_000} AS o_orderkey, "
+            f"o_custkey + {i * 10_000_000} AS o_custkey, {', '.join(or_cols)} "
+            f"FROM read_parquet('{sf_dir}/orders.parquet')"
+            for i in range(reps)
+        )
+        li_union2 = " UNION ALL ".join(
+            f"SELECT l_orderkey + {i * 100_000_000} AS l_orderkey, {', '.join(li_cols)} "
+            f"FROM read_parquet('{sf_dir}/lineitem.parquet')"
+            for i in range(reps)
+        )
+        con.execute(f"CREATE VIEW customer8 AS {cu_union}")
+        con.execute(f"CREATE VIEW orders8 AS {or_union}")
+        con.execute(f"CREATE VIEW lineitem8j AS {li_union2}")
+        t0 = time.time()
+        con.execute(
+            """SELECT l_orderkey, o_orderdate, o_orderpriority,
+                      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                               * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+               FROM lineitem8j
+               JOIN orders8 ON l_orderkey = o_orderkey
+               JOIN customer8 ON o_custkey = c_custkey
+               WHERE l_shipdate > DATE '1998-03-15'
+                 AND o_orderdate < DATE '1998-03-15'
+                 AND c_mktsegment = 'BUILDING'
+               GROUP BY 1, 2, 3
+               ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+        ).fetchall()
+        scale8["q03_join_duckdb_x8"] = round(time.time() - t0, 3)
+        con.close()
+
     section("scale8", _scale8_section)
 
     # measured per-job floor: the fastest possible Spark action in this
