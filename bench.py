@@ -377,6 +377,23 @@ def main() -> None:
 
         import duckdb
 
+        def timed8(key, fn, runs=3):
+            """Steady-state x8 timing (r7): a single cold shot mixes JIT
+            tiering + first-touch codegen into the curve (q_dup_spans x8
+            cold 8.8s vs warm 1.0s standalone); cold is kept under
+            <key>_cold for transparency, the curve uses best-of-runs —
+            the same convention as the 1x queries."""
+            best = None
+            for i in range(runs):
+                t0 = time.time()
+                out = fn()
+                dt = round(time.time() - t0, 3)
+                if i == 0:
+                    scale8[f"{key}_cold"] = dt
+                best = dt if best is None else min(best, dt)
+            scale8[key] = best
+            return out
+
         from duckdb_vss_spark.pipeline import minhash_lsh_pairs
         from duckdb_vss_spark.index import create_hnsw_index as _mk_hnsw
 
@@ -402,22 +419,18 @@ def main() -> None:
                 for i in range(reps)
             ],
         )
-        t0 = time.time()
-        n_pairs = minhash_lsh_pairs(
+        n_pairs = timed8("minhash_lsh_spark_x8", lambda: minhash_lsh_pairs(
             big, "text", "doc_id", num_hashes=8, bands=4, n=3, threshold=0.1
-        ).count()
-        scale8["minhash_lsh_spark_x8"] = round(time.time() - t0, 3)
+        ).count())
         scale8["minhash_lsh_pairs_x8"] = n_pairs
 
         # contamination scan on the same 8x union (the inverted-index
         # join shape; same eval split predicate as q_contamination)
         from duckdb_vss_spark.pipeline.contamination import ngram_contamination
 
-        t0 = time.time()
-        n_contam = ngram_contamination(
+        n_contam = timed8("contamination_spark_x8", lambda: ngram_contamination(
             big, "text", "doc_id", F.col("doc_id") % 41 == 0, n=4
-        ).count()
-        scale8["contamination_spark_x8"] = round(time.time() - t0, 3)
+        ).count())
         scale8["contamination_rows_x8"] = n_contam
 
         # span-level dedup on the same 8x union (VERDICT r6 #9): the
@@ -425,17 +438,22 @@ def main() -> None:
         # span population is an honest 8x of the base corpus.
         from duckdb_vss_spark.pipeline.spandedup import duplicate_spans
 
-        t0 = time.time()
-        n_spans = duplicate_spans(big, "text", "doc_id").count()
-        scale8["dup_spans_spark_x8"] = round(time.time() - t0, 3)
+        n_spans = timed8("dup_spans_spark_x8", lambda: duplicate_spans(big, "text", "doc_id").count())
         scale8["dup_spans_rows_x8"] = n_spans
 
         # semdedup on an 8x embedding union: replica i rotates the
         # vector dimensions by i — rotation preserves within-replica
         # inner products (pairs = 8x base) while cross-replica cosines
         # stay ~random, so pair volume grows linearly, not 64x.
+        # Centroids are corpus-adaptive k-means with k scaled to n
+        # (k=32 → n/k ≈ 500): random seeded centroids collapse this
+        # corpus into 2 giant clusters at 8x, and the within-cluster
+        # matmul goes quadratic in n — the exact degenerate regime the
+        # SemDeDup recipe prescribes balanced k-means to avoid. Both
+        # engines get the identical centroid literals.
         from duckdb_vss_spark.pipeline.semdedup import (
-            seeded_centroids,
+            kmeans_centroids,
+            semdedup_oracle_sql,
             semdedup_pairs,
         )
 
@@ -459,12 +477,10 @@ def main() -> None:
                     for i in range(reps)
                 ],
             )
-            t0 = time.time()
-            n_sem = semdedup_pairs(
-                emb8v, "embedding", "vec_id",
-                seeded_centroids(8, dims, seed=11), 0.4,
-            ).count()
-            scale8["semdedup_spark_x8"] = round(time.time() - t0, 3)
+            cents32 = kmeans_centroids(emb8v, "embedding", 32, seed=11)
+            n_sem = timed8("semdedup_spark_x8", lambda: semdedup_pairs(
+                emb8v, "embedding", "vec_id", cents32, 0.4,
+            ).count())
             scale8["semdedup_pairs_x8"] = n_sem
 
         if emb is not None:
@@ -497,23 +513,19 @@ def main() -> None:
                 for i in range(reps)
             )
             con.execute(f"CREATE VIEW documents AS {union_sql}")
-            t0 = time.time()
-            rows = con.execute(lsh_sql).fetchall()
-            scale8["minhash_lsh_duckdb_x8"] = round(time.time() - t0, 3)
+            rows = timed8("minhash_lsh_duckdb_x8", lambda: con.execute(lsh_sql).fetchall(), runs=2)
             scale8["minhash_lsh_duckdb_pairs_x8"] = len(rows)
             contam_sql = oracles.get("q_contamination")
             if contam_sql:
-                t0 = time.time()
-                rows = con.execute(contam_sql).fetchall()
-                scale8["contamination_duckdb_x8"] = round(time.time() - t0, 3)
+                rows = timed8("contamination_duckdb_x8", lambda: con.execute(contam_sql).fetchall(), runs=2)
                 scale8["contamination_duckdb_rows_x8"] = len(rows)
             spans_sql = oracles.get("q_dup_spans")
             if spans_sql:
-                t0 = time.time()
-                rows = con.execute(spans_sql).fetchall()
-                scale8["dup_spans_duckdb_x8"] = round(time.time() - t0, 3)
+                rows = timed8("dup_spans_duckdb_x8", lambda: con.execute(spans_sql).fetchall(), runs=2)
                 scale8["dup_spans_duckdb_rows_x8"] = len(rows)
-            sem_sql = oracles.get("q_semdedup")
+            sem_sql = semdedup_oracle_sql(
+                "embeddings", "embedding", "vec_id", cents32, 0.4
+            ) if emb is not None else None
             if sem_sql:
                 dims = 64
                 emb_union = " UNION ALL ".join(
@@ -528,9 +540,7 @@ def main() -> None:
                     for i in range(reps)
                 )
                 con.execute(f"CREATE VIEW embeddings AS {emb_union}")
-                t0 = time.time()
-                rows = con.execute(sem_sql).fetchall()
-                scale8["semdedup_duckdb_x8"] = round(time.time() - t0, 3)
+                rows = timed8("semdedup_duckdb_x8", lambda: con.execute(sem_sql).fetchall(), runs=2)
                 scale8["semdedup_duckdb_pairs_x8"] = len(rows)
             con.close()
 
