@@ -54,3 +54,27 @@ class TestZorderKey:
             if a:
                 spans_a.append(max(a) - min(a))
         assert spans_a and sum(spans_a) / len(spans_a) < 63  # global span is 63
+
+
+def test_widen_narrow_scan_widens_single_split_parquet(spark, tmp_path):
+    """A one-row-group parquet scan (narrower than the cluster) is
+    repartitioned up to defaultParallelism; key form hash-partitions,
+    keyless form round-robins. Already-wide frames pass through
+    untouched (same plan object, no added exchange)."""
+    from duckdb_vss_spark.sources.layout import widen_narrow_scan
+
+    p = str(tmp_path / "narrow.parquet")
+    spark.range(1000).selectExpr("id", "id * 2 AS v").coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p)
+    target = spark.sparkContext.defaultParallelism
+
+    wide = widen_narrow_scan(df, "id")
+    assert wide.rdd.getNumPartitions() == target
+    assert sorted(r["id"] for r in wide.collect()) == list(range(1000))
+
+    rr = widen_narrow_scan(df)
+    assert rr.rdd.getNumPartitions() == target
+
+    # in-memory frame that is already at cluster width: untouched
+    mem = spark.range(0, 1000, 1, target)
+    assert widen_narrow_scan(mem, "id") is mem
