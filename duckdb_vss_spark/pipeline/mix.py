@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from duckdb_vss_spark.pipeline.sample import hash60
 from duckdb_vss_spark.pipeline.text import token_count
 
-__all__ = ["mix_by_token_budget"]
+__all__ = ["mix_by_token_budget", "temperature_budgets", "temperature_mix"]
 
 
 def mix_by_token_budget(
@@ -74,3 +74,82 @@ def mix_by_token_budget(
         .where(F.col("cum_tok") <= bound)
     )
     return out
+
+
+def temperature_budgets(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    total_tokens: int,
+    alpha: float = 0.5,
+    weight_scale: int = 1 << 20,
+) -> dict[str, int]:
+    """Derive per-source token budgets from a mixture TEMPERATURE:
+    budget_s ∝ n_s^alpha — the standard LLM data-mixing rule (GPT-3
+    trained on weights ∝ size^alpha with alpha < 1 to upweight small
+    high-quality sources; alpha = 1 is proportional sampling).
+
+    Engine-exact by construction, so an oracle can re-derive the
+    budgets bit-for-bit: ``alpha`` is restricted to {1.0, 0.5, 0.25},
+    whose float evaluation (identity / sqrt / sqrt∘sqrt) is IEEE
+    correctly-rounded in every engine; the weight is then quantized to
+    an integer, ``floor(n^alpha · 2^20)`` (a power-of-two multiply
+    changes only the exponent — exact), and the budget split
+    ``total · w_s // Σw`` is pure integer floor-division. No pow()
+    ulp-divergence surface anywhere.
+
+    One bounded driver collect: ONE ROW PER SOURCE (a data recipe has
+    tens of sources — bounded like the centroid samples in ivf/pq).
+    """
+    import math
+
+    if alpha not in (1.0, 0.5, 0.25):
+        raise ValueError(
+            "alpha must be one of 1.0, 0.5, 0.25 (exponents with "
+            "IEEE-exact float evaluation; arbitrary pow() is not "
+            "reproducible across engines in the last ulp)"
+        )
+    if total_tokens < 0:
+        raise ValueError("total_tokens must be >= 0")
+    stats = (
+        df.groupBy(group_col)
+        .agg(F.sum(token_count(text_col)).cast("bigint").alias("__n"))
+        .collect()
+    )
+
+    def w(n: int) -> int:
+        x = float(n)
+        if alpha <= 0.5:
+            x = math.sqrt(x)
+        if alpha == 0.25:
+            x = math.sqrt(x)
+        return int(x * weight_scale)  # floor: x*2^k is exact, int() truncates
+
+    ws = {r[group_col]: w(r["__n"]) for r in stats}
+    tot_w = sum(ws.values())
+    if tot_w == 0:
+        return {g: 0 for g in ws}
+    return {g: (int(total_tokens) * wv) // tot_w for g, wv in ws.items()}
+
+
+def temperature_mix(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    total_tokens: int,
+    alpha: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-weighted corpus mix: derive each source's token
+    budget as total·n_s^alpha/Σn^alpha (``temperature_budgets``), then
+    select docs per source by the deterministic hash-priority running
+    sum (``mix_by_token_budget``). Same guarantees as the budget mix:
+    engine-independent, monotone in total_tokens, never overshoots a
+    source's derived budget."""
+    budgets = temperature_budgets(
+        df, text_col, group_col, total_tokens, alpha=alpha
+    )
+    return mix_by_token_budget(
+        df, text_col, id_col, group_col, budgets, default_budget=0, seed=seed
+    )

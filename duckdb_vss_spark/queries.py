@@ -60,9 +60,10 @@ _EXTRA_ORACLES: dict[str, str] = {}
 # Round-7 composition (VERDICT r6 #1/#3):
 #   1. q_pack_sequences leads — r6's one red row (dtype-only oracle
 #      artifact, CAST fix) must show green first.
-#   2. q_stream_matview_restart — NEW r7 surface (restart-increment
-#      property of the streaming matview, VERDICT r6 #10) declared in
-#      its birth round.
+#   2. q_stream_matview_restart and q_temperature_mix — NEW r7
+#      surfaces (restart-increment property of the streaming matview,
+#      VERDICT r6 #10; temperature-weighted data mixing) declared in
+#      their birth round.
 #   3. The 22 queries that have NEVER held a driver row (VERDICT r6
 #      "What's missing #1"): q09/q11/q20 complete the declared TPC-H
 #      evidence; q_stream_matview, q_media_mjpeg_frames, q_video_neardup,
@@ -131,7 +132,7 @@ _DECLARED: list[str] = [
     "q_window_top_events",
     "q_min_by_topk",
     "q_ivf_knn",
-    "q_stratified_sample",
+    "q_temperature_mix",
 ]
 
 

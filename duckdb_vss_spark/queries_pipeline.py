@@ -1574,6 +1574,74 @@ def q_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_temperature_mix",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST('0x' || substr(md5('17_' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      FROM documents
+    ),
+    s AS (
+      SELECT source,
+             CAST(floor(sqrt(CAST(sum(n_tok) AS DOUBLE)) * 1048576) AS BIGINT) AS w
+      FROM t GROUP BY source
+    ),
+    b AS (
+      SELECT source,
+             CAST((CAST(5000 AS HUGEINT) * w) // (SELECT sum(w) FROM s) AS BIGINT) AS budget
+      FROM s
+    ),
+    c AS (
+      SELECT doc_id, source, n_tok,
+             sum(n_tok) OVER (
+               PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tok
+      FROM t
+    )
+    SELECT c.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS tokens,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(max(b.budget) AS BIGINT) AS budget
+    FROM c JOIN b ON c.source = b.source
+    WHERE cum_tok <= b.budget
+    GROUP BY c.source ORDER BY c.source
+    """,
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted data mixing (pipeline/mix.temperature_mix):
+    per-source token budgets derived as total·n_s^0.5/Σn^0.5 — the
+    GPT-3-style size^alpha mixture rule with alpha a temperature that
+    upweights small sources — then the deterministic hash-priority
+    running-sum selection. The derivation is engine-exact (IEEE sqrt +
+    integer quantization + integer floor-division), so the ORACLE
+    RE-DERIVES the budgets itself in SQL; the budget column in the
+    output hash-pins the derivation, id_sum pins the exact kept set."""
+    from duckdb_vss_spark.pipeline.mix import mix_by_token_budget, temperature_budgets
+
+    docs = load_table(spark, sf_dir, "documents")
+    budgets = temperature_budgets(docs, "text", "source", 5000, alpha=0.5)
+    kept = mix_by_token_budget(
+        docs, "text", "doc_id", "source", budgets, default_budget=0, seed=17
+    )
+    bexpr = F.lit(None).cast("bigint")
+    for g, bval in sorted(budgets.items()):
+        bexpr = F.when(F.col("source") == g, F.lit(int(bval)).cast("bigint")).otherwise(bexpr)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("tokens"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+        )
+        .withColumn("budget", bexpr)
+        .orderBy("source")
+    )
+
+
+@register(
     "q_dup_spans",
     """
     WITH t AS (
