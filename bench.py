@@ -29,6 +29,483 @@ from duckdb_vss_spark.pipeline import embedding_neardup_lsh  # noqa: E402
 from duckdb_vss_spark.sources import load_table  # noqa: E402
 
 
+def scale_curves(
+    spark,
+    sf_dir: str,
+    reps: int = 8,
+    shapes: set[str] | None = None,
+    errors: dict[str, str] | None = None,
+) -> dict:
+    """Cross-engine scaling curves at ``reps``x the base corpus.
+
+    Replicas get a per-replica affine permutation of [a-z] and [0-9]
+    (distinct for reps < 312, any two maps agree on <= 2 letters) so no
+    two replicas share shingles: pair volume grows ~linearly (reps x),
+    not quadratically, keeping the workload an honest reps x of the
+    base. (r7 fix, twice: the old 6-letter vowel rotation had period 6,
+    so at reps=8 replicas 0/6 and 1/7 were IDENTICAL text — ~10k of the
+    13k recorded x8 minhash pairs were that artifact; a 26-letter Caesar
+    shift then recreated it at reps=32 through letter-only shingles.
+    Both engines always saw the same data, so the ratios were fair, but
+    the "linear pair volume" claim wasn't.) The same union runs on
+    DuckDB (same SQL as the declared oracles) for the single-node curve.
+
+    ``shapes`` ⊆ {minhash, contamination, spans, semdedup, hnsw, q01,
+    asof, q03}; None = all. Key suffix is ``_x{reps}``.
+    """
+    from functools import reduce
+
+    import duckdb
+
+    out: dict[str, float] = {}
+    all_shapes = {"minhash", "contamination", "spans", "semdedup", "hnsw", "q01", "asof", "q03"}
+    shapes = all_shapes if shapes is None else shapes & all_shapes
+    sx = f"_x{reps}"
+    threads = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    def timed8(key, fn, runs=3):
+        """Steady-state timing: a single cold shot mixes JIT tiering +
+        first-touch codegen into the curve (q_dup_spans x8 cold 8.8s vs
+        warm 1.0s standalone); cold is kept under <key>_cold for
+        transparency, the curve uses best-of-runs — the same convention
+        as the 1x queries."""
+        best = None
+        res = None
+        for i in range(runs):
+            t0 = time.time()
+            res = fn()
+            dt = round(time.time() - t0, 3)
+            if i == 0:
+                out[f"{key}_cold"] = dt
+            best = dt if best is None else min(best, dt)
+        out[key] = best
+        return res
+
+    def guarded(name, body):
+        try:
+            body()
+        except Exception as e:  # noqa: BLE001 — fault-isolate each shape
+            if errors is not None:
+                errors[f"scale{sx}_{name}"] = f"{type(e).__name__}: {e}"[:400]
+            else:
+                raise
+
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    digits = "0123456789"
+    src_alpha = letters + digits
+
+    def _perm(alpha, mults, i):
+        # affine permutation j -> m*j + s (mod |alpha|); identity at i=0.
+        # Distinct (m, s) pairs give distinct permutations, and two
+        # distinct affine maps agree on <= gcd(m1-m2, |alpha|) chars, so
+        # cross-replica shingles essentially never collide — a plain
+        # Caesar shift has period |alpha| and made replicas i and i+26
+        # near-identical under letter-only shingles at reps=32.
+        m = mults[i % len(mults)]
+        s = i // len(mults)
+        n = len(alpha)
+        return "".join(alpha[(m * j + s) % n] for j in range(n))
+
+    _mults26 = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
+    _mults10 = [1, 3, 7, 9]
+
+    def _rot(i):
+        if i >= 312:
+            raise ValueError("replica mapping distinct only for reps < 312")
+        return _perm(letters, _mults26, i) + _perm(digits, _mults10, i)
+
+    # ---- text corpus union (shared by minhash / contamination / spans)
+    big = None
+    if shapes & {"minhash", "contamination", "spans"}:
+        docs = load_table(spark, sf_dir, "documents")
+        big = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                docs.select(
+                    (F.col("doc_id") + i * 100_000_000).alias("doc_id"),
+                    (
+                        F.col("text")
+                        if i == 0
+                        else F.translate(F.col("text"), src_alpha, _rot(i))
+                    ).alias("text"),
+                )
+                for i in range(reps)
+            ],
+        )
+
+    def _minhash():
+        from duckdb_vss_spark.pipeline import minhash_lsh_pairs
+
+        n_pairs = timed8(f"minhash_lsh_spark{sx}", lambda: minhash_lsh_pairs(
+            big, "text", "doc_id", num_hashes=8, bands=4, n=3, threshold=0.1
+        ).count())
+        out[f"minhash_lsh_pairs{sx}"] = n_pairs
+
+    def _contamination():
+        # inverted-index join shape; same eval split predicate as
+        # q_contamination
+        from duckdb_vss_spark.pipeline.contamination import ngram_contamination
+
+        n_contam = timed8(f"contamination_spark{sx}", lambda: ngram_contamination(
+            big, "text", "doc_id", F.col("doc_id") % 41 == 0, n=4
+        ).count())
+        out[f"contamination_rows{sx}"] = n_contam
+
+    def _spans():
+        # span-level dedup (VERDICT r6 #9): rotated replicas share no
+        # W-grams with each other, so the span population is an honest
+        # reps x of the base corpus.
+        from duckdb_vss_spark.pipeline.spandedup import duplicate_spans
+
+        n_spans = timed8(f"dup_spans_spark{sx}", lambda: duplicate_spans(big, "text", "doc_id").count())
+        out[f"dup_spans_rows{sx}"] = n_spans
+
+    if "minhash" in shapes:
+        guarded("minhash", _minhash)
+    if "contamination" in shapes:
+        guarded("contamination", _contamination)
+    if "spans" in shapes:
+        guarded("spans", _spans)
+
+    # ---- embedding unions (semdedup / hnsw build)
+    emb = None
+    if shapes & {"semdedup", "hnsw"}:
+        try:
+            emb = load_table(spark, sf_dir, "embeddings")
+        except Exception:  # noqa: BLE001 — table absent at this sf
+            emb = None
+
+    def _semdedup():
+        # semdedup on a reps x embedding union: replica i rotates the
+        # vector dimensions by i — rotation preserves within-replica
+        # inner products (pairs = reps x base) while cross-replica
+        # cosines stay ~random, so pair volume grows linearly, not
+        # reps². Centroids are corpus-adaptive k-means with k scaled to
+        # n (k grows with reps → n/k ≈ 500): random seeded centroids
+        # collapse this corpus into 2 giant clusters at 8x, and the
+        # within-cluster matmul goes quadratic in n — the exact
+        # degenerate regime the SemDeDup recipe prescribes balanced
+        # k-means to avoid. Both engines get identical centroid
+        # literals. Dim-rotation period = dims (64) bounds reps here.
+        from duckdb_vss_spark.pipeline.semdedup import (
+            kmeans_centroids,
+            semdedup_oracle_sql,
+            semdedup_pairs,
+        )
+
+        dims = 64
+        if reps > dims:
+            raise ValueError(f"semdedup dim-rotation supports reps <= {dims}")
+
+        def _rotvec(col, i):
+            if i == 0:
+                return col
+            return F.concat(F.slice(col, i + 1, dims - i), F.slice(col, 1, i))
+
+        emb8v = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                emb.select(
+                    (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
+                    _rotvec(F.col("embedding"), i).alias("embedding"),
+                )
+                for i in range(reps)
+            ],
+        )
+        k = max(8, 4 * reps)
+        cents = kmeans_centroids(emb8v, "embedding", k, seed=11)
+        n_sem = timed8(f"semdedup_spark{sx}", lambda: semdedup_pairs(
+            emb8v, "embedding", "vec_id", cents, 0.4,
+        ).count())
+        out[f"semdedup_pairs{sx}"] = n_sem
+
+        sem_sql = semdedup_oracle_sql("embeddings", "embedding", "vec_id", cents, 0.4)
+        con = duckdb.connect()
+        con.execute(f"SET threads={threads}")
+        emb_union = " UNION ALL ".join(
+            f"SELECT vec_id + {i * 10_000_000} AS vec_id, "
+            + (
+                "embedding"
+                if i == 0
+                else f"list_concat(embedding[{i + 1}:{dims}], "
+                f"embedding[1:{i}]) AS embedding"
+            )
+            + f" FROM read_parquet('{sf_dir}/embeddings.parquet')"
+            for i in range(reps)
+        )
+        con.execute(f"CREATE VIEW embeddings AS {emb_union}")
+        rows = timed8(f"semdedup_duckdb{sx}", lambda: con.execute(sem_sql).fetchall(), runs=2)
+        out[f"semdedup_duckdb_pairs{sx}"] = len(rows)
+        con.close()
+
+    def _hnsw():
+        from duckdb_vss_spark.index import create_hnsw_index as _mk_hnsw
+
+        emb8 = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                emb.select(
+                    (F.col("vec_id") + i * 10_000_000).alias("vec_id"), "embedding"
+                )
+                for i in range(reps)
+            ],
+        )
+        t0 = time.time()
+        _mk_hnsw(
+            spark, emb8, "embedding", "vec_id", f"/tmp/bench_hnsw_idx{reps}",
+            overwrite=True,
+        )
+        out[f"hnsw_build_spark{sx}"] = round(time.time() - t0, 3)
+
+    if "semdedup" in shapes and emb is not None:
+        guarded("semdedup", _semdedup)
+    if "hnsw" in shapes and emb is not None:
+        guarded("hnsw", _hnsw)
+
+    # ---- DuckDB single-node on the identical text union
+    def _duck_text():
+        oracles = {**Q.oracle_sql(), **Q.extra_oracle_sql()}
+        con = duckdb.connect()
+        con.execute(f"SET threads={threads}")
+        union_sql = " UNION ALL ".join(
+            "SELECT doc_id + {off} AS doc_id, {text} AS text "
+            "FROM read_parquet('{p}')".format(
+                off=i * 100_000_000,
+                text=(
+                    "text"
+                    if i == 0
+                    else f"translate(text, '{src_alpha}', '{_rot(i)}')"
+                ),
+                p=f"{sf_dir}/documents.parquet",
+            )
+            for i in range(reps)
+        )
+        con.execute(f"CREATE VIEW documents AS {union_sql}")
+        if "minhash" in shapes and (lsh_sql := oracles.get("q_minhash_lsh")):
+            rows = timed8(f"minhash_lsh_duckdb{sx}", lambda: con.execute(lsh_sql).fetchall(), runs=2)
+            out[f"minhash_lsh_duckdb_pairs{sx}"] = len(rows)
+        if "contamination" in shapes and (contam_sql := oracles.get("q_contamination")):
+            rows = timed8(f"contamination_duckdb{sx}", lambda: con.execute(contam_sql).fetchall(), runs=2)
+            out[f"contamination_duckdb_rows{sx}"] = len(rows)
+        if "spans" in shapes and (spans_sql := oracles.get("q_dup_spans")):
+            rows = timed8(f"dup_spans_duckdb{sx}", lambda: con.execute(spans_sql).fetchall(), runs=2)
+            out[f"dup_spans_duckdb_rows{sx}"] = len(rows)
+        con.close()
+
+    if shapes & {"minhash", "contamination", "spans"}:
+        guarded("duck_text", _duck_text)
+
+    # ---- relational / temporal / join curves
+    def _q01():
+        # the q01 aggregation on reps x lineitem — both engines over the
+        # identical union. The shape where whole-stage codegen + partial
+        # aggs amortize the job floor.
+        li = load_table(spark, sf_dir, "lineitem")
+        li8 = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                li.select(
+                    (F.col("l_orderkey") + i * 100_000_000).alias("l_orderkey"),
+                    *[c for c in li.columns if c != "l_orderkey"],
+                )
+                for i in range(reps)
+            ],
+        ).cache()
+        li8.count()
+        qty = F.col("l_quantity").cast("decimal(12,2)")
+        price = F.col("l_extendedprice").cast("decimal(12,2)")
+        t0 = time.time()
+        (
+            li8.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(qty), F.sum(price), F.count(F.lit(1)))
+            .collect()
+        )
+        out[f"q01_agg_spark{sx}"] = round(time.time() - t0, 3)
+        li8.unpersist()
+        con = duckdb.connect()
+        con.execute(f"SET threads={threads}")
+        li_union = " UNION ALL ".join(
+            f"SELECT * FROM read_parquet('{sf_dir}/lineitem.parquet')"
+            for _ in range(reps)
+        )
+        con.execute(f"CREATE VIEW lineitem8 AS {li_union}")
+        t0 = time.time()
+        con.execute(
+            """SELECT l_returnflag, l_linestatus,
+                      sum(CAST(l_quantity AS DECIMAL(12,2))),
+                      sum(CAST(l_extendedprice AS DECIMAL(12,2))), count(*)
+               FROM lineitem8 WHERE l_shipdate <= DATE '1998-09-02'
+               GROUP BY 1, 2"""
+        ).fetchall()
+        out[f"q01_agg_duckdb{sx}"] = round(time.time() - t0, 3)
+        con.close()
+
+    def _asof():
+        # ASOF join on reps x events (shifted users so per-user series
+        # stay realistic) — Spark union-merge idiom vs DuckDB's
+        # dedicated ASOF JOIN operator on the identical union.
+        from duckdb_vss_spark.operators.asof import asof_join
+
+        ev = load_table(spark, sf_dir, "events")
+        ev8 = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                ev.select(
+                    (F.col("event_id") + i * 100_000_000).alias("event_id"),
+                    "ts",
+                    (F.col("user_id") + i * 1_000_000).alias("user_id"),
+                    "event_type",
+                    "value",
+                    "props",
+                )
+                for i in range(reps)
+            ],
+        ).cache()
+        ev8.count()
+        t0 = time.time()
+        asof_join(
+            ev8.where(F.col("event_type") == "click"),
+            ev8.where(F.col("event_type") == "error"),
+            on="ts",
+            by="user_id",
+            right_cols=["event_id"],
+            suffix="_err",
+        ).count()
+        out[f"asof_spark{sx}"] = round(time.time() - t0, 3)
+        ev8.unpersist()
+        con = duckdb.connect()
+        con.execute(f"SET threads={threads}")
+        ev_union = " UNION ALL ".join(
+            f"SELECT event_id + {i * 100_000_000} AS event_id, ts, "
+            f"user_id + {i * 1_000_000} AS user_id, event_type, value, props "
+            f"FROM read_parquet('{sf_dir}/events.parquet')"
+            for i in range(reps)
+        )
+        con.execute(f"CREATE VIEW events8 AS {ev_union}")
+        t0 = time.time()
+        con.execute(
+            """SELECT count(*) FROM
+               (SELECT * FROM events8 WHERE event_type = 'click') l
+               ASOF LEFT JOIN
+               (SELECT * FROM events8 WHERE event_type = 'error') r
+               ON l.user_id = r.user_id AND l.ts >= r.ts"""
+        ).fetchall()
+        out[f"asof_duckdb{sx}"] = round(time.time() - t0, 3)
+        con.close()
+
+    def _q03():
+        # the q03 3-table shipping-priority shape on reps x data —
+        # per-replica key shifts keep foreign keys consistent, so the
+        # join graph is reps disjoint copies (selectivity and per-key
+        # fan-out identical to 1x; output = reps x candidate groups).
+        li = load_table(spark, sf_dir, "lineitem")
+        cu = load_table(spark, sf_dir, "customer")
+        orr = load_table(spark, sf_dir, "orders")
+        cu8 = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                cu.select(
+                    (F.col("c_custkey") + i * 10_000_000).alias("c_custkey"),
+                    *[c for c in cu.columns if c != "c_custkey"],
+                )
+                for i in range(reps)
+            ],
+        )
+        or8 = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                orr.select(
+                    (F.col("o_orderkey") + i * 100_000_000).alias("o_orderkey"),
+                    (F.col("o_custkey") + i * 10_000_000).alias("o_custkey"),
+                    *[c for c in orr.columns if c not in ("o_orderkey", "o_custkey")],
+                )
+                for i in range(reps)
+            ],
+        )
+        li8j = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                li.select(
+                    (F.col("l_orderkey") + i * 100_000_000).alias("l_orderkey"),
+                    *[c for c in li.columns if c != "l_orderkey"],
+                )
+                for i in range(reps)
+            ],
+        )
+        rev = F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit("1.00").cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)"))
+        ).cast("double")
+        t0 = time.time()
+        (
+            li8j.where(F.col("l_shipdate") > F.lit("1998-03-15").cast("date"))
+            .join(
+                or8.where(F.col("o_orderdate") < F.lit("1998-03-15").cast("date")),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .join(
+                F.broadcast(cu8.where(F.col("c_mktsegment") == "BUILDING")),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(rev.alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+            .limit(10)
+            .collect()
+        )
+        out[f"q03_join_spark{sx}"] = round(time.time() - t0, 3)
+        con = duckdb.connect()
+        con.execute(f"SET threads={threads}")
+        cu_cols = [c for c in cu.columns if c != "c_custkey"]
+        or_cols = [c for c in orr.columns if c not in ("o_orderkey", "o_custkey")]
+        li_cols = [c for c in li.columns if c != "l_orderkey"]
+        cu_union = " UNION ALL ".join(
+            f"SELECT c_custkey + {i * 10_000_000} AS c_custkey, {', '.join(cu_cols)} "
+            f"FROM read_parquet('{sf_dir}/customer.parquet')"
+            for i in range(reps)
+        )
+        or_union = " UNION ALL ".join(
+            f"SELECT o_orderkey + {i * 100_000_000} AS o_orderkey, "
+            f"o_custkey + {i * 10_000_000} AS o_custkey, {', '.join(or_cols)} "
+            f"FROM read_parquet('{sf_dir}/orders.parquet')"
+            for i in range(reps)
+        )
+        li_union2 = " UNION ALL ".join(
+            f"SELECT l_orderkey + {i * 100_000_000} AS l_orderkey, {', '.join(li_cols)} "
+            f"FROM read_parquet('{sf_dir}/lineitem.parquet')"
+            for i in range(reps)
+        )
+        con.execute(f"CREATE VIEW customer8 AS {cu_union}")
+        con.execute(f"CREATE VIEW orders8 AS {or_union}")
+        con.execute(f"CREATE VIEW lineitem8j AS {li_union2}")
+        t0 = time.time()
+        con.execute(
+            """SELECT l_orderkey, o_orderdate, o_orderpriority,
+                      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                               * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+               FROM lineitem8j
+               JOIN orders8 ON l_orderkey = o_orderkey
+               JOIN customer8 ON o_custkey = c_custkey
+               WHERE l_shipdate > DATE '1998-03-15'
+                 AND o_orderdate < DATE '1998-03-15'
+                 AND c_mktsegment = 'BUILDING'
+               GROUP BY 1, 2, 3
+               ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+        ).fetchall()
+        out[f"q03_join_duckdb{sx}"] = round(time.time() - t0, 3)
+        con.close()
+
+    if "q01" in shapes:
+        guarded("q01", _q01)
+    if "asof" in shapes:
+        guarded("asof", _asof)
+    if "q03" in shapes:
+        guarded("q03", _q03)
+
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -363,385 +840,29 @@ def main() -> None:
     if emb is not None:
         section("recall", _recall_section)
 
-    # -- scale8: one heavy shape at 8x the data (VERDICT r5 #6) -----------
+    # -- scaleN: heavy shapes at N x the data (VERDICT r5 #6) --------------
     # Shows the scaling curve as the workload outgrows Spark's ~0.3-1.0s
-    # local job floor. Replicas get a per-replica vowel rotation so they
-    # do NOT near-dup each other: pair volume grows ~linearly (8x), not
-    # quadratically, keeping the workload an honest 8x of the base. The
-    # same 8x union runs on DuckDB (same SQL as the q_minhash_lsh
-    # oracle) for the single-node curve.
+    # local job floor. Default reps=8 (driver path); set
+    # SPARK_GRAFT_SCALE_REPS / SPARK_GRAFT_SCALE_SHAPES for ad-hoc larger
+    # points (tools/scale_curve.py wraps this).
     scale8: dict[str, float] = {}
-
-    def _scale8_section():
-        from functools import reduce
-
-        import duckdb
-
-        def timed8(key, fn, runs=3):
-            """Steady-state x8 timing (r7): a single cold shot mixes JIT
-            tiering + first-touch codegen into the curve (q_dup_spans x8
-            cold 8.8s vs warm 1.0s standalone); cold is kept under
-            <key>_cold for transparency, the curve uses best-of-runs —
-            the same convention as the 1x queries."""
-            best = None
-            for i in range(runs):
-                t0 = time.time()
-                out = fn()
-                dt = round(time.time() - t0, 3)
-                if i == 0:
-                    scale8[f"{key}_cold"] = dt
-                best = dt if best is None else min(best, dt)
-            scale8[key] = best
-            return out
-
-        from duckdb_vss_spark.pipeline import minhash_lsh_pairs
-        from duckdb_vss_spark.index import create_hnsw_index as _mk_hnsw
-
-        reps = 8
-        rot = "etaoin"
-
-        def _rot(i):
-            r = i % len(rot)
-            return rot[r:] + rot[:r]
-
-        docs = load_table(spark, sf_dir, "documents")
-        big = reduce(
-            lambda a, b: a.unionByName(b),
-            [
-                docs.select(
-                    (F.col("doc_id") + i * 100_000_000).alias("doc_id"),
-                    (
-                        F.col("text")
-                        if i == 0
-                        else F.translate(F.col("text"), rot, _rot(i))
-                    ).alias("text"),
+    section(
+        "scale8",
+        lambda: scale8.update(
+            scale_curves(
+                spark,
+                sf_dir,
+                reps=int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "8")),
+                shapes=set(
+                    s
+                    for s in os.environ.get("SPARK_GRAFT_SCALE_SHAPES", "").split(",")
+                    if s
                 )
-                for i in range(reps)
-            ],
-        )
-        n_pairs = timed8("minhash_lsh_spark_x8", lambda: minhash_lsh_pairs(
-            big, "text", "doc_id", num_hashes=8, bands=4, n=3, threshold=0.1
-        ).count())
-        scale8["minhash_lsh_pairs_x8"] = n_pairs
-
-        # contamination scan on the same 8x union (the inverted-index
-        # join shape; same eval split predicate as q_contamination)
-        from duckdb_vss_spark.pipeline.contamination import ngram_contamination
-
-        n_contam = timed8("contamination_spark_x8", lambda: ngram_contamination(
-            big, "text", "doc_id", F.col("doc_id") % 41 == 0, n=4
-        ).count())
-        scale8["contamination_rows_x8"] = n_contam
-
-        # span-level dedup on the same 8x union (VERDICT r6 #9): the
-        # rotated replicas share no W-grams with each other, so the
-        # span population is an honest 8x of the base corpus.
-        from duckdb_vss_spark.pipeline.spandedup import duplicate_spans
-
-        n_spans = timed8("dup_spans_spark_x8", lambda: duplicate_spans(big, "text", "doc_id").count())
-        scale8["dup_spans_rows_x8"] = n_spans
-
-        # semdedup on an 8x embedding union: replica i rotates the
-        # vector dimensions by i — rotation preserves within-replica
-        # inner products (pairs = 8x base) while cross-replica cosines
-        # stay ~random, so pair volume grows linearly, not 64x.
-        # Centroids are corpus-adaptive k-means with k scaled to n
-        # (k=32 → n/k ≈ 500): random seeded centroids collapse this
-        # corpus into 2 giant clusters at 8x, and the within-cluster
-        # matmul goes quadratic in n — the exact degenerate regime the
-        # SemDeDup recipe prescribes balanced k-means to avoid. Both
-        # engines get the identical centroid literals.
-        from duckdb_vss_spark.pipeline.semdedup import (
-            kmeans_centroids,
-            semdedup_oracle_sql,
-            semdedup_pairs,
-        )
-
-        if emb is not None:
-            dims = 64
-
-            def _rotvec(col, i):
-                if i == 0:
-                    return col
-                return F.concat(
-                    F.slice(col, i + 1, dims - i), F.slice(col, 1, i)
-                )
-
-            emb8v = reduce(
-                lambda a, b: a.unionByName(b),
-                [
-                    emb.select(
-                        (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
-                        _rotvec(F.col("embedding"), i).alias("embedding"),
-                    )
-                    for i in range(reps)
-                ],
+                or None,
+                errors=errors,
             )
-            cents32 = kmeans_centroids(emb8v, "embedding", 32, seed=11)
-            n_sem = timed8("semdedup_spark_x8", lambda: semdedup_pairs(
-                emb8v, "embedding", "vec_id", cents32, 0.4,
-            ).count())
-            scale8["semdedup_pairs_x8"] = n_sem
-
-        if emb is not None:
-            emb8 = reduce(
-                lambda a, b: a.unionByName(b),
-                [
-                    emb.select(
-                        (F.col("vec_id") + i * 10_000_000).alias("vec_id"), "embedding"
-                    )
-                    for i in range(reps)
-                ],
-            )
-            t0 = time.time()
-            _mk_hnsw(
-                spark, emb8, "embedding", "vec_id", "/tmp/bench_hnsw_idx8",
-                overwrite=True,
-            )
-            scale8["hnsw_build_spark_x8"] = round(time.time() - t0, 3)
-
-        # DuckDB single-node on the identical 8x relation
-        oracles = {**Q.oracle_sql(), **Q.extra_oracle_sql()}
-        lsh_sql = oracles.get("q_minhash_lsh")
-        if lsh_sql:
-            con = duckdb.connect()
-            con.execute(f"SET threads={os.environ.get('SPARK_GRAFT_CPUS', '32')}")
-            union_sql = " UNION ALL ".join(
-                f"SELECT doc_id + {i * 100_000_000} AS doc_id, "
-                f"translate(text, '{rot}', '{_rot(i)}') AS text "
-                f"FROM read_parquet('{sf_dir}/documents.parquet')"
-                for i in range(reps)
-            )
-            con.execute(f"CREATE VIEW documents AS {union_sql}")
-            rows = timed8("minhash_lsh_duckdb_x8", lambda: con.execute(lsh_sql).fetchall(), runs=2)
-            scale8["minhash_lsh_duckdb_pairs_x8"] = len(rows)
-            contam_sql = oracles.get("q_contamination")
-            if contam_sql:
-                rows = timed8("contamination_duckdb_x8", lambda: con.execute(contam_sql).fetchall(), runs=2)
-                scale8["contamination_duckdb_rows_x8"] = len(rows)
-            spans_sql = oracles.get("q_dup_spans")
-            if spans_sql:
-                rows = timed8("dup_spans_duckdb_x8", lambda: con.execute(spans_sql).fetchall(), runs=2)
-                scale8["dup_spans_duckdb_rows_x8"] = len(rows)
-            sem_sql = semdedup_oracle_sql(
-                "embeddings", "embedding", "vec_id", cents32, 0.4
-            ) if emb is not None else None
-            if sem_sql:
-                dims = 64
-                emb_union = " UNION ALL ".join(
-                    f"SELECT vec_id + {i * 10_000_000} AS vec_id, "
-                    + (
-                        "embedding"
-                        if i == 0
-                        else f"list_concat(embedding[{i + 1}:{dims}], "
-                        f"embedding[1:{i}]) AS embedding"
-                    )
-                    + f" FROM read_parquet('{sf_dir}/embeddings.parquet')"
-                    for i in range(reps)
-                )
-                con.execute(f"CREATE VIEW embeddings AS {emb_union}")
-                rows = timed8("semdedup_duckdb_x8", lambda: con.execute(sem_sql).fetchall(), runs=2)
-                scale8["semdedup_duckdb_pairs_x8"] = len(rows)
-            con.close()
-
-        # relational curve: the q01 aggregation on 8x lineitem —
-        # both engines over the identical union. The shape where
-        # whole-stage codegen + partial aggs amortize the job floor.
-        li = load_table(spark, sf_dir, "lineitem")
-        li8 = reduce(
-            lambda a, b: a.unionByName(b),
-            [
-                li.select(
-                    (F.col("l_orderkey") + i * 100_000_000).alias("l_orderkey"),
-                    *[c for c in li.columns if c != "l_orderkey"],
-                )
-                for i in range(reps)
-            ],
-        ).cache()
-        li8.count()
-        qty = F.col("l_quantity").cast("decimal(12,2)")
-        price = F.col("l_extendedprice").cast("decimal(12,2)")
-        t0 = time.time()
-        (
-            li8.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
-            .groupBy("l_returnflag", "l_linestatus")
-            .agg(F.sum(qty), F.sum(price), F.count(F.lit(1)))
-            .collect()
-        )
-        scale8["q01_agg_spark_x8"] = round(time.time() - t0, 3)
-        li8.unpersist()
-        con = duckdb.connect()
-        con.execute(f"SET threads={os.environ.get('SPARK_GRAFT_CPUS', '32')}")
-        li_union = " UNION ALL ".join(
-            f"SELECT * FROM read_parquet('{sf_dir}/lineitem.parquet')"
-            for _ in range(reps)
-        )
-        con.execute(f"CREATE VIEW lineitem8 AS {li_union}")
-        t0 = time.time()
-        con.execute(
-            """SELECT l_returnflag, l_linestatus,
-                      sum(CAST(l_quantity AS DECIMAL(12,2))),
-                      sum(CAST(l_extendedprice AS DECIMAL(12,2))), count(*)
-               FROM lineitem8 WHERE l_shipdate <= DATE '1998-09-02'
-               GROUP BY 1, 2"""
-        ).fetchall()
-        scale8["q01_agg_duckdb_x8"] = round(time.time() - t0, 3)
-        con.close()
-
-        # temporal curve: the ASOF join on 8x events (shifted users so
-        # per-user series stay realistic) — Spark union-merge idiom vs
-        # DuckDB's dedicated ASOF JOIN operator on the identical union.
-        from duckdb_vss_spark.operators.asof import asof_join
-        from duckdb_vss_spark.sources import load_table as _lt
-
-        ev = _lt(spark, sf_dir, "events")
-        ev8 = reduce(
-            lambda a, b: a.unionByName(b),
-            [
-                ev.select(
-                    (F.col("event_id") + i * 100_000_000).alias("event_id"),
-                    "ts",
-                    (F.col("user_id") + i * 1_000_000).alias("user_id"),
-                    "event_type",
-                    "value",
-                    "props",
-                )
-                for i in range(reps)
-            ],
-        ).cache()
-        ev8.count()
-        t0 = time.time()
-        asof_join(
-            ev8.where(F.col("event_type") == "click"),
-            ev8.where(F.col("event_type") == "error"),
-            on="ts",
-            by="user_id",
-            right_cols=["event_id"],
-            suffix="_err",
-        ).count()
-        scale8["asof_spark_x8"] = round(time.time() - t0, 3)
-        ev8.unpersist()
-        con = duckdb.connect()
-        con.execute(f"SET threads={os.environ.get('SPARK_GRAFT_CPUS', '32')}")
-        ev_union = " UNION ALL ".join(
-            f"SELECT event_id + {i * 100_000_000} AS event_id, ts, "
-            f"user_id + {i * 1_000_000} AS user_id, event_type, value, props "
-            f"FROM read_parquet('{sf_dir}/events.parquet')"
-            for i in range(reps)
-        )
-        con.execute(f"CREATE VIEW events8 AS {ev_union}")
-        t0 = time.time()
-        con.execute(
-            """SELECT count(*) FROM
-               (SELECT * FROM events8 WHERE event_type = 'click') l
-               ASOF LEFT JOIN
-               (SELECT * FROM events8 WHERE event_type = 'error') r
-               ON l.user_id = r.user_id AND l.ts >= r.ts"""
-        ).fetchall()
-        scale8["asof_duckdb_x8"] = round(time.time() - t0, 3)
-        con.close()
-
-        # join curve (r7): the q03 3-table shipping-priority shape on 8x
-        # data — per-replica key shifts keep foreign keys consistent, so
-        # the join graph is 8 disjoint copies (selectivity and per-key
-        # fan-out identical to 1x; output = 8x candidate groups).
-        cu = load_table(spark, sf_dir, "customer")
-        orr = load_table(spark, sf_dir, "orders")
-        cu8 = reduce(
-            lambda a, b: a.unionByName(b),
-            [
-                cu.select(
-                    (F.col("c_custkey") + i * 10_000_000).alias("c_custkey"),
-                    *[c for c in cu.columns if c != "c_custkey"],
-                )
-                for i in range(reps)
-            ],
-        )
-        or8 = reduce(
-            lambda a, b: a.unionByName(b),
-            [
-                orr.select(
-                    (F.col("o_orderkey") + i * 100_000_000).alias("o_orderkey"),
-                    (F.col("o_custkey") + i * 10_000_000).alias("o_custkey"),
-                    *[c for c in orr.columns if c not in ("o_orderkey", "o_custkey")],
-                )
-                for i in range(reps)
-            ],
-        )
-        li8j = reduce(
-            lambda a, b: a.unionByName(b),
-            [
-                li.select(
-                    (F.col("l_orderkey") + i * 100_000_000).alias("l_orderkey"),
-                    *[c for c in li.columns if c != "l_orderkey"],
-                )
-                for i in range(reps)
-            ],
-        )
-        rev = F.sum(
-            F.col("l_extendedprice").cast("decimal(12,2)")
-            * (F.lit("1.00").cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)"))
-        ).cast("double")
-        t0 = time.time()
-        (
-            li8j.where(F.col("l_shipdate") > F.lit("1998-03-15").cast("date"))
-            .join(
-                or8.where(F.col("o_orderdate") < F.lit("1998-03-15").cast("date")),
-                F.col("l_orderkey") == F.col("o_orderkey"),
-            )
-            .join(
-                F.broadcast(cu8.where(F.col("c_mktsegment") == "BUILDING")),
-                F.col("o_custkey") == F.col("c_custkey"),
-            )
-            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-            .agg(rev.alias("revenue"))
-            .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
-            .limit(10)
-            .collect()
-        )
-        scale8["q03_join_spark_x8"] = round(time.time() - t0, 3)
-        con = duckdb.connect()
-        con.execute(f"SET threads={os.environ.get('SPARK_GRAFT_CPUS', '32')}")
-        cu_cols = [c for c in cu.columns if c != "c_custkey"]
-        or_cols = [c for c in orr.columns if c not in ("o_orderkey", "o_custkey")]
-        li_cols = [c for c in li.columns if c != "l_orderkey"]
-        cu_union = " UNION ALL ".join(
-            f"SELECT c_custkey + {i * 10_000_000} AS c_custkey, {', '.join(cu_cols)} "
-            f"FROM read_parquet('{sf_dir}/customer.parquet')"
-            for i in range(reps)
-        )
-        or_union = " UNION ALL ".join(
-            f"SELECT o_orderkey + {i * 100_000_000} AS o_orderkey, "
-            f"o_custkey + {i * 10_000_000} AS o_custkey, {', '.join(or_cols)} "
-            f"FROM read_parquet('{sf_dir}/orders.parquet')"
-            for i in range(reps)
-        )
-        li_union2 = " UNION ALL ".join(
-            f"SELECT l_orderkey + {i * 100_000_000} AS l_orderkey, {', '.join(li_cols)} "
-            f"FROM read_parquet('{sf_dir}/lineitem.parquet')"
-            for i in range(reps)
-        )
-        con.execute(f"CREATE VIEW customer8 AS {cu_union}")
-        con.execute(f"CREATE VIEW orders8 AS {or_union}")
-        con.execute(f"CREATE VIEW lineitem8j AS {li_union2}")
-        t0 = time.time()
-        con.execute(
-            """SELECT l_orderkey, o_orderdate, o_orderpriority,
-                      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                               * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
-               FROM lineitem8j
-               JOIN orders8 ON l_orderkey = o_orderkey
-               JOIN customer8 ON o_custkey = c_custkey
-               WHERE l_shipdate > DATE '1998-03-15'
-                 AND o_orderdate < DATE '1998-03-15'
-                 AND c_mktsegment = 'BUILDING'
-               GROUP BY 1, 2, 3
-               ORDER BY revenue DESC, l_orderkey LIMIT 10"""
-        ).fetchall()
-        scale8["q03_join_duckdb_x8"] = round(time.time() - t0, 3)
-        con.close()
-
-    section("scale8", _scale8_section)
+        ),
+    )
 
     # measured per-job floor: the fastest possible Spark action in this
     # session (scheduler + stage + task round-trip). Nearly every query
