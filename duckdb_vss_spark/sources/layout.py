@@ -95,6 +95,18 @@ def widen_narrow_scan(df: DataFrame, key: Column | str | None = None) -> DataFra
     full analysis + physical planning of a fresh plan (~0.1 s per query
     construction — profiled in r7). Non-file plans (in-memory test
     frames) fall back to the RDD path.
+
+    The probe is union-aware (r7): ``inputFiles()`` DEDUPES paths, so a
+    k-branch union re-reading one file reports 1 file while the scan is
+    really k partitions wide. Width is therefore ``max(file splits,
+    analyzed-plan leaf count)``. This matters beyond the wasted shuffle:
+    the round-robin repartition MIXES rows from unrelated corpus slices
+    into each task, and the dedup kernels' per-batch memoization
+    (shingle → digest) then sees far more UNIQUE shingles per batch —
+    measured 10-15x more worker CPU on an already-32-wide union (300-460
+    core-s vs 28-31 for byte-identical input). Co-location by source is
+    itself a throughput property of memoized kernels; never round-robin
+    a text corpus that is already wide.
     """
     sess = df.sparkSession
     target = sess.sparkContext.defaultParallelism
@@ -115,6 +127,11 @@ def widen_narrow_scan(df: DataFrame, key: Column | str | None = None) -> DataFra
             except OSError:
                 return df  # unknown layout (remote FS): assume wide
             splits += max(1, -(-size // max_split))
+        try:
+            leaves = df._jdf.queryExecution().analyzed().collectLeaves().size()
+        except Exception:
+            leaves = 1
+        splits = max(splits, leaves)
     else:
         splits = df.rdd.getNumPartitions()
     if splits >= target:

@@ -78,3 +78,33 @@ def test_widen_narrow_scan_widens_single_split_parquet(spark, tmp_path):
     # in-memory frame that is already at cluster width: untouched
     mem = spark.range(0, 1000, 1, target)
     assert widen_narrow_scan(mem, "id") is mem
+
+
+def test_widen_narrow_scan_union_already_wide(spark, tmp_path):
+    """A k-branch union re-reading one small file is already k tasks
+    wide even though inputFiles() dedupes to a single path — the probe
+    must count analyzed-plan leaves and pass the frame through. (The
+    round-robin repartition it would otherwise insert also MIXES corpus
+    slices across tasks, defeating the dedup kernels' per-batch shingle
+    memoization — measured 10-15x worker CPU at 32x; see layout.py.)"""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark.sources.layout import widen_narrow_scan
+
+    p = str(tmp_path / "one.parquet")
+    spark.range(100).selectExpr("id", "id * 2 AS v").coalesce(1).write.parquet(p)
+    base = spark.read.parquet(p)
+    target = spark.sparkContext.defaultParallelism
+    branches = [
+        base.select((F.col("id") + i * 1000).alias("id"), "v")
+        for i in range(target)
+    ]
+    union = reduce(lambda a, b: a.unionByName(b), branches)
+    assert widen_narrow_scan(union) is union
+    assert widen_narrow_scan(union, "id") is union
+    # a union still narrower than the cluster is widened
+    if target > 2:
+        small = reduce(lambda a, b: a.unionByName(b), branches[:2])
+        assert widen_narrow_scan(small).rdd.getNumPartitions() == target
