@@ -37,6 +37,9 @@ __all__ = [
     "jaccard_pairs",
     "minhash_signature",
     "minhash_lsh_pairs",
+    "minhash_store",
+    "minhash_match_store",
+    "minhash_incremental_keep",
     "simhash",
     "simhash_pairs",
     "embedding_neardup_pairs",
@@ -326,6 +329,28 @@ def minhash_signature(
     return base.select("id", *[f"h{i}" for i in range(num_hashes)])
 
 
+def _band_buckets(base: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Stack a signature base (id, h0..h{H-1}) into (id, bucket) rows:
+    bucket = '<b>:' || md5(h[b·r] || '|' || … ) — one row per (doc,
+    band). The LSH candidate join is an equi-join on this 35-byte
+    bucket string only; signatures and shingle arrays never enter it."""
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    return base.select("id", *band_cols).select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.concat_ws(":", F.lit(str(b)), F.col(f"band{b}")) for b in range(bands)
+            ])
+        ).alias("bucket"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -343,23 +368,8 @@ def minhash_lsh_pairs(
     ``array_intersect`` over the candidates' shingle-hash sets — shingle
     arrays are only ever joined to candidate ids, never self-joined.
     Returns (id_a, id_b, jaccard)."""
-    rows_per_band = num_hashes // bands
     base = _materialize(doc_shingles(df, text_col, id_col, n, num_hashes))
-    band_cols = [
-        F.md5(
-            F.concat_ws("|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = base.select("id", *band_cols)
-    stacked = banded.select(
-        "id",
-        F.explode(
-            F.array(*[
-                F.concat_ws(":", F.lit(str(b)), F.col(f"band{b}")) for b in range(bands)
-            ])
-        ).alias("bucket"),
-    )
+    stacked = _band_buckets(base, num_hashes, bands)
     cand = (
         stacked.alias("x")
         .join(stacked.alias("y"), "bucket")
@@ -389,6 +399,92 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# --------------------------------------------------------------------------
+# incremental MinHash dedup (new batch vs a persisted reference store)
+# --------------------------------------------------------------------------
+
+def minhash_store(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 8, n: int = 3
+) -> DataFrame:
+    """The persistable MinHash signature store for incremental dedup:
+    (id, shs array<long>, sz, h0..h{H-1}) from one Arrow shingle pass.
+
+    All columns are parquet-native, so a production pipeline writes this
+    ONCE per corpus snapshot and each new crawl batch deduplicates
+    against the store without re-shingling history — the shape that
+    makes daily dedup O(new batch), not O(corpus). ``shs`` rides along
+    because the exact-Jaccard verify needs each side's shingle set; at
+    100 TB it is the store's bulk (≈ tokens·8 B), still far below
+    re-deriving it from text."""
+    return doc_shingles(df, text_col, id_col, n, num_hashes)
+
+
+def minhash_match_store(
+    new_store: DataFrame,
+    ref_store: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """New-batch docs colliding with the reference store: (new_id,
+    ref_id, jaccard), jaccard ≥ threshold, via the identical band-bucket
+    candidate join as ``minhash_lsh_pairs`` but ACROSS the two stores
+    (no self-join, no id< tie-break — the sides are disjoint by
+    construction).
+
+    Shuffle profile at scale: the new side is the daily increment —
+    orders of magnitude smaller than the store — so its docs·bands
+    bucket rows broadcast and the reference store is probed map-side;
+    candidates (small by LSH design) then equi-join each store by id to
+    fetch the two shingle arrays for the exact verify. The reference
+    text is never read, re-shingled, or shuffled."""
+    new_b = _band_buckets(new_store, num_hashes, bands)
+    ref_b = _band_buckets(ref_store, num_hashes, bands)
+    cand = (
+        ref_b.join(
+            new_b.select(F.col("id").alias("new_id"), "bucket"), "bucket"
+        )
+        .select("new_id", F.col("id").alias("ref_id"))
+        .distinct()
+    )
+    lhs = new_store.select(
+        F.col("id").alias("new_id"), F.col("shs").alias("shs_n"), F.col("sz").alias("sz_n")
+    )
+    rhs = ref_store.select(
+        F.col("id").alias("ref_id"), F.col("shs").alias("shs_r"), F.col("sz").alias("sz_r")
+    )
+    return (
+        cand.join(lhs, "new_id")
+        .join(rhs, "ref_id")
+        .withColumn("inter", F.size(F.array_intersect("shs_n", "shs_r")))
+        .withColumn(
+            "jaccard",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_n") + F.col("sz_r") - F.col("inter"))
+            ).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("new_id", "ref_id", "jaccard")
+    )
+
+
+def minhash_incremental_keep(
+    new_store: DataFrame,
+    ref_store: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The incremental keep-list: new-batch ids with NO near-dup in the
+    reference store (left-anti join on ``minhash_match_store``); the
+    kept rows are what a production pipeline appends to the store."""
+    matches = minhash_match_store(
+        new_store, ref_store, num_hashes, bands, threshold
+    ).select(F.col("new_id").alias("id")).distinct()
+    return new_store.select("id").join(matches, "id", "left_anti")
 
 
 # --------------------------------------------------------------------------

@@ -276,6 +276,92 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incremental_cte(num_hashes: int = 8, bands: int = 4, threshold: float = 0.1) -> str:
+    """Shared CTE chain for the incremental (new-batch vs reference
+    store) dedup oracles: the q_minhash_lsh banding with the self-join
+    replaced by a new(id%5=0) x ref(id%5<>0) cross-store join."""
+    rpb = num_hashes // bands
+    mins = ", ".join(f"min(md5('{i}_' || sh)) AS h{i}" for i in range(num_hashes))
+    band_exprs = ", ".join(
+        "md5("
+        + " || '|' || ".join(f"h{b * rpb + r}" for r in range(rpb))
+        + f") AS band{b}"
+        for b in range(bands)
+    )
+    bucket_list = ", ".join(f"'{b}:' || band{b}" for b in range(bands))
+    return f"""
+    WITH {_SH_CTE},
+    sig AS (SELECT doc_id AS id, {mins} FROM sh GROUP BY doc_id),
+    banded AS (SELECT id, {band_exprs} FROM sig),
+    stacked AS (SELECT id, unnest([{bucket_list}]) AS bucket FROM banded),
+    cand AS (
+      SELECT DISTINCT n.id AS new_id, r.id AS ref_id
+      FROM stacked n JOIN stacked r
+        ON n.bucket = r.bucket AND n.id % 5 = 0 AND r.id % 5 <> 0
+    ),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT new_id, ref_id, count(*) AS n
+      FROM cand
+      JOIN sh a ON a.doc_id = new_id
+      JOIN sh b ON b.doc_id = ref_id AND a.shh = b.shh
+      GROUP BY 1, 2
+    ),
+    matches AS (
+      SELECT new_id, ref_id, CAST(n AS DOUBLE) / (x.sz + y.sz - n) AS jaccard
+      FROM inter JOIN sz x ON new_id = x.doc_id JOIN sz y ON ref_id = y.doc_id
+      WHERE CAST(n AS DOUBLE) / (x.sz + y.sz - n) >= {threshold}
+    )
+    """
+
+
+@register_extra(
+    "q_incremental_dedup",
+    _incremental_cte() + "SELECT new_id, ref_id, jaccard FROM matches",
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup (pipeline/dedup.py minhash_match_store): the
+    production daily-crawl shape — a new batch (doc_id % 5 = 0)
+    deduplicates against the persisted signature store of the existing
+    corpus (the rest) without re-shingling history. One shared Arrow
+    pass builds the store; the cross-store band join broadcasts the
+    small (new) side at scale."""
+    from duckdb_vss_spark.pipeline.dedup import _materialize, minhash_store
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = _materialize(minhash_store(docs, "text", "doc_id", num_hashes=8, n=3))
+    new = store.where(F.col("id") % 5 == 0)
+    ref = store.where(F.col("id") % 5 != 0)
+    from duckdb_vss_spark.pipeline.dedup import minhash_match_store
+
+    return minhash_match_store(new, ref, num_hashes=8, bands=4, threshold=0.1)
+
+
+@register_extra(
+    "q_incremental_dedup_keep",
+    _incremental_cte()
+    + """
+    SELECT DISTINCT doc_id AS id FROM sh
+    WHERE doc_id % 5 = 0
+      AND doc_id NOT IN (SELECT new_id FROM matches)
+    """,
+)
+def q_incremental_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental keep-list: new-batch ids with no near-dup in the
+    reference store — what the pipeline appends to the store."""
+    from duckdb_vss_spark.pipeline.dedup import (
+        _materialize,
+        minhash_incremental_keep,
+        minhash_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = _materialize(minhash_store(docs, "text", "doc_id", num_hashes=8, n=3))
+    new = store.where(F.col("id") % 5 == 0)
+    ref = store.where(F.col("id") % 5 != 0)
+    return minhash_incremental_keep(new, ref, num_hashes=8, bands=4, threshold=0.1)
+
+
 def _simhash_oracle(bits: int = 16) -> str:
     nibbles = bits // 4
     vote_cols = []

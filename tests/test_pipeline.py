@@ -79,6 +79,42 @@ def test_minhash_lsh_finds_same_pairs(spark, docs):
     assert got <= exact  # LSH candidates never invent pairs
 
 
+def test_minhash_match_store_consistent_with_self_join(spark, docs):
+    """Splitting the corpus into new/ref stores and matching across
+    them must yield exactly the cross-split subset of the full
+    self-join's pairs (same signatures, same banding, same verify),
+    and the keep-list must be the unmatched new-side ids."""
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark.pipeline.dedup import (
+        _materialize,
+        minhash_incremental_keep,
+        minhash_match_store,
+        minhash_store,
+    )
+
+    full = {
+        (p["id_a"], p["id_b"])
+        for p in minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+    }
+    store = _materialize(minhash_store(docs, "text", "doc_id"))
+    new = store.where(F.col("id") % 2 == 0)
+    ref = store.where(F.col("id") % 2 != 0)
+    got = {
+        (m["new_id"], m["ref_id"])
+        for m in minhash_match_store(new, ref, threshold=0.5).collect()
+    }
+    expected = {
+        (a, b) if a % 2 == 0 else (b, a)
+        for (a, b) in full
+        if (a % 2 == 0) != (b % 2 == 0)
+    }
+    assert got == expected
+    keep = {r["id"] for r in minhash_incremental_keep(new, ref, threshold=0.5).collect()}
+    new_ids = {r["id"] for r in new.select("id").collect()}
+    assert keep == new_ids - {a for (a, _) in got}
+
+
 def test_minhash_signature_identical_docs(spark, docs):
     sig = {r["id"]: (r["h0"], r["h1"]) for r in minhash_signature(docs, "text", "doc_id", 2).collect()}
     assert sig[1] == sig[4]
