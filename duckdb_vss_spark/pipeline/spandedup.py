@@ -60,18 +60,29 @@ def duplicate_spans(
     base = docs.select(F.col(id_col), toks.alias("__toks"), n.alias("__n")).where(
         F.col("__n") >= width
     )
-    # r7 (profiling, not the r6 hypothesis): the md5 gram kernel is
-    # ~0.15 s of the 2.2 s at sf0.1 — the real cost was the whole
-    # map side running in ONE task (small corpus = one parquet
-    # row-group = one scan partition). widen_narrow_scan hash-
-    # repartitions by doc ONLY when the scan is narrower than the
-    # cluster: locally that takes 2.0 s → 0.77 s; at 100 TB it is a
-    # no-op (no added shuffle). Partitioning by id also lets the
-    # islands window reuse the exchange when the repeated-key join
-    # broadcasts.
-    from duckdb_vss_spark.sources.layout import widen_narrow_scan
-
-    base = widen_narrow_scan(base, F.col(id_col))
+    # ``base`` feeds TWO consumers — the repeated-gram groupBy and the
+    # position probe of the join — and Spark recomputes an unshared
+    # subtree once per consumer: without an exchange here the whole
+    # scan→tokenize map side runs TWICE (measured ~2x wall on an
+    # already-wide input). The repartition is therefore UNCONDITIONAL:
+    # its shuffle files are the materialization both branches reuse
+    # (AQE ReusedExchange — the Spark analogue of the materialized CTE
+    # a single-node engine plans for a twice-read subquery). It must
+    # sit HERE, below the gram projection: both consumers need exactly
+    # (id, __toks, __n), so the two exchange subtrees canonicalize
+    # equal; placed above the explode, the branches' different column
+    # pruning (the groupBy drops span_start) makes the subtrees
+    # unequal and kills the reuse — measured, not theoretical.
+    # localCheckpoint instead of the exchange is strictly worse
+    # (row-object storage + GC; 2-8x slower at 32x). This also widens
+    # a narrow scan (small corpus = one parquet split) across the
+    # cluster, and keying by id hands the islands window its
+    # partitioning. The per-position md5 above it still runs once per
+    # branch — the price of exchange-level reuse; the gram projection
+    # is ~7% of stage cost (profiled r7).
+    base = base.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
     g = (
         base
         .select(
