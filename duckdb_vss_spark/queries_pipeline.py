@@ -338,6 +338,54 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "q_stream_dedup_store",
+    _incremental_cte() + "SELECT new_id, ref_id, jaccard FROM matches",
+)
+def q_stream_dedup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental dedup, oracle-checked through the sink:
+    the new-batch docs (doc_id % 5 = 0) arrive as TWO micro-batches
+    (staged part files, maxFilesPerTrigger=1) and each batch MinHash-
+    matches against the static reference store inside foreachBatch
+    (streaming/ops.py streaming_dedup_against_store). The appended
+    sink table must equal the one-shot batch oracle — pinning that the
+    result is invariant to micro-batch boundaries, which is what makes
+    the stream restartable mid-backlog."""
+    import shutil
+    import uuid
+
+    from duckdb_vss_spark.pipeline.dedup import _materialize, minhash_store
+    from duckdb_vss_spark.streaming import streaming_dedup_against_store
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = _materialize(minhash_store(docs, "text", "doc_id", num_hashes=8, n=3))
+    ref = store.where(F.col("id") % 5 != 0)
+
+    tag = uuid.uuid4().hex[:8]
+    stage = f"/tmp/vss_sdstage_{tag}"
+    sink = f"/tmp/vss_sdsink_{tag}"
+    ckpt = f"/tmp/vss_sdckpt_{tag}"
+    try:
+        # two part files -> two micro-batches
+        docs.where(F.col("doc_id") % 5 == 0).repartition(2).write.parquet(stage)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = streaming_dedup_against_store(
+            stream, ref, sink, ckpt, "text", "doc_id",
+            num_hashes=8, bands=4, n=3, threshold=0.1,
+        )
+        q.awaitTermination(120)
+        out = spark.read.parquet(sink).select("new_id", "ref_id", "jaccard")
+        out = out.localCheckpoint(eager=True)  # detach from the tmp files
+    finally:
+        for p in (stage, sink, ckpt):
+            shutil.rmtree(p, ignore_errors=True)
+    return out
+
+
+@register_extra(
     "q_incremental_dedup_keep",
     _incremental_cte()
     + """

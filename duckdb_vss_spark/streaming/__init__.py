@@ -6,6 +6,7 @@ from duckdb_vss_spark.streaming.ops import (  # noqa: F401
     session_window_stats,
     stream_interval_join,
     stream_static_enrich,
+    streaming_dedup_against_store,
     streaming_dedup_first,
     streaming_index_refresh,
     streaming_matview,

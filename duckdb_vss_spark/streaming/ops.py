@@ -378,6 +378,53 @@ def streaming_matview(
     )
 
 
+def streaming_dedup_against_store(
+    stream_docs: DataFrame,
+    store: DataFrame,
+    sink_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+):
+    """Streaming incremental near-dup dedup: each micro-batch of new
+    documents is MinHash-deduplicated against the STATIC reference
+    signature store and its matches appended to ``sink_path``.
+
+    The per-batch body is the batch operator pair (``minhash_store`` →
+    ``minhash_match_store``) run inside ``foreachBatch`` — the
+    Structured Streaming pattern for reusing exactly-tested batch
+    logic per increment. Each document's matches depend only on (doc,
+    store), so the result is invariant to micro-batch boundaries, the
+    property that makes the stream restartable mid-backlog (the file
+    source + checkpoint replays unprocessed files only, and append is
+    per-batch atomic).
+
+    At scale the stream side is the small side by construction (a
+    crawl increment vs the corpus store): its band buckets broadcast,
+    the store is probed map-side, and history is never re-shingled —
+    the same plan ``minhash_match_store`` documents. Returns the
+    StreamingQuery (availableNow trigger; caller awaits)."""
+    from duckdb_vss_spark.pipeline.dedup import minhash_match_store, minhash_store
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        new_store = minhash_store(batch_df, text_col, id_col, num_hashes, n)
+        matches = minhash_match_store(new_store, store, num_hashes, bands, threshold)
+        matches.write.mode("append").parquet(sink_path)
+
+    return (
+        stream_docs.writeStream.option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(process)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def read_staged_events_stream(spark: SparkSession, stage_dir: str) -> DataFrame:
     """File-source stream over a RESTARTABLE staging directory whose
     parquet files this engine wrote itself (``ts`` already a session-TZ

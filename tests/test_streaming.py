@@ -431,3 +431,51 @@ def test_streaming_matview_incremental_across_restarts(spark, tmp_path):
         )
     }
     assert got == exp
+
+
+def test_streaming_dedup_against_store_matches_batch(spark, tmp_path):
+    """The streamed incremental dedup must equal the one-shot batch
+    minhash_match_store over the same new/ref split regardless of how
+    the new side is chopped into micro-batches (3 files here), and a
+    second run on the same checkpoint must be a no-op (no duplicate
+    appends)."""
+    from duckdb_vss_spark.pipeline.dedup import (
+        _materialize,
+        minhash_match_store,
+        minhash_store,
+    )
+    from duckdb_vss_spark.sources import load_table
+    from duckdb_vss_spark.streaming import streaming_dedup_against_store
+
+    docs = load_table(spark, SF, "documents")
+    store = _materialize(minhash_store(docs, "text", "doc_id"))
+    new = store.where(F.col("id") % 3 == 0)
+    ref = store.where(F.col("id") % 3 != 0)
+    exp = {
+        (r["new_id"], r["ref_id"])
+        for r in minhash_match_store(new, ref, threshold=0.1).collect()
+    }
+
+    stage = str(tmp_path / "stage")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    docs.where(F.col("doc_id") % 3 == 0).repartition(3).write.parquet(stage)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = streaming_dedup_against_store(stream, ref, sink, ckpt, threshold=0.1)
+    q.awaitTermination(120)
+    got = {(r["new_id"], r["ref_id"]) for r in spark.read.parquet(sink).collect()}
+    assert got == exp
+
+    # restart on the same checkpoint: nothing new to process, no dupes
+    stream2 = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q2 = streaming_dedup_against_store(stream2, ref, sink, ckpt, threshold=0.1)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == len(got)
