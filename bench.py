@@ -738,6 +738,8 @@ def main() -> None:
         "q_mix_budget",
         "q_dup_spans",
         "q_image_phash_dedup",
+        # r7: incremental dedup vs a persisted signature store
+        "q_incremental_dedup",
     ):
         # the python-heavy dedup queries are the most sensitive to
         # external CPU contention in this container (observed 3-17x

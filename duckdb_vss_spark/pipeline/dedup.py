@@ -24,7 +24,7 @@ DuckDB oracle can reproduce signatures byte-for-byte.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from duckdb_vss_spark.functions.distance import array_cosine_similarity
@@ -45,6 +45,7 @@ __all__ = [
     "embedding_neardup_pairs",
     "embedding_neardup_lsh",
     "dedup_clusters",
+    "dedup_keep_best",
 ]
 
 
@@ -797,4 +798,38 @@ def dedup_keep(
     drop = clusters.where(F.col("id") != F.col(cluster_col)).select(
         F.col("id").alias(id_col)
     )
+    return docs.join(drop, id_col, "left_anti")
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    id_col: str,
+    clusters: DataFrame,
+    score: Column,
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Quality-weighted dedup: keep the BEST-scoring member of each
+    near-dup cluster instead of the minimum id. Near-dups differ in
+    quality (truncated copies, boilerplate-injected mirrors, OCR
+    variants); a quality-blind canonical throws away the best variant
+    whenever it doesn't happen to carry the smallest id.
+
+    Survivor per cluster = highest ``score``, ties broken by lowest id
+    (deterministic on any engine/partitioning: one row_number window
+    per cluster, clusters are near-dup-mass-sized, never corpus-sized).
+    The drop-list anti-join carries ids only — payloads never shuffle.
+    Singletons never appear in ``clusters`` and survive.
+    """
+    from pyspark.sql import Window
+
+    scored = docs.select(F.col(id_col).alias("id"), score.alias("__s"))
+    ranked = clusters.join(scored, "id").withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy(cluster_col).orderBy(
+                F.col("__s").desc(), F.col("id").asc()
+            )
+        ),
+    )
+    drop = ranked.where(F.col("__rn") > 1).select(F.col("id").alias(id_col))
     return docs.join(drop, id_col, "left_anti")

@@ -1464,6 +1464,67 @@ def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep.select("doc_id", "lang", "n_chars")
 
 
+def _dedup_keep_best_oracle() -> str:
+    pairs_sql = _simhash_pairs_oracle().strip()
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, lab) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    clusters AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
+    scored AS (
+      SELECT doc_id,
+             (least(CAST(len(w) AS DOUBLE) / 50.0, 1.0)
+              + CAST(len(list_distinct(w)) AS DOUBLE)
+                / greatest(CAST(len(w) AS DOUBLE), 1.0)) / 2.0 AS qs
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    ranked AS (
+      SELECT c.id,
+             row_number() OVER (
+               PARTITION BY c.cluster_id ORDER BY s.qs DESC, c.id ASC
+             ) AS rn
+      FROM clusters c JOIN scored s ON s.doc_id = c.id
+    )
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM ranked WHERE rn > 1)
+    """
+
+
+@register_extra("q_dedup_keep_best", _dedup_keep_best_oracle())
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted dedup resolution (pipeline/dedup.
+    dedup_keep_best): each near-dup cluster keeps its HIGHEST-quality
+    member (length/diversity score, ties → min id) rather than the
+    min-id canonical — near-dups differ in quality (truncated copies,
+    boilerplate mirrors) and a quality-blind canonical discards the
+    best variant. The ranking window runs per cluster (near-dup-mass
+    sized); the drop-list anti-join carries ids only. The score doubles
+    are bit-equal cross-engine (q_quality_score is hash-green), so the
+    ordering — and therefore the survivor set — matches exactly."""
+    from duckdb_vss_spark.pipeline.dedup import (
+        dedup_clusters,
+        dedup_keep_best,
+        simhash_pairs,
+    )
+    from duckdb_vss_spark.pipeline.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash_pairs(docs, "text", "doc_id", bits=16, max_hamming=3, blocks=2)
+    keep = dedup_keep_best(
+        docs, "doc_id", dedup_clusters(pairs), quality_score("text")
+    )
+    return keep.select("doc_id", "lang", "n_chars")
+
+
 # --------------------------------------------------------------------------
 # round 6b: chunking + per-source caps
 # --------------------------------------------------------------------------

@@ -79,6 +79,31 @@ def test_minhash_lsh_finds_same_pairs(spark, docs):
     assert got <= exact  # LSH candidates never invent pairs
 
 
+def test_dedup_keep_best_prefers_score_over_min_id(spark):
+    """keep_best must keep the highest-scoring cluster member even when
+    it is NOT the min id (which plain dedup_keep would keep), break
+    score ties by min id, and leave singletons untouched."""
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark.pipeline.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5), (9, 0.0)],
+        "doc_id long, score double",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)],  # {1,2,3} one cluster, {4} member-only
+        "id long, cluster_id long",
+    )
+    kept = {
+        r["doc_id"]
+        for r in dedup_keep_best(docs, "doc_id", clusters, F.col("score")).collect()
+    }
+    # cluster {1,2,3}: 2 and 3 tie on score, min id 2 wins (not min id 1);
+    # 4 is alone in its cluster; 9 is a singleton outside any cluster
+    assert kept == {2, 4, 9}
+
+
 def test_minhash_match_store_consistent_with_self_join(spark, docs):
     """Splitting the corpus into new/ref stores and matching across
     them must yield exactly the cross-split subset of the full
