@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from duckdb_vss_spark.pipeline.text import tokens
 
-__all__ = ["vocab_topk", "oov_rate"]
+__all__ = ["vocab_topk", "oov_rate", "corpus_diff"]
 
 
 def vocab_topk(docs: DataFrame, text_col: str, k: int) -> DataFrame:
@@ -136,4 +136,34 @@ def hash_embedding(
         )
         .otherwise(F.transform(F.col("__raw"), lambda x: x.cast("float")))
         .alias("embedding"),
+    )
+
+
+def corpus_diff(
+    old: DataFrame, new: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Snapshot diff between two corpus versions by content
+    fingerprint: (id, status) with status ∈ {added, removed, changed}.
+    Unchanged documents are omitted — at 100 TB they are the bulk, and
+    the diff is what drives incremental processing (re-embed / re-dedup
+    / re-index only the delta).
+
+    Each side reduces to (id, fingerprint) before the full outer join,
+    so the shuffle carries two skinny columns and payloads never move;
+    the fingerprint is the same md5-of-normalized-text the exact-dedup
+    family uses, so any engine reproduces the status labels exactly."""
+    from duckdb_vss_spark.pipeline.text import fingerprint
+
+    o = old.select(F.col(id_col).alias("id"), fingerprint(text_col).alias("__fo"))
+    n = new.select(F.col(id_col).alias("id"), fingerprint(text_col).alias("__fn"))
+    j = o.join(n, "id", "full_outer")
+    return (
+        j.withColumn(
+            "status",
+            F.when(F.col("__fo").isNull(), F.lit("added"))
+            .when(F.col("__fn").isNull(), F.lit("removed"))
+            .when(F.col("__fo") != F.col("__fn"), F.lit("changed")),
+        )
+        .where(F.col("status").isNotNull())
+        .select("id", "status")
     )

@@ -1464,6 +1464,49 @@ def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep.select("doc_id", "lang", "n_chars")
 
 
+@register_extra(
+    "q_corpus_diff",
+    """
+    WITH old AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fo
+      FROM documents WHERE doc_id % 7 <> 0
+    ),
+    new AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(
+               CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END
+             ), '\\s+', ' ', 'g'))) AS fn
+      FROM documents WHERE doc_id % 11 <> 0
+    )
+    SELECT COALESCE(old.doc_id, new.doc_id) AS id,
+           CASE WHEN fo IS NULL THEN 'added'
+                WHEN fn IS NULL THEN 'removed'
+                WHEN fo <> fn THEN 'changed' END AS status
+    FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+    WHERE (fo IS NULL) OR (fn IS NULL) OR (fo <> fn)
+    """,
+)
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (pipeline/corpus.corpus_diff): the driver
+    of incremental processing — (id, added|removed|changed) between two
+    versions, unchanged bulk omitted. Both sides collapse to (id,
+    fingerprint) before the full outer join, so the shuffle is two
+    skinny columns and payloads never move. Here snapshot A drops
+    doc_id%7=0, snapshot B drops %11=0 and edits %13=0 — exercising
+    all three states against the SQL mirror."""
+    from duckdb_vss_spark.pipeline.corpus import corpus_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 7 != 0)
+    new = docs.where(F.col("doc_id") % 11 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return corpus_diff(old, new, "doc_id", "text")
+
+
 def _dedup_keep_best_oracle() -> str:
     pairs_sql = _simhash_pairs_oracle().strip()
     return f"""
