@@ -29,10 +29,10 @@ computes identical keep-sets/shard assignments bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_sample", "stratified_hash_sample", "shuffle_shards", "source_cap", "hash60"]
+__all__ = ["hash_sample", "stratified_hash_sample", "shuffle_shards", "source_cap", "weighted_sample", "hash60"]
 
 
 def hash60(id_col: Column | str, seed: int) -> Column:
@@ -101,6 +101,45 @@ def shuffle_shards(
     h = hash60(id_col, seed)
     return df.withColumn("pos", h).withColumn(
         "shard", (F.col("pos") % num_shards).cast("int")
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight: Column,
+    k: int,
+    seed: int = 42,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-Res): the ``k`` rows with the largest key = ln(u)/w, where
+    u = (hash60(seed, id)+1)/2⁶⁰ and w = ``weight`` > 0 — each row's
+    inclusion probability is proportional to its weight, with no RNG
+    state, so the sample is a pure function of (seed, ids, weights):
+    identical on any engine, partitioning or cluster size (rows with
+    w ≤ 0 are excluded). With ``group_col``, top-k per group — the
+    quality-weighted variant of the data-mixing primitive ("k docs per
+    source, preferring high-quality ones").
+
+    One map pass + one rank window: Spark's WindowGroupLimit pushes
+    the rank filter map-side, so the shuffle carries at most
+    tasks·k rows per group, never the population. The key is rounded
+    to 12 decimals before ranking (ties → min id) so the ordering
+    never hinges on sub-ULP differences between the engines' libm
+    ``ln`` — the one non-IEEE-exact operation in the key."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    u = (hash60(id_col, seed) + F.lit(1)).cast("double") / F.lit(float(2**60))
+    key = F.round(F.log(u) / weight.cast("double"), 12)
+    keyed = df.where(weight.cast("double") > 0).withColumn("__wkey", key)
+    w = (
+        Window.partitionBy(group_col) if group_col else Window.partitionBy()
+    ).orderBy(F.col("__wkey").desc(), F.col(id_col).asc())
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__wkey", "__rn")
     )
 
 

@@ -1465,6 +1465,39 @@ def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "q_weighted_sample",
+    """
+    WITH keyed AS (
+      SELECT doc_id, lang,
+             round(ln((CAST(('0x' || substr(md5('7_' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+                      / 1152921504606846976.0)
+                   / CAST(n_chars AS DOUBLE), 12) AS wk
+      FROM documents WHERE CAST(n_chars AS DOUBLE) > 0
+    )
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY wk DESC, doc_id ASC) AS rn
+      FROM keyed
+    ) WHERE rn <= 20
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (pipeline/sample.
+    weighted_sample, Efraimidis-Spirakis A-Res): 20 docs per language
+    with inclusion probability ∝ n_chars, as a pure function of
+    (seed, ids, weights) — reproducible on any engine/partitioning.
+    One map pass + one rank window (map-side WindowGroupLimit); the
+    ln-key is rounded to 12 decimals so ordering never hinges on
+    sub-ULP libm differences between engines."""
+    from duckdb_vss_spark.pipeline.sample import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs, "doc_id", F.col("n_chars"), k=20, seed=7, group_col="lang"
+    ).select("doc_id", "lang")
+
+
+@register_extra(
     "q_corpus_diff",
     """
     WITH old AS (

@@ -107,3 +107,40 @@ def test_stratified_sample_validates_fractions(spark):
         stratified_hash_sample(df, "id", "g", {"x": 1.5})
     with pytest.raises(ValueError):
         stratified_hash_sample(df, "id", "g", {}, default_fraction=-0.1)
+
+
+def test_weighted_sample_weights_and_determinism(spark):
+    """ES keys: a row's selection odds scale with weight — with one
+    dominant-weight row per group it must essentially always survive;
+    w<=0 rows are excluded; the draw is partitioning-invariant."""
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark.pipeline.sample import weighted_sample
+
+    rows = [(i, "g", 1.0 if i else 1e9) for i in range(200)] + [(500, "g", 0.0)]
+    df = spark.createDataFrame(rows, "id long, grp string, w double")
+    got = {
+        r["id"]
+        for r in weighted_sample(
+            df, "id", F.col("w"), k=5, seed=3, group_col="grp"
+        ).collect()
+    }
+    assert len(got) == 5
+    assert 0 in got          # the 1e9-weight row wins a slot
+    assert 500 not in got    # zero weight excluded
+    # partitioning invariance
+    got2 = {
+        r["id"]
+        for r in weighted_sample(
+            df.repartition(7), "id", F.col("w"), k=5, seed=3, group_col="grp"
+        ).collect()
+    }
+    assert got2 == got
+    # different seed -> (almost surely) different draw of the unit-weight rows
+    got3 = {
+        r["id"]
+        for r in weighted_sample(
+            df, "id", F.col("w"), k=5, seed=4, group_col="grp"
+        ).collect()
+    }
+    assert got3 != got
