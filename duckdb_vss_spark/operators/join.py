@@ -52,7 +52,7 @@ from duckdb_vss_spark.functions.distance import (
     distance_for_metric,
 )
 
-__all__ = ["knn_join", "vss_join", "vss_match"]
+__all__ = ["knn_join", "knn_classify", "vss_join", "vss_match"]
 
 # vss_* macro scoring: metric → (score function, keep-largest?)
 _MACRO_SCORES = {
@@ -312,3 +312,52 @@ def vss_match(
         ).alias("matches")
     )
     return agg.select("__left.*", "matches")
+
+
+def knn_classify(
+    queries: DataFrame,
+    items: DataFrame,
+    query_vec_col: str,
+    item_vec_col: str,
+    label_col: str,
+    k: int = 5,
+    metric: str = "l2sq",
+    query_id_col: str = "vec_id",
+    item_id_col: str = "vec_id",
+    strategy: str = "crossjoin",
+) -> DataFrame:
+    """Majority-vote kNN classification: (qid, label, votes) — each
+    query takes the most frequent label among its ``k`` nearest items
+    (vote ties → smaller label; distance ties at the k-boundary →
+    smaller item id, the same convention every knn oracle here pins).
+
+    The standard embedding-space label-propagation step of a data
+    pipeline: spreading quality/topic/safety labels from a small
+    curated set to the full corpus. Candidate generation is
+    ``knn_join`` — brute-force here for the oracle-exact path; at
+    corpus scale generate candidates with the HNSW/IVF index
+    (``HnswIndex.knn_join`` / ``IvfIndex``) and apply the identical
+    vote aggregation, which shuffles only (qid, label) pairs."""
+    qs = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("__qv")
+    )
+    # rid precedes label so the knn window's residual tie-break order is
+    # (dist, rid, ...) — matching the oracles' ORDER BY dist, rid
+    rs = items.select(
+        F.col(item_id_col).alias("rid"),
+        F.col(label_col).alias("__lab"),
+        F.col(item_vec_col).alias("__rv"),
+    )
+    nn = knn_join(
+        qs, rs, "__qv", "__rv", k, metric,
+        query_id_col="qid", item_id_col="rid", strategy=strategy,
+    )
+    votes = nn.groupBy("qid", "__lab").agg(F.count(F.lit(1)).alias("votes"))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("votes").desc(), F.col("__lab").asc()
+    )
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("qid", F.col("__lab").alias("label"), F.col("votes").cast("bigint").alias("votes"))
+    )

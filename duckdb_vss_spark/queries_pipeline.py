@@ -1465,6 +1465,47 @@ def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "q_knn_classify",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id % 10 = 0),
+    r AS (SELECT vec_id AS rid, label, embedding FROM embeddings WHERE vec_id % 10 <> 0),
+    nn AS (
+      SELECT qid, label FROM (
+        SELECT q.qid, r.label,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(r.embedding AS DOUBLE[])), r.rid
+               ) AS rn
+        FROM q, r
+      ) WHERE rn <= 5
+    ),
+    votes AS (SELECT qid, label, count(*) AS votes FROM nn GROUP BY 1, 2)
+    SELECT qid, label, votes FROM (
+      SELECT qid, label, CAST(votes AS BIGINT) AS votes,
+             row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label ASC) AS rn
+      FROM votes
+    ) WHERE rn = 1
+    """,
+)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote kNN classification (operators/join.knn_classify):
+    embedding-space label propagation — every 10th vector is treated as
+    unlabeled and takes the modal label of its 5 nearest labeled
+    neighbors (vote ties → smaller label, distance ties → smaller id).
+    Brute-force candidates here for oracle exactness; at corpus scale
+    the identical vote aggregation runs over HNSW/IVF candidates."""
+    from duckdb_vss_spark.operators.join import knn_classify
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_classify(
+        emb.where(F.col("vec_id") % 10 == 0),
+        emb.where(F.col("vec_id") % 10 != 0),
+        "embedding", "embedding", "label", k=5, metric="l2sq",
+    )
+
+
+@register_extra(
     "q_weighted_sample",
     """
     WITH keyed AS (

@@ -92,3 +92,36 @@ def test_broadcast_strategy_matches_crossjoin(spark):
         query_id_col="qid", item_id_col="vec_id", strategy="broadcast",
     ).select("qid", "vec_id", "rn")
     assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_knn_classify_majority_and_ties(spark):
+    """The modal label among k neighbors wins (not the single nearest),
+    vote ties break to the smaller label, and votes counts are exact."""
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark.operators.join import knn_classify
+
+    refs = spark.createDataFrame(
+        [
+            (1, 9, [0.0, 0.0]),   # nearest to q100, but outvoted
+            (2, 2, [0.1, 0.0]),
+            (3, 2, [0.0, 0.1]),
+            (4, 5, [3.0, 3.0]),   # q200's neighborhood: labels {5,7} tie 1-1
+            (5, 7, [3.1, 3.0]),
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+    qs = spark.createDataFrame(
+        [(100, [0.0, 0.01]), (200, [3.05, 3.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["qid"]: (r["label"], r["votes"])
+        for r in knn_classify(
+            qs, refs, "embedding", "embedding", "label", k=3
+        ).collect()
+    }
+    assert got[100] == (2, 2)   # labels among k=3: {9, 2, 2} -> 2 wins
+    # q200's k=3: items 4 (label 5), 5 (label 7), and item 2 (label 2,
+    # the closest of the far cluster) -> 1-1-1 vote tie -> smallest label
+    assert got[200] == (2, 1)
