@@ -77,7 +77,11 @@ _EXTRA_ORACLES: dict[str, str] = {}
 # this round): q_knn_cosine, q_knn_inner_product, q_sql_maxby_topk,
 # q_hnsw_self_consistency, q_embedding_neardup_lsh, q_sessionize_events,
 # q_knn_join_grouped, q_ivf_knn_join, q_vss_match_stats,
-# q_stream_session_windows, plus the r6-green rows rotating out here.
+# q_stream_session_windows, plus the r6-green rows rotating out here,
+# plus the surfaces born mid-r7 after the window froze (declare in r8,
+# their birth-round+1): q_incremental_dedup, q_incremental_dedup_keep,
+# q_stream_dedup_store, q_dedup_keep_best, q_corpus_diff,
+# q_weighted_sample, q_knn_classify.
 _DECLARED: list[str] = [
     # 1. the r6 red row, fixed (oracle CAST ... AS BIGINT)
     "q_pack_sequences",
