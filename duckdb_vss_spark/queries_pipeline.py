@@ -1464,6 +1464,82 @@ def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep.select("doc_id", "lang", "n_chars")
 
 
+def _kmeans_oracle(k: int = 4, iters: int = 2, seed: int = 5) -> str:
+    """DuckDB replay of pipeline/kmeans.py, iteration by iteration:
+    seeded hash init, list_distance argmin assignment (ties → lower
+    cid), and the integer-quantized update sum(CAST(floor(v·1e9+0.5)
+    AS BIGINT))/n/1e9 — the form both engines compute bit-identically
+    (double→DECIMAL casts are NOT portable: Spark rounds half-up,
+    DuckDB half-even; floor of an identical IEEE double is)."""
+
+    def asgn(cents_cte: str) -> str:
+        return f"""SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id ORDER BY list_distance(e.v, c.c), c.cid
+               ) AS rn
+        FROM e, {cents_cte} c) WHERE rn = 1"""
+
+    parts = [
+        f"""WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE embedding IS NOT NULL
+    ),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS cid, v AS c
+      FROM (
+        SELECT vec_id, v,
+               CAST(('0x' || substr(md5('{seed}_' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM e ORDER BY h, vec_id LIMIT {k}
+      )
+    )"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f"a{t} AS ({asgn(f'c{t-1}')})")
+        parts.append(
+            f"""s{t} AS (
+      SELECT cid, p, sum(CAST(floor(val * 1000000000.0 + 0.5) AS BIGINT)) AS s,
+             count(*) AS n
+      FROM (SELECT cid, unnest(v) AS val, generate_subscripts(v, 1) AS p FROM a{t})
+      GROUP BY 1, 2
+    )"""
+        )
+        parts.append(
+            f"""c{t} AS (
+      SELECT i.cid, COALESCE(u.c, i.c) AS c
+      FROM c{t-1} i LEFT JOIN (
+        SELECT cid, list(CAST(s AS DOUBLE) / n / 1000000000.0 ORDER BY p) AS c
+        FROM s{t} GROUP BY cid
+      ) u ON i.cid = u.cid
+    )"""
+        )
+    parts.append(f"af AS ({asgn(f'c{iters}')})")
+    parts.append("cnt AS (SELECT cid, count(*) AS n FROM af GROUP BY 1)")
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT c.cid AS cluster_id, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n,
+           c.c AS centroid
+    FROM c{iters} c LEFT JOIN cnt ON c.cid = cnt.cid
+    """
+    )
+
+
+@register_extra("q_kmeans", _kmeans_oracle())
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (pipeline/kmeans.py): 2 Lloyd iterations,
+    k=4, seeded-hash init — every iteration's assignments and centroid
+    means are BIT-IDENTICAL across engines (integer-quantized update
+    sums; no float-order or decimal-rounding dependence), so this
+    oracle-checks an iterative algorithm exactly, not just its row
+    counts. Spark cost shape: iters map-only assignment scans + iters
+    skinny (cluster, dim) shuffles; driver holds k×d doubles only."""
+    from duckdb_vss_spark.pipeline.kmeans import kmeans_summary
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_summary(emb, "embedding", "vec_id", k=4, iters=2, seed=5)
+
+
 @register_extra(
     "q_knn_classify",
     """
