@@ -738,8 +738,13 @@ def main() -> None:
         "q_mix_budget",
         "q_dup_spans",
         "q_image_phash_dedup",
-        # r7: incremental dedup vs a persisted signature store
+        # r7: incremental dedup, snapshot diff, weighted draw, label
+        # propagation, clustering
         "q_incremental_dedup",
+        "q_corpus_diff",
+        "q_weighted_sample",
+        "q_knn_classify",
+        "q_kmeans",
     ):
         # the python-heavy dedup queries are the most sensitive to
         # external CPU contention in this container (observed 3-17x
