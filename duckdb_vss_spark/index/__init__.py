@@ -25,3 +25,9 @@ from duckdb_vss_spark.index.ivfpq import (  # noqa: F401
     drop_ivfpq_index,
     load_ivfpq_index,
 )
+from duckdb_vss_spark.index.sq import (  # noqa: F401
+    sq_encode,
+    sq_knn,
+    sq_reconstruct,
+    train_sq,
+)

@@ -81,7 +81,7 @@ _EXTRA_ORACLES: dict[str, str] = {}
 # plus the surfaces born mid-r7 after the window froze (declare in r8,
 # their birth-round+1): q_incremental_dedup, q_incremental_dedup_keep,
 # q_stream_dedup_store, q_dedup_keep_best, q_corpus_diff,
-# q_weighted_sample, q_knn_classify, q_kmeans.
+# q_weighted_sample, q_knn_classify, q_kmeans, q_sq_knn.
 _DECLARED: list[str] = [
     # 1. the r6 red row, fixed (oracle CAST ... AS BIGINT)
     "q_pack_sequences",
@@ -1587,6 +1587,46 @@ def q_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", F.col("dist").cast("double").alias("dist"))
         .orderBy("dist", "vec_id")
     )
+
+
+@register_extra(
+    "q_sq_knn",
+    f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE embedding IS NOT NULL
+    ),
+    flat AS (
+      SELECT vec_id, label, unnest(v) AS val, generate_subscripts(v, 1) AS p FROM e
+    ),
+    dims AS (SELECT p, min(val) AS mn, max(val) AS mx FROM flat GROUP BY p),
+    recon AS (
+      SELECT vec_id, label,
+             list(mn + CAST(
+                 CASE WHEN mx > mn
+                      THEN least(greatest(CAST(floor((val - mn) / (mx - mn) * 255.0 + 0.5) AS BIGINT), 0), 255)
+                      ELSE 0 END AS DOUBLE) / 255.0 * (mx - mn)
+                  ORDER BY p) AS r
+      FROM flat JOIN dims USING (p) GROUP BY vec_id, label
+    )
+    SELECT vec_id, label, list_distance(r, {_ORACLE_QVEC.format(vid=41)}) AS dist
+    FROM recon ORDER BY dist, vec_id LIMIT 10
+    """,
+)
+def q_sq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized top-k (index/sq.py): per-dim uint8 codes from
+    exact corpus min/max bounds, asymmetric distance of the raw query
+    against the reconstructed corpus. Unlike PQ (whose trained
+    codebooks force a rerank-exact oracle), the SQ codec is fixed-order
+    IEEE arithmetic end to end, so the oracle replays the QUANTIZED
+    scan itself bit-for-bit — codes, reconstruction, distance and
+    ranking all pinned. Scan reads (id, d bytes): 4x under float32,
+    composing with IVF pruning like PQ."""
+    from duckdb_vss_spark.index import sq_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 41)
+    return sq_knn(emb, "embedding", "vec_id", qv, 10, extra_cols=["label"])
 
 
 def _get_ivfpq_index(spark: SparkSession, sf_dir: str):
