@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from duckdb_vss_spark.pipeline.text import tokens
 
-__all__ = ["vocab_topk", "oov_rate", "corpus_diff"]
+__all__ = ["vocab_topk", "oov_rate", "corpus_diff", "random_projection", "random_projection_signs"]
 
 
 def vocab_topk(docs: DataFrame, text_col: str, k: int) -> DataFrame:
@@ -167,3 +167,63 @@ def corpus_diff(
         .where(F.col("status").isNotNull())
         .select("id", "status")
     )
+
+
+def random_projection_signs(in_dim: int, out_dim: int, seed: int = 42):
+    """The deterministic ±1 sign matrix shared by both engines: sign
+    s(i, j) = +1 iff the first md5 hex nibble of 'rp_<seed>_<i>_<j>'
+    is even. A pure function of (seed, i, j), so SQL rebuilds the
+    identical matrix from scratch — no fitted state to ship (unlike
+    PCA, whose eigendecomposition has no SQL replay)."""
+    import hashlib
+
+    import numpy as np
+
+    md5 = hashlib.md5
+    s = np.empty((in_dim, out_dim), dtype=np.float64)
+    for i in range(in_dim):
+        for j in range(out_dim):
+            nib = md5(f"rp_{seed}_{i}_{j}".encode()).hexdigest()[0]
+            s[i, j] = 1.0 if int(nib, 16) % 2 == 0 else -1.0
+    return s
+
+
+def random_projection(
+    df: DataFrame, vec_col: str, out_dim: int, seed: int = 42,
+    out_col: str = "proj",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: ``out_col`` =
+    array<double> of ``out_dim`` with out[j] = <v, s_j> / sqrt(out_dim)
+    over the seeded ±1 sign matrix — the model-free dimensionality
+    reduction that preserves pairwise distances in expectation
+    (Achlioptas 2003 sign-matrix variant; FAISS ships the same idea as
+    a pretransform). Map-only, no shuffle, no fitted state; the sign
+    columns ride as one constant-folded literal and each output
+    coordinate is the pinned sequential-fold inner product, so any
+    engine reproduces the projected vectors bit-for-bit.
+
+    At 100 TB this is the scan-width lever before ANN indexing:
+    1024-dim float32 → 64-dim is a 16× byte cut ahead of the
+    IVF/PQ/SQ ladder, at one fused map pass."""
+    import math
+
+    from duckdb_vss_spark.functions.distance import array_inner_product
+
+    signs = random_projection_signs_dim(df, vec_col, out_dim, seed)
+    payload = "[" + ",".join(
+        "[" + ",".join(repr(float(signs[i, j]) ) for i in range(signs.shape[0])) + "]"
+        for j in range(out_dim)
+    ) + "]"
+    smat = F.from_json(F.lit(payload), "array<array<double>>")
+    v = F.col(vec_col).cast("array<double>")
+    inv = F.lit(1.0 / math.sqrt(float(out_dim)))
+    proj = F.transform(smat, lambda s: array_inner_product(v, s) * inv)
+    return df.where(v.isNotNull()).withColumn(out_col, proj)
+
+
+def random_projection_signs_dim(df, vec_col, out_dim, seed):
+    """Sign matrix sized from the data's vector width (one-row probe)."""
+    row = df.where(F.col(vec_col).isNotNull()).select(F.size(vec_col)).first()
+    if row is None:
+        raise ValueError("no non-null vectors")
+    return random_projection_signs(int(row[0]), out_dim, seed)

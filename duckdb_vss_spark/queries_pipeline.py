@@ -1464,6 +1464,42 @@ def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep.select("doc_id", "lang", "n_chars")
 
 
+@register_extra(
+    "q_random_projection",
+    """
+    WITH idx AS (SELECT i, j FROM range(64) t1(i), range(8) t2(j)),
+    signs AS (
+      SELECT i, j,
+             CASE WHEN strpos('02468ace',
+                    substr(md5('rp_5_' || CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1)) > 0
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM idx
+    ),
+    smat AS (SELECT j, list(s ORDER BY i) AS sv FROM signs GROUP BY j),
+    e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE embedding IS NOT NULL
+    )
+    SELECT vec_id,
+           list(list_inner_product(v, sv) * (1.0 / sqrt(8.0)) ORDER BY j) AS proj
+    FROM e, smat
+    GROUP BY vec_id
+    """,
+)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss projection (pipeline/corpus.
+    random_projection): 64 -> 8 dims via the seeded +/-1 sign matrix.
+    Both engines derive the matrix from the same md5 nibble parity —
+    pure function of (seed, i, j), no fitted state — and each output
+    coordinate is the pinned sequential-fold inner product, so the
+    projected vectors match bit-for-bit. Map-only, no shuffle: the
+    scan-width lever ahead of the IVF/PQ/SQ ladder."""
+    from duckdb_vss_spark.pipeline.corpus import random_projection
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return random_projection(emb, "embedding", 8, seed=5).select("vec_id", "proj")
+
+
 def _kmeans_oracle(k: int = 4, iters: int = 2, seed: int = 5) -> str:
     """DuckDB replay of pipeline/kmeans.py, iteration by iteration:
     seeded hash init, list_distance argmin assignment (ties → lower

@@ -53,3 +53,29 @@ def test_sq_knn_close_to_exact(spark):
     # the query itself (vec_id=3) must rank first in both
     assert approx[0] == exact[0] == 3
     assert len(set(approx) & set(exact)) >= 8
+
+
+def test_random_projection_preserves_distances_jl(spark):
+    """JL property: 64->16 projection roughly preserves pairwise
+    squared distances (within a loose factor), and the projection is
+    partitioning-invariant bit-for-bit."""
+    from duckdb_vss_spark.pipeline.corpus import random_projection
+    from duckdb_vss_spark.sources import load_table
+
+    emb = load_table(spark, SF, "embeddings").limit(50)
+    out = random_projection(emb, "embedding", 16, seed=9)
+    rows = out.select("vec_id", F.col("embedding").cast("array<double>").alias("v"), "proj").collect()
+    V = np.asarray([r["v"] for r in rows])
+    P = np.asarray([r["proj"] for r in rows])
+    dv = ((V[:, None, :] - V[None, :, :]) ** 2).sum(-1)
+    dp = ((P[:, None, :] - P[None, :, :]) ** 2).sum(-1)
+    iu = np.triu_indices(len(rows), 1)
+    ratio = dp[iu] / np.maximum(dv[iu], 1e-12)
+    # E[ratio] = 1; m=16 gives loose concentration — check the bulk
+    assert 0.8 < np.median(ratio) < 1.25
+    assert np.all(ratio > 0.15) and np.all(ratio < 4.0)
+    # bit-identical under repartitioning
+    out2 = {r["vec_id"]: r["proj"] for r in
+            random_projection(emb.repartition(7), "embedding", 16, seed=9).collect()}
+    for r in rows:
+        assert out2[r["vec_id"]] == list(P[[x["vec_id"] for x in rows].index(r["vec_id"])])
