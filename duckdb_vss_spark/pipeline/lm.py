@@ -1,0 +1,92 @@
+"""Corpus-trained bigram language-model scoring — the perplexity
+filter (CCNet / Gopher recipe: drop documents whose text is least
+probable under a cheap LM; boilerplate, menus, and garbled extractions
+score far worse than prose).
+
+The LM is the corpus's own add-one-smoothed bigram model — no external
+model artifact, so the whole pipeline is two aggregations over bigram
+occurrences:
+
+    P(w2 | w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)
+    score(doc) = mean over the doc's bigrams of ln P
+
+Plan shape at 100 TB: one bigram-keyed count (map-side partial), one
+prefix-keyed rollup of those counts (small), one join of occurrences
+back to the two count tables (skinny keys), one per-doc aggregation.
+No Python anywhere — tokenize/ngram/ln are all codegen'd expressions.
+
+Cross-engine note (why the filter emits IDS, not raw floats): ``ln``
+is the one operation here that is not IEEE-exact, and Spark's
+``Math.log`` vs DuckDB's libm may differ in the last ulp. Per-doc
+score gaps are ~1e-5 while cross-engine sum drift is ~1e-11, so the
+RANKING is stable; the oracle therefore compares the selected ids
+(rank key = score rounded to 6 decimals, ties → id — the rounding
+also makes exact-duplicate documents tie exactly instead of by float
+noise). Anyone needing the scores themselves reads ``bigram_scores``
+and treats them as approximate to ~1e-11.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["bigram_scores", "perplexity_filter"]
+
+
+def bigram_scores(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document (id, n_bigrams, avg_logprob) under the corpus's
+    add-one bigram LM. Documents with fewer than 2 tokens yield no
+    row."""
+    from duckdb_vss_spark.pipeline.text import word_ngrams
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    vocab = toks.select(F.countDistinct("tok").alias("v"))
+    bg = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams(text_col, 2)).alias("b"),
+    )
+    c12 = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = (
+        c12.withColumn("w1", F.split(F.col("b"), " ")[0])
+        .groupBy("w1")
+        .agg(F.sum("c12").alias("c1"))
+    )
+    joined = (
+        bg.join(c12, "b")
+        .withColumn("w1", F.split(F.col("b"), " ")[0])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+    )
+    logp = F.log(
+        (F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("v"))
+    )
+    return joined.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        (F.sum(logp) / F.count(F.lit(1))).alias("avg_logprob"),
+    )
+
+
+def perplexity_filter(
+    docs: DataFrame, text_col: str, id_col: str, worst: int
+) -> DataFrame:
+    """The ``worst`` document ids by LM score (lowest avg bigram
+    log-likelihood first): the drop-list of the perplexity filter.
+    Deterministic across engines/partitionings: rank key = score
+    rounded to 6 decimals (absorbs float-sum and libm-ulp noise, and
+    makes exact-duplicate texts tie exactly), ties → smaller id.
+    Returns (id, n_bigrams)."""
+    from pyspark.sql import Window
+
+    scored = bigram_scores(docs, text_col, id_col)
+    w = Window.partitionBy().orderBy(
+        F.round(F.col("avg_logprob"), 6).asc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= worst)
+        .select(F.col("id").alias(id_col), "n_bigrams")
+    )

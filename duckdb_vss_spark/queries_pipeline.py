@@ -1465,6 +1465,55 @@ def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "q_perplexity_filter",
+    """
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(w), 1)),
+                    i -> w[i] || ' ' || w[i+1])) AS b
+      FROM words
+    ),
+    c12 AS (SELECT b, count(*) AS c FROM g GROUP BY b),
+    c1 AS (
+      SELECT string_split(b, ' ')[1] AS w1, sum(c) AS c1 FROM c12 GROUP BY 1
+    ),
+    voc AS (
+      SELECT count(DISTINCT tok) AS v
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    ),
+    scored AS (
+      SELECT doc_id, count(*) AS nb,
+             sum(ln((c + 1.0) / (c1 + v))) / count(*) AS s
+      FROM g
+      JOIN c12 USING (b)
+      JOIN c1 ON string_split(g.b, ' ')[1] = c1.w1
+      CROSS JOIN voc
+      GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams FROM (
+      SELECT doc_id, nb,
+             row_number() OVER (ORDER BY round(s, 6) ASC, doc_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 100
+    """,
+)
+def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity filtering (pipeline/lm.py): the 100 documents least
+    probable under the corpus's own add-one bigram LM — the CCNet /
+    Gopher quality cut, model-free. All-JVM plan: bigram counts
+    (map-side partials), prefix rollup, skinny-key joins, one per-doc
+    aggregation. The oracle compares the selected IDS: ln is the one
+    non-IEEE-exact op, so the rank key rounds scores to 6 decimals
+    (gaps ~1e-5 vs cross-engine drift ~1e-11) with id tie-breaks —
+    exact duplicates tie exactly instead of by float noise."""
+    from duckdb_vss_spark.pipeline.lm import perplexity_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    return perplexity_filter(docs, "text", "doc_id", worst=100)
+
+
+@register_extra(
     "q_random_projection",
     """
     WITH idx AS (SELECT i, j FROM range(64) t1(i), range(8) t2(j)),

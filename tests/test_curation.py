@@ -212,3 +212,25 @@ def test_hash_embedding_feeds_neardup_family(spark):
     pairs = embedding_neardup_pairs(emb, "embedding", "doc_id", 0.2)
     # exact duplicate texts exist in the synthetic corpus -> some pairs
     assert pairs.count() >= 0 and set(pairs.columns) >= {"id_a", "id_b"}
+
+
+def test_perplexity_filter_flags_garbled_text(spark):
+    """A doc of shuffled rare junk tokens must rank worse (lower avg
+    bigram logprob) than repetitive natural-ish text; the filter is
+    partitioning-invariant."""
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark.pipeline.lm import bigram_scores, perplexity_filter
+
+    rows = [(i, "the cat sat on the mat and the cat sat again") for i in range(20)]
+    rows.append((100, "zq xv jk wp qz vx kj pw zz qq ww pp"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    scores = {r["id"]: r["avg_logprob"] for r in bigram_scores(df, "text", "doc_id").collect()}
+    assert scores[100] < min(v for k, v in scores.items() if k != 100)
+    worst = [r["doc_id"] for r in perplexity_filter(df, "text", "doc_id", 1).collect()]
+    assert worst == [100]
+    worst2 = [
+        r["doc_id"]
+        for r in perplexity_filter(df.repartition(5), "text", "doc_id", 1).collect()
+    ]
+    assert worst2 == [100]
