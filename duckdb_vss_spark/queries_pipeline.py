@@ -1464,6 +1464,69 @@ def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep.select("doc_id", "lang", "n_chars")
 
 
+def _curation_oracle() -> str:
+    b = lambda f: int(f * float(2**60))
+    h = lambda seed: (
+        f"CAST(('0x' || substr(md5('{seed}_' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    )
+    return f"""
+    WITH good AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents
+      )
+      WHERE (least(CAST(len(w) AS DOUBLE) / 50.0, 1.0)
+             + CAST(len(list_distinct(w)) AS DOUBLE)
+               / greatest(CAST(len(w) AS DOUBLE), 1.0)) / 2.0 >= 0.5
+    ),
+    keep AS (
+      SELECT min(doc_id) AS doc_id
+      FROM (SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+            FROM good)
+      GROUP BY fp
+    ),
+    deduped AS (SELECT g.* FROM good g JOIN keep USING (doc_id)),
+    sampled AS (
+      SELECT doc_id, lang, text FROM deduped
+      WHERE {h(11)} < CASE lang WHEN 'en' THEN {b(0.8)} ELSE {b(0.4)} END
+    ),
+    laid AS (
+      SELECT doc_id, lang,
+             {h(12)} AS pos,
+             CAST({h(12)} % 8 AS INT) AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM sampled
+    )
+    SELECT doc_id, lang, n_tok, shard,
+           CAST(COALESCE(sum(n_tok) OVER (PARTITION BY shard ORDER BY pos, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+           CAST(COALESCE(sum(n_tok) OVER (PARTITION BY shard ORDER BY pos, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS seq_id,
+           CAST(COALESCE(sum(n_tok) OVER (PARTITION BY shard ORDER BY pos, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) % 512 AS BIGINT) AS seq_pos
+    FROM laid
+    """
+
+
+@register_extra("q_curation_e2e", _curation_oracle())
+def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation (pipeline/curate.curate_corpus): quality
+    filter → exact dedup → stratified mix (en 80% / else 40%) →
+    512-token packing, every stage a pure function of (seed, content),
+    so the ENTIRE chain — survivor set, mix, layout offsets — replays
+    in one SQL statement and hash-matches. Two shuffles end to end:
+    the fingerprint aggregation (+ id-only semi join) and the packing
+    window; the filter and mix fuse into the scans."""
+    from duckdb_vss_spark.pipeline.curate import curate_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curate_corpus(
+        docs, "doc_id", "text", "lang",
+        min_quality=0.5, fractions={"en": 0.8}, default_fraction=0.4,
+        budget=512, num_shards=8, seed=11,
+    )
+
+
 @register_extra(
     "q_perplexity_filter",
     """

@@ -234,3 +234,40 @@ def test_perplexity_filter_flags_garbled_text(spark):
         for r in perplexity_filter(df.repartition(5), "text", "doc_id", 1).collect()
     ]
     assert worst2 == [100]
+
+
+def test_curate_corpus_stage_semantics(spark):
+    """The composed chain must honor each stage: low-quality docs out,
+    exact dups collapse to min id, sampling is monotone in fraction,
+    offsets per shard are a prefix-sum of surviving token counts."""
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark.pipeline.curate import curate_corpus
+
+    rows = [
+        (1, "en", "the quick brown fox jumps over the lazy dog and keeps running far"),
+        (2, "en", "the quick brown fox jumps over the lazy dog and keeps running far"),  # dup of 1
+        (3, "en", "a a a a"),                                        # low diversity -> filtered
+        (4, "de", "ein ganz anderer text mit vielen verschiedenen neuen woertern hier drin"),
+        (5, "en", "completely different english sentence with many distinct useful words inside"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = curate_corpus(
+        df, "doc_id", "text", "lang",
+        min_quality=0.4, fractions={"en": 1.0}, default_fraction=1.0,
+        budget=8, num_shards=2, seed=3,
+    ).collect()
+    ids = {r["doc_id"] for r in out}
+    assert 2 not in ids          # dup collapsed to min id 1
+    assert 3 not in ids          # low-quality dropped
+    assert {1, 4, 5} <= ids      # fractions 1.0 keep the rest
+    # per-shard offsets are consecutive prefix sums
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["offset"])):
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard_rows in by_shard.values():
+        acc = 0
+        for r in shard_rows:
+            assert r["offset"] == acc
+            assert r["seq_id"] == acc // 8 and r["seq_pos"] == acc % 8
+            acc += r["n_tok"]
