@@ -125,3 +125,27 @@ def test_knn_classify_majority_and_ties(spark):
     # q200's k=3: items 4 (label 5), 5 (label 7), and item 2 (label 2,
     # the closest of the far cluster) -> 1-1-1 vote tie -> smallest label
     assert got[200] == (2, 1)
+
+
+def test_knn_classify_broadcast_strategy_matches_crossjoin(spark):
+    """The scale path (chunked broadcast knn_join) must produce the
+    identical classification as the crossjoin oracle path."""
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark.operators.join import knn_classify
+    from duckdb_vss_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = emb.where(F.col("vec_id") % 17 == 0)
+    rs = emb.where(F.col("vec_id") % 17 != 0)
+    a = {
+        (r["qid"], r["label"], r["votes"])
+        for r in knn_classify(qs, rs, "embedding", "embedding", "label", k=5).collect()
+    }
+    b = {
+        (r["qid"], r["label"], r["votes"])
+        for r in knn_classify(
+            qs, rs, "embedding", "embedding", "label", k=5, strategy="broadcast"
+        ).collect()
+    }
+    assert a == b and len(a) > 0
