@@ -81,7 +81,7 @@ _EXTRA_ORACLES: dict[str, str] = {}
 # plus the surfaces born mid-r7 after the window froze (declare in r8,
 # their birth-round+1): q_incremental_dedup, q_incremental_dedup_keep,
 # q_stream_dedup_store, q_dedup_keep_best, q_corpus_diff,
-# q_weighted_sample, q_knn_classify, q_kmeans, q_sq_knn, q_random_projection, q_perplexity_filter, q_curation_e2e.
+# q_weighted_sample, q_knn_classify, q_kmeans, q_sq_knn, q_random_projection, q_perplexity_filter, q_curation_e2e, q_stream_curation.
 _DECLARED: list[str] = [
     # 1. the r6 red row, fixed (oracle CAST ... AS BIGINT)
     "q_pack_sequences",

@@ -1464,6 +1464,75 @@ def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep.select("doc_id", "lang", "n_chars")
 
 
+@register_extra(
+    "q_stream_curation",
+    """
+    WITH good AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+      )
+      WHERE (least(CAST(len(w) AS DOUBLE) / 50.0, 1.0)
+             + CAST(len(list_distinct(w)) AS DOUBLE)
+               / greatest(CAST(len(w) AS DOUBLE), 1.0)) / 2.0 >= 0.5
+        AND CAST(('0x' || substr(md5('21_' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            < CAST(0.6 * 1152921504606846976 AS BIGINT)
+    )
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           CAST(min(doc_id) AS BIGINT) AS keep_id
+    FROM good GROUP BY 1
+    """,
+)
+def q_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING curation front-end, oracle-checked through the sink:
+    documents arrive as two micro-batches; the quality filter and the
+    60%% hash sample are stateless in-row expressions fused into each
+    batch, and exact dedup runs as the content-keyed
+    ``applyInPandasWithState`` operator (streaming_dedup_first) whose
+    per-fingerprint state spans batches — so the surviving (fp,
+    keep_id) set equals the batch chain's min-id-per-fingerprint no
+    matter how the stream is chopped. The keyed-state shape is what
+    the batch aggregation can't give a stream: the first occurrence
+    must win across ALL future batches, not within one."""
+    import shutil
+    import uuid
+
+    from duckdb_vss_spark.pipeline.sample import hash_sample
+    from duckdb_vss_spark.pipeline.text import fingerprint, quality_score
+    from duckdb_vss_spark.streaming import streaming_dedup_first
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = uuid.uuid4().hex[:8]
+    stage = f"/tmp/vss_scstage_{tag}"
+    try:
+        docs.repartition(2).write.parquet(stage)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        cur = hash_sample(
+            stream.where(quality_score("text") >= F.lit(0.5)),
+            "doc_id", 0.6, seed=21,
+        ).select(fingerprint("text").alias("fp"), "doc_id")
+        dedup = streaming_dedup_first(cur, "fp", "doc_id")
+        sink = f"stream_curation_{tag}"
+        q = (
+            dedup.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.table(sink).select(
+            "fp", F.col("keep_id").cast("bigint").alias("keep_id")
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return out
+
+
 def _curation_oracle() -> str:
     b = lambda f: int(f * float(2**60))
     h = lambda seed: (
