@@ -785,3 +785,29 @@ def test_profile_numeric_validation(spark):
         profile_numeric(df, [])
     with _pt.raises(ValueError):
         profile_numeric(df, ["zzz"])
+
+
+def test_minhash_store_parquet_roundtrip(spark, docs, tmp_path):
+    """The signature store must survive a parquet write/read cycle --
+    the persistence the incremental-dedup design claims -- and produce
+    identical matches to the in-memory store."""
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark.pipeline.dedup import minhash_match_store, minhash_store
+
+    store = minhash_store(docs, "text", "doc_id")
+    path = str(tmp_path / "sigstore")
+    store.where(F.col("id") % 2 != 0).write.parquet(path)
+    ref_disk = spark.read.parquet(path)
+    new = store.where(F.col("id") % 2 == 0)
+    direct = {
+        (r["new_id"], r["ref_id"], r["jaccard"])
+        for r in minhash_match_store(
+            new, store.where(F.col("id") % 2 != 0), threshold=0.5
+        ).collect()
+    }
+    via_disk = {
+        (r["new_id"], r["ref_id"], r["jaccard"])
+        for r in minhash_match_store(new, ref_disk, threshold=0.5).collect()
+    }
+    assert via_disk == direct and len(via_disk) > 0
