@@ -1791,10 +1791,14 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_vss_spark.operators.join import knn_classify
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # broadcast strategy: the Arrow/BLAS batched kernel, ~5x the
+    # interpreted-HOF crossjoin at sf0.1 (CI pins both strategies
+    # value-identical: test_knn_classify_broadcast_strategy_*)
     return knn_classify(
         emb.where(F.col("vec_id") % 10 == 0),
         emb.where(F.col("vec_id") % 10 != 0),
         "embedding", "embedding", "label", k=5, metric="l2sq",
+        strategy="broadcast",
     )
 
 
