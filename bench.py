@@ -58,7 +58,7 @@ def scale_curves(
     import duckdb
 
     out: dict[str, float] = {}
-    all_shapes = {"minhash", "contamination", "spans", "semdedup", "hnsw", "q01", "asof", "q03"}
+    all_shapes = {"minhash", "contamination", "spans", "semdedup", "hnsw", "kmeans", "q01", "asof", "q03"}
     shapes = all_shapes if shapes is None else shapes & all_shapes
     sx = f"_x{reps}"
     threads = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -169,7 +169,7 @@ def scale_curves(
 
     # ---- embedding unions (semdedup / hnsw build)
     emb = None
-    if shapes & {"semdedup", "hnsw"}:
+    if shapes & {"semdedup", "hnsw", "kmeans"}:
         try:
             emb = load_table(spark, sf_dir, "embeddings")
         except Exception:  # noqa: BLE001 — table absent at this sf
@@ -238,6 +238,60 @@ def scale_curves(
         out[f"semdedup_duckdb_pairs{sx}"] = len(rows)
         con.close()
 
+    def _kmeans():
+        # iterative-algorithm curve: 2 Lloyd iterations over the reps x
+        # embedding union in BOTH engines (identical unrolled SQL = the
+        # q_kmeans oracle against the union view). Spark's cost is
+        # iters scans + skinny shuffles (floor-bound locally); DuckDB's
+        # grows with data — the crossing shape for iterative ML.
+        from duckdb_vss_spark.pipeline.kmeans import kmeans_summary
+
+        dims = 64
+        if reps > dims:
+            raise ValueError(f"kmeans dim-rotation supports reps <= {dims}")
+
+        def _rotvec(col, i):
+            if i == 0:
+                return col
+            return F.concat(F.slice(col, i + 1, dims - i), F.slice(col, 1, i))
+
+        embk = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                emb.select(
+                    (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
+                    _rotvec(F.col("embedding"), i).alias("embedding"),
+                )
+                for i in range(reps)
+            ],
+        )
+        n_cl = timed8(f"kmeans_spark{sx}", lambda: kmeans_summary(
+            embk, "embedding", "vec_id", k=4, iters=2, seed=5
+        ).count())
+        out[f"kmeans_clusters{sx}"] = n_cl
+
+        from duckdb_vss_spark.queries import extra_oracle_sql
+
+        km_sql = extra_oracle_sql().get("q_kmeans")
+        if km_sql:
+            con = duckdb.connect()
+            con.execute(f"SET threads={threads}")
+            emb_union = " UNION ALL ".join(
+                f"SELECT vec_id + {i * 10_000_000} AS vec_id, "
+                + (
+                    "embedding"
+                    if i == 0
+                    else f"list_concat(embedding[{i + 1}:{dims}], "
+                    f"embedding[1:{i}]) AS embedding"
+                )
+                + f" FROM read_parquet('{sf_dir}/embeddings.parquet')"
+                for i in range(reps)
+            )
+            con.execute(f"CREATE VIEW embeddings AS {emb_union}")
+            rows = timed8(f"kmeans_duckdb{sx}", lambda: con.execute(km_sql).fetchall(), runs=2)
+            out[f"kmeans_duckdb_clusters{sx}"] = len(rows)
+            con.close()
+
     def _hnsw():
         from duckdb_vss_spark.index import create_hnsw_index as _mk_hnsw
 
@@ -259,6 +313,8 @@ def scale_curves(
 
     if "semdedup" in shapes and emb is not None:
         guarded("semdedup", _semdedup)
+    if "kmeans" in shapes and emb is not None:
+        guarded("kmeans", _kmeans)
     if "hnsw" in shapes and emb is not None:
         guarded("hnsw", _hnsw)
 

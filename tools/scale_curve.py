@@ -32,7 +32,7 @@ def main() -> None:
     ap.add_argument(
         "--shapes",
         default="minhash,spans",
-        help="comma list from minhash,contamination,spans,semdedup,hnsw,q01,asof,q03",
+        help="comma list from minhash,contamination,spans,semdedup,hnsw,kmeans,q01,asof,q03",
     )
     ap.add_argument(
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
