@@ -899,6 +899,23 @@ def main() -> None:
                     rerank=max(250, emb.count() // 4), source=emb,
                 )
             )
+        # SQ8: per-dim uint8 quantization (r7) — ADC-only recall, no
+        # rerank; completes the quantizer recall table
+        from duckdb_vss_spark.index import sq_knn, train_sq
+
+        mins, maxs = train_sq(emb, "embedding")
+        sub = list(exact)[:16]
+        hits = 0
+        for qq in sub:
+            qvq = [float(x) for x in mat[ids == qq][0]]
+            got = {
+                r["vec_id"]
+                for r in sq_knn(
+                    emb, "embedding", "vec_id", qvq, 10, mins=mins, maxs=maxs
+                ).collect()
+            }
+            hits += len(got & exact[qq])
+        recall["sq_knn@10"] = round(hits / (10 * len(sub)), 4)
 
     if emb is not None:
         section("recall", _recall_section)
