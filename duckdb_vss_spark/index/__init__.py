@@ -31,3 +31,9 @@ from duckdb_vss_spark.index.sq import (  # noqa: F401
     sq_reconstruct,
     train_sq,
 )
+from duckdb_vss_spark.index.ivfsq import (  # noqa: F401
+    IvfSqIndex,
+    create_ivfsq_index,
+    drop_ivfsq_index,
+    load_ivfsq_index,
+)

@@ -1,0 +1,201 @@
+"""IVF×SQ: inverted-file routing over scalar-quantized codes — the
+second point on the prune×compress composition grid (ivfpq.py is the
+first).
+
+IVF prunes WHICH rows are scanned (inverted lists = parquet
+partitions, so probing compiles to partition pruning Catalyst proves);
+SQ8 shrinks BYTES per scanned row (1 byte/dim, exact per-dim min/max
+bounds — no codebook training, no sampled distortion). Compared to
+IVFADC this trades compression ratio (PQ: ~1 byte per 2-8 dims) for a
+training-free build and an EXACTLY reproducible codec: the ADC scan
+over probed lists is fixed-order IEEE arithmetic end to end (sq.py),
+so candidate scores replay bit-for-bit in SQL — the only approximation
+left is which lists were probed, and the re-rank restores top-k
+exactness the same way the PQ/IVFADC paths do.
+
+Layout on disk:
+
+    <path>/manifest.json               metric, dims, nlist, centroids,
+                                       SQ bounds (mins/maxs), stats
+    <path>/lists/list_id=N/*.parquet   (id, codes array<int>) — no raw
+                                       vectors; the byte win is the point
+
+Build = one Spark job: the IVF module's sampled k-means + broadcast
+assignment, one exact min/max aggregation for the SQ bounds, encode
+map-only, ``partitionBy(list_id)`` write (the only shuffle).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["IvfSqIndex", "create_ivfsq_index", "load_ivfsq_index", "drop_ivfsq_index"]
+
+
+class IvfSqIndex:
+    """Handle over a built IVF×SQ artifact."""
+
+    def __init__(self, spark: SparkSession, path: str, manifest: dict):
+        self.spark = spark
+        self.path = path
+        self.manifest = manifest
+        self._centroids = np.asarray(manifest["centroids"], dtype=np.float64)
+        self._mins = np.asarray(manifest["sq_mins"], dtype=np.float64)
+        self._maxs = np.asarray(manifest["sq_maxs"], dtype=np.float64)
+
+    @property
+    def nlist(self) -> int:
+        return self.manifest["nlist"]
+
+    @property
+    def dims(self) -> int:
+        return self.manifest["dimensions"]
+
+    def _probe_ids(self, query_vec, nprobe: int) -> list[int]:
+        q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+        if q.shape[0] != self.dims:
+            raise ValueError(f"IVF index keys must be of type FLOAT[{self.dims}]")
+        d = ((self._centroids - q) ** 2).sum(axis=1)
+        return [int(i) for i in np.argsort(d, kind="stable")[: int(nprobe)]]
+
+    def knn_search(
+        self,
+        query_vec,
+        k: int,
+        nprobe: int | None = None,
+        rerank: int | None = None,
+        source: DataFrame | None = None,
+        dist_col: str = "dist",
+    ) -> DataFrame:
+        """Probe ``nprobe`` lists (parquet partition pruning), SQ-ADC
+        score the probed codes (asymmetric: raw query vs reconstructed
+        corpus — the sq.py codec, bit-reproducible), take the top
+        ``rerank`` (or ``k``) candidates, and — when ``source`` is
+        given — re-rank them exactly against the original vectors via a
+        broadcast id semi-join (late materialization, the same shape as
+        the PQ/IVFADC re-rank)."""
+        from duckdb_vss_spark.functions.distance import distance_for_metric
+        from duckdb_vss_spark.index.sq import sq_reconstruct
+
+        nprobe = int(nprobe or self.manifest["default_nprobe"])
+        probes = self._probe_ids(query_vec, nprobe)
+        q = [float(x) for x in query_vec]
+        id_col = self.manifest["id_col"]
+        lists = self.spark.read.parquet(os.path.join(self.path, "lists"))
+        recon = sq_reconstruct(F.col("codes"), self._mins, self._maxs)
+        qv = F.from_json(
+            F.lit("[" + ",".join(repr(float(x)) for x in q) + "]"),
+            "array<double>",
+        )
+        dist_fn = distance_for_metric(self.manifest["metric"])
+        shortlist = (
+            lists.where(F.col("list_id").isin(probes))
+            .withColumn(dist_col, dist_fn(recon, qv))
+            .orderBy(F.col(dist_col).asc_nulls_last(), F.col(id_col))
+            .limit(int(rerank or k))
+        )
+        if source is None:
+            return shortlist.select(id_col, dist_col).limit(int(k))
+        vec_col = self.manifest["vec_col"]
+        cand = shortlist.select(id_col)
+        return (
+            source.join(F.broadcast(cand), id_col, "left_semi")
+            .withColumn(dist_col, dist_fn(F.col(vec_col).cast("array<double>"), qv))
+            .orderBy(F.col(dist_col).asc_nulls_last(), F.col(id_col))
+            .limit(int(k))
+            .select(id_col, dist_col)
+        )
+
+
+def create_ivfsq_index(
+    spark: SparkSession,
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    name: str = "ivfsq_idx",
+    metric: str = "l2sq",
+    nlist: int | None = None,
+    default_nprobe: int | None = None,
+    sample_per_list: int = 256,
+    kmeans_iters: int = 10,
+    seed: int = 42,
+    overwrite: bool = False,
+) -> IvfSqIndex:
+    """Bulk build: sampled-k-means routing (ivf.py machinery) + exact
+    SQ bounds + map-only encode + partitioned write of (id, codes)."""
+    if metric != "l2sq":
+        raise ValueError("IVF-SQ v1 supports metric='l2sq' only")
+    from duckdb_vss_spark.index.ivf import _assign_udf, _kmeans
+    from duckdb_vss_spark.index.sq import sq_encode, train_sq
+    from duckdb_vss_spark.session import check_persistence_enabled
+
+    check_persistence_enabled(spark)
+    if os.path.exists(path):
+        if not overwrite:
+            raise ValueError(f"index path {path!r} exists (use overwrite=True)")
+        shutil.rmtree(path)
+    src = df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
+    ).where(F.col(vec_col).isNotNull())
+    total = src.count()
+    if total == 0:
+        raise ValueError("cannot build an IVF-SQ index over an empty vector column")
+    if nlist is None:
+        nlist = max(2, min(4096, int(math.isqrt(total))))
+    nlist = int(min(nlist, total))
+    if default_nprobe is None:
+        default_nprobe = max(1, nlist // 8)
+    first = src.select(vec_col).first()
+    dims = len(first[0])
+
+    want = nlist * sample_per_list
+    frac = min(1.0, want / total)
+    sample_rows = (
+        src.select(vec_col).sample(fraction=frac, seed=seed).limit(want).collect()
+        if frac < 1.0
+        else src.select(vec_col).collect()
+    )
+    sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
+    centroids = _kmeans(sample, nlist, kmeans_iters, seed)
+
+    mins, maxs = train_sq(src, vec_col)
+    assign = _assign_udf(centroids, "l2sq")
+    encoded = sq_encode(src, vec_col, mins, maxs).withColumn(
+        "list_id", assign(F.col(vec_col))
+    )
+    encoded.select(id_col, "codes", "list_id").write.partitionBy("list_id").parquet(
+        os.path.join(path, "lists")
+    )
+    manifest = {
+        "name": name,
+        "metric": metric,
+        "dimensions": dims,
+        "nlist": nlist,
+        "default_nprobe": default_nprobe,
+        "count": total,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "centroids": [[float(x) for x in c] for c in centroids],
+        "sq_mins": [float(x) for x in mins],
+        "sq_maxs": [float(x) for x in maxs],
+    }
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return IvfSqIndex(spark, path, manifest)
+
+
+def load_ivfsq_index(spark: SparkSession, path: str) -> IvfSqIndex:
+    with open(os.path.join(path, "manifest.json")) as f:
+        return IvfSqIndex(spark, path, json.load(f))
+
+
+def drop_ivfsq_index(path: str) -> None:
+    shutil.rmtree(path, ignore_errors=True)

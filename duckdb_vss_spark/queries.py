@@ -81,7 +81,7 @@ _EXTRA_ORACLES: dict[str, str] = {}
 # plus the surfaces born mid-r7 after the window froze (declare in r8,
 # their birth-round+1): q_incremental_dedup, q_incremental_dedup_keep,
 # q_stream_dedup_store, q_dedup_keep_best, q_corpus_diff,
-# q_weighted_sample, q_knn_classify, q_kmeans, q_sq_knn, q_random_projection, q_perplexity_filter, q_curation_e2e, q_stream_curation.
+# q_weighted_sample, q_knn_classify, q_kmeans, q_sq_knn, q_random_projection, q_perplexity_filter, q_curation_e2e, q_stream_curation, q_ivfsq_knn.
 _DECLARED: list[str] = [
     # 1. the r6 red row, fixed (oracle CAST ... AS BIGINT)
     "q_pack_sequences",
@@ -1668,6 +1668,57 @@ def q_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _get_ivfpq_index(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir, 37)
+    rerank = max(250, idx.manifest["count"] // 4)
+    hits = idx.knn_search(
+        qv, 10, nprobe=idx.nlist, rerank=rerank,
+        source=emb.select("vec_id", "embedding"),
+    ).select("vec_id", "dist")
+    return (
+        emb.select("vec_id", "label")
+        .join(F.broadcast(hits), "vec_id")
+        .select("vec_id", "label", F.col("dist").cast("double").alias("dist"))
+        .orderBy("dist", "vec_id")
+    )
+
+
+def _get_ivfsq_index(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir) the IVF-SQ artifact over embeddings."""
+    from duckdb_vss_spark.index import create_ivfsq_index, load_ivfsq_index
+
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/vss_ivfsq_{_ARTIFACT_VERSION}_{tag}"
+    if _os.path.exists(_os.path.join(path, "manifest.json")):
+        return load_ivfsq_index(spark, path)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return create_ivfsq_index(
+        spark, emb, vec_col="embedding", id_col="vec_id", path=path,
+        name="emb_ivfsq", metric="l2sq", nlist=16, overwrite=True,
+    )
+
+
+@register_extra(
+    "q_ivfsq_knn",
+    f"""
+    SELECT vec_id, label,
+           list_distance(CAST(embedding AS DOUBLE[]), {_ORACLE_QVEC.format(vid=43)}) AS dist
+    FROM embeddings
+    WHERE embedding IS NOT NULL
+    ORDER BY dist, vec_id
+    LIMIT 10
+    """,
+)
+def q_ivfsq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×SQ composed top-k (index/ivfsq.py): partition-pruned probe
+    of the inverted lists × SQ8 reconstructed-distance scoring × exact
+    re-rank — the training-free point on the prune×compress grid
+    (ivfpq.py is the codebook point). The stored lists carry (id,
+    codes) only — 1 byte/dim, no raw vectors. Full probe + an n/4
+    re-rank window make the result exact at oracle scales, so the
+    brute-force SQL is a strict oracle; bench reports the ADC-only
+    sq_knn@10 recall separately."""
+    idx = _get_ivfsq_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 43)
     rerank = max(250, idx.manifest["count"] // 4)
     hits = idx.knn_search(
         qv, 10, nprobe=idx.nlist, rerank=rerank,

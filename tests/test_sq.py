@@ -79,3 +79,45 @@ def test_random_projection_preserves_distances_jl(spark):
             random_projection(emb.repartition(7), "embedding", 16, seed=9).collect()}
     for r in rows:
         assert out2[r["vec_id"]] == list(P[[x["vec_id"] for x in rows].index(r["vec_id"])])
+
+
+def test_ivfsq_partition_pruning_and_rerank_exact(spark, tmp_path):
+    """The IVF-SQ scan must prove partition pruning in the plan, store
+    no raw vectors in the lists, and the full-probe + rerank path must
+    equal exact brute force."""
+    from duckdb_vss_spark.functions.distance import array_distance
+    from duckdb_vss_spark.index import create_ivfsq_index
+    from duckdb_vss_spark.sources import load_table
+
+    spark.conf.set("spark.vss.enable_experimental_persistence", "true")
+    emb = load_table(spark, SF, "embeddings")
+    idx = create_ivfsq_index(
+        spark, emb, "embedding", "vec_id", str(tmp_path / "ivfsq"),
+        nlist=4, overwrite=True,
+    )
+    lists = spark.read.parquet(str(tmp_path / "ivfsq" / "lists"))
+    assert set(lists.columns) == {"vec_id", "codes", "list_id"}  # no raw vecs
+    q = [float(x) for x in emb.where(F.col("vec_id") == 5).first()["embedding"]]
+    pruned = idx.knn_search(q, 5, nprobe=2)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+    # full probe + rerank == exact brute force
+    got = [
+        r["vec_id"]
+        for r in idx.knn_search(
+            q, 10, nprobe=idx.nlist, rerank=emb.count(),
+            source=emb.select("vec_id", "embedding"),
+        ).collect()
+    ]
+    qlit = F.from_json(
+        F.lit("[" + ",".join(repr(x) for x in q) + "]"), "array<double>"
+    )
+    exact = [
+        r["vec_id"]
+        for r in emb.where(F.col("embedding").isNotNull())
+        .select("vec_id", array_distance(F.col("embedding").cast("array<double>"), qlit).alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .collect()
+    ]
+    assert got == exact
