@@ -797,6 +797,7 @@ def main() -> None:
         # r7: incremental dedup, snapshot diff, weighted draw, label
         # propagation, clustering
         "q_incremental_dedup",
+        "q_ivfsq_knn",
         "q_corpus_diff",
         "q_weighted_sample",
         "q_knn_classify",
