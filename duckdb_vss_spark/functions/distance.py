@@ -198,16 +198,25 @@ def register_sql_functions(spark: SparkSession) -> None:
             if mask.any():
                 xa = [np.asarray(v, dtype=np.float64) for v in a[mask]]
                 xb = [np.asarray(v, dtype=np.float64) for v in b[mask]]
-                dims = {v.shape[0] for v in xa} | {v.shape[0] for v in xb}
+                la = np.array([v.shape[0] for v in xa])
+                lb = np.array([v.shape[0] for v in xb])
+                if (la != lb).any():
+                    # Match the reference: array_distance errors on array
+                    # size mismatch (duckdb array functions raise a binder/
+                    # runtime error), rather than silently yielding NaN.
+                    i = int(np.flatnonzero(la != lb)[0])
+                    raise ValueError(
+                        f"{name}: array size mismatch ({la[i]} vs {lb[i]}); "
+                        "both arguments must have the same number of elements"
+                    )
+                dims = {v.shape[0] for v in xa}
                 if len(dims) == 1:
                     out[mask] = _kernels(np.stack(xa), np.stack(xb))[name]
                 else:
                     # ragged batch (mixed dims) — vectorize per dim group
                     idx = np.flatnonzero(mask)
-                    la = np.array([v.shape[0] for v in xa])
-                    lb = np.array([v.shape[0] for v in xb])
-                    for d in np.unique(la[la == lb]):
-                        sel = (la == d) & (lb == d)
+                    for d in np.unique(la):
+                        sel = la == d
                         A = np.stack([xa[i] for i in np.flatnonzero(sel)])
                         B = np.stack([xb[i] for i in np.flatnonzero(sel)])
                         out[idx[sel]] = _kernels(A, B)[name]

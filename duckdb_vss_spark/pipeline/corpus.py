@@ -154,15 +154,29 @@ def corpus_diff(
     family uses, so any engine reproduces the status labels exactly."""
     from duckdb_vss_spark.pipeline.text import fingerprint
 
-    o = old.select(F.col(id_col).alias("id"), fingerprint(text_col).alias("__fo"))
-    n = new.select(F.col(id_col).alias("id"), fingerprint(text_col).alias("__fn"))
+    o = old.select(
+        F.col(id_col).alias("id"),
+        fingerprint(text_col).alias("__fo"),
+        F.lit(True).alias("__po"),
+    )
+    n = new.select(
+        F.col(id_col).alias("id"),
+        fingerprint(text_col).alias("__fn"),
+        F.lit(True).alias("__pn"),
+    )
     j = o.join(n, "id", "full_outer")
+    # Presence flags distinguish "row missing on a side" from "row
+    # present with a NULL text" — fingerprint(NULL) is NULL, so keying
+    # the status off the fingerprints alone would mislabel an id that
+    # exists in both snapshots with NULL text as added (ADVICE r7).
+    # The fingerprint comparison itself is null-safe for the same
+    # reason: NULL text ↔ NULL text is "unchanged", not "changed".
     return (
         j.withColumn(
             "status",
-            F.when(F.col("__fo").isNull(), F.lit("added"))
-            .when(F.col("__fn").isNull(), F.lit("removed"))
-            .when(F.col("__fo") != F.col("__fn"), F.lit("changed")),
+            F.when(F.col("__po").isNull(), F.lit("added"))
+            .when(F.col("__pn").isNull(), F.lit("removed"))
+            .when(~F.col("__fo").eqNullSafe(F.col("__fn")), F.lit("changed")),
         )
         .where(F.col("status").isNotNull())
         .select("id", "status")

@@ -70,6 +70,10 @@ def kmeans_fit(
     nearest-centroid assignment (L2, ties → lowest index) + one
     (cluster, dim)-keyed BIGINT-sum shuffle; empty clusters keep their
     previous centroid."""
+    # NULL vectors take no part in the fit (the oracle's WHERE
+    # embedding IS NOT NULL); without this, assign_clusters would hand
+    # them an engine-dependent struct-with-null cluster_id (ADVICE r7).
+    df = df.where(F.col(vec_col).isNotNull())
     cents = _init_centroids(df, vec_col, id_col, k, seed)
     from duckdb_vss_spark.pipeline.semdedup import assign_clusters
 
@@ -110,6 +114,7 @@ def kmeans_summary(
     SQL)."""
     from duckdb_vss_spark.pipeline.semdedup import assign_clusters
 
+    df = df.where(F.col(vec_col).isNotNull())
     cents = kmeans_fit(df, vec_col, id_col, k, iters, seed)
     assigned = assign_clusters(df, vec_col, id_col, cents)
     counts = assigned.groupBy("cluster_id").agg(
