@@ -47,96 +47,87 @@ _ORACLES: dict[str, str] = {}
 _EXTRA_QUERIES: dict[str, QueryFn] = {}
 _EXTRA_ORACLES: dict[str, str] = {}
 
-# Round-7 window: the rotation is now an explicit list (the r5/r6
-# _PROMOTED/_DEMOTED delta encoding grew unreadable at 121 queries).
-# Policy unchanged (VERDICT r5 #5 / r6 #3): every query keeps its oracle
-# and stays enforced — tools/check_correctness.py and the CI gate
-# (tests/test_registry_oracle.py) run declared + extra alike — but the
-# driver's CORRECTNESS window holds 50 rows, so _DECLARED names the 50
-# rows the driver verifies this round, most-urgent first (the driver
+# Rotation policy unchanged (VERDICT r5 #5 / r6 #3): every query keeps
+# its oracle and stays enforced — tools/check_correctness.py and the CI
+# gate (tests/test_registry_oracle.py) run declared + extra alike — but
+# the driver's CORRECTNESS window holds 50 rows, so _DECLARED names the
+# 50 rows the driver verifies this round, most-urgent first (the driver
 # checks in dict insertion order, so a partial window still covers the
 # head of the list).
 #
-# Round-7 composition (VERDICT r6 #1/#3):
-#   1. q_pack_sequences leads — r6's one red row (dtype-only oracle
-#      artifact, CAST fix) must show green first.
-#   2. q_stream_matview_restart and q_temperature_mix — NEW r7
-#      surfaces (restart-increment property of the streaming matview,
-#      VERDICT r6 #10; temperature-weighted data mixing) declared in
-#      their birth round.
-#   3. The 22 queries that have NEVER held a driver row (VERDICT r6
-#      "What's missing #1"): q09/q11/q20 complete the declared TPC-H
-#      evidence; q_stream_matview, q_media_mjpeg_frames, q_video_neardup,
-#      q_time_gapfill and the rest of the r6c backlog.
-#   4. Queries whose implementation paths r7 touches (knn_join batch
-#      buffering; span-dedup rolling hash; semdedup cluster batching):
-#      q_hnsw_knn_join, q_dup_spans, q_semdedup.
-#   5. The remainder of the window refills from the rows rotated out in
-#      r6 (last driver evidence: r5), family representatives first.
-# Left for r8 (last driver row r5, family machinery declared elsewhere
-# this round): q_knn_cosine, q_knn_inner_product, q_sql_maxby_topk,
-# q_hnsw_self_consistency, q_embedding_neardup_lsh, q_sessionize_events,
-# q_knn_join_grouped, q_ivf_knn_join, q_vss_match_stats,
-# q_stream_session_windows, plus the r6-green rows rotating out here,
-# plus the surfaces born mid-r7 after the window froze (declare in r8,
-# their birth-round+1): q_incremental_dedup, q_incremental_dedup_keep,
-# q_stream_dedup_store, q_dedup_keep_best, q_corpus_diff,
-# q_weighted_sample, q_knn_classify, q_kmeans, q_sq_knn, q_random_projection, q_perplexity_filter, q_curation_e2e, q_stream_curation, q_ivfsq_knn.
+# Round-9 composition (VERDICT r8 #1 — the twice-prescribed backlog,
+# declared first, before any other r9 work):
+#   1. The 14 queries that have NEVER held a driver row (born mid-r7
+#      after the r7 window froze; r8 shipped the r7 window unchanged).
+#   2. The 10 rows rotated out in r6 whose last driver evidence is r5
+#      and that VERDICT r7/r8 names explicitly.
+#   3. Paths r9 code changes touch (PQ/IVFPQ executor-side query
+#      stream; contamination broadcast grams; embedding_neardup
+#      quadratic guard).
+#   4. Refill with the stalest remaining rows: every other last-r5 row,
+#      then r6 family representatives (ASOF, BM25/RRF, stream-KNN,
+#      TPC-H q02).
+# Rotated out: the full r7/r8 window — all 50 have driver evidence
+# from BOTH r7 and r8 (identical windows), the freshest in the
+# registry. Left for r10: the remaining last-r6 rows (TPC-H
+# q03/q04/q05/q07/q10/q14/q15/q16/q17/q19/q22, media frame/resize,
+# sampling family, pivot/rollup/percentiles, stream interval/static).
 _DECLARED: list[str] = [
-    # 1. the r6 red row, fixed (oracle CAST ... AS BIGINT)
-    "q_pack_sequences",
-    # 2. first-ever driver rows (22)
-    "q09_profit_by_nation",
-    "q11_important_parts",
-    "q20_promotion_suppliers",
-    "q_time_gapfill",
-    "q_stream_matview",
-    "q_stream_matview_restart",
-    "q_hash_embed",
-    "q_media_mjpeg_frames",
-    "q_video_neardup",
-    "q_funnel",
-    "q_cohort_retention",
-    "q_cube_events",
-    "q_ntile_value_buckets",
-    "q_distinct_on",
-    "q_string_agg",
-    "q_unpivot_events",
-    "q_vec_normalize",
-    "q_salted_join",
-    "q_zorder_key",
-    "q_profile_lineitem",
-    "q_dup_coverage",
-    "q_dedup_keep",
-    "q_stream_join_window",
-    # 3. paths touched by r7 perf work
-    "q_hnsw_knn_join",
-    "q_dup_spans",
-    "q_semdedup",
-    # 4. r5-rotated rows due their every-other-round driver evidence
-    "q_sql_topk_rewrite",
-    "q_sql_metric_rewrite",
-    "q_sql_lateral_rewrite",
-    "q_cosine_rewrite",
-    "q_hnsw_knn",
-    "q_hnsw_knn_filtered",
-    "q_hnsw_compact",
-    "q_knn_l2",
-    "q_knn_join_lateral",
-    "q_minhash_lsh",
-    "q_ngram_jaccard",
-    "q_exact_dedup",
-    "q_vss_join",
-    "q_stream_window_counts",
-    "q_stream_dedup_state",
-    "q01_pricing_summary",
-    "q13_customer_distribution",
-    "q18_large_orders",
-    "q_json_event_stats",
-    "q_window_top_events",
-    "q_min_by_topk",
-    "q_ivf_knn",
-    "q_temperature_mix",
+    # 1. first-ever driver rows (14): r7-born surfaces
+    "q_incremental_dedup",
+    "q_incremental_dedup_keep",
+    "q_stream_dedup_store",
+    "q_dedup_keep_best",
+    "q_corpus_diff",
+    "q_weighted_sample",
+    "q_knn_classify",
+    "q_kmeans",
+    "q_sq_knn",
+    "q_ivfsq_knn",
+    "q_random_projection",
+    "q_perplexity_filter",
+    "q_curation_e2e",
+    "q_stream_curation",
+    # 2. last driver row r5, named in VERDICT r7/r8 (10)
+    "q_knn_cosine",
+    "q_knn_inner_product",
+    "q_sql_maxby_topk",
+    "q_hnsw_self_consistency",
+    "q_embedding_neardup_lsh",
+    "q_sessionize_events",
+    "q_knn_join_grouped",
+    "q_ivf_knn_join",
+    "q_vss_match_stats",
+    "q_stream_session_windows",
+    # 3. paths touched by r9 work (4)
+    "q_pq_knn",
+    "q_ivfpq_knn",
+    "q_contamination",
+    "q_embedding_neardup",
+    # 4a. remaining last-r5 rows (17)
+    "q06_forecast_revenue",
+    "q08_market_share",
+    "q12_late_priority",
+    "q21_waiting_suppliers",
+    "q_fingerprint",
+    "q_hnsw_index_info",
+    "q_knn_grid",
+    "q_lang_id",
+    "q_media_audio_energy",
+    "q_media_features_shape",
+    "q_media_jpeg_pipeline",
+    "q_media_video_probe",
+    "q_minhash_signature",
+    "q_quality_score",
+    "q_semantic_doc_search",
+    "q_simhash",
+    "q_sql_minby_topk",
+    # 4b. r6 family representatives (5)
+    "q02_min_cost_supplier",
+    "q_asof_join",
+    "q_bm25_topk",
+    "q_hybrid_rrf",
+    "q_stream_knn_serve",
 ]
 
 

@@ -1850,11 +1850,12 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE doc_id % 11 <> 0
     )
     SELECT COALESCE(old.doc_id, new.doc_id) AS id,
-           CASE WHEN fo IS NULL THEN 'added'
-                WHEN fn IS NULL THEN 'removed'
-                WHEN fo <> fn THEN 'changed' END AS status
+           CASE WHEN old.doc_id IS NULL THEN 'added'
+                WHEN new.doc_id IS NULL THEN 'removed'
+                WHEN fo IS DISTINCT FROM fn THEN 'changed' END AS status
     FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
-    WHERE (fo IS NULL) OR (fn IS NULL) OR (fo <> fn)
+    WHERE (old.doc_id IS NULL) OR (new.doc_id IS NULL)
+       OR (fo IS DISTINCT FROM fn)
     """,
 )
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
