@@ -21,7 +21,11 @@ oracle; sequential left-fold matches DuckDB's sequential kernel order.
 
 NULL semantics: NULL input array → NULL result (a NULL vector can never
 be a nearest neighbor; reference excludes NULLs from the index entirely,
-src/hnsw/hnsw_index.cpp:437-440).
+src/hnsw/hnsw_index.cpp:437-440). Mismatched array sizes → runtime
+error, matching DuckDB's array-kernel binder/runtime error — on BOTH
+entry paths (the native Column expressions guard sizes before the fold;
+zip_with alone would NULL-pad the shorter side and silently yield
+NULL/NaN, and the SQL-registered pandas UDFs raise the same message).
 """
 
 from __future__ import annotations
@@ -72,9 +76,39 @@ def _fold_sum(arr: Column) -> Column:
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _pair_guard(ac: Column, bc: Column, expr: Column, name: str) -> Column:
+    """NULL input → NULL; size mismatch → runtime error; else ``expr``.
+
+    DuckDB's array kernels error on size mismatch, whereas a bare
+    zip_with NULL-pads the shorter array and the fold silently yields
+    NULL — the same divergence the SQL-registered UDFs already guard
+    against (ADVICE r8: both entry paths must share the reference's
+    error behavior). The size compare is O(1) JVM-side and stays
+    inside whole-stage codegen."""
+    return F.when(ac.isNull() | bc.isNull(), F.lit(None).cast("double")).otherwise(
+        F.when(F.size(ac) == F.size(bc), expr).otherwise(
+            F.raise_error(
+                F.format_string(
+                    name
+                    + ": array size mismatch (%d vs %d); both arguments"
+                    " must have the same number of elements",
+                    F.size(ac),
+                    F.size(bc),
+                )
+            ).cast("double")
+        )
+    )
+
+
 def array_distance_sq(a, b) -> Column:
     """Σ(aᵢ−bᵢ)² — usearch's l2sq (no sqrt; index_plugins.hpp:1033-1053)."""
-    return _fold_sum(F.zip_with(_d(a), _d(b), lambda x, y: (x - y) * (x - y)))
+    ac, bc = _d(a), _d(b)
+    return _pair_guard(
+        ac,
+        bc,
+        _fold_sum(F.zip_with(ac, bc, lambda x, y: (x - y) * (x - y))),
+        "array_distance_sq",
+    )
 
 
 def array_distance(a, b) -> Column:
@@ -83,7 +117,13 @@ def array_distance(a, b) -> Column:
 
 
 def array_inner_product(a, b) -> Column:
-    return _fold_sum(F.zip_with(_d(a), _d(b), lambda x, y: x * y))
+    ac, bc = _d(a), _d(b)
+    return _pair_guard(
+        ac,
+        bc,
+        _fold_sum(F.zip_with(ac, bc, lambda x, y: x * y)),
+        "array_inner_product",
+    )
 
 
 def array_negative_inner_product(a, b) -> Column:
@@ -96,7 +136,7 @@ def array_cosine_similarity(a, b) -> Column:
     dot = _fold_sum(F.zip_with(ac, bc, lambda x, y: x * y))
     na = F.sqrt(_fold_sum(F.transform(ac, lambda x: x * x)))
     nb = F.sqrt(_fold_sum(F.transform(bc, lambda x: x * x)))
-    return dot / (na * nb)
+    return _pair_guard(ac, bc, dot / (na * nb), "array_cosine_similarity")
 
 
 def array_normalize(a) -> Column:

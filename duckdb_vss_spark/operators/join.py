@@ -188,15 +188,32 @@ def _knn_join_broadcast(
                 if not mask.any():
                     continue
                 x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs[mask]])
-                xid = pdf[iid].to_numpy()[mask]
+                xid = pdf[iid].to_numpy()[mask].astype(np.int64)
+                # id-sort the batch so every stable operation below
+                # breaks distance ties by ascending id — the same total
+                # order as the finalizing window's ORDER BY dist, id
+                # (ADVICE r8: without an in-kernel tie-break, equal
+                # distances straddling the per-partition top-k cut could
+                # drop the smaller-id candidate the oracle keeps).
+                ro = np.argsort(xid, kind="stable")
+                x, xid = x[ro], xid[ro]
                 d = _pairwise_dist(x, mat, metric)  # (batch, nq)
                 kk = min(k, d.shape[0])
                 idx = np.argpartition(d, kk - 1, axis=0)[:kk]  # (kk, nq)
                 dsel = np.take_along_axis(d, idx, axis=0)  # (kk, nq)
-                # merge into the running heap
+                # argpartition picks arbitrarily among ties at the cut;
+                # redo the (rare) columns where candidates tied with the
+                # kk-th distance fell outside it — rows are id-sorted,
+                # so a stable sort realizes the (dist, id) order.
+                t = dsel.max(axis=0)
+                for c in np.flatnonzero((d <= t[None, :]).sum(axis=0) > kk):
+                    sel = np.argsort(d[:, c], kind="stable")[:kk]
+                    idx[:, c] = sel
+                    dsel[:, c] = d[sel, c]
+                # (dist, id) lexicographic merge into the running top-k
                 cat_d = np.concatenate([best_d, dsel.T], axis=1)
                 cat_i = np.concatenate([best_i, xid[idx].T], axis=1)
-                order = np.argsort(cat_d, axis=1, kind="stable")[:, :k]
+                order = np.lexsort((cat_i, cat_d))[:, :k]
                 best_d = np.take_along_axis(cat_d, order, axis=1)
                 best_i = np.take_along_axis(cat_i, order, axis=1)
             valid = best_i >= 0

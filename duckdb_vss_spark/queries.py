@@ -1652,16 +1652,17 @@ def q_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC composed top-k (index/ivfpq.py): partition-pruned probe of
     the inverted lists × residual-PQ ADC scoring × exact re-rank — the
     canonical billion-scale layout (Jegou 2011) with both scale levers
-    (rows pruned, bytes/row shrunk) multiplying. Full probe + an n/4
-    re-rank window make the result exact at oracle scales, so the
+    (rows pruned, bytes/row shrunk) multiplying. Full probe + FULL-WIDTH
+    re-rank make the result exact BY CONSTRUCTION at any data size
+    (same latent-flake reasoning as q_ivfsq_knn: an n/4 window is only
+    exact while the true top-10 survive the ADC shortlist), so the
     brute-force SQL is a strict oracle; partial-probe recall curves are
     pinned in tests/test_ivfpq.py and bench reports ivfpq_knn@10."""
     idx = _get_ivfpq_index(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir, 37)
-    rerank = max(250, idx.manifest["count"] // 4)
     hits = idx.knn_search(
-        qv, 10, nprobe=idx.nlist, rerank=rerank,
+        qv, 10, nprobe=idx.nlist, rerank=idx.manifest["count"],
         source=emb.select("vec_id", "embedding"),
     ).select("vec_id", "dist")
     return (
@@ -1703,16 +1704,18 @@ def q_ivfsq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the inverted lists × SQ8 reconstructed-distance scoring × exact
     re-rank — the training-free point on the prune×compress grid
     (ivfpq.py is the codebook point). The stored lists carry (id,
-    codes) only — 1 byte/dim, no raw vectors. Full probe + an n/4
-    re-rank window make the result exact at oracle scales, so the
-    brute-force SQL is a strict oracle; bench reports the ADC-only
-    sq_knn@10 recall separately."""
+    codes) only — 1 byte/dim, no raw vectors. Full probe + FULL-WIDTH
+    re-rank make the result exact BY CONSTRUCTION (ADVICE r8: an n/4
+    window was only exact while the true top-10 happened to survive
+    the ADC shortlist — a latent gate flake), so the brute-force SQL
+    is a strict oracle at any data size; the ADC shortlist quality is
+    pinned separately (tests/test_ivfsq.py recall bounds, bench
+    ivfsq_knn@10)."""
     idx = _get_ivfsq_index(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir, 43)
-    rerank = max(250, idx.manifest["count"] // 4)
     hits = idx.knn_search(
-        qv, 10, nprobe=idx.nlist, rerank=rerank,
+        qv, 10, nprobe=idx.nlist, rerank=idx.manifest["count"],
         source=emb.select("vec_id", "embedding"),
     ).select("vec_id", "dist")
     return (

@@ -143,3 +143,79 @@ def test_registered_sql_udfs_vectorized_match_native(spark):
         np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-12)
         assert t_sql < 5 * max(t_nat, 0.2), (name, t_sql, t_nat)
     df.unpersist()
+
+
+def test_size_mismatch_raises_native(spark):
+    """ADVICE r8: the native Column path must share the reference's
+    array-size-mismatch ERROR (DuckDB's array kernels raise); zip_with
+    alone would NULL-pad the shorter array and silently yield NULL."""
+    df = one_row(spark, [1.0, 2.0, 3.0], [1.0, 2.0])
+    for fn in (
+        array_distance,
+        array_distance_sq,
+        array_inner_product,
+        array_negative_inner_product,
+        array_cosine_similarity,
+        array_cosine_distance,
+    ):
+        with pytest.raises(Exception, match="size mismatch"):
+            df.select(fn("a", "b").alias("d")).collect()
+
+
+def test_size_mismatch_null_input_still_null(spark):
+    # NULL on either side short-circuits BEFORE the size guard: NULL in,
+    # NULL out — never an error (size(NULL) is -1/NULL, not a mismatch).
+    df = spark.createDataFrame(
+        [([1.0, 2.0], None), (None, [1.0, 2.0, 3.0]), (None, None)],
+        "a array<float>, b array<float>",
+    )
+    rows = df.select(array_distance("a", "b").alias("d")).collect()
+    assert [r["d"] for r in rows] == [None, None, None]
+
+
+def test_size_mismatch_raises_sql_registered(spark):
+    """ADVICE r8: same error behavior through the SQL-registered pandas
+    UDFs — the message names the function and both sizes."""
+    from duckdb_vss_spark.functions.distance import register_sql_functions
+
+    register_sql_functions(spark)
+    one_row(spark, [1.0, 2.0, 3.0], [1.0, 2.0]).createOrReplaceTempView(
+        "mm_pairs"
+    )
+    with pytest.raises(Exception, match="size mismatch"):
+        spark.sql("SELECT array_distance(a, b) AS d FROM mm_pairs").collect()
+
+
+def test_ragged_but_matched_batch(spark):
+    """Mixed dims in one batch with per-row matched sizes: the per-dim
+    group kernel must compute each row against its own dimensionality,
+    on both the native and the SQL-registered path."""
+    import numpy as np
+
+    from duckdb_vss_spark.functions.distance import register_sql_functions
+
+    register_sql_functions(spark)
+    rows = [
+        ([1.0, 2.0], [3.0, 4.0]),
+        ([1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),
+        ([2.0], [5.0]),
+        (None, [1.0]),
+    ]
+    df = spark.createDataFrame(rows, "a array<float>, b array<float>")
+    df.createOrReplaceTempView("ragged_pairs")
+    expect = [
+        float(np.sqrt(((np.array(a) - np.array(b)) ** 2).sum()))
+        if a is not None and b is not None
+        else None
+        for a, b in rows
+    ]
+    nat = [r["d"] for r in df.select(array_distance("a", "b").alias("d")).collect()]
+    sql = [
+        r["d"]
+        for r in spark.sql(
+            "SELECT array_distance(a, b) AS d FROM ragged_pairs"
+        ).collect()
+    ]
+    for got in (nat, sql):
+        assert got[-1] is None
+        np.testing.assert_allclose(got[:-1], expect[:-1], rtol=1e-12)

@@ -149,3 +149,46 @@ def test_knn_classify_broadcast_strategy_matches_crossjoin(spark):
         ).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_broadcast_kernel_distance_ties_break_by_id(spark):
+    """ADVICE r8: exact-duplicate distances at the k boundary must
+    resolve to the SMALLEST ids — the oracle's ORDER BY dist, rid — not
+    whatever order argpartition/insertion happened to keep. 20 identical
+    items tie at the same distance; k=5 must return ids 0..4 regardless
+    of row order or partitioning, plus a mixed case where the tie group
+    straddles the boundary behind two strictly-closer items."""
+    import random
+
+    from duckdb_vss_spark.operators.join import knn_join
+
+    rng = random.Random(11)
+    ids = list(range(20))
+    rng.shuffle(ids)
+    items = spark.createDataFrame(
+        [(i, [0.0, 0.0]) for i in ids], "vec_id long, embedding array<float>"
+    ).repartition(4)
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "qid long, qvec array<float>")
+    got = sorted(
+        r["vec_id"]
+        for r in knn_join(
+            q, items, "qvec", "embedding", 5,
+            query_id_col="qid", item_id_col="vec_id", strategy="broadcast",
+        ).collect()
+    )
+    assert got == [0, 1, 2, 3, 4]
+
+    mixed = spark.createDataFrame(
+        [(50, [0.5, 0.0]), (51, [0.6, 0.0])]
+        + [(i, [0.0, 0.0]) for i in ids],
+        "vec_id long, embedding array<float>",
+    ).repartition(3)
+    got2 = sorted(
+        r["vec_id"]
+        for r in knn_join(
+            q, mixed, "qvec", "embedding", 5,
+            query_id_col="qid", item_id_col="vec_id", strategy="broadcast",
+        ).collect()
+    )
+    # two closer items, then the 3 smallest ids of the dist-1.0 tie group
+    assert got2 == [0, 1, 2, 50, 51]

@@ -45,3 +45,26 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     rows = {r["cluster_id"]: (r["n"], r["centroid"]) for r in out.collect()}
     assert sorted(n for n, _ in rows.values()) == [0, 0, 3]
     assert all(c == [5.0, 5.0] for _, c in rows.values())
+
+
+def test_kmeans_excludes_null_vectors(spark):
+    """ADVICE r7 fix pinned (r8 shipped it untested): NULL vectors take
+    no part in the fit or the summary — same centroids as a pre-filtered
+    frame, and no NULL-cluster row in the summary."""
+    import numpy as np
+
+    from duckdb_vss_spark.pipeline.kmeans import kmeans_fit, kmeans_summary
+
+    rows = [(i, [float(i % 5), float((i * 7) % 3)]) for i in range(40)]
+    rows += [(100, None), (101, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    clean = df.where(F.col("embedding").isNotNull())
+
+    c_with = kmeans_fit(df, "embedding", "vec_id", k=3, iters=2, seed=5)
+    c_without = kmeans_fit(clean, "embedding", "vec_id", k=3, iters=2, seed=5)
+    np.testing.assert_array_equal(c_with, c_without)
+
+    summ = kmeans_summary(df, "embedding", "vec_id", k=3, iters=2, seed=5)
+    rows_ = summ.collect()
+    assert all(r["cluster_id"] is not None for r in rows_)
+    assert sum(r["n"] for r in rows_) == 40  # the 2 NULL rows don't count

@@ -811,3 +811,62 @@ def test_minhash_store_parquet_roundtrip(spark, docs, tmp_path):
         for r in minhash_match_store(new, ref_disk, threshold=0.5).collect()
     }
     assert via_disk == direct and len(via_disk) > 0
+
+
+def test_corpus_diff_null_text_matrix(spark):
+    """ADVICE r8: the 4-way NULL-text matrix, pinned AND cross-checked
+    against the oracle's SQL shape on the same rows — (NULL, NULL) →
+    unchanged (omitted), (row, absent) → removed, (absent, row) →
+    added, (NULL, text)/(text, NULL) → changed. Presence comes from the
+    join side, never from fingerprint NULLs."""
+    import duckdb
+
+    from duckdb_vss_spark.pipeline.corpus import corpus_diff
+
+    old_rows = [(1, None), (2, "same"), (3, None), (4, "gone"),
+                (6, None), (8, "was")]
+    new_rows = [(1, None), (2, "same"), (3, "now text"), (5, "fresh"),
+                (7, None), (8, None)]
+    old = spark.createDataFrame(old_rows, "id long, text string")
+    new = spark.createDataFrame(new_rows, "id long, text string")
+    got = {
+        r["id"]: r["status"]
+        for r in corpus_diff(old, new, "id", "text").collect()
+    }
+    assert got == {
+        3: "changed",   # NULL -> text
+        4: "removed",   # present old only
+        5: "added",     # present new only
+        6: "removed",   # present old only, text NULL
+        7: "added",     # present new only, text NULL
+        8: "changed",   # text -> NULL
+    }
+
+    # cross-engine: the declared oracle's presence-based SQL shape on
+    # identical rows must label every id the same way
+    con = duckdb.connect()
+    con.execute("CREATE TABLE o(id BIGINT, text VARCHAR)")
+    con.execute("CREATE TABLE n(id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO o VALUES (?, ?)", old_rows)
+    con.executemany("INSERT INTO n VALUES (?, ?)", new_rows)
+    oracle = con.execute(
+        r"""
+        WITH old AS (
+          SELECT id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fo
+          FROM o
+        ),
+        new AS (
+          SELECT id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fn
+          FROM n
+        )
+        SELECT COALESCE(old.id, new.id) AS id,
+               CASE WHEN old.id IS NULL THEN 'added'
+                    WHEN new.id IS NULL THEN 'removed'
+                    WHEN fo IS DISTINCT FROM fn THEN 'changed' END AS status
+        FROM old FULL OUTER JOIN new ON old.id = new.id
+        WHERE (old.id IS NULL) OR (new.id IS NULL)
+           OR (fo IS DISTINCT FROM fn)
+        """
+    ).fetchall()
+    con.close()
+    assert dict(oracle) == got
