@@ -1661,10 +1661,9 @@ def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
       WHERE embedding IS NOT NULL
     )
-    SELECT vec_id,
-           list(list_inner_product(v, sv) * (1.0 / sqrt(8.0)) ORDER BY j) AS proj
+    SELECT vec_id, CAST(j AS INT) AS pos,
+           list_inner_product(v, sv) * (1.0 / sqrt(8.0)) AS val
     FROM e, smat
-    GROUP BY vec_id
     """,
 )
 def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1674,11 +1673,15 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure function of (seed, i, j), no fitted state — and each output
     coordinate is the pinned sequential-fold inner product, so the
     projected vectors match bit-for-bit. Map-only, no shuffle: the
-    scan-width lever ahead of the IVF/PQ/SQ ladder."""
+    scan-width lever ahead of the IVF/PQ/SQ ladder. Output shape is
+    one SCALAR row per (vec_id, pos) — the driver's canonicalizer
+    cannot hash array cells (VERDICT r9 #1), so the projected vector
+    is posexploded here and the oracle skips its list() rollup."""
     from duckdb_vss_spark.pipeline.corpus import random_projection
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return random_projection(emb, "embedding", 8, seed=5).select("vec_id", "proj")
+    proj = random_projection(emb, "embedding", 8, seed=5)
+    return proj.select("vec_id", F.posexplode("proj").alias("pos", "val"))
 
 
 def _kmeans_oracle(k: int = 4, iters: int = 2, seed: int = 5) -> str:
@@ -1732,12 +1735,17 @@ def _kmeans_oracle(k: int = 4, iters: int = 2, seed: int = 5) -> str:
         )
     parts.append(f"af AS ({asgn(f'c{iters}')})")
     parts.append("cnt AS (SELECT cid, count(*) AS n FROM af GROUP BY 1)")
+    # Scalar output shape (VERDICT r9 #1): one row per centroid
+    # coordinate — generate_subscripts is 1-based, posexplode 0-based.
     return (
         ",\n    ".join(parts)
         + f"""
     SELECT c.cid AS cluster_id, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n,
-           c.c AS centroid
-    FROM c{iters} c LEFT JOIN cnt ON c.cid = cnt.cid
+           CAST(u.p - 1 AS INT) AS pos, u.val
+    FROM c{iters} c
+    LEFT JOIN cnt ON c.cid = cnt.cid
+    JOIN (SELECT cid, unnest(c) AS val, generate_subscripts(c, 1) AS p
+          FROM c{iters}) u ON u.cid = c.cid
     """
     )
 
@@ -1750,11 +1758,18 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums; no float-order or decimal-rounding dependence), so this
     oracle-checks an iterative algorithm exactly, not just its row
     counts. Spark cost shape: iters map-only assignment scans + iters
-    skinny (cluster, dim) shuffles; driver holds k×d doubles only."""
+    skinny (cluster, dim) shuffles; driver holds k×d doubles only.
+    Output shape is one SCALAR row per (cluster_id, pos) centroid
+    coordinate (VERDICT r9 #1: the driver canonicalizer cannot hash
+    array cells, so the centroid array is posexploded here and the
+    oracle unnests with generate_subscripts)."""
     from duckdb_vss_spark.pipeline.kmeans import kmeans_summary
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return kmeans_summary(emb, "embedding", "vec_id", k=4, iters=2, seed=5)
+    summ = kmeans_summary(emb, "embedding", "vec_id", k=4, iters=2, seed=5)
+    return summ.select(
+        "cluster_id", "n", F.posexplode("centroid").alias("pos", "val")
+    )
 
 
 @register_extra(

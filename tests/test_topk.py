@@ -39,8 +39,15 @@ def test_null_vectors_never_win(spark):
     assert [r["id"] for r in rows] == [1, 3]
 
 
-def test_dim_mismatch_returns_empty(spark, grid):
-    assert knn_search(grid, "vec", [1.0, 2.0], 3).count() == 0
+def test_dim_mismatch_raises(spark, grid):
+    # Reference parity: DuckDB's array kernels ERROR on size mismatch
+    # ("array size mismatch", via distance._pair_guard) — a 2-dim query
+    # against the 3-dim grid must raise, not silently return empty.
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    with pytest.raises((PySparkException, Py4JJavaError), match="size mismatch"):
+        knn_search(grid, "vec", [1.0, 2.0], 3).count()
 
 
 def test_k_validation(spark, grid):
