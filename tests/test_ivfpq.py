@@ -149,3 +149,65 @@ def test_cosine_metric_rerank_matches_brute(spark, emb, tmp_path):
         for r in idx.knn_search(qv, 8, nprobe=8, rerank=250, source=emb).collect()
     ]
     assert rr == brute
+
+
+def test_knn_join_stream_full_probe_matches_single_query(spark, ivfpq, emb):
+    """Executor-side IVFADC query stream (VERDICT r9 #2): at full
+    probe the multi-query join must reproduce the single-query ADC
+    scan exactly (ids, dists, ranks), across flush boundaries
+    (queries_per_batch=2 for 3 queries)."""
+    qids = [7, 42, 99]
+    qs = emb.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    out = ivfpq.knn_join(qs, "qv", 5, "qid", nprobe=ivfpq.nlist, queries_per_batch=2)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["qid"], []).append((r["rn"], r["vec_id"], r["dist"]))
+    for qid in qids:
+        qv = [float(x) for x in emb.where(F.col("vec_id") == qid).first()["embedding"]]
+        single = ivfpq.knn_search(qv, 5, nprobe=ivfpq.nlist).collect()
+        rows = sorted(got[qid])
+        assert [v for _, v, _ in rows] == [r["vec_id"] for r in single]
+        assert np.allclose(
+            [d for _, _, d in rows], [r["dist"] for r in single], rtol=1e-12
+        )
+
+
+def test_knn_join_stream_prunes_unprobed_lists(ivfpq, emb, monkeypatch):
+    """A list no query probes must never be READ: nprobe=1 with one
+    query loads at most 1 list's files (the stream's pruning is
+    list-granular file access, the mapInPandas counterpart of the
+    single-query scan's PartitionFilters)."""
+    import duckdb_vss_spark.index.pq as pqmod
+
+    seen = []
+    orig = pqmod._load_codes
+
+    def spy(file, id_col, m):
+        seen.append(file)
+        return orig(file, id_col, m)
+
+    monkeypatch.setattr(pqmod, "_load_codes", spy)
+    import duckdb_vss_spark.index.ivfpq as ivfpqmod
+    monkeypatch.setattr(ivfpqmod, "_load_codes", spy)
+
+    from duckdb_vss_spark.index.ivfpq import _ivfadc_query_stream, _codes_files_by_list
+    import os as _os
+    import pandas as pd
+
+    files_by_list = _codes_files_by_list(_os.path.join(ivfpq.path, "codes"))
+    qv = np.asarray(
+        emb.where(F.col("vec_id") == 7).first()["embedding"], dtype=np.float64
+    )
+    batches = [pd.DataFrame({"qid": [7], "qv": [qv]})]
+    list(
+        _ivfadc_query_stream(
+            batches, "qv", "qid", "vec_id", files_by_list,
+            np.asarray(ivfpq.manifest["centroids"], dtype=np.float64),
+            np.asarray(ivfpq.manifest["codebooks"], dtype=np.float64),
+            ivfpq.metric, 1, 5, 64,
+        )
+    )
+    probed_dirs = {_os.path.dirname(f) for f in seen}
+    assert len(probed_dirs) == 1

@@ -158,3 +158,40 @@ def test_cosine_metric_rerank_matches_brute(spark, emb, tmp_path):
     ]
     rr = [r["vec_id"] for r in idx.knn_search(qv, 8, rerank=250, source=emb).collect()]
     assert rr == brute
+
+
+def test_knn_join_stream_matches_single_query_adc(spark, pq_idx, emb):
+    """The executor-side query stream (no driver collect; VERDICT r9
+    #2) must reproduce the single-query ADC scan exactly — ids, dists
+    AND the emitted (dist, id) rank — including across flush
+    boundaries (queries_per_batch=2 forces multiple flushes for 5
+    queries)."""
+    qids = [0, 7, 29, 100, 123]
+    qs = emb.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    out = pq_idx.knn_join(qs, "qv", 5, "qid", queries_per_batch=2)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["qid"], []).append((r["rn"], r["vec_id"], r["dist"]))
+    assert set(got) == set(qids)
+    for qid in qids:
+        qv = [float(x) for x in emb.where(F.col("vec_id") == qid).first()["embedding"]]
+        single = pq_idx.knn_search(qv, 5).collect()
+        rows = sorted(got[qid])
+        assert [rn for rn, _, _ in rows] == [1, 2, 3, 4, 5]
+        assert [v for _, v, _ in rows] == [r["vec_id"] for r in single]
+        assert np.allclose(
+            [d for _, _, d in rows], [r["dist"] for r in single], rtol=1e-12
+        )
+
+
+def test_knn_join_null_and_empty_queries(spark, pq_idx, emb):
+    empty = emb.where(F.lit(False)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    assert pq_idx.knn_join(empty, "qv", 3, "qid").count() == 0
+    withnull = spark.createDataFrame(
+        [(1, None)], "qid long, qv array<float>"
+    )
+    assert pq_idx.knn_join(withnull, "qv", 3, "qid").count() == 0
