@@ -52,7 +52,7 @@ from pyspark.sql.types import (
 )
 
 from duckdb_vss_spark.functions.distance import distance_for_metric
-from duckdb_vss_spark.index.ivf import _kmeans, _norm_rows
+from duckdb_vss_spark.index.ivf import _calibrate_nprobe, _kmeans, _norm_rows
 from duckdb_vss_spark.index.pq import (
     _encode_batch,
     _list_parquet_files,
@@ -431,8 +431,6 @@ def create_ivfpq_index(
     if nlist is None:
         nlist = max(2, min(4096, int(math.isqrt(total))))
     nlist = int(min(nlist, total))
-    if default_nprobe is None:
-        default_nprobe = max(1, nlist // 8)
     first = src.select(vec_col).first()
     dims = len(first[0])
 
@@ -447,6 +445,12 @@ def create_ivfpq_index(
         np.stack([np.asarray(r[0], dtype=np.float64) for r in rows]), metric
     )
     centroids = _kmeans(sample, nlist, kmeans_iters, seed)
+    if default_nprobe is None:
+        default_nprobe = _calibrate_nprobe(sample, centroids)
+        _LOG.info(
+            "ivfpq: calibrated default_nprobe=%d/%d (routing recall>=0.9 "
+            "on the training sample)", default_nprobe, nlist,
+        )
     # residual codebooks: quantize what the coarse quantizer leaves over
     d = (
         (sample**2).sum(axis=1, keepdims=True)

@@ -28,6 +28,7 @@ map-only, ``partitionBy(list_id)`` write (the only shuffle).
 from __future__ import annotations
 
 import json
+import logging
 import math
 import os
 import shutil
@@ -37,6 +38,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["IvfSqIndex", "create_ivfsq_index", "load_ivfsq_index", "drop_ivfsq_index"]
+
+_LOG = logging.getLogger(__name__)
 
 
 class IvfSqIndex:
@@ -133,7 +136,7 @@ def create_ivfsq_index(
     SQ bounds + map-only encode + partitioned write of (id, codes)."""
     if metric != "l2sq":
         raise ValueError("IVF-SQ v1 supports metric='l2sq' only")
-    from duckdb_vss_spark.index.ivf import _assign_udf, _kmeans
+    from duckdb_vss_spark.index.ivf import _assign_udf, _calibrate_nprobe, _kmeans
     from duckdb_vss_spark.index.sq import sq_encode, train_sq
     from duckdb_vss_spark.session import check_persistence_enabled
 
@@ -151,8 +154,6 @@ def create_ivfsq_index(
     if nlist is None:
         nlist = max(2, min(4096, int(math.isqrt(total))))
     nlist = int(min(nlist, total))
-    if default_nprobe is None:
-        default_nprobe = max(1, nlist // 8)
     first = src.select(vec_col).first()
     dims = len(first[0])
 
@@ -165,6 +166,12 @@ def create_ivfsq_index(
     )
     sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
     centroids = _kmeans(sample, nlist, kmeans_iters, seed)
+    if default_nprobe is None:
+        default_nprobe = _calibrate_nprobe(sample, centroids)
+        _LOG.info(
+            "ivfsq: calibrated default_nprobe=%d/%d (routing recall>=0.9 "
+            "on the training sample)", default_nprobe, nlist,
+        )
 
     mins, maxs = train_sq(src, vec_col)
     assign = _assign_udf(centroids, "l2sq")
