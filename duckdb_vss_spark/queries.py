@@ -55,79 +55,80 @@ _EXTRA_ORACLES: dict[str, str] = {}
 # checks in dict insertion order, so a partial window still covers the
 # head of the list).
 #
-# Round-9 composition (VERDICT r8 #1 — the twice-prescribed backlog,
-# declared first, before any other r9 work):
-#   1. The 14 queries that have NEVER held a driver row (born mid-r7
-#      after the r7 window froze; r8 shipped the r7 window unchanged).
-#   2. The 10 rows rotated out in r6 whose last driver evidence is r5
-#      and that VERDICT r7/r8 names explicitly.
-#   3. Paths r9 code changes touch (PQ/IVFPQ executor-side query
-#      stream; contamination broadcast grams; embedding_neardup
-#      quadratic guard).
-#   4. Refill with the stalest remaining rows: every other last-r5 row,
-#      then r6 family representatives (ASOF, BM25/RRF, stream-KNN,
-#      TPC-H q02).
-# Rotated out: the full r7/r8 window — all 50 have driver evidence
-# from BOTH r7 and r8 (identical windows), the freshest in the
-# registry. Left for r10: the remaining last-r6 rows (TPC-H
-# q03/q04/q05/q07/q10/q14/q15/q16/q17/q19/q22, media frame/resize,
-# sampling family, pivot/rollup/percentiles, stream interval/static).
+# Round-10 composition (VERDICT r9 #1/#3/#4 — close the rotation: after
+# this window no registry row's last driver evidence is older than r7):
+#   1. The two r9-red rows, reshaped to scalar output (posexplode /
+#      unnest) — the gate-fix itself needs a driver row to count.
+#   2. Two NEW queries pinning the r10-wired executor-side PQ/IVFADC
+#      query streams (strict full-rerank oracles).
+#   3. Other paths r10 code changes touch: q_pq_knn (full-width rerank
+#      oracle hardening), q_ivfpq_knn (stream wiring), q_ivfsq_knn
+#      (same-oracle family), q_incremental_dedup (broadcast hint),
+#      q_embedding_neardup (quadratic guard).
+#   4. The 37 remaining rows whose last driver evidence is r6 or older
+#      (TPC-H q03/q04/q05/q07/q10/q14/q15/q16/q17/q19/q22, media
+#      frame/resize, sampling family, pivot/rollup/percentiles, stream
+#      interval/static, text/doc stats).
+#   5. Refill with r7/r8-evidence family representatives (HNSW join,
+#      SQL-rewrite, span dedup, stream matview restart).
+# Rotated out: the rest of the r9 window (fresh r9 evidence) and the
+# r7/r8 window (identical, double evidence).
 _DECLARED: list[str] = [
-    # 1. first-ever driver rows (14): r7-born surfaces
-    "q_incremental_dedup",
-    "q_incremental_dedup_keep",
-    "q_stream_dedup_store",
-    "q_dedup_keep_best",
-    "q_corpus_diff",
-    "q_weighted_sample",
-    "q_knn_classify",
+    # 1. r9-red rows, output reshaped to scalar (VERDICT r9 #1)
     "q_kmeans",
-    "q_sq_knn",
-    "q_ivfsq_knn",
     "q_random_projection",
-    "q_perplexity_filter",
-    "q_curation_e2e",
-    "q_stream_curation",
-    # 2. last driver row r5, named in VERDICT r7/r8 (10)
-    "q_knn_cosine",
-    "q_knn_inner_product",
-    "q_sql_maxby_topk",
-    "q_hnsw_self_consistency",
-    "q_embedding_neardup_lsh",
-    "q_sessionize_events",
-    "q_knn_join_grouped",
-    "q_ivf_knn_join",
-    "q_vss_match_stats",
-    "q_stream_session_windows",
-    # 3. paths touched by r9 work (4)
+    # 2. new: executor-side query-stream joins (VERDICT r9 #2)
+    "q_pq_knn_join",
+    "q_ivfpq_knn_join",
+    # 3. other paths touched by r10 work (5)
     "q_pq_knn",
     "q_ivfpq_knn",
-    "q_contamination",
+    "q_ivfsq_knn",
+    "q_incremental_dedup",
     "q_embedding_neardup",
-    # 4a. remaining last-r5 rows (17)
-    "q06_forecast_revenue",
-    "q08_market_share",
-    "q12_late_priority",
-    "q21_waiting_suppliers",
-    "q_fingerprint",
-    "q_hnsw_index_info",
-    "q_knn_grid",
-    "q_lang_id",
-    "q_media_audio_energy",
-    "q_media_features_shape",
-    "q_media_jpeg_pipeline",
-    "q_media_video_probe",
-    "q_minhash_signature",
-    "q_quality_score",
-    "q_semantic_doc_search",
-    "q_simhash",
-    "q_sql_minby_topk",
-    # 4b. r6 family representatives (5)
-    "q02_min_cost_supplier",
-    "q_asof_join",
-    "q_bm25_topk",
-    "q_hybrid_rrf",
-    "q_stream_knn_serve",
+    # 4. last driver evidence r6 or older (37)
+    "q03_shipping_priority",
+    "q04_priority_semi",
+    "q05_local_supplier_volume",
+    "q07_volume_shipping",
+    "q10_returned_items",
+    "q14_type_revenue_share",
+    "q15_top_supplier",
+    "q16_parts_supplier",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q22_inactive_customers",
+    "q_chunk_docs",
+    "q_dedup_clusters",
+    "q_doc_oov_rate",
+    "q_event_percentiles",
+    "q_hash_sample",
+    "q_hnsw_knn_filtered_empty",
+    "q_image_phash_dedup",
+    "q_interval_join",
+    "q_kmv_distinct",
+    "q_lang_quality",
+    "q_media_frame_sample",
+    "q_media_resize",
+    "q_mix_budget",
+    "q_moving_window_sum",
+    "q_pii_scrub",
+    "q_pivot_events",
+    "q_repetition_stats",
+    "q_rollup_revenue",
+    "q_shuffle_shards",
+    "q_simhash_pairs",
+    "q_source_cap",
+    "q_stratified_sample",
+    "q_stream_interval_join",
+    "q_stream_static_join",
+    "q_text_stats",
+    "q_vocab_topk",
+    # 5. refill: r7/r8-evidence family representatives (4)
+    "q_hnsw_knn_join",
+    "q_sql_lateral_rewrite",
+    "q_dup_spans",
+    "q_stream_matview_restart",
 ]
 
 
@@ -1559,16 +1560,17 @@ def q_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized top-k (index/pq.py): ADC scan over m-byte codes
     (the scan stage reads id + 16 bytes per row, a 16x byte reduction on
     the 64-dim corpus) -> top-``rerank`` candidates -> exact-distance
-    re-rank against the original vectors (late materialization). The
-    re-rank restores exactness at the top — the candidate window scales
-    with the corpus (max(250, n/4)) so every true top-10 neighbor sits
-    inside it at oracle scales — and the brute-force SQL is a strict
-    oracle; bench reports the honest ADC-only recall separately
-    (pq_knn@10)."""
+    re-rank against the original vectors (late materialization).
+    FULL-WIDTH re-rank makes the result exact BY CONSTRUCTION (VERDICT
+    r9 #5: the old max(250, n/4) window was strict only while the true
+    top-10 happened to survive the ADC shortlist — a latent gate
+    flake), so the brute-force SQL is a strict oracle at any data size;
+    bench reports the honest ADC-only recall separately (pq_knn@10,
+    pq_rerank@10 at the production shortlist)."""
     idx = _get_pq_index(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir, 29)
-    rerank = max(250, idx.manifest["count"] // 4)
+    rerank = idx.manifest["count"]
     hits = idx.knn_search(
         qv, 10, rerank=rerank, source=emb.select("vec_id", "embedding")
     ).select("vec_id", "dist")
@@ -1578,6 +1580,71 @@ def q_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", F.col("dist").cast("double").alias("dist"))
         .orderBy("dist", "vec_id")
     )
+
+
+_KNN_JOIN_ORACLE = """
+    WITH q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+      WHERE vec_id % 100 = 0 AND embedding IS NOT NULL
+    ),
+    r AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE embedding IS NOT NULL
+    )
+    SELECT qid, vec_id, dist, CAST(rn AS INT) AS rn FROM (
+      SELECT q.qid, r.vec_id, list_distance(q.qv, r.v) AS dist,
+             row_number() OVER (
+               PARTITION BY q.qid ORDER BY list_distance(q.qv, r.v), r.vec_id
+             ) AS rn
+      FROM q, r
+    ) WHERE rn <= 5
+    """
+
+
+@register_extra("q_pq_knn_join", _KNN_JOIN_ORACLE)
+def q_pq_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query PQ ADC join through the EXECUTOR-SIDE query stream
+    (index/pq._adc_query_stream, wired r10 per VERDICT r9 #2): the
+    query set flows as a DataFrame into mapInPandas — never collected
+    to the driver — each task building its flush's LUT tensors and
+    folding tie-safe running top-k heaps over the worker-cached codes
+    files. FULL-WIDTH exact re-rank makes the result exact by
+    construction, so the brute-force window SQL is a strict oracle."""
+    idx = _get_pq_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(
+        (F.col("vec_id") % 100 == 0) & F.col("embedding").isNotNull()
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    out = idx.knn_join(
+        qs, "qv", 5, "qid",
+        rerank=idx.manifest["count"], source=emb.select("vec_id", "embedding"),
+    )
+    return out.select(
+        "qid", "vec_id", F.col("dist").cast("double").alias("dist"), "rn"
+    ).orderBy("qid", "rn")
+
+
+@register_extra("q_ivfpq_knn_join", _KNN_JOIN_ORACLE)
+def q_ivfpq_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query IVFADC join through the executor-side query stream
+    (index/ivfpq._ivfadc_query_stream, wired r10 per VERDICT r9 #2):
+    per-flush coarse routing, list-granular pruned reads of only the
+    probed lists' code files, residual LUT blocks vectorized over each
+    list's probing queries. Full probe + FULL-WIDTH re-rank keep the
+    brute-force window SQL a strict oracle; partial-probe recall is
+    pinned in tests/test_ivfpq.py and bench."""
+    idx = _get_ivfpq_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(
+        (F.col("vec_id") % 100 == 0) & F.col("embedding").isNotNull()
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    out = idx.knn_join(
+        qs, "qv", 5, "qid", nprobe=idx.nlist,
+        rerank=idx.manifest["count"], source=emb.select("vec_id", "embedding"),
+    )
+    return out.select(
+        "qid", "vec_id", F.col("dist").cast("double").alias("dist"), "rn"
+    ).orderBy("qid", "rn")
 
 
 @register_extra(
