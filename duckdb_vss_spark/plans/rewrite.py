@@ -451,6 +451,10 @@ class VssPlanner:
         self.spark = spark
         self._indexes: dict[tuple[str, str], object] = {}
         self.last_plan: str = ""
+        # the unpatched parse/execute path: install_sql_extension
+        # (plans/catalyst.py) rebinds spark.sql to THIS planner, so all
+        # internal parsing must bypass the hook or recurse forever
+        self._raw_sql = getattr(spark, "_vss_sql_original", None) or spark.sql
         from duckdb_vss_spark.functions.distance import register_sql_functions
 
         register_sql_functions(spark)
@@ -498,7 +502,7 @@ class VssPlanner:
             cols = match.cols
             if cols == "*":
                 return hits.drop("dist")
-            return self.spark.sql(f"SELECT {cols} FROM __vss_topk__")
+            return self._raw_sql(f"SELECT {cols} FROM __vss_topk__")
 
         mb = match_minby(sql)
         if mb is not None:
@@ -518,8 +522,42 @@ class VssPlanner:
                 return self._run_lateral_indexed(ml, idx)
             return self._run_lateral_brute(ml)
 
+        # no regex form matched: parse through the REAL Catalyst
+        # analyzer and pattern-match the analyzed plan — the engine-level
+        # TopN rule (plans/catalyst.py) that makes alias scoping, casts,
+        # star expansion and view inlining the analyzer's problem, not a
+        # regex's. SEQ_SCAN fallback executes the parsed plan untouched.
         self.last_plan = "SEQ_SCAN"
-        return self.spark.sql(canonicalize_cosine(rewrite_operators(sql)))
+        df = self._raw_sql(canonicalize_cosine(rewrite_operators(sql)))
+        routed = self.rewrite_plan(df)
+        return routed if routed is not None else df
+
+    def rewrite_plan(self, df: DataFrame) -> DataFrame | None:
+        """Catalyst-plan-level TopN -> index scan (the reference's
+        optimizer-extension shape, hnsw_optimize_scan.cpp:255-258, see
+        plans/catalyst.py). Returns the rewritten DataFrame or None;
+        filters pull up above the scan, the original projection is
+        re-evaluated over the aliased hits (distance recomputed in the
+        surviving projection, SURVEY §3-B.4)."""
+        from duckdb_vss_spark.plans.catalyst import match_topk_plan
+
+        m = match_topk_plan(
+            self.spark, df._jdf.queryExecution().analyzed(), set(self._indexes)
+        )
+        if m is None:
+            return None
+        idx = self._index_for(
+            TopKMatch("*", m.table, m.fn, m.metric, m.vec_col, m.query_vec, m.k)
+        )
+        if idx is None:
+            return None
+        self.last_plan = self._marker(idx)
+        hits = self._index_hits(idx, m.table, m.query_vec, m.k).alias(m.table)
+        for f in m.filters:
+            hits = hits.where(F.expr(f))
+        if m.project_exprs:
+            return hits.selectExpr(*m.project_exprs)
+        return hits.drop("dist")
 
     # -- min_by (k-ary aggregate; Spark's builtin is 2-ary, so BOTH paths
     #    are ours: index scan when available, sort-slice idiom otherwise) --

@@ -124,9 +124,9 @@ _DECLARED: list[str] = [
     "q_stream_static_join",
     "q_text_stats",
     "q_vocab_topk",
-    # 5. refill: r7/r8-evidence family representatives (4)
+    # 5. new Catalyst-plan rule (VERDICT r9 missing #2) + refill (3)
+    "q_sql_ext_topk",
     "q_hnsw_knn_join",
-    "q_sql_lateral_rewrite",
     "q_dup_spans",
     "q_stream_matview_restart",
 ]
@@ -1828,6 +1828,55 @@ def q_sql_topk_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert planner.last_plan == "HNSW_INDEX_SCAN", planner.last_plan
         return df
     finally:
+        spark.conf.unset("spark.vss.ef_search")
+
+
+@register_extra(
+    "q_sql_ext_topk",
+    f"""
+    SELECT vec_id,
+           list_distance(CAST(embedding AS DOUBLE[]), {_ORACLE_QVEC.format(vid=17)}) AS dist
+    FROM embeddings
+    WHERE embedding IS NOT NULL
+    ORDER BY dist, vec_id
+    LIMIT 8
+    """,
+)
+def q_sql_ext_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLAIN ``spark.sql`` through the installed Catalyst-plan rule
+    (plans/catalyst.py install_sql_extension; VERDICT r7 #10 / r8 #4):
+    no VssPlanner call site — the hooked session matches the ANALYZED
+    TopN plan (GlobalLimit→Sort over the registered table) and routes
+    it to the HNSW index scan, the reference's optimizer-extension
+    registration one level up (hnsw_optimize_scan.cpp:255-258). ef ≫ k
+    keeps the ANN path exact at oracle scale, so the brute-force SQL
+    is a strict oracle; the in-query assert pins the marker so a
+    silent fallback to SEQ_SCAN fails the row rather than passing by
+    accident."""
+    from duckdb_vss_spark.plans import (
+        VssPlanner,
+        install_sql_extension,
+        uninstall_sql_extension,
+    )
+
+    idx = _get_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.createOrReplaceTempView("embeddings")
+    spark.conf.set("spark.vss.ef_search", "400")
+    try:
+        planner = VssPlanner(spark)
+        planner.register_index("embeddings", "embedding", idx)
+        install_sql_extension(planner)
+        qv = _query_vec(spark, sf_dir, 17)
+        lit = ",".join(repr(x) for x in qv)
+        df = spark.sql(
+            f"SELECT vec_id, array_distance(embedding, array({lit})) AS dist "
+            f"FROM embeddings ORDER BY dist LIMIT 8"
+        )
+        assert planner.last_plan == "HNSW_INDEX_SCAN", planner.last_plan
+        return df
+    finally:
+        uninstall_sql_extension(spark)
         spark.conf.unset("spark.vss.ef_search")
 
 
