@@ -173,6 +173,10 @@ def test_contamination_no_cartesian(spark):
     plan = plan_of(df, "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # eval ≪ train → the distinct eval gram keys broadcast and filter
+    # the train side map-side BEFORE any exchange (VERDICT r8 #7): the
+    # shuffle carries only colliding train grams, not the full gram set
+    assert "BroadcastHashJoin" in plan
 
 
 def test_pq_adc_scan_reads_only_codes(spark, tmp_path):
