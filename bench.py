@@ -147,7 +147,8 @@ def scale_curves(
         from duckdb_vss_spark.pipeline.contamination import ngram_contamination
 
         n_contam = timed8(f"contamination_spark{sx}", lambda: ngram_contamination(
-            big, "text", "doc_id", F.col("doc_id") % 41 == 0, n=4
+            big, "text", "doc_id", F.col("doc_id") % 41 == 0, n=4,
+            broadcast_eval=True,
         ).count())
         out[f"contamination_rows{sx}"] = n_contam
 

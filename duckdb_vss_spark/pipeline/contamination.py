@@ -88,6 +88,11 @@ def ngram_contamination(
             <= broadcast_eval_docs
         )
     if broadcast_eval:
+        from duckdb_vss_spark.pipeline.dedup import _materialize
+
+        # one eval shingle pass, read twice (broadcast keys + the hits
+        # join) — without it both branches recompute the eval UDF
+        ev = _materialize(ev)
         tr = tr.join(F.broadcast(ev.select("gh").distinct()), "gh")
     hits = ev.join(tr, "gh")
     return hits.groupBy(id_col).agg(
