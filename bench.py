@@ -358,6 +358,13 @@ def scale_curves(
         # identical union. The shape where whole-stage codegen + partial
         # aggs amortize the job floor.
         li = load_table(spark, sf_dir, "lineitem")
+        # symmetric sources + steady-state timing (r10: the old form
+        # timed ONE cold shot over a Spark .cache() while DuckDB read
+        # parquet views and the text shapes used best-of-3 — the
+        # recorded 5-9x "q01 gap" was mostly harness asymmetry; warm
+        # uncached the same query runs ~1s at x32): both engines read
+        # the parquet union per run, best-of-runs, cold kept per the
+        # timed8 convention.
         li8 = reduce(
             lambda a, b: a.unionByName(b),
             [
@@ -367,19 +374,15 @@ def scale_curves(
                 )
                 for i in range(reps)
             ],
-        ).cache()
-        li8.count()
+        )
         qty = F.col("l_quantity").cast("decimal(12,2)")
         price = F.col("l_extendedprice").cast("decimal(12,2)")
-        t0 = time.time()
-        (
+        timed8(f"q01_agg_spark{sx}", lambda: (
             li8.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
             .groupBy("l_returnflag", "l_linestatus")
             .agg(F.sum(qty), F.sum(price), F.count(F.lit(1)))
             .collect()
-        )
-        out[f"q01_agg_spark{sx}"] = round(time.time() - t0, 3)
-        li8.unpersist()
+        ))
         con = duckdb.connect()
         con.execute(f"SET threads={threads}")
         li_union = " UNION ALL ".join(
@@ -387,15 +390,13 @@ def scale_curves(
             for _ in range(reps)
         )
         con.execute(f"CREATE VIEW lineitem8 AS {li_union}")
-        t0 = time.time()
-        con.execute(
+        timed8(f"q01_agg_duckdb{sx}", lambda: con.execute(
             """SELECT l_returnflag, l_linestatus,
                       sum(CAST(l_quantity AS DECIMAL(12,2))),
                       sum(CAST(l_extendedprice AS DECIMAL(12,2))), count(*)
                FROM lineitem8 WHERE l_shipdate <= DATE '1998-09-02'
                GROUP BY 1, 2"""
-        ).fetchall()
-        out[f"q01_agg_duckdb{sx}"] = round(time.time() - t0, 3)
+        ).fetchall(), runs=2)
         con.close()
 
     def _asof():
@@ -418,19 +419,17 @@ def scale_curves(
                 )
                 for i in range(reps)
             ],
-        ).cache()
-        ev8.count()
-        t0 = time.time()
-        asof_join(
+        )
+        # same r10 convention change as _q01: symmetric parquet reads +
+        # best-of-runs on both engines
+        timed8(f"asof_spark{sx}", lambda: asof_join(
             ev8.where(F.col("event_type") == "click"),
             ev8.where(F.col("event_type") == "error"),
             on="ts",
             by="user_id",
             right_cols=["event_id"],
             suffix="_err",
-        ).count()
-        out[f"asof_spark{sx}"] = round(time.time() - t0, 3)
-        ev8.unpersist()
+        ).count())
         con = duckdb.connect()
         con.execute(f"SET threads={threads}")
         ev_union = " UNION ALL ".join(
@@ -440,15 +439,13 @@ def scale_curves(
             for i in range(reps)
         )
         con.execute(f"CREATE VIEW events8 AS {ev_union}")
-        t0 = time.time()
-        con.execute(
+        timed8(f"asof_duckdb{sx}", lambda: con.execute(
             """SELECT count(*) FROM
                (SELECT * FROM events8 WHERE event_type = 'click') l
                ASOF LEFT JOIN
                (SELECT * FROM events8 WHERE event_type = 'error') r
                ON l.user_id = r.user_id AND l.ts >= r.ts"""
-        ).fetchall()
-        out[f"asof_duckdb{sx}"] = round(time.time() - t0, 3)
+        ).fetchall(), runs=2)
         con.close()
 
     def _q03():
@@ -494,8 +491,8 @@ def scale_curves(
             F.col("l_extendedprice").cast("decimal(12,2)")
             * (F.lit("1.00").cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)"))
         ).cast("double")
-        t0 = time.time()
-        (
+        # r10 convention change (see _q01): best-of-runs on both engines
+        timed8(f"q03_join_spark{sx}", lambda: (
             li8j.where(F.col("l_shipdate") > F.lit("1998-03-15").cast("date"))
             .join(
                 or8.where(F.col("o_orderdate") < F.lit("1998-03-15").cast("date")),
@@ -510,8 +507,7 @@ def scale_curves(
             .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
             .limit(10)
             .collect()
-        )
-        out[f"q03_join_spark{sx}"] = round(time.time() - t0, 3)
+        ))
         con = duckdb.connect()
         con.execute(f"SET threads={threads}")
         cu_cols = [c for c in cu.columns if c != "c_custkey"]
@@ -536,8 +532,7 @@ def scale_curves(
         con.execute(f"CREATE VIEW customer8 AS {cu_union}")
         con.execute(f"CREATE VIEW orders8 AS {or_union}")
         con.execute(f"CREATE VIEW lineitem8j AS {li_union2}")
-        t0 = time.time()
-        con.execute(
+        timed8(f"q03_join_duckdb{sx}", lambda: con.execute(
             """SELECT l_orderkey, o_orderdate, o_orderpriority,
                       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
                                * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
@@ -549,8 +544,7 @@ def scale_curves(
                  AND c_mktsegment = 'BUILDING'
                GROUP BY 1, 2, 3
                ORDER BY revenue DESC, l_orderkey LIMIT 10"""
-        ).fetchall()
-        out[f"q03_join_duckdb{sx}"] = round(time.time() - t0, 3)
+        ).fetchall(), runs=2)
         con.close()
 
     if "q01" in shapes:
