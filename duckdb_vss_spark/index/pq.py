@@ -179,11 +179,16 @@ def _merge_topk(best_d, best_i, d, aid, take):
     kk = min(take, d.shape[1])
     idx = np.argpartition(d, kk - 1, axis=1)[:, :kk]
     dsel = np.take_along_axis(d, idx, axis=1)
+    # one vectorized stable sort over the tied rows (ADVICE r9: the
+    # per-row Python loop degrades on duplicate-heavy corpora where
+    # every row ties at the cut)
     t = dsel.max(axis=1)
-    for r in np.flatnonzero((d <= t[:, None]).sum(axis=1) > kk):
-        sel = np.argsort(d[r], kind="stable")[:kk]
-        idx[r] = sel
-        dsel[r] = d[r, sel]
+    flagged = np.flatnonzero((d <= t[:, None]).sum(axis=1) > kk)
+    if len(flagged):
+        sub = d[flagged]
+        sel = np.argsort(sub, axis=1, kind="stable")[:, :kk]
+        idx[flagged] = sel
+        dsel[flagged] = np.take_along_axis(sub, sel, axis=1)
     cat_d = np.concatenate([best_d, dsel], axis=1)
     cat_i = np.concatenate([best_i, aid[idx]], axis=1)
     order = np.lexsort((cat_i, cat_d))[:, :take]

@@ -202,14 +202,20 @@ def _knn_join_broadcast(
                 idx = np.argpartition(d, kk - 1, axis=0)[:kk]  # (kk, nq)
                 dsel = np.take_along_axis(d, idx, axis=0)  # (kk, nq)
                 # argpartition picks arbitrarily among ties at the cut;
-                # redo the (rare) columns where candidates tied with the
-                # kk-th distance fell outside it — rows are id-sorted,
-                # so a stable sort realizes the (dist, id) order.
+                # redo the columns where candidates tied with the kk-th
+                # distance fell outside it — rows are id-sorted, so a
+                # stable sort realizes the (dist, id) order. One
+                # vectorized sort over the flagged submatrix (ADVICE
+                # r9: the per-column Python loop degraded to
+                # O(nq·batch log batch) on duplicate-heavy corpora
+                # where every column ties at the cut).
                 t = dsel.max(axis=0)
-                for c in np.flatnonzero((d <= t[None, :]).sum(axis=0) > kk):
-                    sel = np.argsort(d[:, c], kind="stable")[:kk]
-                    idx[:, c] = sel
-                    dsel[:, c] = d[sel, c]
+                flagged = np.flatnonzero((d <= t[None, :]).sum(axis=0) > kk)
+                if len(flagged):
+                    sub = d[:, flagged]
+                    sel = np.argsort(sub, axis=0, kind="stable")[:kk]
+                    idx[:, flagged] = sel
+                    dsel[:, flagged] = np.take_along_axis(sub, sel, axis=0)
                 # (dist, id) lexicographic merge into the running top-k
                 cat_d = np.concatenate([best_d, dsel.T], axis=1)
                 cat_i = np.concatenate([best_i, xid[idx].T], axis=1)

@@ -192,3 +192,24 @@ def test_broadcast_kernel_distance_ties_break_by_id(spark):
     )
     # two closer items, then the 3 smallest ids of the dist-1.0 tie group
     assert got2 == [0, 1, 2, 50, 51]
+
+
+def test_broadcast_kernel_all_ties_duplicate_corpus(spark):
+    """ADVICE r9: a duplicate-heavy corpus (every item identical) ties
+    every query column at the top-k cut on every batch — the repair
+    must stay vectorized AND still produce the (dist, id) order: the k
+    smallest ids win for every query."""
+    from duckdb_vss_spark.operators.join import knn_join
+
+    items = spark.createDataFrame(
+        [(i, [1.0, 1.0]) for i in range(40)], "vec_id long, vec array<float>"
+    )
+    qs = spark.createDataFrame(
+        [(q, [0.0, 0.0]) for q in range(3)], "qid long, qvec array<float>"
+    )
+    out = knn_join(qs, items, "qvec", "vec", 5, metric="l2sq")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["qid"], []).append((r["rn"], r["vec_id"]))
+    for q in range(3):
+        assert sorted(got[q]) == [(rn, rn - 1) for rn in range(1, 6)]
