@@ -110,7 +110,8 @@ def _eval_vector(spark: SparkSession, expr) -> list[float] | None:
     sidesteps py4j round-trips through Catalyst internal array/decimal
     representations."""
     try:
-        row = spark.sql(f"SELECT CAST({expr.sql()} AS ARRAY<DOUBLE>) AS v").first()
+        raw = getattr(spark, "_vss_sql_original", None) or spark.sql
+        row = raw(f"SELECT CAST({expr.sql()} AS ARRAY<DOUBLE>) AS v").first()
         vec = row[0]
         if vec is None:
             return None
