@@ -92,16 +92,75 @@ class PlanTopK:
 def _strip_casts(s: str) -> str:
     """``CAST(x AS T)`` → ``x`` (innermost-first), drop backticks and
     table qualifiers — normalization for the pushable-predicate gate
-    only (the filter applied to the hits keeps the original SQL)."""
+    only (the filter applied to the hits keeps the original SQL). The
+    type pattern stops at the cast's own closing paren (word chars plus
+    ONE optional precision group like DECIMAL(12,2)) — a paren-greedy
+    class would eat the enclosing expression's parens."""
     s = s.replace("`", "")
     while True:
         new = re.sub(
-            r"CAST\(([^()]*) AS [A-Za-z0-9_<>(), ]+\)", r"\1", s, flags=re.IGNORECASE
+            r"CAST\(([^()]*) AS [A-Za-z0-9_<> ]+(?:\([0-9, ]*\))?\)",
+            r"\1",
+            s,
+            flags=re.IGNORECASE,
         )
         if new == s:
             break
         s = new
     return re.sub(r"\b[A-Za-z_][A-Za-z0-9_]*\.", "", s)
+
+
+def _split_conjuncts(s: str) -> list[str] | None:
+    """Split on AND at paren depth 0; None if any OR at depth 0 (the
+    pull-up gate rejects disjunctions outright)."""
+    parts: list[str] = []
+    depth = 0
+    buf: list[str] = []
+    tokens = re.split(r"(\(|\)|\bAND\b|\bOR\b)", s, flags=re.IGNORECASE)
+    for t in tokens:
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and t.strip().upper() == "AND":
+            parts.append("".join(buf))
+            buf = []
+            continue
+        elif depth == 0 and t.strip().upper() == "OR":
+            return None
+        buf.append(t)
+    parts.append("".join(buf))
+    return parts
+
+
+def _unwrap(s: str) -> str:
+    """Strip balanced wrapping parens: ``((a = 1))`` → ``a = 1``."""
+    s = s.strip()
+    while s.startswith("(") and s.endswith(")"):
+        depth = 0
+        for i, ch in enumerate(s):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i != len(s) - 1:
+                    return s  # parens don't wrap the whole string
+        s = s[1:-1].strip()
+    return s
+
+
+def _pushable_cond(cond_sql: str) -> bool:
+    """The plan-level twin of rewrite.pushable_where: Catalyst's
+    ``condition().sql()`` wraps every node in parens and inserts CASTs
+    (``(a.x <= CAST(2 AS BIGINT))``), which the text gate never sees
+    from user SQL — normalize (strip casts/backticks/qualifiers, split
+    conjuncts paren-aware, unwrap each) and run the same per-conjunct
+    gate."""
+    s = _strip_casts(cond_sql)
+    parts = _split_conjuncts(_unwrap(s))
+    if parts is None:
+        return False
+    return all(pushable_where(_unwrap(p)) for p in parts)
 
 
 def _eval_vector(spark: SparkSession, expr) -> list[float] | None:
@@ -120,14 +179,52 @@ def _eval_vector(spark: SparkSession, expr) -> list[float] | None:
         return None
 
 
+def _child_expr(e):
+    return e.children().apply(0)
+
+
+def _dist_call(key):
+    """(fn_name, [arg expressions]) when ``key`` is a rewritable
+    distance expression: a registered distance UDF call, or
+    ``1.0 − array_cosine_similarity(a, b)`` — the reference's
+    ExpressionRewriter (hnsw_optimize_expr.cpp:22-97) realized at plan
+    level, since the hook never text-rewrites parseable Spark SQL.
+    (None, None) otherwise."""
+    c = _cls(key)
+    if c == "Subtract":
+        ch = _seq(key.children())
+        left = ch[0] if len(ch) == 2 else None
+        while left is not None and _cls(left) == "Cast":  # analyzer wraps
+            left = _child_expr(left)                       # 1.0 to double
+        if (
+            left is not None
+            and _cls(left) == "Literal"
+            and _cls(ch[1]) == "PythonUDF"
+        ):
+            try:
+                one = float(str(left.sql()).rstrip("BDbd"))
+            except ValueError:
+                return None, None
+            if one == 1.0 and str(ch[1].name()) == "array_cosine_similarity":
+                return "array_cosine_distance", _seq(ch[1].children())
+        return None, None
+    if c == "PythonUDF" and str(key.name()) in _METRIC_FOR_FN:
+        return str(key.name()), _seq(key.children())
+    return None, None
+
+
 def _alias_target(node, expr_id: int):
     """Find the Project below ``node`` defining alias ``expr_id``;
-    return (alias child expression, node below that Project)."""
-    while _cls(node) in ("Project", "Filter"):
-        if _cls(node) == "Project":
-            for e in _seq(node.projectList()):
-                if _cls(e) == "Alias" and e.exprId().id() == expr_id:
-                    return e.child(), _child(node)
+    return (alias child expression, node below that Project). A Filter
+    encountered BEFORE the defining Project aborts the match (return
+    None): its predicate would be silently dropped by the rewrite —
+    WHERE clauses sit below the projection in every shape we route, so
+    this only fires on exotic plans, where falling through is the
+    conservative answer."""
+    while _cls(node) == "Project":
+        for e in _seq(node.projectList()):
+            if _cls(e) == "Alias" and e.exprId().id() == expr_id:
+                return e.child(), _child(node)
         node = _child(node)
     return None, None
 
@@ -189,6 +286,13 @@ def match_topk_plan(
             p = _child(p)
         if _cls(p) != "Sort":
             return None
+        # SORT BY (global=false) is a per-partition sort — rewriting it
+        # to a global top-k would CHANGE semantics; require ORDER BY
+        try:
+            if not getattr(p, "global")():
+                return None
+        except Exception:  # noqa: BLE001 — accessor unavailable → abort
+            return None
         order = p.order()
         if order.size() != 1:
             return None
@@ -203,10 +307,8 @@ def match_topk_plan(
             key, below = _alias_target(below, key.exprId().id())
             if key is None:
                 return None
-        if _cls(key) != "PythonUDF" or str(key.name()) not in _METRIC_FOR_FN:
-            return None
-        args = _seq(key.children())
-        if len(args) != 2:
+        fn, args = _dist_call(key)
+        if fn is None or len(args) != 2:
             return None
         vec, qlit = args
         if _cls(vec) != "AttributeReference":
@@ -224,17 +326,28 @@ def match_topk_plan(
         if (table.lower(), vname.lower()) not in registered:
             return None
         for f in filters:
-            if not pushable_where(_strip_casts(f)):
+            if not _pushable_cond(f):
                 return None
         qvec = _eval_vector(spark, qlit)
         if qvec is None:
             return None
-        proj = (
-            [e.sql() for e in _seq(top_project.projectList())]
-            if top_project is not None
-            else None
-        )
-        fn = str(key.name())
+        proj = None
+        if top_project is not None:
+            # an alias of the SAME distance expression reuses the hits'
+            # already-computed `dist` column instead of re-evaluating
+            # the SQL-registered UDF: the scan's distance is the JVM
+            # sequential fold the oracle parity is pinned to, while the
+            # registered pandas UDF sums via einsum — last-ulp apart
+            proj = []
+            for e in _seq(top_project.projectList()):
+                is_dist_alias = False
+                try:
+                    is_dist_alias = _cls(e) == "Alias" and e.child().semanticEquals(key)
+                except Exception:  # noqa: BLE001
+                    pass
+                proj.append(
+                    f"`dist` AS `{e.name()}`" if is_dist_alias else e.sql()
+                )
         return PlanTopK(
             table=table,
             vec_col=vname,
@@ -262,7 +375,24 @@ def install_sql_extension(planner) -> None:
     def vss_sql(query: str, *a, **kw) -> DataFrame:
         if a or kw:  # parameterized forms pass through untouched
             return raw(query, *a, **kw)
-        return planner.sql(query)
+        # Spark dialect is authoritative on the hooked session: if the
+        # statement parses+analyzes natively, its Spark semantics stand
+        # (``<=>`` is null-safe equality here, NOT cosine distance, and
+        # operator glyphs inside string literals are data) — only the
+        # plan-level TopN rule may then reroute it, never a text
+        # rewrite. The DuckDB-dialect front-end (operator aliases,
+        # ``[..]::FLOAT[n]`` literals, k-ary min_by, lateral top-k)
+        # runs ONLY for statements Spark cannot parse/analyze at all,
+        # which is exactly the reference-SQL surface.
+        try:
+            df = raw(query)
+        except Exception:  # noqa: BLE001 — fall to the reference dialect
+            return planner.sql(query)
+        routed = planner.rewrite_plan(df)
+        if routed is not None:
+            return routed
+        planner.last_plan = "SEQ_SCAN"
+        return df
 
     spark._vss_sql_original = raw
     spark.sql = vss_sql

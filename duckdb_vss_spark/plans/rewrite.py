@@ -455,6 +455,12 @@ class VssPlanner:
         # (plans/catalyst.py) rebinds spark.sql to THIS planner, so all
         # internal parsing must bypass the hook or recurse forever
         self._raw_sql = getattr(spark, "_vss_sql_original", None) or spark.sql
+        # the plan-level matcher re-renders expressions via .sql()
+        # (plans/catalyst.py): Spark truncates >25-field expression
+        # trees ("... N more fields"), which silently corrupts a
+        # 64-dim array literal into unparseable text — raise the cap
+        # so rendering is lossless at any embedding width
+        spark.conf.set("spark.sql.debug.maxToStringFields", "100000")
         from duckdb_vss_spark.functions.distance import register_sql_functions
 
         register_sql_functions(spark)

@@ -143,6 +143,66 @@ def test_renamed_computed_vector_not_matched(spark, grid, hooked):
     assert df.count() == 3
 
 
+
+
+def test_hook_preserves_spark_dialect(spark, grid, hooked):
+    """Review r10: the hook must NEVER text-rewrite parseable Spark SQL
+    — `<=>` is null-safe equality on a hooked session (not cosine
+    distance), and operator glyphs inside string literals are data."""
+    r = spark.sql("SELECT 1 <=> NULL AS a, NULL <=> NULL AS b").first()
+    assert (r["a"], r["b"]) == (False, True)
+    assert spark.sql("SELECT 'a <-> b' AS s").first()["s"] == "a <-> b"
+    # reference dialect still reachable: it does NOT parse natively,
+    # so the hook falls through to the DuckDB front-end
+    df = spark.sql(
+        "SELECT id FROM grid_items ORDER BY vec <-> [2.0,2.0,2.0]::FLOAT[3] LIMIT 3"
+    )
+    assert hooked.last_plan == "HNSW_INDEX_SCAN"
+    assert df.count() == 3
+
+
+def test_sort_by_per_partition_not_rewritten(spark, grid, hooked):
+    # SORT BY is a per-partition sort (global=false) — rewriting it to
+    # a global top-k would CHANGE results; must fall through
+    df = spark.sql(
+        "SELECT id FROM grid_items "
+        "SORT BY array_distance(vec, array(2.0, 2.0, 2.0)) LIMIT 3"
+    )
+    assert hooked.last_plan == "SEQ_SCAN"
+    assert df.count() == 3
+
+
+def test_cosine_subtract_form_matched_at_plan_level(spark, grid, hooked, tmp_path_factory):
+    """1.0 - array_cosine_similarity(...) through plain spark.sql must
+    fuse to the cosine-distance index route at PLAN level (the hook
+    never text-rewrites valid SQL, so canonicalize_cosine can't help).
+    Registers a cosine index on the module's hooked planner — install
+    is idempotent, so a second planner could not take the hook."""
+    path = str(tmp_path_factory.mktemp("catcos") / "idx")
+    idx = create_hnsw_index(
+        spark, grid, vec_col="vec", id_col="id", path=path,
+        metric="cosine", overwrite=True,
+    )
+    hooked.register_index("grid_items", "vec", idx)
+    try:
+        df = spark.sql(
+            "SELECT id, 1.0 - array_cosine_similarity(vec, array(2.0, 2.0, 2.0)) AS d "
+            "FROM grid_items ORDER BY d LIMIT 3"
+        )
+        assert hooked.last_plan == "HNSW_INDEX_SCAN"
+        # the lattice is cosine-degenerate (every scalar multiple of the
+        # query ties at distance 0), so compare the DISTANCE multiset —
+        # any tie representative is a correct top-3
+        want = sorted(
+            round(r["dist"], 9)
+            for r in knn_search(grid, "vec", [2.0, 2.0, 2.0], 3, metric="cosine").collect()
+        )
+        assert sorted(round(r["d"], 9) for r in df.collect()) == want
+    finally:
+        hooked._indexes[("grid_items", "vec")].remove(idx)
+        drop_index(path)
+
+
 def test_uninstall_restores_plain_sql(spark, grid, tmp_path_factory):
     grid.createOrReplaceTempView("grid_items")
     path = str(tmp_path_factory.mktemp("catidx2") / "idx")
