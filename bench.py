@@ -146,9 +146,12 @@ def scale_curves(
         # q_contamination
         from duckdb_vss_spark.pipeline.contamination import ngram_contamination
 
+        # auto broadcast gate (review r10): reps is the unbounded axis
+        # here — a forced broadcast would bypass the size check exactly
+        # where the eval side grows; the gate's doc-count probe degrades
+        # to the shuffle join gracefully past 20k eval docs
         n_contam = timed8(f"contamination_spark{sx}", lambda: ngram_contamination(
             big, "text", "doc_id", F.col("doc_id") % 41 == 0, n=4,
-            broadcast_eval=True,
         ).count())
         out[f"contamination_rows{sx}"] = n_contam
 
@@ -235,7 +238,7 @@ def scale_curves(
             for i in range(reps)
         )
         con.execute(f"CREATE VIEW embeddings AS {emb_union}")
-        rows = timed8(f"semdedup_duckdb{sx}", lambda: con.execute(sem_sql).fetchall(), runs=2)
+        rows = timed8(f"semdedup_duckdb{sx}", lambda: con.execute(sem_sql).fetchall())
         out[f"semdedup_duckdb_pairs{sx}"] = len(rows)
         con.close()
 
@@ -289,7 +292,7 @@ def scale_curves(
                 for i in range(reps)
             )
             con.execute(f"CREATE VIEW embeddings AS {emb_union}")
-            rows = timed8(f"kmeans_duckdb{sx}", lambda: con.execute(km_sql).fetchall(), runs=2)
+            rows = timed8(f"kmeans_duckdb{sx}", lambda: con.execute(km_sql).fetchall())
             out[f"kmeans_duckdb_clusters{sx}"] = len(rows)
             con.close()
 
@@ -339,13 +342,13 @@ def scale_curves(
         )
         con.execute(f"CREATE VIEW documents AS {union_sql}")
         if "minhash" in shapes and (lsh_sql := oracles.get("q_minhash_lsh")):
-            rows = timed8(f"minhash_lsh_duckdb{sx}", lambda: con.execute(lsh_sql).fetchall(), runs=2)
+            rows = timed8(f"minhash_lsh_duckdb{sx}", lambda: con.execute(lsh_sql).fetchall())
             out[f"minhash_lsh_duckdb_pairs{sx}"] = len(rows)
         if "contamination" in shapes and (contam_sql := oracles.get("q_contamination")):
-            rows = timed8(f"contamination_duckdb{sx}", lambda: con.execute(contam_sql).fetchall(), runs=2)
+            rows = timed8(f"contamination_duckdb{sx}", lambda: con.execute(contam_sql).fetchall())
             out[f"contamination_duckdb_rows{sx}"] = len(rows)
         if "spans" in shapes and (spans_sql := oracles.get("q_dup_spans")):
-            rows = timed8(f"dup_spans_duckdb{sx}", lambda: con.execute(spans_sql).fetchall(), runs=2)
+            rows = timed8(f"dup_spans_duckdb{sx}", lambda: con.execute(spans_sql).fetchall())
             out[f"dup_spans_duckdb_rows{sx}"] = len(rows)
         con.close()
 
@@ -396,7 +399,7 @@ def scale_curves(
                       sum(CAST(l_extendedprice AS DECIMAL(12,2))), count(*)
                FROM lineitem8 WHERE l_shipdate <= DATE '1998-09-02'
                GROUP BY 1, 2"""
-        ).fetchall(), runs=2)
+        ).fetchall())
         con.close()
 
     def _asof():
@@ -445,7 +448,7 @@ def scale_curves(
                ASOF LEFT JOIN
                (SELECT * FROM events8 WHERE event_type = 'error') r
                ON l.user_id = r.user_id AND l.ts >= r.ts"""
-        ).fetchall(), runs=2)
+        ).fetchall())
         con.close()
 
     def _q03():
@@ -544,7 +547,7 @@ def scale_curves(
                  AND c_mktsegment = 'BUILDING'
                GROUP BY 1, 2, 3
                ORDER BY revenue DESC, l_orderkey LIMIT 10"""
-        ).fetchall(), runs=2)
+        ).fetchall())
         con.close()
 
     if "q01" in shapes:

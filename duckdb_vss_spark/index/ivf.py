@@ -76,6 +76,7 @@ def _kmeans(sample: np.ndarray, nlist: int, iters: int, seed: int) -> np.ndarray
 def _calibrate_nprobe(
     sample: np.ndarray,
     centroids: np.ndarray,
+    metric: str = "l2sq",
     target: float = 0.9,
     k: int = 10,
     nq: int = 64,
@@ -110,7 +111,15 @@ def _calibrate_nprobe(
     kk = min(k, n - 1)
     recall_at = np.zeros(nlist)
     for qi in qidx:
-        dd = ((sample - sample[qi]) ** 2).sum(axis=1)
+        # ground truth under the INDEX's metric (review r10: L2 truth
+        # for an ip index targets the wrong neighbors — MIPS winners
+        # concentrate in large-norm lists L2 routing ranks low).
+        # cosine needs no branch: ``sample`` arrives L2-normalized
+        # (unit-sphere L2 ≡ cosine), exactly how the index routes it.
+        if metric == "ip":
+            dd = -(sample @ sample[qi])
+        else:
+            dd = ((sample - sample[qi]) ** 2).sum(axis=1)
         dd[qi] = np.inf
         nbr = np.argpartition(dd, kk - 1)[:kk]
         probe_rank = np.empty(nlist, dtype=np.int64)
@@ -378,7 +387,9 @@ def create_ivf_index(
 ) -> IvfIndex:
     """CREATE INDEX ... USING IVF (vec_col) WITH (metric, nlist) as a
     bulk Spark job. nlist defaults to ~sqrt(count) (the standard IVF
-    rule of thumb); nprobe defaults to 2*sqrt(nlist) (recall-targeted)."""
+    rule of thumb); nprobe defaults to the smallest value whose
+    estimated routing recall@10 on the training sample meets 0.9
+    (``_calibrate_nprobe`` — data-dependent, not a fixed formula)."""
     if metric not in ("l2sq", "cosine", "ip"):
         raise ValueError("IVF index 'metric' must be one of: 'cosine', 'ip', 'l2sq'")
     from duckdb_vss_spark.session import check_persistence_enabled
@@ -409,7 +420,7 @@ def create_ivf_index(
     sample = _norm_rows(sample, metric)
     centroids = _kmeans(sample, nlist, kmeans_iters, seed)
     if default_nprobe is None:
-        default_nprobe = _calibrate_nprobe(sample, centroids)
+        default_nprobe = _calibrate_nprobe(sample, centroids, metric)
         _LOG.info(
             "ivf: calibrated default_nprobe=%d/%d (routing recall>=0.9 "
             "on the training sample)", default_nprobe, nlist,

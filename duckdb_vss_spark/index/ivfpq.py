@@ -54,6 +54,7 @@ from pyspark.sql.types import (
 from duckdb_vss_spark.functions.distance import distance_for_metric
 from duckdb_vss_spark.index.ivf import _calibrate_nprobe, _kmeans, _norm_rows
 from duckdb_vss_spark.index.pq import (
+    _buffered_query_stream,
     _encode_batch,
     _list_parquet_files,
     _load_codes,
@@ -114,7 +115,8 @@ def _ivfadc_query_stream(
 ):
     """Executor-side multi-query IVFADC over a stream of query batches
     (the residual-PQ twin of pq._adc_query_stream; VERDICT r9 #2: the
-    old path ``collect()``ed the query set to the driver). Per flush of
+    old path ``collect()``ed the query set to the driver; buffering
+    shared via pq._buffered_query_stream — review r10). Per flush of
     ≤``chunk`` queries: route each query to its ``nprobe`` nearest
     coarse centroids, then — list by list over the UNION of probed
     lists — load only that list's code files (worker-LRU), build the
@@ -123,23 +125,10 @@ def _ivfadc_query_stream(
     per-query tie-safe running top-``take`` heaps. Genuine pruning is
     preserved: a list no flush-query probes is never read. Peak memory
     is one (|probers|, m, ksub) LUT block + one (|probers| × slab)
-    float64 block, independent of corpus size. Emits exact per-query
-    top-``take`` rows under fixed internal names (_qid, _id, _dist,
-    _rn), ranks straight off the sorted heaps."""
-    import pandas as pd
-
+    float64 block, independent of corpus size."""
     m, ksub, dsub = books.shape
-    buf_ids: list = []
-    buf_vecs: list = []
-    n_buf = 0
 
-    def flush():
-        nonlocal buf_ids, buf_vecs, n_buf
-        if not n_buf:
-            return None
-        qids = np.concatenate(buf_ids)
-        qmat = _norm_rows(np.vstack(buf_vecs), metric)
-        buf_ids, buf_vecs, n_buf = [], [], 0
+    def score(qids: np.ndarray, qmat: np.ndarray):
         nq = len(qids)
         cd = (
             (qmat**2).sum(axis=1, keepdims=True)
@@ -175,40 +164,11 @@ def _ivfadc_query_stream(
                     best_d[qs], best_i[qs] = _merge_topk(
                         best_d[qs], best_i[qs], d, ids[lo : lo + slab], take
                     )
-        valid = best_i >= 0
-        if not valid.any():
-            return None
-        rn = np.broadcast_to(np.arange(1, take + 1, dtype=np.int32), best_i.shape)
-        return pd.DataFrame(
-            {
-                "_qid": np.repeat(qids, valid.sum(axis=1)),
-                "_id": best_i[valid],
-                "_dist": best_d[valid],
-                "_rn": rn[valid],
-            }
-        )
+        return best_d, best_i
 
-    for pdf in batches:
-        vecs = pdf[query_vec_col]
-        mask = vecs.notna().to_numpy()
-        if not mask.any():
-            continue
-        qids = pdf[query_id_col].to_numpy()[mask].astype(np.int64)
-        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs[mask]])
-        lo = 0
-        while lo < len(qids):
-            n = min(chunk - n_buf, len(qids) - lo)
-            buf_ids.append(qids[lo : lo + n])
-            buf_vecs.append(mat[lo : lo + n])
-            n_buf += n
-            lo += n
-            if n_buf >= chunk:
-                out = flush()
-                if out is not None:
-                    yield out
-    tail = flush()
-    if tail is not None:
-        yield tail
+    return _buffered_query_stream(
+        batches, query_vec_col, query_id_col, metric, take, chunk, score
+    )
 
 
 def _codes_files_by_list(codes_dir: str) -> dict[int, list[str]]:
@@ -446,7 +406,7 @@ def create_ivfpq_index(
     )
     centroids = _kmeans(sample, nlist, kmeans_iters, seed)
     if default_nprobe is None:
-        default_nprobe = _calibrate_nprobe(sample, centroids)
+        default_nprobe = _calibrate_nprobe(sample, centroids, metric)
         _LOG.info(
             "ivfpq: calibrated default_nprobe=%d/%d (routing recall>=0.9 "
             "on the training sample)", default_nprobe, nlist,

@@ -167,7 +167,7 @@ def create_ivfsq_index(
     sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
     centroids = _kmeans(sample, nlist, kmeans_iters, seed)
     if default_nprobe is None:
-        default_nprobe = _calibrate_nprobe(sample, centroids)
+        default_nprobe = _calibrate_nprobe(sample, centroids, "l2sq")
         _LOG.info(
             "ivfsq: calibrated default_nprobe=%d/%d (routing recall>=0.9 "
             "on the training sample)", default_nprobe, nlist,

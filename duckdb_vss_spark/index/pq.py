@@ -198,37 +198,37 @@ def _merge_topk(best_d, best_i, d, aid, take):
     )
 
 
-def _adc_query_stream(
-    batches,
-    query_vec_col: str,
-    query_id_col: str,
-    id_col: str,
-    files: list[str],
-    books: np.ndarray,
-    metric: str,
-    take: int,
-    chunk: int,
-    slab: int = 16384,
-):
-    """Executor-side multi-query ADC over a stream of query batches
-    (VERDICT r7 #2 / r8 #1: the old path ``collect()``ed the query set
-    to the driver — OOM at 100× query cardinality; this is the PQ twin
-    of artifact._search_query_stream). Queries buffer across Arrow
-    batches up to ``chunk``; each flush builds its (nq, m, ksub) LUT
-    tensor IN THE WORKER, scans the codes files from the shared
-    filesystem (worker-LRU-cached, ≤ len(files) loads per flush) in
-    ``slab``-row blocks, and keeps per-query running top-``take`` heaps
-    — peak memory is the LUT tensor + one (chunk × slab) float64 block
-    (~64 MB at defaults), independent of corpus size. Emits exact
-    global per-query ADC top-``take`` rows per flush under FIXED
-    internal column names (_qid, _id, _dist, _rn — renamed at the
-    Spark layer, so a user query_id_col named like id_col or "dist"
-    can't collide; ADVICE r9) with _rn the 1-indexed (dist, id) rank —
-    ranks come straight off the sorted heaps, so the no-rerank join
-    needs NO window shuffle at all."""
+def _emit_flush(qids, best_d, best_i, take: int):
+    """Materialize one flush's heaps as the stream's output frame —
+    fixed internal column names (_qid, _id, _dist, _rn; renamed at the
+    Spark layer so user column names can't collide, ADVICE r9), with
+    _rn the 1-indexed (dist, id) rank straight off the sorted heaps."""
     import pandas as pd
 
-    m = books.shape[0]
+    valid = best_i >= 0
+    if not valid.any():
+        return None
+    rn = np.broadcast_to(np.arange(1, take + 1, dtype=np.int32), best_i.shape)
+    return pd.DataFrame(
+        {
+            "_qid": np.repeat(qids, valid.sum(axis=1)),
+            "_id": best_i[valid],
+            "_dist": best_d[valid],
+            "_rn": rn[valid],
+        }
+    )
+
+
+def _buffered_query_stream(
+    batches, query_vec_col: str, query_id_col: str, metric: str,
+    take: int, chunk: int, score_flush,
+):
+    """Shared executor-side buffering for the multi-query streams (PQ
+    flat scan and IVFADC routed scan — review r10: the loop existed
+    twice verbatim): mask NULL query vectors, buffer ≤``chunk`` queries
+    across Arrow batches, and per flush call ``score_flush(qids, qmat)
+    -> (best_d, best_i)`` — (nq, take) heaps, (dist, id)-sorted,
+    -1 = no hit — normalizing rows per ``metric`` first."""
     buf_ids: list = []
     buf_vecs: list = []
     n_buf = 0
@@ -240,32 +240,8 @@ def _adc_query_stream(
         qids = np.concatenate(buf_ids)
         qmat = _norm_rows(np.vstack(buf_vecs), metric)
         buf_ids, buf_vecs, n_buf = [], [], 0
-        nq = len(qids)
-        luts = np.stack([_adc_lut(q, books, metric) for q in qmat])
-        best_d = np.full((nq, take), np.inf)
-        best_i = np.full((nq, take), -1, dtype=np.int64)
-        for file in files:
-            ids, codes = _load_codes(file, id_col, m)
-            for lo in range(0, len(ids), slab):
-                arr = codes[lo : lo + slab]
-                d = np.zeros((nq, len(arr)), dtype=np.float64)
-                for j in range(m):
-                    d += luts[:, j, arr[:, j]]
-                best_d, best_i = _merge_topk(
-                    best_d, best_i, d, ids[lo : lo + slab], take
-                )
-        valid = best_i >= 0
-        if not valid.any():
-            return None
-        rn = np.broadcast_to(np.arange(1, take + 1, dtype=np.int32), best_i.shape)
-        return pd.DataFrame(
-            {
-                "_qid": np.repeat(qids, valid.sum(axis=1)),
-                "_id": best_i[valid],
-                "_dist": best_d[valid],
-                "_rn": rn[valid],
-            }
-        )
+        best_d, best_i = score_flush(qids, qmat)
+        return _emit_flush(qids, best_d, best_i, take)
 
     for pdf in batches:
         vecs = pdf[query_vec_col]
@@ -288,6 +264,55 @@ def _adc_query_stream(
     tail = flush()
     if tail is not None:
         yield tail
+
+
+def _adc_query_stream(
+    batches,
+    query_vec_col: str,
+    query_id_col: str,
+    id_col: str,
+    files: list[str],
+    books: np.ndarray,
+    metric: str,
+    take: int,
+    chunk: int,
+    slab: int = 16384,
+):
+    """Executor-side multi-query ADC over a stream of query batches
+    (VERDICT r7 #2 / r8 #1: the old path ``collect()``ed the query set
+    to the driver — OOM at 100× query cardinality; this is the PQ twin
+    of artifact._search_query_stream). Per flush of ≤``chunk`` queries
+    (buffering shared with the IVFADC stream, _buffered_query_stream):
+    build the (nq, m, ksub) LUT tensor IN THE WORKER, scan the codes
+    files from the shared filesystem (worker-LRU-cached, ≤ len(files)
+    loads per flush) in ``slab``-row blocks, and keep per-query
+    tie-safe running top-``take`` heaps — peak memory is the LUT tensor
+    + one (chunk × slab) float64 block (~64 MB at defaults),
+    independent of corpus size. Emits exact global per-query ADC
+    top-``take`` rows with their (dist, id) rank — the no-rerank join
+    needs NO window shuffle at all."""
+    m = books.shape[0]
+
+    def score(qids: np.ndarray, qmat: np.ndarray):
+        nq = len(qids)
+        luts = np.stack([_adc_lut(q, books, metric) for q in qmat])
+        best_d = np.full((nq, take), np.inf)
+        best_i = np.full((nq, take), -1, dtype=np.int64)
+        for file in files:
+            ids, codes = _load_codes(file, id_col, m)
+            for lo in range(0, len(ids), slab):
+                arr = codes[lo : lo + slab]
+                d = np.zeros((nq, len(arr)), dtype=np.float64)
+                for j in range(m):
+                    d += luts[:, j, arr[:, j]]
+                best_d, best_i = _merge_topk(
+                    best_d, best_i, d, ids[lo : lo + slab], take
+                )
+        return best_d, best_i
+
+    return _buffered_query_stream(
+        batches, query_vec_col, query_id_col, metric, take, chunk, score
+    )
 
 
 class PqIndex:

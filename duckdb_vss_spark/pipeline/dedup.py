@@ -645,11 +645,13 @@ def embedding_neardup_pairs(
     ``embedding_neardup_lsh`` — 10⁸ rows would be 10¹⁶ pairs; pass
     ``max_rows=None`` to waive deliberately."""
     if max_rows is not None:
-        n = df.count()
-        if n > max_rows:
+        # bounded probe (review r10): limit(max_rows+1).count() scans at
+        # most max_rows+1 rows to make the decision — a full count()
+        # would execute the entire upstream plan just to refuse it
+        if df.limit(max_rows + 1).count() > max_rows:
             raise ValueError(
-                f"embedding_neardup_pairs is O(n²) and df has {n} rows "
-                f"(> max_rows={max_rows}); use embedding_neardup_lsh at "
+                f"embedding_neardup_pairs is O(n²) and df has more than "
+                f"max_rows={max_rows} rows; use embedding_neardup_lsh at "
                 "scale, or pass max_rows=None to run the quadratic path "
                 "deliberately"
             )

@@ -124,10 +124,12 @@ _DECLARED: list[str] = [
     "q_stream_static_join",
     "q_text_stats",
     "q_vocab_topk",
-    # 5. new Catalyst-plan rule (VERDICT r9 missing #2) + refill (3)
+    # 5. new Catalyst-plan rule (VERDICT r9 missing #2) + refill —
+    # q_contamination re-declared because r10 changed its join shape
+    # (eval-broadcast pre-aggregation; review r10 finding)
     "q_sql_ext_topk",
+    "q_contamination",
     "q_hnsw_knn_join",
-    "q_dup_spans",
     "q_stream_matview_restart",
 ]
 
