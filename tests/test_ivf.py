@@ -218,3 +218,26 @@ def test_calibrated_default_nprobe_recall_targeted():
     cents_b = _kmeans(blob, 8, 5, 0)
     p_blob = _calibrate_nprobe(blob, cents_b)
     assert p_blob > p_clustered
+
+
+def test_calibration_metric_aware_ip():
+    """Review r10: ip indexes must calibrate against inner-product
+    ground truth. Corpus engineered so the two truths force different
+    answers: every vector has a positive 7th component, and a far-away
+    huge-norm spike cluster maximizes the dot product for EVERY query —
+    so under ip truth the winners all live in the spike list, whose
+    centroid is L2-distant (probed last), while under L2 truth the
+    winners are nearby base vectors. The ip calibration must therefore
+    probe strictly deeper than the L2 one."""
+    from duckdb_vss_spark.index.ivf import _calibrate_nprobe, _kmeans
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(480, 8)
+    base[:, 7] = np.abs(base[:, 7]) + 0.5   # every query dot-aligned with spikes
+    spikes = np.zeros((32, 8))
+    spikes[:, 7] = 60.0 + rng.rand(32)      # MIPS winners for every query
+    corpus = np.vstack([base, spikes])
+    cents = _kmeans(corpus, 8, 5, 0)
+    p_l2 = _calibrate_nprobe(corpus, cents, "l2sq")
+    p_ip = _calibrate_nprobe(corpus, cents, "ip")
+    assert p_ip > p_l2
