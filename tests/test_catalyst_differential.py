@@ -1,0 +1,104 @@
+"""Differential safety net for the spark.sql hook (plans/catalyst.py).
+
+For every statement the TopN rule must NOT fire on, the hooked session
+must return byte-identical results to the raw session AND report
+SEQ_SCAN — covering the trap shapes a plan matcher can false-fire on:
+aggregates under limits, multi-key sorts, descending sorts, CTEs and
+derived tables wearing the indexed table's name, joins, windows,
+set ops, DISTINCT, correlated predicates."""
+
+import pytest
+
+from duckdb_vss_spark.index import create_hnsw_index, drop_index
+from duckdb_vss_spark.plans import (
+    VssPlanner,
+    install_sql_extension,
+    uninstall_sql_extension,
+)
+
+
+@pytest.fixture(scope="module")
+def hooked2(spark, grid, tmp_path_factory):
+    grid.createOrReplaceTempView("grid_items")
+    grid.createOrReplaceTempView("grid_b")
+    path = str(tmp_path_factory.mktemp("catdiff") / "idx")
+    idx = create_hnsw_index(
+        spark, grid, vec_col="vec", id_col="id", path=path, overwrite=True
+    )
+    p = VssPlanner(spark)
+    p.register_index("grid_items", "vec", idx)
+    install_sql_extension(p)
+    yield p
+    uninstall_sql_extension(spark)
+    drop_index(path)
+
+
+# statements that must execute UNCHANGED (rule must not fire)
+_NON_MATCHING = [
+    # plain relational
+    "SELECT count(*) AS n FROM grid_items",
+    "SELECT id FROM grid_items WHERE id < 5 ORDER BY id LIMIT 3",
+    "SELECT id FROM grid_items ORDER BY id DESC LIMIT 3",
+    "SELECT DISTINCT size(vec) AS d FROM grid_items",
+    # aggregate under a limit
+    "SELECT size(vec) AS d, count(*) AS n FROM grid_items GROUP BY size(vec) "
+    "ORDER BY n LIMIT 2",
+    # multi-key sort over a distance expression — not the single-key shape
+    "SELECT id FROM grid_items "
+    "ORDER BY array_distance(vec, array(1.0,1.0,1.0)), id LIMIT 3",
+    # descending distance
+    "SELECT id FROM grid_items "
+    "ORDER BY array_distance(vec, array(1.0,1.0,1.0)) DESC LIMIT 3",
+    # ORDER BY without LIMIT / LIMIT without ORDER BY
+    "SELECT id FROM grid_items ORDER BY array_distance(vec, array(1.0,1.0,1.0))",
+    "SELECT count(*) AS n FROM (SELECT * FROM grid_items LIMIT 5)",
+    # non-constant query vector (column-column distance)
+    "SELECT a.id, b.id AS id2 FROM grid_items a JOIN grid_b b ON a.id < b.id "
+    "ORDER BY array_distance(a.vec, b.vec) LIMIT 3",
+    # CTE wearing the indexed name
+    "WITH grid_items AS (SELECT id, vec FROM grid_b WHERE id > 3) "
+    "SELECT id FROM grid_items "
+    "ORDER BY array_distance(vec, array(1.0,1.0,1.0)) LIMIT 3",
+    # derived table wearing the indexed name
+    "SELECT id FROM (SELECT id, vec FROM grid_b WHERE id > 3) AS grid_items "
+    "ORDER BY array_distance(vec, array(1.0,1.0,1.0)) LIMIT 3",
+    # unpushable predicates
+    "SELECT id FROM grid_items WHERE id < 3 OR id > 20 "
+    "ORDER BY array_distance(vec, array(1.0,1.0,1.0)) LIMIT 3",
+    "SELECT id FROM grid_items WHERE size(vec) = 3 AND id + 1 < 5 "
+    "ORDER BY array_distance(vec, array(1.0,1.0,1.0)) LIMIT 3",
+    # window functions
+    "SELECT id, row_number() OVER (ORDER BY id) AS rn FROM grid_items "
+    "ORDER BY rn LIMIT 4",
+    # set operation
+    "SELECT id FROM grid_items WHERE id < 3 UNION ALL "
+    "SELECT id FROM grid_b WHERE id > 20 ORDER BY id LIMIT 5",
+    # correlated EXISTS
+    "SELECT id FROM grid_items g WHERE EXISTS "
+    "(SELECT 1 FROM grid_b b WHERE b.id = g.id AND b.id < 4) ORDER BY id LIMIT 3",
+    # null-safe equality operator must keep Spark semantics
+    "SELECT (1 <=> NULL) AS a, (NULL <=> NULL) AS b",
+    # distance in SELECT but sort on something else
+    "SELECT id, array_distance(vec, array(1.0,1.0,1.0)) AS d FROM grid_items "
+    "ORDER BY id LIMIT 3",
+    # HAVING
+    "SELECT size(vec) AS d, count(*) AS n FROM grid_items GROUP BY size(vec) "
+    "HAVING count(*) > 1 ORDER BY d LIMIT 3",
+]
+
+
+def _canon(rows):
+    return sorted(tuple(r) for r in rows)
+
+
+def test_non_matching_statements_execute_unchanged(spark, grid, hooked2):
+    raw = spark._vss_sql_original
+    for stmt in _NON_MATCHING:
+        expected = _canon(raw(stmt).collect())
+        hooked2.last_plan = ""
+        got = _canon(spark.sql(stmt).collect())
+        assert got == expected, f"hook changed results for: {stmt}"
+        assert hooked2.last_plan in ("", "SEQ_SCAN"), (
+            f"rule fired on non-matching statement: {stmt} "
+            f"(last_plan={hooked2.last_plan})"
+        )
