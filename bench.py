@@ -58,7 +58,7 @@ def scale_curves(
     import duckdb
 
     out: dict[str, float] = {}
-    all_shapes = {"minhash", "contamination", "spans", "semdedup", "hnsw", "kmeans", "q01", "asof", "q03"}
+    all_shapes = {"minhash", "contamination", "spans", "semdedup", "hnsw", "kmeans", "q01", "asof", "q03", "q18"}
     shapes = all_shapes if shapes is None else shapes & all_shapes
     sx = f"_x{reps}"
     threads = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -550,8 +550,80 @@ def scale_curves(
         ).fetchall())
         con.close()
 
+    def _q18():
+        # the q18 HAVING-semi-join shape on reps x data (r10: extends
+        # the crossing curve to another judge-basket query) — same
+        # per-replica key shifts as _q03, both engines identical unions
+        li = load_table(spark, sf_dir, "lineitem")
+        orr = load_table(spark, sf_dir, "orders")
+        li8 = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                li.select(
+                    (F.col("l_orderkey") + i * 100_000_000).alias("l_orderkey"),
+                    *[c for c in li.columns if c != "l_orderkey"],
+                )
+                for i in range(reps)
+            ],
+        )
+        or8 = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                orr.select(
+                    (F.col("o_orderkey") + i * 100_000_000).alias("o_orderkey"),
+                    *[c for c in orr.columns if c != "o_orderkey"],
+                )
+                for i in range(reps)
+            ],
+        )
+
+        def run_spark():
+            # single-pass form (see queries.q18_large_orders): the
+            # output sum IS the HAVING sum — one lineitem agg + one join
+            big = (
+                li8.groupBy("l_orderkey")
+                .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("q"))
+                .where(F.col("q") > 150)
+            )
+            return (
+                big.join(or8, big.l_orderkey == or8.o_orderkey)
+                .select("o_orderkey", "o_orderdate", "o_totalprice", "q")
+                .count()
+            )
+
+        timed8(f"q18_semi_spark{sx}", run_spark)
+        con = duckdb.connect()
+        con.execute(f"SET threads={threads}")
+        li_cols = [c for c in li.columns if c != "l_orderkey"]
+        or_cols = [c for c in orr.columns if c != "o_orderkey"]
+        li_u = " UNION ALL ".join(
+            f"SELECT l_orderkey + {i * 100_000_000} AS l_orderkey, {', '.join(li_cols)} "
+            f"FROM read_parquet('{sf_dir}/lineitem.parquet')"
+            for i in range(reps)
+        )
+        or_u = " UNION ALL ".join(
+            f"SELECT o_orderkey + {i * 100_000_000} AS o_orderkey, {', '.join(or_cols)} "
+            f"FROM read_parquet('{sf_dir}/orders.parquet')"
+            for i in range(reps)
+        )
+        con.execute(f"CREATE VIEW li18 AS {li_u}")
+        con.execute(f"CREATE VIEW or18 AS {or_u}")
+        timed8(f"q18_semi_duckdb{sx}", lambda: con.execute(
+            """SELECT count(*) FROM (
+                 SELECT o_orderkey, o_orderdate, o_totalprice,
+                        sum(CAST(l_quantity AS DECIMAL(12,2))) AS s
+                 FROM li18 JOIN or18 ON l_orderkey = o_orderkey
+                 WHERE l_orderkey IN (
+                   SELECT l_orderkey FROM li18 GROUP BY l_orderkey
+                   HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 150)
+                 GROUP BY 1, 2, 3)"""
+        ).fetchall())
+        con.close()
+
     if "q01" in shapes:
         guarded("q01", _q01)
+    if "q18" in shapes:
+        guarded("q18", _q18)
     if "asof" in shapes:
         guarded("asof", _asof)
     if "q03" in shapes:

@@ -447,27 +447,31 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: HAVING-filtered semi-join. The qualifying-key set
-    is small after the HAVING, so it broadcasts (left-semi) instead of
-    shuffling the fact table twice."""
+    """TPC-H Q18 shape, single-pass (r10): the query's output sum IS
+    the HAVING sum — o_orderkey is unique in orders, so grouping by
+    (o_orderkey, o_orderdate, o_totalprice) ≡ grouping lineitem by
+    l_orderkey once and joining orders after. The textbook
+    HAVING-semi-join formulation scans lineitem TWICE and (when the
+    threshold is unselective — here ~half the orders qualify)
+    broadcasts a million-key set; this plan is one lineitem
+    aggregation + one key join — at ×32 the old form's semi-join stage
+    alone measured 7.9 s of a 10.0 s total, both of which this plan
+    simply does not have (absolute timings noisy on the shared
+    container; the structural claim is the plan shape)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("q"))
         .where(F.col("q") > 150)
-        .select("l_orderkey")
     )
     return (
-        li.join(F.broadcast(big), "l_orderkey", "left_semi")
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"))
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
         .select(
             "o_orderkey",
             "o_orderdate",
             F.col("o_totalprice").cast("double").alias("o_totalprice"),
-            "sum_qty",
+            F.col("q").cast("double").alias("sum_qty"),
         )
     )
 
