@@ -761,6 +761,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total")
         )
     )
+    # rev feeds TWO consumers (its own join branch and the 1-row max);
+    # AQE gives no exchange reuse across the broadcast boundary, so an
+    # un-materialized rev re-runs the lineitem agg twice (r10 plan
+    # audit: 2 lineitem FileScans). rev is |suppliers|-sized — eager
+    # localCheckpoint computes it once and both branches read blocks.
+    rev = rev.localCheckpoint(eager=True)
     best = rev.agg(F.max("total").alias("best"))
     return (
         rev.join(F.broadcast(best), F.col("total") == F.col("best"))
@@ -2975,6 +2981,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(v).alias("v"))
     )
+    # same two-consumer shape as q15: materialize the |parts|-sized
+    # grouped relation once instead of re-running the join+agg subtree
+    # for the 1-row grand total (r10 plan audit)
+    vals = vals.localCheckpoint(eager=True)
     total = vals.agg(F.sum("v").alias("__total"), F.count(F.lit(1)).alias("__cnt"))
     return (
         vals.crossJoin(F.broadcast(total))
