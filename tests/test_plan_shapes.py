@@ -397,3 +397,21 @@ def test_time_gapfill_joins_are_constant_sized(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "partial_count" in plan or "partial_sum" in plan or "partial_min" in plan
+
+
+def test_two_consumer_aggregates_scan_fact_table_once(spark):
+    """r10 plan audit: q15/q11 feed a small grouped relation into two
+    branches (own join + 1-row global agg) — without materialization
+    the lineitem agg ran twice (AQE gives no exchange reuse across the
+    broadcast boundary); q18's textbook form scanned lineitem twice by
+    construction. All three must show at most ONE lineitem FileScan in
+    the executed plan (zero when a checkpoint absorbed it)."""
+    import duckdb_vss_spark.queries as Q
+
+    pool = {**Q._QUERIES, **Q._EXTRA_QUERIES}
+    for name in ("q15_top_supplier", "q11_important_parts", "q18_large_orders"):
+        df = pool[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("lineitem.parquet") <= 1, (
+            f"{name} scans lineitem {plan.count('lineitem.parquet')}x"
+        )
