@@ -274,9 +274,11 @@ def scale_curves(
         ).count())
         out[f"kmeans_clusters{sx}"] = n_cl
 
-        from duckdb_vss_spark.queries import extra_oracle_sql
-
-        km_sql = extra_oracle_sql().get("q_kmeans")
+        # q_kmeans rotates between the declared window (oracle_sql) and
+        # the local extra registry (extra_oracle_sql) across rounds —
+        # look in both, like the text shapes do, so the DuckDB side of
+        # the curve never silently disappears with a rotation.
+        km_sql = {**Q.oracle_sql(), **Q.extra_oracle_sql()}.get("q_kmeans")
         if km_sql:
             con = duckdb.connect()
             con.execute(f"SET threads={threads}")
