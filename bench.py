@@ -593,7 +593,10 @@ def scale_curves(
                 .count()
             )
 
-        timed8(f"q18_semi_spark{sx}", run_spark)
+        # key renamed from q18_semi_spark when the implementation moved
+        # to the single-pass plan — the old key's recorded points
+        # (14-20 s) measure the retired semi-join formulation
+        timed8(f"q18_single_spark{sx}", run_spark)
         con = duckdb.connect()
         con.execute(f"SET threads={threads}")
         li_cols = [c for c in li.columns if c != "l_orderkey"]
@@ -619,6 +622,17 @@ def scale_curves(
                    SELECT l_orderkey FROM li18 GROUP BY l_orderkey
                    HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 150)
                  GROUP BY 1, 2, 3)"""
+        ).fetchall())
+        # symmetry: DuckDB also gets the single-pass formulation Spark
+        # runs (HAVING sum = output sum), so both "own-best-plan" and
+        # "same-logical-plan" ratios are on record
+        timed8(f"q18_single_duckdb{sx}", lambda: con.execute(
+            """SELECT count(*) FROM (
+                 SELECT o_orderkey, o_orderdate, o_totalprice, q
+                 FROM (SELECT l_orderkey,
+                              sum(CAST(l_quantity AS DECIMAL(12,2))) AS q
+                       FROM li18 GROUP BY l_orderkey HAVING q > 150) big
+                 JOIN or18 ON l_orderkey = o_orderkey)"""
         ).fetchall())
         con.close()
 
