@@ -132,10 +132,10 @@ def doc_shingles(
 
     Returns (id, shs array<long>, sz int[, h0..h{H-1} string]).
     """
-    import hashlib
-
     import numpy as np
     import pandas as pd
+
+    from duckdb_vss_spark.pipeline.md5vec import md5_u64
 
     schema = "id long, shs array<long>, sz int" + "".join(
         f", h{i} string" for i in range(num_hashes)
@@ -161,13 +161,14 @@ def doc_shingles(
 
         Python-level work is O(unique shingles) per batch; everything
         per-occurrence is numpy."""
-        md5 = hashlib.md5
-        # md5 state pre-seeded with each salt prefix: per unique shingle,
-        # copy() + update(shingle) instead of re-hashing salt||shingle
-        # from scratch (VERDICT r3 #2 / r4 #4)
-        seeds = [md5(s) for s in salts]
-        # shingle → (shh, (hi, lo) per salt) memo, shared across batches
-        cache: dict[str, tuple] = {}
+        # all 1 + num_hashes digest variants of a unique shingle go
+        # through ONE vectorized single-block md5 pass (md5vec, r10 —
+        # ~2.5× the per-digest hashlib loop this replaces; bit-exact,
+        # long shingles fall back to hashlib inside md5_u64)
+        prefixes = [b""] + salts
+        # shingle → uint64 row [shh, (hi, lo) per salt], shared across
+        # batches
+        cache: dict[str, np.ndarray] = {}
         empty = pd.DataFrame(
             {
                 "id": pd.Series([], dtype="int64"),
@@ -200,25 +201,22 @@ def doc_shingles(
             distinct = np.unique(doc_of * nu + codes)
             d_doc = distinct // nu
             d_code = distinct % nu
-            # hash the batch's unique shingles only (memoized); the
-            # cache stores a flat int tuple so the batch's digest matrix
-            # materializes in ONE np.array call, not per-scalar stores
-            def _ent(s: str) -> tuple:
-                ent = cache.get(s)
-                if ent is None:
-                    b = s.encode()
-                    row = [int.from_bytes(md5(b).digest()[:8], "big") >> 4]
-                    for sd in seeds:
-                        m = sd.copy()
-                        m.update(b)
-                        dg = m.digest()
-                        row.append(int.from_bytes(dg[:8], "big"))
-                        row.append(int.from_bytes(dg[8:], "big"))
-                    ent = tuple(row)
-                    cache[s] = ent
-                return ent
-
-            ents = np.array([_ent(s) for s in uniques], dtype=np.uint64)
+            # hash the batch's unique shingles only (memoized); cache
+            # values are uint64 rows so the batch's digest matrix
+            # assembles in ONE np.array call, not per-scalar stores
+            miss = [s for s in uniques if s not in cache]
+            if miss:
+                digs = md5_u64([s.encode() for s in miss], prefixes)
+                rows = np.empty((len(miss), 1 + 2 * num_hashes), dtype=np.uint64)
+                # shh = top 60 bits of the unsalted digest (matches the
+                # oracle's CAST('0x' || substr(md5(sh),1,15) AS BIGINT))
+                rows[:, 0] = digs[0, :, 0] >> np.uint64(4)
+                for i in range(num_hashes):
+                    rows[:, 1 + 2 * i] = digs[1 + i, :, 0]
+                    rows[:, 2 + 2 * i] = digs[1 + i, :, 1]
+                for s, row in zip(miss, rows):
+                    cache[s] = row
+            ents = np.array([cache[s] for s in uniques], dtype=np.uint64)
             shh_u = ents[:, 0].astype(np.int64)
             # d_doc is sorted (primary key of the packed unique) — the
             # segment boundaries are the per-doc slices
