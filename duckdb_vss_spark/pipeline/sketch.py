@@ -31,21 +31,16 @@ IEEE-identical to the SQL oracle's, so estimates hash-match exactly.
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import DataFrame
 
 __all__ = ["kmv_distinct"]
 
 _SPACE = float(2**60)
 
-
-def _hash60_py(val: str, seed: int) -> int:
-    # identical to sample.hash60 / the SQL idiom:
-    # CAST('0x' || substr(md5('<seed>_<val>'), 1, 15) AS BIGINT)
-    return int.from_bytes(
-        hashlib.md5(f"{seed}_{val}".encode()).digest()[:8], "big"
-    ) >> 4
+# the per-value hash is identical to sample.hash60 / the SQL idiom:
+# CAST('0x' || substr(md5('<seed>_<val>'), 1, 15) AS BIGINT) — i.e. the
+# big-endian first-8-bytes value of md5('<seed>_<val>') shifted right 4,
+# computed batch-vectorized via md5vec.md5_u64 inside local_bottomk
 
 
 def kmv_distinct(
@@ -74,23 +69,29 @@ def kmv_distinct(
     mid_schema = (gschema + ", " if gschema else "") + "_hv long"
     out_schema = (gschema + ", " if gschema else "") + "n_est double, n_seen bigint"
 
-    cache: dict[str, int] = {}
+    prefix = f"{seed}_".encode()
 
     def local_bottomk(batches):
-        def h(v: str) -> int:
-            x = cache.get(v)
-            if x is None:
-                x = _hash60_py(v, seed)
-                cache[v] = x
-            return x
+        import numpy as np
+
+        from duckdb_vss_spark.pipeline.md5vec import md5_u64
 
         for pdf in batches:
             pdf = pdf.dropna(subset=[value_col])
             if pdf.empty:
                 continue
-            hv = pd.Series(
-                [h(str(v)) for v in pdf[value_col]], index=pdf.index, dtype="int64"
+            # hash each batch's UNIQUE values in one vectorized md5
+            # pass (md5vec, r10 — ~1.7× the per-row hashlib loop this
+            # replaces, and no unbounded cross-batch memo dict to grow
+            # in a long-lived worker)
+            codes, uniques = pd.factorize(pdf[value_col])
+            keys = [
+                (u if isinstance(u, str) else str(u)).encode() for u in uniques
+            ]
+            uhv = (md5_u64(keys, [prefix])[0, :, 0] >> np.uint64(4)).astype(
+                np.int64
             )
+            hv = pd.Series(uhv[codes], index=pdf.index, dtype="int64")
             work = pdf[groups].copy() if groups else pd.DataFrame(index=pdf.index)
             work["_hv"] = hv
             if groups:
