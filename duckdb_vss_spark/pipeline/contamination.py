@@ -30,8 +30,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from duckdb_vss_spark.pipeline.dedup import doc_shingles
-
 __all__ = ["ngram_contamination"]
 
 
@@ -44,6 +42,7 @@ def ngram_contamination(
     max_train_df: int | None = None,
     broadcast_eval: bool | None = None,
     broadcast_eval_docs: int = 20_000,
+    broadcast_train_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Per-eval-doc contamination report: (id_col, n_shared_grams,
     n_train_docs), eval docs with zero overlap omitted.
@@ -54,16 +53,27 @@ def ngram_contamination(
     (measured 2x on this query's wall time). Filtering first also
     means the (tiny) eval side shingles only eval docs.
 
-    Gram extraction reuses the dedup family's vectorized Arrow
-    shingle pass (``doc_shingles`` — factorize + memoized md5 over
-    batch-unique shingles), which computes the IDENTICAL 60-bit
-    md5-prefix hashes the SQL oracle derives relationally; the
-    interpreted HOF n-gram form measured ~4x slower at 8x data."""
+    Gram extraction is all-JVM (r10): per-row DISTINCT gram arrays
+    (``array_distinct`` — in-row, no dedup exchange) exploded and
+    md5-hashed inside codegen, so the whole operator runs without a
+    single Python worker. Measured at 8x data this beats the Arrow
+    ``doc_shingles`` pass 1.5x on the train leg and 2x on the eval
+    leg (the UDF's python-worker spin-up dominates the small side);
+    the earlier "HOF ~4x slower" result was the dedup-EXCHANGE
+    relational form, not this in-row one. Hash values are the
+    identical 60-bit md5 prefixes the SQL oracle derives."""
+    from duckdb_vss_spark.pipeline.dedup import _spread
+    from duckdb_vss_spark.pipeline.text import word_ngrams
 
     def _grams(side: DataFrame, out_id: str) -> DataFrame:
-        base = doc_shingles(side, text_col, id_col, n)
-        return base.select(
-            F.col("id").alias(out_id), F.explode("shs").alias("gh")
+        return _spread(side).select(
+            F.col(id_col).alias(out_id),
+            F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("sh"),
+        ).select(
+            out_id,
+            F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("gh"),
         )
 
     ev = _grams(docs.where(is_eval), id_col)
@@ -78,20 +88,30 @@ def ngram_contamination(
     # train side is filtered MAP-SIDE before any exchange: the shuffle
     # then carries only train grams that actually collide with an eval
     # gram (≈ the contamination itself, usually ~0% of train grams)
-    # instead of the FULL train gram set. Catalyst's size estimate is
-    # useless above a pandas-UDF stage, so the auto gate counts eval
-    # DOCS on the file-backed input (cheap pushed scan) rather than
-    # trusting plan stats; ``broadcast_eval`` overrides either way.
+    # instead of the FULL train gram set. The auto gate requires BOTH
+    # sides to qualify (r10): a large-enough train input that its gram
+    # shuffle dominates the broadcast machinery's fixed costs
+    # (materialize + distinct + broadcast build + a second join:
+    # measured flip ~300 MB of train text — shuffle 1.4s vs broadcast
+    # 1.9s at 160 MB, broadcast 6.5s vs shuffle 9.2s at 640 MB), AND a
+    # small eval side. Train size reads file metadata only (no job;
+    # Catalyst's estimate above this subtree is useless anyway) with
+    # unknown → LARGE, since un-stat-able input is exactly the 100 TB
+    # table; eval size is a pushed-scan count probe, paid only after
+    # the train side qualifies. ``broadcast_eval`` overrides either way.
     if broadcast_eval is None:
-        broadcast_eval = (
+        from duckdb_vss_spark.sources.layout import input_bytes
+
+        tb = input_bytes(docs)
+        broadcast_eval = (tb < 0 or tb >= broadcast_train_bytes) and (
             docs.where(is_eval).limit(broadcast_eval_docs + 1).count()
             <= broadcast_eval_docs
         )
     if broadcast_eval:
         from duckdb_vss_spark.pipeline.dedup import _materialize
 
-        # one eval shingle pass, read twice (broadcast keys + the hits
-        # join) — without it both branches recompute the eval UDF
+        # one eval gram pass, read twice (broadcast keys + the hits
+        # join) — without it both branches recompute the eval subtree
         ev = _materialize(ev)
         tr = tr.join(F.broadcast(ev.select("gh").distinct()), "gh")
     hits = ev.join(tr, "gh")

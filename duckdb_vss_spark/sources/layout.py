@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_key", "zorder_write", "widen_narrow_scan"]
+__all__ = ["zorder_key", "zorder_write", "widen_narrow_scan", "input_bytes"]
 
 
 def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
@@ -78,6 +78,39 @@ def zorder_oracle_expr(cols: list[str], bits: int = 16) -> str:
         for i in range(bits):
             terms.append(f"(((({v}) >> {i}) & 1) << {i * n + j})")
     return " | ".join(terms)
+
+
+def input_bytes(df: DataFrame) -> int:
+    """Best-effort bytes under ``df``'s file scans, from driver-side
+    metadata only (no Spark job): sum of ``inputFiles()`` sizes, scaled
+    by the analyzed plan's leaf count when a union re-reads the same
+    files through several branches (``inputFiles()`` DEDUPES paths — a
+    k-branch self-union would otherwise report 1x). Returns -1 when the
+    size is unknowable from here (non-file source, remote FS): callers
+    choosing between a small-side broadcast and a shuffle should treat
+    unknown as LARGE, because at warehouse scale the input that can't
+    be stat'd locally is exactly the 100 TB table."""
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — non-file plan
+        return -1
+    if not files:
+        return -1
+    import os
+    from urllib.parse import unquote, urlparse
+
+    total = 0
+    for f in files:
+        p = unquote(urlparse(f).path) if "://" in f else f
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return -1  # remote FS: unknown
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves().size()
+    except Exception:  # noqa: BLE001 — py4j surface moved
+        leaves = 1
+    return total * max(1, leaves // max(1, len(files)))
 
 
 def widen_narrow_scan(df: DataFrame, key: Column | str | None = None) -> DataFrame:
