@@ -164,11 +164,17 @@ def doc_shingles(
         # all 1 + num_hashes digest variants of a unique shingle go
         # through ONE vectorized single-block md5 pass (md5vec, r10 —
         # ~2.5× the per-digest hashlib loop this replaces; bit-exact,
-        # long shingles fall back to hashlib inside md5_u64)
+        # long shingles fall back to hashlib inside md5_u64). Digest
+        # rows live in ONE preallocated uint64 pool indexed by a
+        # shingle → row-index dict (r10): the batch's digest matrix is
+        # then a single fancy-index gather — building it from per-entry
+        # cached ndarrays measured 1.6× slower, and on the common
+        # one-batch-per-task path the gather is just a copy.
         prefixes = [b""] + salts
-        # shingle → uint64 row [shh, (hi, lo) per salt], shared across
-        # batches
-        cache: dict[str, np.ndarray] = {}
+        width = 1 + 2 * num_hashes
+        idx_of: dict[str, int] = {}
+        pool = np.empty((4096, width), dtype=np.uint64)
+        used = 0
         empty = pd.DataFrame(
             {
                 "id": pd.Series([], dtype="int64"),
@@ -201,22 +207,31 @@ def doc_shingles(
             distinct = np.unique(doc_of * nu + codes)
             d_doc = distinct // nu
             d_code = distinct % nu
-            # hash the batch's unique shingles only (memoized); cache
-            # values are uint64 rows so the batch's digest matrix
-            # assembles in ONE np.array call, not per-scalar stores
-            miss = [s for s in uniques if s not in cache]
+            # hash the batch's unique shingles only (memoized)
+            idx = np.empty(nu, dtype=np.int64)
+            miss: list = []
+            for j, s in enumerate(uniques):
+                k = idx_of.get(s)
+                if k is None:
+                    k = used + len(miss)
+                    idx_of[s] = k
+                    miss.append(s)
+                idx[j] = k
             if miss:
                 digs = md5_u64([s.encode() for s in miss], prefixes)
-                rows = np.empty((len(miss), 1 + 2 * num_hashes), dtype=np.uint64)
+                need = used + len(miss)
+                if need > len(pool):
+                    grown = np.empty((max(need, 2 * len(pool)), width), dtype=np.uint64)
+                    grown[:used] = pool[:used]
+                    pool = grown
                 # shh = top 60 bits of the unsalted digest (matches the
                 # oracle's CAST('0x' || substr(md5(sh),1,15) AS BIGINT))
-                rows[:, 0] = digs[0, :, 0] >> np.uint64(4)
+                pool[used:need, 0] = digs[0, :, 0] >> np.uint64(4)
                 for i in range(num_hashes):
-                    rows[:, 1 + 2 * i] = digs[1 + i, :, 0]
-                    rows[:, 2 + 2 * i] = digs[1 + i, :, 1]
-                for s, row in zip(miss, rows):
-                    cache[s] = row
-            ents = np.array([cache[s] for s in uniques], dtype=np.uint64)
+                    pool[used:need, 1 + 2 * i] = digs[1 + i, :, 0]
+                    pool[used:need, 2 + 2 * i] = digs[1 + i, :, 1]
+                used = need
+            ents = pool[idx]
             shh_u = ents[:, 0].astype(np.int64)
             # d_doc is sorted (primary key of the packed unique) — the
             # segment boundaries are the per-doc slices
