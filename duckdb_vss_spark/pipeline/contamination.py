@@ -42,7 +42,7 @@ def ngram_contamination(
     max_train_df: int | None = None,
     broadcast_eval: bool | None = None,
     broadcast_eval_docs: int = 20_000,
-    broadcast_train_bytes: int = 256 << 20,
+    broadcast_train_bytes: int = 8 << 20,
 ) -> DataFrame:
     """Per-eval-doc contamination report: (id_col, n_shared_grams,
     n_train_docs), eval docs with zero overlap omitted.
@@ -91,14 +91,18 @@ def ngram_contamination(
     # instead of the FULL train gram set. The auto gate requires BOTH
     # sides to qualify (r10): a large-enough train input that its gram
     # shuffle dominates the broadcast machinery's fixed costs
-    # (materialize + distinct + broadcast build + a second join:
-    # measured flip ~300 MB of train text — shuffle 1.4s vs broadcast
-    # 1.9s at 160 MB, broadcast 6.5s vs shuffle 9.2s at 640 MB), AND a
-    # small eval side. Train size reads file metadata only (no job;
-    # Catalyst's estimate above this subtree is useless anyway) with
-    # unknown → LARGE, since un-stat-able input is exactly the 100 TB
-    # table; eval size is a pushed-scan count probe, paid only after
-    # the train side qualifies. ``broadcast_eval`` overrides either way.
+    # (materialize + distinct + broadcast build + a second join), AND a
+    # small eval side. The measured flip on the documents corpus sits
+    # between 5 MB and 19 MB of compressed input (x8 = 4.8 MB: shuffle
+    # 1.4s vs broadcast 1.9s; x32 = 19 MB: broadcast 6.5s vs shuffle
+    # 9.2s) — the 8 MiB default splits it; the proxy is rough across
+    # corpora, but everything that matters at warehouse scale is far
+    # above it, so misclassification risk is confined to the sub-second
+    # regime. Train size reads file metadata only (no job; Catalyst's
+    # estimate above this subtree is useless anyway) with unknown →
+    # LARGE, since un-stat-able input is exactly the 100 TB table; eval
+    # size is a pushed-scan count probe, paid only after the train side
+    # qualifies. ``broadcast_eval`` overrides either way.
     if broadcast_eval is None:
         from duckdb_vss_spark.sources.layout import input_bytes
 
