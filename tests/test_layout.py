@@ -108,3 +108,79 @@ def test_widen_narrow_scan_union_already_wide(spark, tmp_path):
     if target > 2:
         small = reduce(lambda a, b: a.unionByName(b), branches[:2])
         assert widen_narrow_scan(small).rdd.getNumPartitions() == target
+
+
+class TestInputBytes:
+    """input_bytes: the no-job size probe behind broadcast-vs-shuffle
+    gates (contamination's eval-broadcast gate calibrates on it)."""
+
+    def test_single_file_is_file_size(self, spark, tmp_path):
+        import glob
+        import os
+
+        from duckdb_vss_spark.sources.layout import input_bytes
+
+        p = str(tmp_path / "t.parquet")
+        spark.range(1000).coalesce(1).write.parquet(p)
+        disk = sum(
+            os.path.getsize(f) for f in glob.glob(p + "/*.parquet")
+        )
+        assert input_bytes(spark.read.parquet(p)) == disk
+
+    def test_self_union_scales_by_leaf_count(self, spark, tmp_path):
+        """inputFiles() dedupes paths, so a k-branch self-union must
+        report ~k x the file bytes (leaf-count scaling), not 1x."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        from duckdb_vss_spark.sources.layout import input_bytes
+
+        p = str(tmp_path / "u.parquet")
+        spark.range(1000).coalesce(1).write.parquet(p)
+        base = spark.read.parquet(p)
+        one = input_bytes(base)
+        union = reduce(
+            lambda a, b: a.unionByName(b),
+            [base.select((F.col("id") + i).alias("id")) for i in range(8)],
+        )
+        assert input_bytes(union) == 8 * one
+
+    def test_non_file_plan_is_unknown(self, spark):
+        from duckdb_vss_spark.sources.layout import input_bytes
+
+        assert input_bytes(spark.range(10)) == -1
+
+
+def test_contamination_gate_prefers_shuffle_on_small_train(spark, tmp_path):
+    """The eval-broadcast auto gate requires a large train input: on a
+    tiny file-backed corpus the plan must contain NO broadcast of the
+    eval gram keys (the skinny gram shuffle is measured cheaper below
+    the flip), while an explicit broadcast_eval=True must produce one.
+    Results are identical either way."""
+    from duckdb_vss_spark.pipeline.contamination import ngram_contamination
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "docs.parquet")
+    rows = [(i, f"w{i} w{i+1} w{i+2} w{i+3} w{i+4}") for i in range(200)]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(p)
+    docs = spark.read.parquet(p)
+    is_eval = F.col("doc_id") % 10 == 0
+
+    auto = ngram_contamination(docs, "text", "doc_id", is_eval, n=2)
+    forced = ngram_contamination(
+        docs, "text", "doc_id", is_eval, n=2, broadcast_eval=True
+    )
+    # discriminate by logical shape (AQE may still broadcast the plain
+    # join's small side at runtime, which is fine): the broadcast path
+    # adds a SECOND join — the eval-keys pre-filter on the train leg —
+    # while the gated-off path has only the hits join
+    def njoins(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return sum(1 for ln in plan.splitlines() if "Join" in ln)
+
+    assert njoins(auto) == 1
+    assert njoins(forced) == 2
+    a = {(r["doc_id"], r["n_shared_grams"], r["n_train_docs"]) for r in auto.collect()}
+    b = {(r["doc_id"], r["n_shared_grams"], r["n_train_docs"]) for r in forced.collect()}
+    assert a == b and a
