@@ -511,11 +511,6 @@ def create_hnsw_index(
     m0 = m0 if m0 is not None else 2 * m
     _validate_options(metric, ef_construction, ef_search, m, m0)
     check_persistence_enabled(spark)
-    if dims is None:
-        first = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
-        if first is None:
-            raise ValueError("cannot infer dimensions from an all-NULL vector column")
-        dims = len(first[0])
 
     if os.path.exists(path):
         if not overwrite:
@@ -527,6 +522,20 @@ def create_hnsw_index(
     src = df.select(
         F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
     ).where(F.col(vec_col).isNotNull())
+    # dims inference and partition sizing share ONE aggregate job (r10;
+    # two driver round-trips measured ~0.2 s of a small build's wall)
+    total = None
+    if dims is None or num_partitions is None:
+        probe = src.agg(
+            F.count(F.lit(1)).alias("n"), F.first(F.size(vec_col)).alias("d")
+        ).first()
+        total = int(probe["n"])
+        if dims is None:
+            if probe["d"] is None:
+                raise ValueError(
+                    "cannot infer dimensions from an all-NULL vector column"
+                )
+            dims = int(probe["d"])
     if num_partitions is None:
         # size partitions so each graph builds in bounded time and memory:
         # the chunked bulk build is O(n²·d) BLAS per partition, so the
@@ -543,7 +552,6 @@ def create_hnsw_index(
         # at shuffle.partitions=8000 a //500 floor would make 2000
         # graphs of 500 vectors from 1M rows); larger tables are sized
         # purely by the ceiling.
-        total = src.count()
         by_size = max(1, (total + 65_536 - 1) // 65_536)
         parallelism = int(spark.conf.get("spark.sql.shuffle.partitions"))
         num_partitions = (

@@ -52,7 +52,7 @@ from pyspark.sql.types import (
 )
 
 from duckdb_vss_spark.functions.distance import distance_for_metric
-from duckdb_vss_spark.index.ivf import _calibrate_nprobe, _kmeans, _norm_rows
+from duckdb_vss_spark.index.ivf import _calibrate_nprobe, _count_and_dims, _kmeans, _norm_rows
 from duckdb_vss_spark.index.pq import (
     _buffered_query_stream,
     _encode_batch,
@@ -385,14 +385,10 @@ def create_ivfpq_index(
     src = df.select(
         F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
     ).where(F.col(vec_col).isNotNull())
-    total = src.count()
-    if total == 0:
-        raise ValueError("cannot build an IVFPQ index over an empty vector column")
+    total, dims = _count_and_dims(src, vec_col, "an IVFPQ index")
     if nlist is None:
         nlist = max(2, min(4096, int(math.isqrt(total))))
     nlist = int(min(nlist, total))
-    first = src.select(vec_col).first()
-    dims = len(first[0])
 
     want = max(nlist * sample_per_list, ksub * 4)
     frac = min(1.0, want / total)

@@ -136,7 +136,7 @@ def create_ivfsq_index(
     SQ bounds + map-only encode + partitioned write of (id, codes)."""
     if metric != "l2sq":
         raise ValueError("IVF-SQ v1 supports metric='l2sq' only")
-    from duckdb_vss_spark.index.ivf import _assign_udf, _calibrate_nprobe, _kmeans
+    from duckdb_vss_spark.index.ivf import _assign_udf, _calibrate_nprobe, _count_and_dims, _kmeans
     from duckdb_vss_spark.index.sq import sq_encode, train_sq
     from duckdb_vss_spark.session import check_persistence_enabled
 
@@ -148,14 +148,10 @@ def create_ivfsq_index(
     src = df.select(
         F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
     ).where(F.col(vec_col).isNotNull())
-    total = src.count()
-    if total == 0:
-        raise ValueError("cannot build an IVF-SQ index over an empty vector column")
+    total, dims = _count_and_dims(src, vec_col, "an IVF-SQ index")
     if nlist is None:
         nlist = max(2, min(4096, int(math.isqrt(total))))
     nlist = int(min(nlist, total))
-    first = src.select(vec_col).first()
-    dims = len(first[0])
 
     want = nlist * sample_per_list
     frac = min(1.0, want / total)

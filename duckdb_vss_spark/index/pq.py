@@ -492,11 +492,9 @@ def create_pq_index(
     src = df.select(
         F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
     ).where(F.col(vec_col).isNotNull())
-    total = src.count()
-    if total == 0:
-        raise ValueError("cannot build a PQ index over an empty vector column")
-    first = src.select(vec_col).first()
-    dims = len(first[0])
+    from duckdb_vss_spark.index.ivf import _count_and_dims
+
+    total, dims = _count_and_dims(src, vec_col, "a PQ index")
 
     frac = min(1.0, sample_rows / total)
     rows = (
