@@ -89,3 +89,22 @@ def test_shh_60bit_prefix_matches_sql_oracle_definition():
 def test_output_dtype_is_uint64():
     got = md5_u64([b"x"])
     assert got.dtype == np.uint64
+
+
+# -- property: agreement with hashlib on arbitrary byte strings -----------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    msgs=st.lists(st.binary(min_size=0, max_size=90), min_size=1, max_size=20),
+    prefixes=st.lists(st.binary(min_size=0, max_size=12), min_size=1, max_size=4),
+)
+def test_property_matches_hashlib(msgs, prefixes):
+    got = md5_u64(msgs, prefixes)
+    assert got.shape == (len(prefixes), len(msgs), 2)
+    for pi, p in enumerate(prefixes):
+        for i, m in enumerate(msgs):
+            assert (int(got[pi, i, 0]), int(got[pi, i, 1])) == _ref(p, m)
