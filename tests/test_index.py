@@ -393,3 +393,39 @@ def test_search_stream_loads_each_graph_once_across_batches(monkeypatch):
         )
     )
     assert len(loads) == 3 * len(files)  # ceil(1200/500)=3 flushes
+
+
+def test_driver_local_build_matches_distributed(spark, tmp_path):
+    """A small FILE-BACKED source builds in-process (the
+    driver_build_max_bytes gate); the artifact must be interchangeable
+    with the distributed build: same manifest shape, same row count,
+    same partition sizing, identical knn_search results. In-memory
+    frames (input_bytes unknown) always take the distributed path, so
+    only the parquet round-trip exercises the gate."""
+    from duckdb_vss_spark.index import create_hnsw_index
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(1200)]
+    p = str(tmp_path / "vecs.parquet")
+    spark.createDataFrame(rows, "vid long, v array<float>").coalesce(1).write.parquet(p)
+    src = spark.read.parquet(p)
+
+    local = create_hnsw_index(
+        spark, src, "v", "vid", str(tmp_path / "ix_local"), overwrite=True
+    )
+    dist = create_hnsw_index(
+        spark, src, "v", "vid", str(tmp_path / "ix_dist"), overwrite=True,
+        driver_build_max_bytes=0,  # force the cluster path
+    )
+    assert local.manifest["count"] == dist.manifest["count"] == 1200
+    assert local.manifest["num_partitions"] == dist.manifest["num_partitions"]
+    q = rows[11][1]
+    got_l = [(r["vid"], round(r["dist"], 9)) for r in local.knn_search(src, q, 5).collect()]
+    got_d = [(r["vid"], round(r["dist"], 9)) for r in dist.knn_search(src, q, 5).collect()]
+    assert got_l == got_d
+    # brute-force agreement (ef_search >> k at this size: exact)
+    want = [
+        (r["vid"], round(r["dist"], 9))
+        for r in knn_search(src, "v", q, 5).select("vid", "dist").collect()
+    ]
+    assert got_l == want
