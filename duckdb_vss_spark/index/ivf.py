@@ -156,20 +156,26 @@ def _norm_rows(mat: np.ndarray, metric: str) -> np.ndarray:
     return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
 
 
+def _assign_rows(mat: np.ndarray, centroids: np.ndarray, metric: str) -> np.ndarray:
+    """Nearest-centroid assignment of a float64 row matrix — the ONE
+    numpy kernel behind both the Arrow UDF and the driver-local build,
+    so list membership is bit-identical on either path."""
+    c = centroids.astype(np.float64)
+    c_sq = (c**2).sum(axis=1)
+    mat = _norm_rows(mat, metric)
+    dist = (mat**2).sum(axis=1, keepdims=True) + c_sq - 2.0 * mat @ c.T
+    return dist.argmin(axis=1).astype(np.int32)
+
+
 def _assign_udf(centroids: np.ndarray, metric: str):
     """Vectorized nearest-centroid assignment: one Arrow batch → one
     matrix multiply (the map-only build/probe stage)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    c = centroids.astype(np.float64)
-    c_sq = (c**2).sum(axis=1)
-
     def assign(v):
         mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
-        mat = _norm_rows(mat, metric)
-        dist = (mat**2).sum(axis=1, keepdims=True) + c_sq - 2.0 * mat @ c.T
-        return pd.Series(dist.argmin(axis=1).astype(np.int32))
+        return pd.Series(_assign_rows(mat, centroids, metric))
 
     return pandas_udf(assign, IntegerType())
 
@@ -384,6 +390,45 @@ class IvfIndex:
         return self.spark.createDataFrame([row], schema)
 
 
+def _write_lists_local(
+    rows, vec_type, id_col: str, vec_col: str,
+    centroids: np.ndarray, metric: str, lists_dir: str,
+) -> dict | None:
+    """Driver-side twin of the partitionBy(list_id) write: assign the
+    collected (id, vec) rows with the SAME numpy kernel as the Arrow
+    UDF and write one parquet file per non-empty list under the
+    hive-style ``list_id=N/`` layout Spark's reader discovers. Returns
+    {list_id: count}, or None (nothing written) when the vector element
+    type isn't one this writer preserves exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    elem = getattr(getattr(vec_type, "elementType", None), "simpleString", lambda: "")()
+    pa_elem = {"float": pa.float32(), "double": pa.float64()}.get(elem)
+    if pa_elem is None:
+        return None
+    total = len(rows)
+    ids = np.fromiter((r[0] for r in rows), dtype=np.int64, count=total)
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    assign = _assign_rows(mat, centroids, metric)
+    counts: dict[int, int] = {}
+    for lid in np.unique(assign):
+        sel = np.flatnonzero(assign == lid)
+        tbl = pa.table(
+            {
+                id_col: pa.array(ids[sel]),
+                vec_col: pa.array(
+                    [rows[i][1] for i in sel], type=pa.list_(pa_elem)
+                ),
+            }
+        )
+        d = os.path.join(lists_dir, f"list_id={int(lid)}")
+        os.makedirs(d)
+        pq.write_table(tbl, os.path.join(d, "part-00000.parquet"))
+        counts[int(lid)] = int(sel.size)
+    return counts
+
+
 def create_ivf_index(
     spark: SparkSession,
     df: DataFrame,
@@ -398,21 +443,41 @@ def create_ivf_index(
     kmeans_iters: int = 10,
     seed: int = 42,
     overwrite: bool = False,
+    driver_build_max_bytes: int = 4 << 20,
 ) -> IvfIndex:
     """CREATE INDEX ... USING IVF (vec_col) WITH (metric, nlist) as a
     bulk Spark job. nlist defaults to ~sqrt(count) (the standard IVF
     rule of thumb); nprobe defaults to the smallest value whose
     estimated routing recall@10 on the training sample meets 0.9
-    (``_calibrate_nprobe`` — data-dependent, not a fixed formula)."""
+    (``_calibrate_nprobe`` — data-dependent, not a fixed formula).
+
+    Small FILE-BACKED sources (scan ≤ ``driver_build_max_bytes``, and
+    small enough that the training sample is the whole table) build
+    in-process from ONE bounded collect: k-means, assignment (the same
+    ``_assign_rows`` kernel as the Arrow UDF — list membership is
+    bit-identical) and the hive-partitioned list write all happen on
+    the driver, skipping three Spark jobs' fixed costs (~1.5 s for a
+    half-megabyte build, r10; see create_hnsw_index's twin note)."""
     if metric not in ("l2sq", "cosine", "ip"):
         raise ValueError("IVF index 'metric' must be one of: 'cosine', 'ip', 'l2sq'")
     from duckdb_vss_spark.session import check_persistence_enabled
+    from duckdb_vss_spark.sources.layout import input_bytes
 
     check_persistence_enabled(spark)
     src = df.select(
         F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
     ).where(F.col(vec_col).isNotNull())
-    total, dims = _count_and_dims(src, vec_col, "an IVF index")
+
+    est = input_bytes(src)
+    local_rows = None
+    if 0 <= est <= driver_build_max_bytes:
+        local_rows = src.collect()  # bounded by the gate
+        total = len(local_rows)
+        if total == 0:
+            raise ValueError("cannot build an IVF index over an empty vector column")
+        dims = len(local_rows[0][1])
+    else:
+        total, dims = _count_and_dims(src, vec_col, "an IVF index")
     if nlist is None:
         nlist = max(2, min(4096, int(math.isqrt(total))))
     nlist = int(min(nlist, total))
@@ -420,11 +485,19 @@ def create_ivf_index(
     # driver-sized seeded sample for centroid training
     want = nlist * sample_per_list
     frac = min(1.0, want / total)
-    sample_rows = (
-        src.select(vec_col).sample(fraction=frac, seed=seed).limit(want).collect()
-        if frac < 1.0
-        else src.select(vec_col).collect()
-    )
+    if local_rows is not None and frac >= 1.0:
+        # the "sample" is the whole (already collected) table — the
+        # exact rows the frac==1.0 branch below would re-collect
+        sample_rows = [(r[1],) for r in local_rows]
+    else:
+        # a frac<1.0 Spark sample is partitioning-dependent; keep the
+        # distributed path so centroids never depend on which branch ran
+        local_rows = None
+        sample_rows = (
+            src.select(vec_col).sample(fraction=frac, seed=seed).limit(want).collect()
+            if frac < 1.0
+            else src.select(vec_col).collect()
+        )
     sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
     sample = _norm_rows(sample, metric)
     centroids = _kmeans(sample, nlist, kmeans_iters, seed)
@@ -440,18 +513,27 @@ def create_ivf_index(
             raise ValueError(f"index path {path!r} already exists (use overwrite=True)")
         shutil.rmtree(path)
     os.makedirs(path)
-
-    assigned = src.withColumn("list_id", _assign_udf(centroids, metric)(F.col(vec_col)))
     lists_dir = os.path.join(path, "lists")
-    assigned.write.partitionBy("list_id").parquet(lists_dir)
 
-    counts = {
-        r["list_id"]: r["n"]
-        for r in spark.read.parquet(lists_dir)
-        .groupBy("list_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    if local_rows is not None:
+        counts = _write_lists_local(
+            local_rows, src.schema[vec_col].dataType, id_col, vec_col,
+            centroids, metric, lists_dir,
+        )
+        if counts is None:
+            local_rows = None  # unsupported element type: cluster path
+    if local_rows is None:
+        assigned = src.withColumn(
+            "list_id", _assign_udf(centroids, metric)(F.col(vec_col))
+        )
+        assigned.write.partitionBy("list_id").parquet(lists_dir)
+        counts = {
+            r["list_id"]: r["n"]
+            for r in spark.read.parquet(lists_dir)
+            .groupBy("list_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
     manifest = {
         "index_name": name,
         "table_name": "",

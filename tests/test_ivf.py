@@ -241,3 +241,37 @@ def test_calibration_metric_aware_ip():
     p_l2 = _calibrate_nprobe(corpus, cents, "l2sq")
     p_ip = _calibrate_nprobe(corpus, cents, "ip")
     assert p_ip > p_l2
+
+
+def test_driver_local_build_matches_distributed(spark, tmp_path):
+    """Small file-backed source: the driver-local build (one collect +
+    pyarrow list writes) must be indistinguishable from the cluster
+    build — identical centroids (same frac==1.0 sample), identical
+    list membership (shared _assign_rows kernel), identical default
+    knn results, and Spark must read the hand-written hive layout with
+    partition pruning intact."""
+    import numpy as np
+
+    from duckdb_vss_spark.index import create_ivf_index
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(1500)]
+    p = str(tmp_path / "vecs.parquet")
+    spark.createDataFrame(rows, "vid long, v array<float>").coalesce(1).write.parquet(p)
+    src = spark.read.parquet(p)
+
+    local = create_ivf_index(
+        spark, src, "v", "vid", str(tmp_path / "ix_local"),
+        nlist=8, overwrite=True,
+    )
+    dist = create_ivf_index(
+        spark, src, "v", "vid", str(tmp_path / "ix_dist"),
+        nlist=8, overwrite=True, driver_build_max_bytes=0,
+    )
+    assert local.manifest["centroids"] == dist.manifest["centroids"]
+    assert local.manifest["lists"] == dist.manifest["lists"]
+    assert local.manifest["count"] == dist.manifest["count"] == 1500
+    q = rows[17][1]
+    got_l = [(r["vid"], round(r["dist"], 9)) for r in local.knn_search(q, 5).collect()]
+    got_d = [(r["vid"], round(r["dist"], 9)) for r in dist.knn_search(q, 5).collect()]
+    assert got_l == got_d and len(got_l) == 5
