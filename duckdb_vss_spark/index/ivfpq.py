@@ -370,6 +370,7 @@ def create_ivfpq_index(
     sample_per_list: int = 256,
     kmeans_iters: int = 10,
     seed: int = 42,
+    driver_build_max_bytes: int = 4 << 20,
     overwrite: bool = False,
 ) -> IvfPqIndex:
     """Train coarse centroids + residual codebooks on one driver-sized
@@ -385,21 +386,41 @@ def create_ivfpq_index(
     src = df.select(
         F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
     ).where(F.col(vec_col).isNotNull())
-    total, dims = _count_and_dims(src, vec_col, "an IVFPQ index")
+    # driver-local fast path (r10, see create_hnsw_index's twin note):
+    # small file-backed source + whole-table training sample → ONE
+    # bounded collect serves training, assign+encode (same numpy
+    # kernels as the Arrow UDF) and the partitioned codes write
+    from duckdb_vss_spark.sources.layout import input_bytes
+
+    est = input_bytes(src)
+    local_rows = None
+    if 0 <= est <= driver_build_max_bytes:
+        local_rows = src.collect()
+        total = len(local_rows)
+        if total == 0:
+            raise ValueError("cannot build an IVFPQ index over an empty vector column")
+        dims = len(local_rows[0][1])
+    else:
+        total, dims = _count_and_dims(src, vec_col, "an IVFPQ index")
     if nlist is None:
         nlist = max(2, min(4096, int(math.isqrt(total))))
     nlist = int(min(nlist, total))
 
     want = max(nlist * sample_per_list, ksub * 4)
     frac = min(1.0, want / total)
-    rows = (
-        src.select(vec_col).sample(fraction=frac, seed=seed).limit(want).collect()
-        if frac < 1.0
-        else src.select(vec_col).collect()
-    )
-    sample = _norm_rows(
-        np.stack([np.asarray(r[0], dtype=np.float64) for r in rows]), metric
-    )
+    if local_rows is not None and frac >= 1.0:
+        sample_mat = np.stack(
+            [np.asarray(r[1], dtype=np.float64) for r in local_rows]
+        )
+    else:
+        local_rows = None  # partial sample is partitioning-dependent
+        rows = (
+            src.select(vec_col).sample(fraction=frac, seed=seed).limit(want).collect()
+            if frac < 1.0
+            else src.select(vec_col).collect()
+        )
+        sample_mat = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    sample = _norm_rows(sample_mat, metric)
     centroids = _kmeans(sample, nlist, kmeans_iters, seed)
     if default_nprobe is None:
         default_nprobe = _calibrate_nprobe(sample, centroids, metric)
@@ -422,14 +443,44 @@ def create_ivfpq_index(
         shutil.rmtree(path)
     os.makedirs(path)
 
-    enc = _assign_encode_udf(centroids, books, metric)(F.col(vec_col))
     codes_dir = os.path.join(path, "codes")
-    (
-        src.withColumn("_e", enc)
-        .select(id_col, F.col("_e.list_id").alias("list_id"), F.col("_e.pq_code").alias("pq_code"))
-        .write.partitionBy("list_id")
-        .parquet(codes_dir)
-    )
+    if local_rows is not None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq_
+
+        # sample IS the normed corpus in collected order; replicate the
+        # UDF's assign -> residual -> encode exactly
+        d = (
+            (sample**2).sum(axis=1, keepdims=True)
+            + (centroids**2).sum(axis=1)
+            - 2.0 * sample @ centroids.T
+        )
+        assign = d.argmin(axis=1).astype(np.int32)
+        codes = _encode_batch(sample - centroids[assign], books)
+        ids = np.fromiter((r[0] for r in local_rows), dtype=np.int64, count=total)
+        for lid in np.unique(assign):
+            sel = np.flatnonzero(assign == lid)
+            part = os.path.join(codes_dir, f"list_id={int(lid)}")
+            os.makedirs(part)
+            pq_.write_table(
+                pa.table(
+                    {
+                        id_col: pa.array(ids[sel]),
+                        "pq_code": pa.array(
+                            [codes[i].tobytes() for i in sel], type=pa.binary()
+                        ),
+                    }
+                ),
+                os.path.join(part, "part-00000.parquet"),
+            )
+    else:
+        enc = _assign_encode_udf(centroids, books, metric)(F.col(vec_col))
+        (
+            src.withColumn("_e", enc)
+            .select(id_col, F.col("_e.list_id").alias("list_id"), F.col("_e.pq_code").alias("pq_code"))
+            .write.partitionBy("list_id")
+            .parquet(codes_dir)
+        )
 
     manifest = {
         "index_name": name,

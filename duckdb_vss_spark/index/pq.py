@@ -477,6 +477,7 @@ def create_pq_index(
     kmeans_iters: int = 10,
     seed: int = 42,
     overwrite: bool = False,
+    driver_build_max_bytes: int = 4 << 20,
 ) -> PqIndex:
     """Train codebooks on a driver-sized seeded sample, encode the full
     corpus in one map-only Arrow stage, write (id, pq_code) parquet.
@@ -493,18 +494,38 @@ def create_pq_index(
         F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
     ).where(F.col(vec_col).isNotNull())
     from duckdb_vss_spark.index.ivf import _count_and_dims
+    from duckdb_vss_spark.sources.layout import input_bytes
 
-    total, dims = _count_and_dims(src, vec_col, "a PQ index")
+    # driver-local fast path (r10, see create_hnsw_index's twin note):
+    # a small file-backed source whose training sample is the whole
+    # table builds from ONE bounded collect — training, encode (same
+    # _encode_batch kernel as the Arrow UDF) and the codes write all
+    # in-process, no Spark jobs at all
+    est = input_bytes(src)
+    local_rows = None
+    if 0 <= est <= driver_build_max_bytes:
+        local_rows = src.collect()
+        total = len(local_rows)
+        if total == 0:
+            raise ValueError("cannot build a PQ index over an empty vector column")
+        dims = len(local_rows[0][1])
+    else:
+        total, dims = _count_and_dims(src, vec_col, "a PQ index")
 
     frac = min(1.0, sample_rows / total)
-    rows = (
-        src.select(vec_col).sample(fraction=frac, seed=seed).limit(sample_rows).collect()
-        if frac < 1.0
-        else src.select(vec_col).collect()
-    )
-    sample = _norm_rows(
-        np.stack([np.asarray(r[0], dtype=np.float64) for r in rows]), metric
-    )
+    if local_rows is not None and frac >= 1.0:
+        sample_mat = np.stack(
+            [np.asarray(r[1], dtype=np.float64) for r in local_rows]
+        )
+    else:
+        local_rows = None  # partial sample is partitioning-dependent
+        rows = (
+            src.select(vec_col).sample(fraction=frac, seed=seed).limit(sample_rows).collect()
+            if frac < 1.0
+            else src.select(vec_col).collect()
+        )
+        sample_mat = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    sample = _norm_rows(sample_mat, metric)
     books = train_pq_codebooks(sample, m, ksub, kmeans_iters, seed)
 
     if os.path.exists(path):
@@ -514,9 +535,26 @@ def create_pq_index(
     os.makedirs(path)
 
     codes_dir = os.path.join(path, "codes")
-    src.withColumn("pq_code", _encode_udf(books, metric)(F.col(vec_col))).select(
-        id_col, "pq_code"
-    ).write.parquet(codes_dir)
+    if local_rows is not None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq_
+
+        codes = _encode_batch(sample, books)  # sample IS the normed corpus
+        ids = np.fromiter((r[0] for r in local_rows), dtype=np.int64, count=total)
+        os.makedirs(codes_dir)
+        pq_.write_table(
+            pa.table(
+                {
+                    id_col: pa.array(ids),
+                    "pq_code": pa.array([c.tobytes() for c in codes], type=pa.binary()),
+                }
+            ),
+            os.path.join(codes_dir, "part-00000.parquet"),
+        )
+    else:
+        src.withColumn("pq_code", _encode_udf(books, metric)(F.col(vec_col))).select(
+            id_col, "pq_code"
+        ).write.parquet(codes_dir)
 
     manifest = {
         "index_name": name,

@@ -211,3 +211,42 @@ def test_knn_join_stream_prunes_unprobed_lists(ivfpq, emb, monkeypatch):
     )
     probed_dirs = {_os.path.dirname(f) for f in seen}
     assert len(probed_dirs) == 1
+
+
+def test_driver_local_build_matches_distributed(spark, tmp_path):
+    """Small file-backed source: the in-process IVFADC build must match
+    the cluster build exactly — centroids, codebooks, per-list code
+    bytes, and default-probe search results."""
+    import numpy as np
+
+    from duckdb_vss_spark.index import create_ivfpq_index
+
+    rng = np.random.default_rng(9)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(900)]
+    p = str(tmp_path / "vecs.parquet")
+    spark.createDataFrame(rows, "vid long, v array<float>").coalesce(1).write.parquet(p)
+    src = spark.read.parquet(p)
+
+    local = create_ivfpq_index(
+        spark, src, "v", "vid", str(tmp_path / "ix_local"),
+        nlist=6, m=4, ksub=8, overwrite=True,
+    )
+    dist = create_ivfpq_index(
+        spark, src, "v", "vid", str(tmp_path / "ix_dist"),
+        nlist=6, m=4, ksub=8, overwrite=True, driver_build_max_bytes=0,
+    )
+    assert local.manifest["centroids"] == dist.manifest["centroids"]
+    assert local.manifest["codebooks"] == dist.manifest["codebooks"]
+    lc = {
+        (r["list_id"], r["vid"]): bytes(r["pq_code"])
+        for r in spark.read.parquet(local.path + "/codes").collect()
+    }
+    dc = {
+        (r["list_id"], r["vid"]): bytes(r["pq_code"])
+        for r in spark.read.parquet(dist.path + "/codes").collect()
+    }
+    assert lc == dc and len(lc) == 900
+    q = rows[21][1]
+    got_l = [(r["vid"], round(r["dist"], 9)) for r in local.knn_search(q, 5).collect()]
+    got_d = [(r["vid"], round(r["dist"], 9)) for r in dist.knn_search(q, 5).collect()]
+    assert got_l == got_d and len(got_l) == 5

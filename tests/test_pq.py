@@ -195,3 +195,35 @@ def test_knn_join_null_and_empty_queries(spark, pq_idx, emb):
         [(1, None)], "qid long, qv array<float>"
     )
     assert pq_idx.knn_join(withnull, "qv", 3, "qid").count() == 0
+
+
+def test_driver_local_build_matches_distributed(spark, tmp_path):
+    """Small file-backed source: the in-process build (one collect +
+    pyarrow codes write) must produce byte-identical codes and
+    identical ADC search results to the cluster build."""
+    import numpy as np
+
+    from duckdb_vss_spark.index import create_pq_index
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(800)]
+    p = str(tmp_path / "vecs.parquet")
+    spark.createDataFrame(rows, "vid long, v array<float>").coalesce(1).write.parquet(p)
+    src = spark.read.parquet(p)
+
+    local = create_pq_index(
+        spark, src, "v", "vid", str(tmp_path / "ix_local"),
+        m=4, ksub=8, overwrite=True,
+    )
+    dist = create_pq_index(
+        spark, src, "v", "vid", str(tmp_path / "ix_dist"),
+        m=4, ksub=8, overwrite=True, driver_build_max_bytes=0,
+    )
+    assert local.manifest["codebooks"] == dist.manifest["codebooks"]
+    lc = {r["vid"]: bytes(r["pq_code"]) for r in spark.read.parquet(local.path + "/codes").collect()}
+    dc = {r["vid"]: bytes(r["pq_code"]) for r in spark.read.parquet(dist.path + "/codes").collect()}
+    assert lc == dc and len(lc) == 800
+    q = rows[3][1]
+    got_l = [(r["vid"], round(r["dist"], 9)) for r in local.knn_search(q, 5).collect()]
+    got_d = [(r["vid"], round(r["dist"], 9)) for r in dist.knn_search(q, 5).collect()]
+    assert got_l == got_d and len(got_l) == 5
