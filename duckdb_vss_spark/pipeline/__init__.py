@@ -50,3 +50,8 @@ from duckdb_vss_spark.pipeline.semdedup import (  # noqa: F401
     semdedup_pairs,
 )
 from duckdb_vss_spark.pipeline.spandedup import duplicate_spans  # noqa: F401
+from duckdb_vss_spark.pipeline.pca import (  # noqa: F401
+    gram_quantized,
+    pca_power_scores,
+    power_component,
+)

@@ -1686,6 +1686,64 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proj.select("vec_id", F.posexplode("proj").alias("pos", "val"))
 
 
+def _pca_power_oracle(dims: int = 64, iters: int = 3, qg: str = "1000000.0", qv: int = 8192) -> str:
+    """DuckDB replay of pipeline/pca.py, stage by stage: the quantized
+    Gram matrix (integer sums of floor(e_i·e_j·Qg + 0.5) — associative,
+    partitioning-independent), ``iters`` unrolled power iterations in
+    pure BIGINT arithmetic (DuckDB's truncating ``//``, which the Spark
+    side's Python-int ``_tdiv`` mirrors; no norm, no sqrt, no float
+    division anywhere), and the integer dot-product scoring. Scores are
+    a pure function of (data, Qg, Qv, iters), so this oracle is STRICT:
+    any divergence in any iteration changes the BIGINT output."""
+    steps = []
+    prev = "v0"
+    for t in range(1, iters + 1):
+        steps.append(f"""
+    w{t} AS (
+      SELECT c.i AS i, SUM(c.s * p.v) AS w
+      FROM cells c JOIN {prev} p ON p.i = c.j GROUP BY c.i
+    ),
+    s{t} AS (SELECT MAX(ABS(w)) // {qv} + 1 AS sc FROM w{t}),
+    v{t} AS (SELECT w{t}.i AS i, w{t}.w // s{t}.sc AS v FROM w{t}, s{t})""")
+        prev = f"v{t}"
+    return f"""
+    WITH x AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    idx AS (SELECT UNNEST(range(1, {dims + 1})) AS i),
+    cells AS (
+      SELECT a.i AS i, b.i AS j,
+             SUM(CAST(FLOOR(x.e[a.i] * x.e[b.i] * {qg} + 0.5) AS BIGINT)) AS s
+      FROM x, idx a, idx b
+      GROUP BY a.i, b.i
+    ),
+    v0 AS (SELECT i, CAST({qv} AS BIGINT) AS v FROM idx),{",".join(steps)}
+    SELECT x.vec_id AS vec_id,
+           -- SUM(BIGINT) is HUGEINT in DuckDB (pandas would float it)
+           CAST(SUM(CAST(FLOOR(x.e[t.i] * {qg} + 0.5) AS BIGINT) * f.v) AS BIGINT) AS pc1
+    FROM x, idx t JOIN v{iters} f ON f.i = t.i
+    GROUP BY x.vec_id
+    """
+
+
+@register_extra("q_pca_power", _pca_power_oracle())
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-principal-component score per embedding
+    (pipeline/pca.py): integer-quantized Gram matrix (one Arrow map
+    pass + a d²-row skinny reduce — vectors never leave executors),
+    integer power iteration on the driver, map-only int-dot scoring.
+    The kmeans bit-exactness trick extended to an iterative
+    eigensolver: every stage is integer arithmetic after a pinned
+    IEEE quantization, so the oracle replays ALL of it exactly —
+    an oracle-checked iterative linear-algebra query, not a
+    rows-only check."""
+    from duckdb_vss_spark.pipeline.pca import pca_power_scores
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_power_scores(emb, "embedding", "vec_id", dims=64)
+
+
 def _kmeans_oracle(k: int = 4, iters: int = 2, seed: int = 5) -> str:
     """DuckDB replay of pipeline/kmeans.py, iteration by iteration:
     seeded hash init, list_distance argmin assignment (ties → lower
