@@ -126,11 +126,14 @@ _DECLARED: list[str] = [
     "q_vocab_topk",
     # 5. new Catalyst-plan rule (VERDICT r9 missing #2) + refill —
     # q_contamination re-declared because r10 changed its join shape
-    # (eval-broadcast pre-aggregation; review r10 finding)
+    # (all-JVM gram legs + size-gated eval broadcast), and q_pca_power
+    # is the round's NEW operator (integer power-iteration PCA, strict
+    # oracle) — it takes the seat of q_stream_matview_restart, whose r7
+    # driver row stands and whose path is unchanged since.
     "q_sql_ext_topk",
     "q_contamination",
     "q_hnsw_knn_join",
-    "q_stream_matview_restart",
+    "q_pca_power",
 ]
 
 
