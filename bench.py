@@ -869,6 +869,7 @@ def main() -> None:
         "q_pack_sequences",
         "q_kmv_distinct",
         "q_hash_embed",
+        "q_pca_power",
         "q_media_mjpeg_frames",
         "q_video_neardup",
         # r6b: chunking, caps, lexical retrieval, semantic dedup
