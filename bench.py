@@ -820,7 +820,9 @@ def main() -> None:
             ),
             runs=1,
         )
-        timed("pq_search_adc", lambda: pq["i"].knn_search(qv, 10).collect())
+        timed("pq_search_adc", lambda: pq["i"].knn_search(qv, 10, rerank=0).collect())
+        # DEFAULT signature = auto-rerank (10*k shortlist, manifest source)
+        timed("pq_search_default", lambda: pq["i"].knn_search(qv, 10).collect())
         timed(
             "pq_search_rerank",
             lambda: pq["i"]
@@ -847,7 +849,9 @@ def main() -> None:
             ),
             runs=1,
         )
-        timed("ivfpq_search", lambda: ivfpq["i"].knn_search(qv, 10).collect())
+        timed("ivfpq_search_adc", lambda: ivfpq["i"].knn_search(qv, 10, rerank=0).collect())
+        # DEFAULT signature = auto-rerank (10*k shortlist, manifest source)
+        timed("ivfpq_search_default", lambda: ivfpq["i"].knn_search(qv, 10).collect())
 
     # pipeline: dedup family + text analysis. Each LSH query persists a
     # fresh signature base; drop those caches after each query so the
@@ -952,15 +956,23 @@ def main() -> None:
                 )
             )
         if "i" in ivfpq:
-            # IVFADC at default nprobe (honest partial-probe + residual-
-            # quantization number); real Spark path, capped query subset
+            # IVFADC at the DEFAULT signature (r11: auto-rerank over a
+            # 10*k shortlist via the manifest-recorded source — the
+            # shipped recall) plus the honest ADC-only number at
+            # rerank=0 (partial-probe + residual-quantization loss)
             sub = list(exact)[:16]
-            hits = 0
+            hits = hits_adc = 0
             for qq in sub:
                 qvq = [float(x) for x in mat[ids == qq][0]]
                 got = {r["vec_id"] for r in ivfpq["i"].knn_search(qvq, 10).collect()}
                 hits += len(got & exact[qq])
+                got_adc = {
+                    r["vec_id"]
+                    for r in ivfpq["i"].knn_search(qvq, 10, rerank=0).collect()
+                }
+                hits_adc += len(got_adc & exact[qq])
             recall["ivfpq_knn@10"] = round(hits / (10 * len(sub)), 4)
+            recall["ivfpq_adc@10"] = round(hits_adc / (10 * len(sub)), 4)
             # with exact re-rank over the ADC shortlist (the production
             # configuration): compression loss disappears, leaving only
             # partial-probe loss
@@ -979,8 +991,12 @@ def main() -> None:
                 hits_rr += len(got & exact[qq])
             recall["ivfpq_rerank@10_probe_3q"] = round(hits_rr / (10 * len(sub)), 4)
         if "i" in pq:
-            # ADC-only: the honest compression-loss number (no rerank)
+            # DEFAULT signature (r11: auto-rerank) + honest ADC-only
+            # compression-loss number at explicit rerank=0
             recall["pq_knn@10"] = measure(pq["i"].knn_join(qdf10, "qvec", 10, "qid"))
+            recall["pq_adc@10"] = measure(
+                pq["i"].knn_join(qdf10, "qvec", 10, "qid", rerank=0)
+            )
             recall["pq_rerank@10"] = measure(
                 pq["i"].knn_join(
                     qdf10, "qvec", 10, "qid",

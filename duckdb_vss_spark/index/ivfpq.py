@@ -56,9 +56,11 @@ from duckdb_vss_spark.index.ivf import _calibrate_nprobe, _count_and_dims, _kmea
 from duckdb_vss_spark.index.pq import (
     _buffered_query_stream,
     _encode_batch,
+    _input_files,
     _list_parquet_files,
     _load_codes,
     _merge_topk,
+    _resolve_rerank,
     train_pq_codebooks,
 )
 
@@ -224,7 +226,13 @@ class IvfPqIndex:
     ) -> DataFrame:
         """Probe nprobe lists (partition pruning), ADC-score their
         residual codes against per-list LUTs of (q − c_list), merge
-        top-k; optional exact re-rank against ``source``."""
+        top-k; optional exact re-rank against ``source``.
+
+        ``rerank=None`` (the default) AUTO-reranks a 10·k shortlist
+        whenever the original vectors are reachable (explicit
+        ``source`` or the build-time file-backed source recorded in the
+        manifest); ``rerank=0`` forces ADC-only (see
+        pq._resolve_rerank, VERDICT r10 #1)."""
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
         from pyspark.sql.types import DoubleType
@@ -232,6 +240,7 @@ class IvfPqIndex:
         q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
         if q.shape[0] != self.dims:
             raise ValueError(f"IVFPQ index keys must be of type FLOAT[{self.dims}]")
+        rerank, source = _resolve_rerank(self, k, rerank, source, "IvfPqIndex", "0.73")
         qn = _norm_rows(q[None, :], self.metric)[0]
         nprobe = int(nprobe or self.manifest["default_nprobe"])
         cd = ((self._centroids - qn) ** 2).sum(axis=1)
@@ -307,9 +316,14 @@ class IvfPqIndex:
         by the cluster, not the driver; the no-rerank path is a single
         mapInPandas stage with NO shuffle. Optional exact re-rank
         late-materializes candidates against ``source`` (broadcast
-        left to AQE)."""
+        left to AQE).
+
+        ``rerank=None`` (the default) AUTO-reranks a 10·k shortlist
+        whenever the original vectors are reachable; ``rerank=0``
+        forces ADC-only (see pq._resolve_rerank, VERDICT r10 #1)."""
         from pyspark.sql import Window
 
+        rerank, source = _resolve_rerank(self, k, rerank, source, "IvfPqIndex", "0.73")
         books, metric = self._books, self.metric
         cents = self._centroids
         nprobe = int(nprobe or self.manifest["default_nprobe"])
@@ -495,6 +509,7 @@ def create_ivfpq_index(
         "count": int(total),
         "centroids": [[float(x) for x in row] for row in centroids],
         "codebooks": [[[float(x) for x in row] for row in book] for book in books],
+        "source_files": _input_files(src),
         "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     tmp = os.path.join(path, ".manifest.json.tmp")

@@ -1141,7 +1141,8 @@ import os as _os
 
 # bump when the graph/artifact layout changes so cached /tmp artifacts
 # built by older code are never reused by a newer engine
-_ARTIFACT_VERSION = "v3"
+# (v4: manifests record source_files for the auto-rerank default)
+_ARTIFACT_VERSION = "v4"
 
 
 def _get_index(spark: SparkSession, sf_dir: str):

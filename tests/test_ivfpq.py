@@ -29,7 +29,7 @@ def ivfpq(spark, emb, tmp_path_factory):
 
 def test_probe_is_partition_pruned(ivfpq, emb):
     qv = [float(x) for x in emb.first()["embedding"]]
-    df = ivfpq.knn_search(qv, 5, nprobe=3)
+    df = ivfpq.knn_search(qv, 5, nprobe=3, rerank=0)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters")[1][:200]
@@ -55,7 +55,7 @@ def test_full_probe_rerank_matches_brute(spark, ivfpq, emb):
 
 def test_partial_probe_returns_k_from_probed_lists_only(ivfpq, emb):
     qv = [float(x) for x in emb.where(F.col("vec_id") == 7).first()["embedding"]]
-    out = ivfpq.knn_search(qv, 10, nprobe=2)
+    out = ivfpq.knn_search(qv, 10, nprobe=2, rerank=0)
     assert out.count() == 10
 
 
@@ -98,11 +98,16 @@ def test_error_paths(spark, emb, tmp_path):
     with pytest.raises(ValueError, match="metric"):
         create_ivfpq_index(spark, emb, "embedding", "vec_id", str(tmp_path / "x"), metric="ip")
     with pytest.raises(ValueError, match="rerank requires"):
+        # non-file source: rerank>0 with no reachable vectors must raise
+        # (a FILE-backed build would auto-load the manifest source, r11)
+        mem = spark.createDataFrame(
+            [(i, [float(i)] * 8) for i in range(64)], "vec_id long, embedding array<float>"
+        )
         idx = create_ivfpq_index(
-            spark, emb.limit(64), "embedding", "vec_id", str(tmp_path / "y"),
+            spark, mem, "embedding", "vec_id", str(tmp_path / "y"),
             nlist=4, m=8, ksub=8, overwrite=True,
         )
-        idx.knn_search([0.0] * 64, 5, rerank=10, source=None)
+        idx.knn_search([0.0] * 8, 5, rerank=10, source=None)
 
 
 def test_knn_join_parity_with_search(spark, ivfpq, emb):
@@ -128,7 +133,7 @@ def test_knn_join_adc_only_partial_probe(spark, ivfpq, emb):
     qs = emb.where(F.col("vec_id").isin(7, 42)).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
-    out = ivfpq.knn_join(qs, "qv", 4, "qid", nprobe=2)
+    out = ivfpq.knn_join(qs, "qv", 4, "qid", nprobe=2, rerank=0)
     counts = {r["qid"]: 0 for r in out.collect()}
     for r in out.collect():
         counts[r["qid"]] += 1
@@ -160,13 +165,15 @@ def test_knn_join_stream_full_probe_matches_single_query(spark, ivfpq, emb):
     qs = emb.where(F.col("vec_id").isin(qids)).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
-    out = ivfpq.knn_join(qs, "qv", 5, "qid", nprobe=ivfpq.nlist, queries_per_batch=2)
+    out = ivfpq.knn_join(
+        qs, "qv", 5, "qid", nprobe=ivfpq.nlist, rerank=0, queries_per_batch=2
+    )
     got = {}
     for r in out.collect():
         got.setdefault(r["qid"], []).append((r["rn"], r["vec_id"], r["dist"]))
     for qid in qids:
         qv = [float(x) for x in emb.where(F.col("vec_id") == qid).first()["embedding"]]
-        single = ivfpq.knn_search(qv, 5, nprobe=ivfpq.nlist).collect()
+        single = ivfpq.knn_search(qv, 5, nprobe=ivfpq.nlist, rerank=0).collect()
         rows = sorted(got[qid])
         assert [v for _, v, _ in rows] == [r["vec_id"] for r in single]
         assert np.allclose(
@@ -250,3 +257,20 @@ def test_driver_local_build_matches_distributed(spark, tmp_path):
     got_l = [(r["vid"], round(r["dist"], 9)) for r in local.knn_search(q, 5).collect()]
     got_d = [(r["vid"], round(r["dist"], 9)) for r in dist.knn_search(q, 5).collect()]
     assert got_l == got_d and len(got_l) == 5
+
+
+def test_default_signature_auto_reranks(spark, ivfpq, emb):
+    """r11 (VERDICT r10 #1): the DEFAULT call signature auto-reranks a
+    10*k shortlist against the manifest-recorded file-backed source —
+    shipped recall>=0.9 with exact-metric distances."""
+    from duckdb_vss_spark.operators.topk import knn_search as brute_knn
+
+    assert ivfpq.manifest["source_files"], "file-backed build records its source"
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 29).first()["embedding"]]
+    got = ivfpq.knn_search(qv, 10, nprobe=ivfpq.nlist).collect()
+    assert len(got) == 10
+    brute = {r["vec_id"]: r["dist"] for r in brute_knn(emb, "embedding", qv, 10).collect()}
+    overlap = [r for r in got if r["vec_id"] in brute]
+    assert len(overlap) >= 9
+    for r in overlap:
+        assert abs(r["dist"] - brute[r["vec_id"]]) < 1e-9

@@ -85,7 +85,7 @@ def test_rerank_matches_brute_force(spark, pq_idx, emb):
 
 def test_adc_only_returns_k_and_recall(spark, pq_idx, emb):
     qv = [float(x) for x in emb.where(F.col("vec_id") == 7).first()["embedding"]]
-    adc = [r["vec_id"] for r in pq_idx.knn_search(qv, 10).collect()]
+    adc = [r["vec_id"] for r in pq_idx.knn_search(qv, 10, rerank=0).collect()]
     assert len(adc) == 10
     brute = {r["vec_id"] for r in knn_search(emb, "embedding", qv, 10).collect()}
     # honest floor: m=16/ksub=32 on unclustered Gaussians
@@ -135,11 +135,14 @@ def test_error_paths(spark, emb, tmp_path):
     with pytest.raises(ValueError, match="sample"):
         train_pq_codebooks(np.zeros((4, 8)), m=2, ksub=16)
     with pytest.raises(ValueError, match="rerank requires"):
-        qv = [0.0] * 64
-        # build a tiny index to hit the guard without touching the module fixture
-        from duckdb_vss_spark.index.pq import PqIndex  # noqa: F401
+        qv = [0.0] * 8
+        # non-file source: rerank>0 with no reachable vectors must raise
+        # (a FILE-backed build would auto-load the manifest source, r11)
+        mem = spark.createDataFrame(
+            [(i, [float(i)] * 8) for i in range(50)], "vec_id long, embedding array<float>"
+        )
         idx = create_pq_index(
-            spark, emb.limit(50), "embedding", "vec_id", str(tmp_path / "z"),
+            spark, mem, "embedding", "vec_id", str(tmp_path / "z"),
             m=8, ksub=8, overwrite=True,
         )
         idx.knn_search(qv, 5, rerank=20, source=None)
@@ -170,14 +173,14 @@ def test_knn_join_stream_matches_single_query_adc(spark, pq_idx, emb):
     qs = emb.where(F.col("vec_id").isin(qids)).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
-    out = pq_idx.knn_join(qs, "qv", 5, "qid", queries_per_batch=2)
+    out = pq_idx.knn_join(qs, "qv", 5, "qid", rerank=0, queries_per_batch=2)
     got = {}
     for r in out.collect():
         got.setdefault(r["qid"], []).append((r["rn"], r["vec_id"], r["dist"]))
     assert set(got) == set(qids)
     for qid in qids:
         qv = [float(x) for x in emb.where(F.col("vec_id") == qid).first()["embedding"]]
-        single = pq_idx.knn_search(qv, 5).collect()
+        single = pq_idx.knn_search(qv, 5, rerank=0).collect()
         rows = sorted(got[qid])
         assert [rn for rn, _, _ in rows] == [1, 2, 3, 4, 5]
         assert [v for _, v, _ in rows] == [r["vec_id"] for r in single]
@@ -227,3 +230,64 @@ def test_driver_local_build_matches_distributed(spark, tmp_path):
     got_l = [(r["vid"], round(r["dist"], 9)) for r in local.knn_search(q, 5).collect()]
     got_d = [(r["vid"], round(r["dist"], 9)) for r in dist.knn_search(q, 5).collect()]
     assert got_l == got_d and len(got_l) == 5
+
+
+def test_default_signature_auto_reranks(spark, pq_idx, emb):
+    """r11 (VERDICT r10 #1): rerank=None at a file-backed index means
+    AUTO — exact re-rank of a 10*k ADC shortlist against the
+    manifest-recorded source, so the DEFAULT call ships recall@10>=0.9
+    and exact-metric distances (not ADC approximations)."""
+    assert pq_idx.manifest["source_files"], "file-backed build records its source"
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+    got = pq_idx.knn_search(qv, 10).collect()
+    assert len(got) == 10
+    brute = {r["vec_id"]: r["dist"] for r in knn_search(emb, "embedding", qv, 10).collect()}
+    overlap = [r for r in got if r["vec_id"] in brute]
+    assert len(overlap) >= 9  # 10*k shortlist + exact rerank
+    for r in overlap:  # returned distances are EXACT, not ADC
+        assert abs(r["dist"] - brute[r["vec_id"]]) < 1e-9
+
+
+def test_default_join_auto_reranks(spark, pq_idx, emb):
+    qs = emb.where(F.col("vec_id").isin(0, 100)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    out = pq_idx.knn_join(qs, "qv", 5, "qid")
+    rows = out.collect()
+    assert {r["qid"] for r in rows} == {0, 100}
+    for qid in (0, 100):
+        qv = [float(x) for x in emb.where(F.col("vec_id") == qid).first()["embedding"]]
+        single = [r["vec_id"] for r in pq_idx.knn_search(qv, 5).collect()]
+        got = [r["vec_id"] for r in sorted(
+            (r for r in rows if r["qid"] == qid), key=lambda r: r["rn"])]
+        assert got == single
+
+
+def test_non_file_source_warns_once_and_stays_adc(spark, tmp_path, recwarn):
+    """An index built from an in-memory source cannot auto-rerank: the
+    default call warns ONCE (naming the measured ADC recall) and
+    returns ADC-only results; rerank=0 is silent."""
+    import warnings as _w
+
+    import numpy as np
+
+    from duckdb_vss_spark.index import pq as pqmod
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vid long, v array<float>")
+    ix = create_pq_index(
+        spark, df, "v", "vid", str(tmp_path / "memix"), m=4, ksub=8, overwrite=True
+    )
+    assert ix.manifest["source_files"] == []
+    qv = rows[5][1]
+    with _w.catch_warnings(record=True) as seen:
+        _w.simplefilter("always")
+        adc_default = [(r["vid"], r["dist"]) for r in ix.knn_search(qv, 5).collect()]
+        msgs = [str(w.message) for w in seen if "ADC-only" in str(w.message)]
+        assert len(msgs) == 1 and "recall" in msgs[0]
+        # second call on the same index: no repeat warning
+        ix.knn_search(qv, 5).collect()
+        assert sum("ADC-only" in str(w.message) for w in seen) == 1
+    adc_explicit = [(r["vid"], r["dist"]) for r in ix.knn_search(qv, 5, rerank=0).collect()]
+    assert adc_default == adc_explicit
