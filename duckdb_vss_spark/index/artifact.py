@@ -533,9 +533,11 @@ def create_hnsw_index(
         F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
     ).where(F.col(vec_col).isNotNull())
 
-    from duckdb_vss_spark.sources.layout import input_bytes
+    from duckdb_vss_spark.sources.layout import collect_gate_bytes
 
-    est = input_bytes(src)
+    # gate on max(compressed, footer-uncompressed) size: RLE-heavy
+    # columns can decompress far past their on-disk bytes (ADVICE r10)
+    est = collect_gate_bytes(src)
     local_rows = None
     total = None
     if 0 <= est <= driver_build_max_bytes:

@@ -461,14 +461,16 @@ def create_ivf_index(
     if metric not in ("l2sq", "cosine", "ip"):
         raise ValueError("IVF index 'metric' must be one of: 'cosine', 'ip', 'l2sq'")
     from duckdb_vss_spark.session import check_persistence_enabled
-    from duckdb_vss_spark.sources.layout import input_bytes
+    from duckdb_vss_spark.sources.layout import collect_gate_bytes
 
     check_persistence_enabled(spark)
     src = df.select(
         F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
     ).where(F.col(vec_col).isNotNull())
 
-    est = input_bytes(src)
+    # gate on max(compressed, footer-uncompressed) size: RLE-heavy
+    # columns can decompress far past their on-disk bytes (ADVICE r10)
+    est = collect_gate_bytes(src)
     local_rows = None
     if 0 <= est <= driver_build_max_bytes:
         local_rows = src.collect()  # bounded by the gate

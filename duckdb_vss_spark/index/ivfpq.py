@@ -404,9 +404,11 @@ def create_ivfpq_index(
     # small file-backed source + whole-table training sample → ONE
     # bounded collect serves training, assign+encode (same numpy
     # kernels as the Arrow UDF) and the partitioned codes write
-    from duckdb_vss_spark.sources.layout import input_bytes
+    from duckdb_vss_spark.sources.layout import collect_gate_bytes
 
-    est = input_bytes(src)
+    # gate on max(compressed, footer-uncompressed) size: RLE-heavy
+    # columns can decompress far past their on-disk bytes (ADVICE r10)
+    est = collect_gate_bytes(src)
     local_rows = None
     if 0 <= est <= driver_build_max_bytes:
         local_rows = src.collect()

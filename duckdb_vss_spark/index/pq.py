@@ -601,14 +601,16 @@ def create_pq_index(
         F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
     ).where(F.col(vec_col).isNotNull())
     from duckdb_vss_spark.index.ivf import _count_and_dims
-    from duckdb_vss_spark.sources.layout import input_bytes
+    from duckdb_vss_spark.sources.layout import collect_gate_bytes
 
     # driver-local fast path (r10, see create_hnsw_index's twin note):
     # a small file-backed source whose training sample is the whole
     # table builds from ONE bounded collect — training, encode (same
     # _encode_batch kernel as the Arrow UDF) and the codes write all
     # in-process, no Spark jobs at all
-    est = input_bytes(src)
+    # gate on max(compressed, footer-uncompressed) size: RLE-heavy
+    # columns can decompress far past their on-disk bytes (ADVICE r10)
+    est = collect_gate_bytes(src)
     local_rows = None
     if 0 <= est <= driver_build_max_bytes:
         local_rows = src.collect()

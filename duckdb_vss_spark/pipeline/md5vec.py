@@ -163,8 +163,14 @@ def md5_u64(msgs: list[bytes], prefixes: list[bytes] | None = None) -> np.ndarra
                 view[take] = gather[take]
             total = ls + pl
             blk[np.arange(ns), total] = 0x80
+            # MD5 length field is little-endian by spec: pack through an
+            # explicit '<u8' view so big-endian hosts produce the same
+            # padding bytes (ADVICE r10; message words already use '<u4')
             blk[:, 56:64] = (
-                (total.astype(np.uint64) * 8)[:, None].view(np.uint8).reshape(ns, 8)
+                (total.astype(np.uint64) * 8)
+                .astype("<u8")[:, None]
+                .view(np.uint8)
+                .reshape(ns, 8)
             )
             rows_per_pref.append(blk)
         digs = _compress(np.concatenate(rows_per_pref, axis=0))

@@ -459,8 +459,17 @@ class VssPlanner:
         # (plans/catalyst.py): Spark truncates >25-field expression
         # trees ("... N more fields"), which silently corrupts a
         # 64-dim array literal into unparseable text — raise the cap
-        # so rendering is lossless at any embedding width
-        spark.conf.set("spark.sql.debug.maxToStringFields", "100000")
+        # so rendering is lossless at any embedding width.
+        # Documented session-wide side effect (ADVICE r10): the cap is
+        # only ever RAISED — a user-set larger value is left alone —
+        # and its sole observable consequence is longer plan/debug
+        # strings (it changes no query result).
+        try:
+            cur = int(spark.conf.get("spark.sql.debug.maxToStringFields", "25"))
+        except (TypeError, ValueError):
+            cur = 25
+        if cur < 100000:
+            spark.conf.set("spark.sql.debug.maxToStringFields", "100000")
         from duckdb_vss_spark.functions.distance import register_sql_functions
 
         register_sql_functions(spark)
@@ -557,13 +566,23 @@ class VssPlanner:
         )
         if idx is None:
             return None
-        self.last_plan = self._marker(idx)
-        hits = self._index_hits(idx, m.table, m.query_vec, m.k).alias(m.table)
-        for f in m.filters:
-            hits = hits.where(F.expr(f))
-        if m.project_exprs:
-            return hits.selectExpr(*m.project_exprs)
-        return hits.drop("dist")
+        # The matched filters/projections are Catalyst ``.sql()``
+        # renderings, which Spark does NOT guarantee round-trippable;
+        # since install_sql_extension hooks EVERY spark.sql call, an
+        # unparseable rendering must fall back to the unrewritten plan
+        # instead of failing a previously-valid statement (ADVICE r10).
+        prev_plan = self.last_plan
+        try:
+            self.last_plan = self._marker(idx)
+            hits = self._index_hits(idx, m.table, m.query_vec, m.k).alias(m.table)
+            for f in m.filters:
+                hits = hits.where(F.expr(f))
+            if m.project_exprs:
+                return hits.selectExpr(*m.project_exprs)
+            return hits.drop("dist")
+        except Exception:  # noqa: BLE001 — non-round-trippable rendering
+            self.last_plan = prev_plan
+            return None
 
     # -- min_by (k-ary aggregate; Spark's builtin is 2-ary, so BOTH paths
     #    are ours: index scan when available, sort-slice idiom otherwise) --

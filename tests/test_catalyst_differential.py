@@ -102,3 +102,38 @@ def test_non_matching_statements_execute_unchanged(spark, grid, hooked2):
             f"rule fired on non-matching statement: {stmt} "
             f"(last_plan={hooked2.last_plan})"
         )
+
+
+def test_filtered_match_documents_filter_pullup_divergence(spark, grid, hooked2):
+    """INTENTIONAL semantic divergence on MATCHING filtered statements
+    (ADVICE r10, documented here by contract): the TopN rule applies
+    WHERE above the k-row index scan — reference parity with the
+    filter pull-up in hnsw_optimize_scan.cpp:161-191 — so a filtered
+    `ORDER BY dist LIMIT k` through the hooked session may UNDER-return
+    versus vanilla Spark (which filters first, then takes top-k of the
+    survivors). The rows it does return must be the filter-surviving
+    subset of the index's top-k, in vanilla order."""
+    raw = spark._vss_sql_original
+    stmt = (
+        "SELECT id FROM grid_items WHERE id < 50 "
+        "ORDER BY array_distance(vec, array(9.0, 9.0, 9.0)) LIMIT 5"
+    )
+    hooked2.last_plan = ""
+    got = [r["id"] for r in spark.sql(stmt).collect()]
+    assert hooked2.last_plan == "HNSW_INDEX_SCAN"
+    vanilla = [r["id"] for r in raw(stmt).collect()]
+    assert len(vanilla) == 5
+    # the unfiltered top-5 around (9,9,9) all have id >= 50, so the
+    # pulled-up filter under-returns — the divergence this test pins
+    assert len(got) < len(vanilla)
+    # and what IS returned is a prefix-consistent subset: every row
+    # passes the filter and belongs to the index's unfiltered top-k
+    unfiltered = [
+        r["id"]
+        for r in raw(
+            "SELECT id FROM grid_items "
+            "ORDER BY array_distance(vec, array(9.0, 9.0, 9.0)) LIMIT 5"
+        ).collect()
+    ]
+    assert all(i < 50 for i in got)
+    assert set(got) <= set(unfiltered)
