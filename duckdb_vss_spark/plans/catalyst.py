@@ -87,6 +87,9 @@ class PlanTopK:
     k: int
     project_exprs: list[str] | None
     filters: list[str] = field(default_factory=list)
+    # DataFrame-API builds put a Project ABOVE the limit
+    # (.limit(k).select(...)); its exprs apply AFTER project_exprs
+    outer_exprs: list[str] | None = None
 
 
 def _strip_casts(s: str) -> str:
@@ -273,6 +276,13 @@ def match_topk_plan(
     shape; None on any deviation (the conservative default)."""
     try:
         p = jplan
+        # DataFrame builds commonly project ABOVE the limit
+        # (.limit(k).select("id")); projecting k rows commutes with
+        # taking them, so accept one plain Project at the root
+        outer_project = None
+        if _cls(p) == "Project":
+            outer_project = p
+            p = _child(p)
         if _cls(p) != "GlobalLimit":
             return None
         k = int(p.limitExpr().eval(None))
@@ -348,6 +358,11 @@ def match_topk_plan(
                 proj.append(
                     f"`dist` AS `{e.name()}`" if is_dist_alias else e.sql()
                 )
+        outer = None
+        if outer_project is not None:
+            # rendered over the ALREADY-projected hits, where the inner
+            # projection's output names (incl. any dist alias) exist
+            outer = [e.sql() for e in _seq(outer_project.projectList())]
         return PlanTopK(
             table=table,
             vec_col=vname,
@@ -357,6 +372,7 @@ def match_topk_plan(
             k=k,
             project_exprs=proj,
             filters=filters,
+            outer_exprs=outer,
         )
     except Exception:  # noqa: BLE001 — unknown plan/py4j surface → no rewrite
         return None

@@ -1897,6 +1897,51 @@ def q_sql_ext_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "q_df_api_topk",
+    f"""
+    SELECT vec_id,
+           list_distance(CAST(embedding AS DOUBLE[]), {_ORACLE_QVEC.format(vid=21)}) AS dist
+    FROM embeddings
+    WHERE embedding IS NOT NULL
+    ORDER BY dist, vec_id
+    LIMIT 8
+    """,
+)
+def q_df_api_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-API route into the index rules (VERDICT r10 #3):
+    ``planner.optimize(df)`` on a DataFrame-built TopN —
+    ``withColumn(dist) → orderBy → limit → select``, no SQL text
+    anywhere — must match the ANALYZED plan (plans/catalyst.py now
+    accepts the DataFrame shape's root Project above the limit) and
+    route to the HNSW index scan. ef ≫ k keeps ANN exact at oracle
+    scale so the brute-force SQL is strict; the in-query assert pins
+    the marker so a silent SEQ_SCAN fallback fails the row."""
+    from duckdb_vss_spark.plans import VssPlanner
+
+    idx = _get_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.createOrReplaceTempView("embeddings")
+    spark.conf.set("spark.vss.ef_search", "400")
+    try:
+        planner = VssPlanner(spark)
+        planner.register_index("embeddings", "embedding", idx)
+        qv = _query_vec(spark, sf_dir, 21)
+        lit = ",".join(repr(x) for x in qv)
+        df = (
+            spark.table("embeddings")
+            .withColumn("dist", F.expr(f"array_distance(embedding, array({lit}))"))
+            .orderBy("dist")
+            .limit(8)
+            .select("vec_id", "dist")
+        )
+        out = planner.optimize(df)
+        assert planner.last_plan == "HNSW_INDEX_SCAN", planner.last_plan
+        return out
+    finally:
+        spark.conf.unset("spark.vss.ef_search")
+
+
+@register_extra(
     "q_sql_minby_topk",
     f"""
     SELECT array_to_string(list(vec_id ORDER BY d, vec_id), ',') AS nbrs FROM (
