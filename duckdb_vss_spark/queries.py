@@ -73,67 +73,78 @@ _EXTRA_ORACLES: dict[str, str] = {}
 #      SQL-rewrite, span dedup, stream matview restart).
 # Rotated out: the rest of the r9 window (fresh r9 evidence) and the
 # r7/r8 window (identical, double evidence).
+# Round-11 composition (VERDICT r10 #2 — rotate to the rows whose last
+# driver evidence is r9, before they cross the freshness boundary):
+#   1. The 42 rows last driver-verified in the r9 window (kNN
+#      classify/cosine/ip/grid, SQ family, streaming dedup/curation/
+#      knn-serve/session-windows, corpus diff, weighted sample,
+#      vss_match, index_info, media probe family, TPC-H
+#      q02/q06/q08/q12/q21, asof, BM25/RRF, minhash/simhash
+#      signatures, …).
+#   2. 8 seats for r11-touched paths: q_df_api_topk (NEW — the public
+#      DataFrame-API route into the TopN index rule), q_dedup_clusters
+#      + q_simhash_pairs (sf0.1-capable oracle reformulations; the
+#      simhash signature oracle changed for q_simhash too, already in
+#      bucket 1), q_pq_knn/q_ivfpq_knn/q_pq_knn_join (the auto-rerank
+#      default resolver now sits in their call path), q_sql_ext_topk
+#      (rewrite_plan fallback guard + root-Project matcher extension
+#      sit in the hooked path), q_hnsw_knn (builder collect gate moved
+#      to collect_gate_bytes).
+# Rotated out: the full r10 window (fresh r10 evidence, driver-green
+# 50/50) except the re-touched rows above.
 _DECLARED: list[str] = [
-    # 1. r9-red rows, output reshaped to scalar (VERDICT r9 #1)
-    "q_kmeans",
-    "q_random_projection",
-    # 2. new: executor-side query-stream joins (VERDICT r9 #2)
-    "q_pq_knn_join",
-    "q_ivfpq_knn_join",
-    # 3. other paths touched by r10 work (5)
+    # 2. r11-touched paths first (the driver checks in order)
+    "q_df_api_topk",
+    "q_dedup_clusters",
+    "q_simhash_pairs",
     "q_pq_knn",
     "q_ivfpq_knn",
-    "q_ivfsq_knn",
-    "q_incremental_dedup",
-    "q_embedding_neardup",
-    # 4. last driver evidence r6 or older (37)
-    "q03_shipping_priority",
-    "q04_priority_semi",
-    "q05_local_supplier_volume",
-    "q07_volume_shipping",
-    "q10_returned_items",
-    "q14_type_revenue_share",
-    "q15_top_supplier",
-    "q16_parts_supplier",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "q22_inactive_customers",
-    "q_chunk_docs",
-    "q_dedup_clusters",
-    "q_doc_oov_rate",
-    "q_event_percentiles",
-    "q_hash_sample",
-    "q_hnsw_knn_filtered_empty",
-    "q_image_phash_dedup",
-    "q_interval_join",
-    "q_kmv_distinct",
-    "q_lang_quality",
-    "q_media_frame_sample",
-    "q_media_resize",
-    "q_mix_budget",
-    "q_moving_window_sum",
-    "q_pii_scrub",
-    "q_pivot_events",
-    "q_repetition_stats",
-    "q_rollup_revenue",
-    "q_shuffle_shards",
-    "q_simhash_pairs",
-    "q_source_cap",
-    "q_stratified_sample",
-    "q_stream_interval_join",
-    "q_stream_static_join",
-    "q_text_stats",
-    "q_vocab_topk",
-    # 5. new Catalyst-plan rule (VERDICT r9 missing #2) + refill —
-    # q_contamination re-declared because r10 changed its join shape
-    # (all-JVM gram legs + size-gated eval broadcast), and q_pca_power
-    # is the round's NEW operator (integer power-iteration PCA, strict
-    # oracle) — it takes the seat of q_stream_matview_restart, whose r7
-    # driver row stands and whose path is unchanged since.
+    "q_pq_knn_join",
     "q_sql_ext_topk",
-    "q_contamination",
-    "q_hnsw_knn_join",
-    "q_pca_power",
+    "q_hnsw_knn",
+    # 1. the r9-evidence rows (42)
+    "q02_min_cost_supplier",
+    "q06_forecast_revenue",
+    "q08_market_share",
+    "q12_late_priority",
+    "q21_waiting_suppliers",
+    "q_asof_join",
+    "q_bm25_topk",
+    "q_corpus_diff",
+    "q_curation_e2e",
+    "q_dedup_keep_best",
+    "q_embedding_neardup_lsh",
+    "q_fingerprint",
+    "q_hnsw_index_info",
+    "q_hnsw_self_consistency",
+    "q_hybrid_rrf",
+    "q_incremental_dedup_keep",
+    "q_ivf_knn_join",
+    "q_knn_classify",
+    "q_knn_cosine",
+    "q_knn_grid",
+    "q_knn_inner_product",
+    "q_knn_join_grouped",
+    "q_lang_id",
+    "q_media_audio_energy",
+    "q_media_features_shape",
+    "q_media_jpeg_pipeline",
+    "q_media_video_probe",
+    "q_minhash_signature",
+    "q_perplexity_filter",
+    "q_quality_score",
+    "q_semantic_doc_search",
+    "q_sessionize_events",
+    "q_simhash",
+    "q_sq_knn",
+    "q_sql_maxby_topk",
+    "q_sql_minby_topk",
+    "q_stream_curation",
+    "q_stream_dedup_store",
+    "q_stream_knn_serve",
+    "q_stream_session_windows",
+    "q_vss_match_stats",
+    "q_weighted_sample",
 ]
 
 
