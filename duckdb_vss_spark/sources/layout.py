@@ -126,12 +126,15 @@ def input_uncompressed_bytes(df: DataFrame) -> int:
     ``total_byte_size``, leaf-scaled like ``input_bytes``. Returns -1
     when unknowable (non-file source, non-parquet file, remote FS).
 
-    Why it exists (ADVICE r10): constant/RLE-heavy vector columns can
-    decompress to orders of magnitude more than their on-disk
-    footprint, so a driver-local ``collect()`` gated on COMPRESSED size
-    alone could pull an arbitrarily large result onto the driver. Gates
-    should bound on ``collect_gate_bytes`` = max(compressed,
-    uncompressed)."""
+    Why it exists (ADVICE r10): compressible columns can decompress to
+    far more than their on-disk footprint, so a driver-local
+    ``collect()`` gated on COMPRESSED size alone could pull an
+    oversized result onto the driver. Gates should bound on
+    ``collect_gate_bytes`` = max(compressed, uncompressed). Note the
+    bound's honest limit: ``total_byte_size`` is post-ENCODING
+    (dictionary/RLE survive it), so it captures the general-purpose
+    compression ratio but not dictionary expansion — still strictly
+    tighter than the on-disk size the old gate used."""
     try:
         files = df.inputFiles()
     except Exception:  # noqa: BLE001 — non-file plan

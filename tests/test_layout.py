@@ -184,3 +184,71 @@ def test_contamination_gate_prefers_shuffle_on_small_train(spark, tmp_path):
     a = {(r["doc_id"], r["n_shared_grams"], r["n_train_docs"]) for r in auto.collect()}
     b = {(r["doc_id"], r["n_shared_grams"], r["n_train_docs"]) for r in forced.collect()}
     assert a == b and a
+
+
+class TestCollectGateBytes:
+    """collect_gate_bytes (ADVICE r10): the driver-local collect gates
+    in the four index builders must bound on the LARGER of on-disk and
+    footer-uncompressed size, so RLE-compressible data can't smuggle a
+    huge collect under a small file."""
+
+    def test_uncompressed_exceeds_disk_on_constant_column(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from duckdb_vss_spark.sources.layout import (
+            collect_gate_bytes,
+            input_bytes,
+            input_uncompressed_bytes,
+        )
+
+        p = str(tmp_path / "rle.parquet")
+        # a constant 512-wide array column: tiny on disk, wide in memory
+        spark.range(20000).withColumn(
+            "v", F.array_repeat(F.lit(1.0), 512)
+        ).coalesce(1).write.parquet(p)
+        df = spark.read.parquet(p)
+        disk = input_bytes(df)
+        unc = input_uncompressed_bytes(df)
+        assert disk > 0 and unc > 0
+        # footer total_byte_size is POST-encoding pre-compression, so
+        # the margin is the compression ratio, not the full expansion
+        assert unc > 2 * disk
+        assert collect_gate_bytes(df) == max(disk, unc)
+
+    def test_non_file_plan_is_unknown(self, spark):
+        from duckdb_vss_spark.sources.layout import (
+            collect_gate_bytes,
+            input_uncompressed_bytes,
+        )
+
+        assert input_uncompressed_bytes(spark.range(10)) == -1
+        assert collect_gate_bytes(spark.range(10)) == -1
+
+    def test_rle_heavy_build_takes_distributed_path(self, spark, tmp_path):
+        """End-to-end: a PQ build over a small-on-disk but
+        large-decompressed file must NOT take the driver-local collect
+        fast path when the uncompressed estimate exceeds the cap."""
+        from pyspark.sql import functions as F
+
+        from duckdb_vss_spark.index import create_pq_index
+        from duckdb_vss_spark.sources.layout import (
+            input_bytes,
+            input_uncompressed_bytes,
+        )
+
+        p = str(tmp_path / "vecs.parquet")
+        spark.range(4000).select(
+            F.col("id").alias("vid"),
+            F.array_repeat(F.lit(1.0), 64).cast("array<float>").alias("v"),
+        ).coalesce(1).write.parquet(p)
+        df = spark.read.parquet(p)
+        disk, unc = input_bytes(df), input_uncompressed_bytes(df)
+        assert 0 < disk < unc
+        # cap between the two sizes: the old gate (disk only) would have
+        # collected; the new gate must go distributed. The build result
+        # itself must still be valid either way.
+        idx = create_pq_index(
+            spark, df, "v", "vid", str(tmp_path / "ix"),
+            m=8, ksub=4, overwrite=True, driver_build_max_bytes=(disk + unc) // 2,
+        )
+        assert idx.manifest["count"] == 4000
