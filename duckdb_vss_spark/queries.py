@@ -89,7 +89,11 @@ _EXTRA_ORACLES: dict[str, str] = {}
 #      default resolver now sits in their call path), q_sql_ext_topk
 #      (rewrite_plan fallback guard + root-Project matcher extension
 #      sit in the hooked path), q_hnsw_knn (builder collect gate moved
-#      to collect_gate_bytes).
+#      to collect_gate_bytes). q_mmr_rerank is the round's NEW operator
+#      (MMR diversified re-selection, unrolled-greedy strict oracle) —
+#      it takes q_knn_grid's seat (r9 evidence stands; its HNSW family
+#      keeps q_hnsw_knn / q_hnsw_self_consistency /
+#      q_semantic_doc_search / q_hnsw_index_info in this window).
 # Rotated out: the full r10 window (fresh r10 evidence, driver-green
 # 50/50) except the re-touched rows above.
 _DECLARED: list[str] = [
@@ -102,7 +106,9 @@ _DECLARED: list[str] = [
     "q_pq_knn_join",
     "q_sql_ext_topk",
     "q_hnsw_knn",
-    # 1. the r9-evidence rows (42)
+    "q_mmr_rerank",
+    # 1. the r9-evidence rows (42, minus q_knn_grid — seat given to
+    # q_mmr_rerank above, same precedent as r10's q_pca_power)
     "q02_min_cost_supplier",
     "q06_forecast_revenue",
     "q08_market_share",
@@ -122,7 +128,6 @@ _DECLARED: list[str] = [
     "q_ivf_knn_join",
     "q_knn_classify",
     "q_knn_cosine",
-    "q_knn_grid",
     "q_knn_inner_product",
     "q_knn_join_grouped",
     "q_lang_id",
@@ -2018,6 +2023,97 @@ def q_sql_maxby_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.array_join(F.col("nbrs").cast("array<string>"), ",").alias("nbrs")
     )
+
+
+def _mmr_oracle(n_cand: int = 16, k: int = 5) -> str:
+    """Unrolled-greedy MMR oracle (operators/mmr.py): round 1 is the
+    nearest neighbor; each later round MATERIALIZES the per-candidate
+    min distance to the selected set and picks argmax of
+    0.5*min_pair_dist - 0.5*query_dist (ties by id). λ=0.5 is a dyadic
+    rational, so the score arithmetic is exact in both engines; all
+    distances are list_distance over DOUBLE[] (sequential fold — the
+    kernel's ≤128-element numpy sums reduce in the same order)."""
+    parts = [f"""cand AS MATERIALIZED (
+      SELECT qid, vec_id, v, dist FROM (
+        SELECT q.qid, r.vec_id, r.v, list_distance(q.qv, r.v) AS dist,
+               row_number() OVER (
+                 PARTITION BY q.qid ORDER BY list_distance(q.qv, r.v), r.vec_id
+               ) AS rn
+        FROM (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id % 200 = 0 AND embedding IS NOT NULL) q,
+             (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE embedding IS NOT NULL) r
+        WHERE r.vec_id <> q.qid
+      ) WHERE rn <= {n_cand}
+    ),
+    pair AS MATERIALIZED (
+      SELECT a.qid, a.vec_id AS ida, b.vec_id AS idb, list_distance(a.v, b.v) AS pd
+      FROM cand a JOIN cand b ON a.qid = b.qid AND a.vec_id <> b.vec_id
+    ),
+    sel1 AS MATERIALIZED (
+      SELECT qid, vec_id, dist, 1 AS mmr_rank FROM (
+        SELECT qid, vec_id, dist,
+               row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    ),
+    s1 AS MATERIALIZED (SELECT qid, vec_id FROM sel1)"""]
+    for r in range(2, k + 1):
+        parts.append(f"""
+    m{r} AS MATERIALIZED (
+      SELECT p.qid, p.ida AS vec_id, min(p.pd) AS mind
+      FROM pair p JOIN s{r - 1} s ON s.qid = p.qid AND s.vec_id = p.idb
+      GROUP BY p.qid, p.ida
+    ),
+    sel{r} AS MATERIALIZED (
+      SELECT qid, vec_id, dist, {r} AS mmr_rank FROM (
+        SELECT c.qid, c.vec_id, c.dist,
+               row_number() OVER (
+                 PARTITION BY c.qid
+                 ORDER BY (0.5 * m.mind - 0.5 * c.dist) DESC, c.vec_id
+               ) AS rn
+        FROM cand c
+        JOIN m{r} m ON m.qid = c.qid AND m.vec_id = c.vec_id
+        ANTI JOIN s{r - 1} s ON s.qid = c.qid AND s.vec_id = c.vec_id
+      ) WHERE rn = 1
+    ),
+    s{r} AS MATERIALIZED (
+      SELECT qid, vec_id FROM s{r - 1} UNION ALL SELECT qid, vec_id FROM sel{r}
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT qid, vec_id, dist, CAST(mmr_rank AS INT) AS mmr_rank FROM sel{r}"
+        for r in range(1, k + 1)
+    )
+    return f"""
+    WITH {",".join(parts)}
+    {union}
+    """
+
+
+@register_extra("q_mmr_rerank", _mmr_oracle())
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-selection (operators/mmr.py, NEW
+    r11): per query, a 16-candidate exact shortlist (crossjoin knn) is
+    greedily re-selected down to 5 diversified results — score =
+    0.5·min_dist_to_selected − 0.5·dist_to_query, ties by id. One
+    applyInPandas over query groups; the quadratic term is over the
+    SHORTLIST only. The oracle replays the greedy round-by-round in
+    SQL (unrolled, MATERIALIZED), so selection, order and the
+    passed-through JVM distances must all match exactly."""
+    from duckdb_vss_spark.operators.mmr import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 200 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    # self-search: the query point is always its own rank-1 hit (dist
+    # 0) and would collapse every MMR score to the degenerate 0 tie —
+    # take k+1 then drop the self-match, leaving the top-16 others
+    cands = knn_join(
+        q, emb.select("vec_id", "embedding"), "qvec", "embedding", 17, metric="l2sq"
+    ).where(F.col("vec_id") != F.col("qid"))
+    out = mmr_rerank(cands, "qid", "vec_id", "embedding", k=5, lam=0.5, metric="l2")
+    return out.select("qid", "vec_id", "dist", "mmr_rank").orderBy("qid", "mmr_rank")
 
 
 @register(

@@ -190,7 +190,9 @@ def test_pq_adc_scan_reads_only_codes(spark, tmp_path):
         m=8, ksub=8, overwrite=True,
     )
     qv = [float(x) for x in emb.first()["embedding"]]
-    df = idx.knn_search(qv, 5)
+    # rerank=0 pins the ADC-only scan shape (the r11 DEFAULT auto-reranks,
+    # which legitimately adds the source scan for exact distances)
+    df = idx.knn_search(qv, 5, rerank=0)
     plan = plan_of(df)
     read = plan.split("ReadSchema")[1].splitlines()[0]
     assert "pq_code" in read and "embedding" not in read
@@ -234,7 +236,9 @@ def test_pq_and_ivfpq_joins_have_no_cartesian(spark, tmp_path):
         spark, emb, "embedding", "vec_id", str(tmp_path / "pq"),
         m=8, ksub=8, overwrite=True,
     )
-    plan = plan_of(pq.knn_join(qs, "qv", 3, "qid"), "simple")
+    # rerank=0 pins the zero-shuffle ADC stream (the r11 DEFAULT
+    # auto-reranks, which legitimately adds the rerank join stages)
+    plan = plan_of(pq.knn_join(qs, "qv", 3, "qid", rerank=0), "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "MapInPandas" in plan
@@ -244,7 +248,7 @@ def test_pq_and_ivfpq_joins_have_no_cartesian(spark, tmp_path):
         spark, emb, "embedding", "vec_id", str(tmp_path / "ivfpq"),
         nlist=4, m=8, ksub=8, overwrite=True,
     )
-    jplan = plan_of(ipq.knn_join(qs, "qv", 3, "qid", nprobe=2), "simple")
+    jplan = plan_of(ipq.knn_join(qs, "qv", 3, "qid", nprobe=2, rerank=0), "simple")
     assert "CartesianProduct" not in jplan
     assert "MapInPandas" in jplan
     assert "Exchange" not in jplan
