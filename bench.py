@@ -755,6 +755,9 @@ def main() -> None:
         timed("knn_bruteforce", lambda: knn_search(emb, "embedding", qv, 10).collect())
     timed("q_vss_join", lambda: qfns["q_vss_join"](spark, sf_dir).count())
     timed("q_knn_join_lateral", lambda: qfns["q_knn_join_lateral"](spark, sf_dir).count())
+    # r11: MMR diversified re-selection + the DataFrame-API index route
+    timed("q_mmr_rerank", lambda: qfns["q_mmr_rerank"](spark, sf_dir).count())
+    timed("q_df_api_topk", lambda: qfns["q_df_api_topk"](spark, sf_dir).count())
 
     # vector: index build + indexed paths
     idx_path = "/tmp/bench_hnsw_idx"
