@@ -36,18 +36,18 @@ def get_spark(app_name: str = "duckdb_vss_spark", cpus: int | None = None) -> Sp
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # r11 floor attack (VERDICT r10 #5): coalesce post-shuffle
-        # partitions by SIZE, not up to parallelism — on a sub-10 MB
-        # post-filter input AQE then runs ONE reduce task instead of 32
-        # near-empty ones (measured at sf0.1 ×32: q01 1.06→0.76 s, q03
-        # 0.99→0.64 s, q05 1.07→0.80 s — /tmp-recorded in SCALE.md).
-        # Scale-safe by construction: at 100 TB the same 64 MB advisory
-        # target yields thousands of reduce tasks, and explicit
-        # repartition(n) calls (REPARTITION_BY_NUM origin — e.g.
-        # widen_narrow_scan's CPU-spread for memoized text kernels) are
-        # never coalesced by AQE.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        # AQE coalescing stays at parallelismFirst=true (the default).
+        # The r11 floor experiment (SCALE.md) measured the size-first
+        # alternative BOTH ways: parallelismFirst=false + 64 m advisory
+        # takes 25-35% off sub-second 1× queries (one reduce task
+        # instead of 32 near-empty ones: q01 1.06→0.76 s, q03
+        # 0.99→0.64 s) but UNDER-PARALLELIZES CPU-heavy shuffles at
+        # ×32 on this 32-core box (q18 4.4→8.2 s, q03 4.3→5.3 s — the
+        # compressed shuffle bytes mispredict JVM CPU cost per row).
+        # The 100 TB design point favors throughput at scale over
+        # sub-second interactive latency, so the default stands; users
+        # running interactive sub-10 MB workloads can flip the two
+        # confs per session.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
