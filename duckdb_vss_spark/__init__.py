@@ -24,6 +24,6 @@ from duckdb_vss_spark.functions.distance import (  # noqa: F401
     register_sql_functions,
     require_dim,
 )
-from duckdb_vss_spark.session import get_spark  # noqa: F401
+from duckdb_vss_spark.session import get_spark, set_interactive  # noqa: F401
 
 __version__ = "0.1.0"

@@ -256,6 +256,40 @@ class HnswIndex:
             out = out.where(cond)
         return out
 
+    def knn_search_mmr(
+        self,
+        df: DataFrame,
+        query_vec,
+        k: int,
+        fetch_k: int | None = None,
+        lam: float = 0.5,
+        id_col: str | None = None,
+        ef_search: int | None = None,
+        dist_col: str = "dist",
+        rank_col: str = "mmr_rank",
+    ) -> DataFrame:
+        """Diversified ANN search — the vector-store ``search_type=
+        "mmr"`` mode: fetch a ``fetch_k`` shortlist through the graph
+        (default 4·k), then greedily re-select ``k`` by Maximal
+        Marginal Relevance (operators/mmr.py: λ·relevance −
+        (1−λ)·redundancy-to-selected, λ=1 ≡ plain knn order). Returns
+        (id, dist, rank_col) — the quadratic term is over the
+        SHORTLIST only, the graph did the sublinear work."""
+        from duckdb_vss_spark.operators.mmr import mmr_rerank
+
+        id_col = id_col or self.manifest["id_col"]
+        vec_col = self.manifest["vec_col"]
+        fetch = max(int(fetch_k) if fetch_k else 4 * int(k), int(k))
+        shortlist = self.knn_search(
+            df, query_vec, fetch, id_col=id_col, ef_search=ef_search,
+            dist_col=dist_col,
+        ).withColumn("_mmr_qid", F.lit(0).cast("long"))
+        mmr_metric = {"l2sq": "l2", "cosine": "cosine", "ip": "ip"}[self.metric]
+        return mmr_rerank(
+            shortlist, "_mmr_qid", id_col, vec_col, int(k),
+            lam=lam, metric=mmr_metric, dist_col=dist_col, rank_col=rank_col,
+        ).drop("_mmr_qid")
+
     # -- entry point C: batched multi-query top-k join --------------------
 
     def knn_join(

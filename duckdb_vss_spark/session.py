@@ -60,6 +60,31 @@ def get_spark(app_name: str = "duckdb_vss_spark", cpus: int | None = None) -> Sp
     return spark
 
 
+def set_interactive(spark: SparkSession, on: bool = True) -> None:
+    """Flip the session between the scale posture (default) and the
+    measured sub-second interactive posture.
+
+    ``on=True`` sets size-first AQE coalescing
+    (``parallelismFirst=false`` + 64 MB advisory): sub-10 MB
+    post-filter aggregations run ONE reduce task instead of
+    parallelism-many near-empty ones — measured 25-35% off sub-second
+    relational queries at sf0.1 (SCALE.md, r11 floor experiment).
+    ``on=False`` restores the defaults, which the same experiment
+    showed are required at scale: size-based coalescing
+    under-parallelizes CPU-heavy shuffles (q18 ×32: 4.4 s → 8.2 s)
+    because compressed shuffle bytes mispredict JVM CPU per row.
+
+    Runtime-settable — flip between queries, no session restart."""
+    if on:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+    else:
+        spark.conf.unset("spark.sql.adaptive.coalescePartitions.parallelismFirst")
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+
+
 def get_ef_search(spark: SparkSession, override: int | None = None) -> int:
     """Session ef_search, like the reference's hnsw_ef_search setting."""
     if override is not None:

@@ -105,3 +105,65 @@ def test_validation_spark(spark):
         mmr_rerank(df, "qid", "id", "vec", k=0)
     with pytest.raises(ValueError, match="metric"):
         mmr_rerank(df, "qid", "id", "vec", k=1, metric="nope")
+
+
+def test_hnsw_mmr_search_mode(spark, grid, tmp_path_factory):
+    """Index-backed diversified search (the vector-store search_type=
+    "mmr" mode): rank 1 is the plain nearest neighbor, k rows come
+    back, and at ef >> k the selection equals the local greedy over
+    the exact shortlist."""
+    from duckdb_vss_spark.index import create_hnsw_index, drop_index
+    from duckdb_vss_spark.operators import knn_search as brute
+
+    path = str(tmp_path_factory.mktemp("mmridx") / "idx")
+    idx = create_hnsw_index(
+        spark, grid, vec_col="vec", id_col="id", path=path, overwrite=True
+    )
+    try:
+        qv = [2.0, 2.0, 2.0]
+        out = idx.knn_search_mmr(grid, qv, 4, fetch_k=16, lam=0.5, ef_search=400)
+        rows = sorted(out.collect(), key=lambda r: r["mmr_rank"])
+        assert [r["mmr_rank"] for r in rows] == [1, 2, 3, 4]
+        nn1 = brute(grid, "vec", qv, 1).first()["id"]
+        assert rows[0]["id"] == nn1
+        # parity with the local greedy over the exact 16-shortlist
+        short = brute(grid, "vec", qv, 16).collect()
+        ids = np.array([r["id"] for r in short], dtype=np.int64)
+        mat = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in short])
+        dists = np.array([r["dist"] for r in short], dtype=np.float64)
+        sel = _mmr_group(ids, dists, mat, 4, 0.5, "l2")
+        assert [r["id"] for r in rows] == [int(ids[i]) for i in sel]
+        # diversity sanity: the MMR picks are more spread than plain knn
+        import itertools
+
+        def min_pair(ids_):
+            vecs = {r["id"]: np.asarray(r["vec"], float) for r in short}
+            return min(
+                float(np.sqrt(((vecs[a] - vecs[b]) ** 2).sum()))
+                for a, b in itertools.combinations(ids_, 2)
+            )
+
+        knn4 = [r["id"] for r in short[:4]]
+        assert min_pair([r["id"] for r in rows]) >= min_pair(knn4)
+    finally:
+        drop_index(path)
+
+
+def test_set_interactive_flips_and_restores(spark):
+    from duckdb_vss_spark import set_interactive
+
+    default_pf = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst", "true"
+    )
+    set_interactive(spark, True)
+    assert (
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.parallelismFirst")
+        == "false"
+    )
+    set_interactive(spark, False)
+    assert (
+        spark.conf.get(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst", default_pf
+        )
+        == default_pf
+    )
