@@ -16,6 +16,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = [
+    "normalize_text",
     "tokens",
     "token_count",
     "regex_token_count",
@@ -128,3 +129,46 @@ def quality_score(col) -> Column:
     len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
     diversity = n_uniq / F.greatest(n_tok, F.lit(1.0))
     return ((len_score + diversity) / F.lit(2.0)).cast("double")
+
+
+def normalize_text(
+    col,
+    form: str = "NFC",
+    lowercase: bool = True,
+    collapse_ws: bool = True,
+):
+    """Unicode canonicalization — the pass a dedup pipeline runs BEFORE
+    fingerprinting, so visually-identical documents that differ only in
+    combining-character composition ("e" + U+0301 vs "é"), case, or
+    whitespace runs hash identically.
+
+    Spark has no built-in Unicode normalizer, so the NFC/NFKC step is
+    an Arrow-batched pandas UDF (Python ``unicodedata`` — same Unicode
+    standard as DuckDB's utf8proc ``nfc_normalize``, which the oracle
+    uses); the case/whitespace steps stay native Column expressions.
+    At 100 TB this is a map-only pass — no shuffle, scales with the
+    scan."""
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError("form must be one of NFC, NFKC, NFD, NFKD")
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    # NOTE: no type annotations on the UDF — with PEP 563 (module-wide
+    # `from __future__ import annotations`) they become strings and
+    # pandas_udf signature inference rejects them
+    @pandas_udf(StringType())
+    def _norm(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize(form, x) if x is not None else None
+        )
+
+    c = F.col(col) if isinstance(col, str) else col
+    out = _norm(c)
+    if lowercase:
+        out = F.lower(out)
+    if collapse_ws:
+        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return out

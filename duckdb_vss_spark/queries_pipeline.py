@@ -443,6 +443,33 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "q_normalize_text",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(
+             lower(nfc_normalize('  A' || 'e' || chr(769) || ' ' || text || '  B  ')),
+             '\\s+', ' ', 'g')) AS norm
+    FROM documents
+    """,
+)
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization (pipeline/text.normalize_text, NEW
+    r11): NFC composition + casefold + whitespace collapse — the pass
+    before fingerprint/dedup so "e"+U+0301 and "é" hash identically.
+    The query injects a decomposed sequence plus case/whitespace noise
+    around every document, so the oracle (DuckDB utf8proc
+    nfc_normalize vs Python unicodedata — same Unicode standard)
+    fails on any normalization, casing or collapse bug."""
+    from duckdb_vss_spark.pipeline.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    noisy = F.concat(
+        F.lit("  A"), F.lit("e\u0301"), F.lit(" "), F.col("text"), F.lit("  B  ")
+    )
+    return docs.select("doc_id", normalize_text(noisy).alias("norm"))
+
+
+@register_extra(
     "q_fingerprint",
     """
     SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp

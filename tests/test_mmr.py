@@ -167,3 +167,49 @@ def test_set_interactive_flips_and_restores(spark):
         )
         == default_pf
     )
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+
+@st.composite
+def _shortlist(draw):
+    n = draw(st.integers(min_value=1, max_value=12))
+    d = draw(st.integers(min_value=2, max_value=6))
+    mat = draw(
+        arrays(
+            np.float64,
+            (n, d),
+            elements=st.floats(-5, 5, allow_nan=False, width=32),
+        )
+    )
+    q = draw(
+        arrays(
+            np.float64, (d,), elements=st.floats(-5, 5, allow_nan=False, width=32)
+        )
+    )
+    k = draw(st.integers(min_value=1, max_value=n + 2))
+    lam = draw(st.sampled_from([0.0, 0.25, 0.5, 0.75, 1.0]))
+    return mat, q, k, lam
+
+
+@settings(max_examples=60, deadline=None)
+@given(_shortlist())
+def test_mmr_invariants(case):
+    """Property pins for the greedy kernel: output is a prefix-ranked
+    subset of the input of size min(k, n); rank 1 is the (dist, id)
+    argmin; λ=1 reproduces plain knn order; no duplicates."""
+    mat, q, k, lam = case
+    n = len(mat)
+    ids = np.arange(1000, 1000 + n, dtype=np.int64)
+    dists = np.sqrt(((mat - q) ** 2).sum(axis=1))
+    sel = _mmr_group(ids, dists, mat, k, lam, "l2")
+    assert len(sel) == min(k, n)
+    assert len(set(sel)) == len(sel)
+    assert set(sel) <= set(range(n))
+    knn_order = np.lexsort((ids, dists))
+    assert sel[0] == int(knn_order[0])
+    if lam == 1.0:
+        assert sel == [int(i) for i in knn_order[: len(sel)]]
