@@ -150,7 +150,6 @@ def normalize_text(
     scan."""
     if form not in ("NFC", "NFKC", "NFD", "NFKD"):
         raise ValueError("form must be one of NFC, NFKC, NFD, NFKD")
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import StringType
 
