@@ -37,3 +37,8 @@ from duckdb_vss_spark.index.ivfsq import (  # noqa: F401
     drop_ivfsq_index,
     load_ivfsq_index,
 )
+from duckdb_vss_spark.index.bq import (  # noqa: F401
+    binary_signature,
+    bq_knn,
+    hamming_distance,
+)

@@ -2025,6 +2025,63 @@ def q_sql_maxby_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bq_oracle(dims: int = 64, k: int = 10, rescore: int = 100, qvid: int = 37) -> str:
+    """Binary-quantization oracle (index/bq.py): replays the identical
+    63-bit sign-pack words, the (hamming, id)-ordered shortlist and the
+    exact-distance rescore in portable SQL — the whole operator is
+    integer + list_distance arithmetic, so the replay is exact."""
+    from duckdb_vss_spark.index.bq import bq_signature_sql
+
+    vwords = bq_signature_sql("v", dims)
+    qwords = bq_signature_sql("qv", dims)
+    vcols = ", ".join(f"{e} AS w{i}" for i, e in enumerate(vwords))
+    qcols = ", ".join(f"{e} AS qw{i}" for i, e in enumerate(qwords))
+    ham = " + ".join(
+        f"bit_count(xor(w{i}, qw{i}))" for i in range(len(vwords))
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE embedding IS NOT NULL
+    ),
+    q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {qvid}
+    ),
+    sig AS (SELECT vec_id, v, {vcols} FROM e),
+    qsig AS (SELECT {qcols} FROM q),
+    cand AS (
+      SELECT vec_id, v, CAST({ham} AS BIGINT) AS hamming
+      FROM sig, qsig
+      ORDER BY hamming, vec_id LIMIT {rescore}
+    )
+    SELECT vec_id, list_distance(v, qv) AS dist
+    FROM cand, q
+    ORDER BY dist, vec_id LIMIT {k}
+    """
+
+
+@register_extra("q_bq_knn", _bq_oracle())
+def q_bq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization top-k (index/bq.py, NEW r11): 1-bit sign
+    signatures packed 63 bits per BIGINT word (all codegen, no UDF),
+    Hamming shortlist of 100 by (hamming, id), exact l2 rescore — the
+    modern vector-store BQ search mode at a 32x scan-byte reduction
+    with zero training. The oracle replays signature words, shortlist
+    and rescore EXACTLY in SQL, so this row is strict (no recall
+    tolerance)."""
+    from duckdb_vss_spark.index.bq import bq_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 37)
+    out = bq_knn(
+        emb.select("vec_id", "embedding"), "embedding", "vec_id", qv, 10,
+        rescore=100, metric="l2sq",
+    )
+    return out.select(
+        "vec_id", F.col("dist").cast("double").alias("dist")
+    ).orderBy("dist", "vec_id")
+
+
 def _mmr_oracle(n_cand: int = 16, k: int = 5) -> str:
     """Unrolled-greedy MMR oracle (operators/mmr.py): round 1 is the
     nearest neighbor; each later round MATERIALIZES the per-candidate
