@@ -755,9 +755,11 @@ def main() -> None:
         timed("knn_bruteforce", lambda: knn_search(emb, "embedding", qv, 10).collect())
     timed("q_vss_join", lambda: qfns["q_vss_join"](spark, sf_dir).count())
     timed("q_knn_join_lateral", lambda: qfns["q_knn_join_lateral"](spark, sf_dir).count())
-    # r11: MMR diversified re-selection + the DataFrame-API index route
+    # r11: MMR diversified re-selection, the DataFrame-API index route,
+    # and binary-quantization search (1-bit Hamming shortlist + rescore)
     timed("q_mmr_rerank", lambda: qfns["q_mmr_rerank"](spark, sf_dir).count())
     timed("q_df_api_topk", lambda: qfns["q_df_api_topk"](spark, sf_dir).count())
+    timed("q_bq_knn", lambda: qfns["q_bq_knn"](spark, sf_dir).count())
 
     # vector: index build + indexed paths
     idx_path = "/tmp/bench_hnsw_idx"
@@ -1023,6 +1025,23 @@ def main() -> None:
             }
             hits += len(got & exact[qq])
         recall["sq_knn@10"] = round(hits / (10 * len(sub)), 4)
+        # BQ: 1-bit sign signatures, Hamming-100 shortlist + exact
+        # rescore (r11) — completes the compression-recall curve
+        from duckdb_vss_spark.index import bq_knn
+
+        sub = list(exact)[:16]
+        hits = 0
+        for qq in sub:
+            qvq = [float(x) for x in mat[ids == qq][0]]
+            got = {
+                r["vec_id"]
+                for r in bq_knn(
+                    emb.select("vec_id", "embedding"), "embedding", "vec_id",
+                    qvq, 10, rescore=100,
+                ).collect()
+            }
+            hits += len(got & exact[qq])
+        recall["bq_knn@10"] = round(hits / (10 * len(sub)), 4)
 
     if emb is not None:
         section("recall", _recall_section)
