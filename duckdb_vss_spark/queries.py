@@ -89,11 +89,15 @@ _EXTRA_ORACLES: dict[str, str] = {}
 #      default resolver now sits in their call path), q_sql_ext_topk
 #      (rewrite_plan fallback guard + root-Project matcher extension
 #      sit in the hooked path), q_hnsw_knn (builder collect gate moved
-#      to collect_gate_bytes). q_mmr_rerank is the round's NEW operator
-#      (MMR diversified re-selection, unrolled-greedy strict oracle) —
-#      it takes q_knn_grid's seat (r9 evidence stands; its HNSW family
-#      keeps q_hnsw_knn / q_hnsw_self_consistency /
-#      q_semantic_doc_search / q_hnsw_index_info in this window).
+#      to collect_gate_bytes). The round's NEW operators take seats
+#      from over-represented families (q_pca_power precedent — the
+#      displaced rows keep their r9 driver evidence and are first in
+#      line for r12): q_mmr_rerank takes q_knn_grid's seat (HNSW
+#      family keeps q_hnsw_knn / q_hnsw_self_consistency /
+#      q_semantic_doc_search / q_hnsw_index_info); q_bq_knn takes
+#      q_media_features_shape's and q_normalize_text takes
+#      q_media_video_probe's (media family keeps the two value-checked
+#      codec rows q_media_audio_energy / q_media_jpeg_pipeline).
 # Rotated out: the full r10 window (fresh r10 evidence, driver-green
 # 50/50) except the re-touched rows above.
 _DECLARED: list[str] = [
@@ -107,6 +111,8 @@ _DECLARED: list[str] = [
     "q_sql_ext_topk",
     "q_hnsw_knn",
     "q_mmr_rerank",
+    "q_bq_knn",
+    "q_normalize_text",
     # 1. the r9-evidence rows (42, minus q_knn_grid — seat given to
     # q_mmr_rerank above, same precedent as r10's q_pca_power)
     "q02_min_cost_supplier",
@@ -132,9 +138,7 @@ _DECLARED: list[str] = [
     "q_knn_join_grouped",
     "q_lang_id",
     "q_media_audio_energy",
-    "q_media_features_shape",
     "q_media_jpeg_pipeline",
-    "q_media_video_probe",
     "q_minhash_signature",
     "q_perplexity_filter",
     "q_quality_score",
