@@ -56,11 +56,11 @@ from duckdb_vss_spark.index.ivf import _calibrate_nprobe, _count_and_dims, _kmea
 from duckdb_vss_spark.index.pq import (
     _buffered_query_stream,
     _encode_batch,
-    _input_files,
     _list_parquet_files,
     _load_codes,
     _merge_topk,
     _resolve_rerank,
+    _source_manifest_fields,
     train_pq_codebooks,
 )
 
@@ -516,7 +516,9 @@ def create_ivfpq_index(
         "count": int(total),
         "centroids": [[float(x) for x in row] for row in centroids],
         "codebooks": [[[float(x) for x in row] for row in book] for book in books],
-        "source_files": _input_files(src),
+        # gated on the USER's plan shape, not the internal projection
+        # (ADVICE r11; see pq._source_manifest_fields)
+        **_source_manifest_fields(df),
         "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     tmp = os.path.join(path, ".manifest.json.tmp")

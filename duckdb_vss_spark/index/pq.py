@@ -65,14 +65,64 @@ _LOG = logging.getLogger(__name__)
 _ADC_ONLY_WARNED: set[str] = set()
 
 
+def _local_path(f: str) -> str:
+    from urllib.parse import unquote, urlparse
+
+    return unquote(urlparse(f).path) if "://" in f else f
+
+
+# fingerprints (manifest-identity strings) whose footer row counts have
+# already been re-validated this session — stat() still runs per call
+_FP_ROWS_VALIDATED: set[str] = set()
+
+
+def _fingerprint_ok(manifest: dict) -> bool:
+    """Validate the build-time source fingerprint before trusting the
+    recorded files for exact re-rank (ADVICE r11: files overwritten at
+    the same paths would otherwise be 'exactly' re-ranked against
+    vectors that were never indexed). size+mtime_ns are stat'd on
+    every call (cheap); the footer row count once per fingerprint."""
+    fp = manifest.get("source_fingerprint")
+    if not fp or not fp.get("files"):
+        return False
+    import os as _os
+
+    for f, (size, mtime_ns) in fp["files"].items():
+        try:
+            st = _os.stat(_local_path(f))
+        except OSError:
+            return False
+        if int(st.st_size) != int(size) or int(st.st_mtime_ns) != int(mtime_ns):
+            return False
+    want_rows = fp.get("num_rows")
+    if want_rows is not None:
+        key = json.dumps(fp, sort_keys=True)
+        if key not in _FP_ROWS_VALIDATED:
+            try:
+                import pyarrow.parquet as papq
+
+                rows = sum(
+                    papq.ParquetFile(_local_path(f)).metadata.num_rows
+                    for f in fp["files"]
+                )
+            except Exception:  # noqa: BLE001 — footer unreadable
+                return False
+            if rows != int(want_rows):
+                return False
+            _FP_ROWS_VALIDATED.add(key)
+    return True
+
+
 def _manifest_source(spark: SparkSession, manifest: dict) -> DataFrame | None:
     """Reload the ORIGINAL vectors from the file-backed source recorded
     in the manifest at build time (``source_files``), projected to the
     minimal (id, vec) shape the exact re-rank needs. Returns None when
-    the index was built from a non-file source or the files have moved
-    — callers fall back to ADC-only scoring with a one-time warning."""
+    the index was built from a non-file source, the files have moved,
+    or the fingerprint recorded at build time no longer matches
+    (ADVICE r11) — callers fall back to ADC-only scoring with a
+    one-time warning."""
     files = manifest.get("source_files") or []
-    if not files:
+    if not files or not _fingerprint_ok(manifest):
         return None
     id_col, vec_col = manifest["id_col"], manifest["vec_col"]
     try:
@@ -119,6 +169,95 @@ def _input_files(df: DataFrame) -> list[str]:
     except Exception:  # noqa: BLE001 — py4j surface moved
         return []
     return files
+
+
+# analyzed-plan node names through which file bytes pass UNCHANGED into
+# the index build: leaves that ARE the files, and row-selecting /
+# row-ordering nodes that never rewrite a column value
+_RAW_LEAVES = frozenset(
+    {"LogicalRelation", "DataSourceV2Relation", "DataSourceV2ScanRelation",
+     "HiveTableRelation"}
+)
+_RAW_PASSTHROUGH = frozenset(
+    {"Filter", "SubqueryAlias", "GlobalLimit", "LocalLimit", "Sort", "Sample",
+     "Deduplicate", "Distinct", "Repartition", "RepartitionByExpression"}
+)
+
+
+def _plan_is_raw_files(df: DataFrame) -> bool:
+    """True iff ``df``'s analyzed plan serves the scanned files' bytes
+    verbatim — only scan leaves, row-selecting pass-through nodes, and
+    attribute-only Projects (no Alias, no computed expression). This is
+    the gate for recording ``source_files`` in an index manifest
+    (ADVICE r11): a ``withColumn`` that normalizes the vec column in
+    place preserves the column NAME, so without the plan check the
+    auto-rerank default would 'exactly' re-rank against raw file
+    vectors that were never indexed. Unknown plan shapes fail closed —
+    the build then simply doesn't record a source and the default knn
+    path warns instead of lying."""
+    try:
+        stack = [df._jdf.queryExecution().analyzed()]
+        while stack:
+            node = stack.pop()
+            name = node.getClass().getSimpleName()
+            if name in _RAW_LEAVES:
+                continue
+            if name == "Project":
+                pl = node.projectList()
+                for i in range(pl.size()):
+                    if pl.apply(i).getClass().getSimpleName() != "AttributeReference":
+                        return False
+            elif name not in _RAW_PASSTHROUGH:
+                return False
+            ch = node.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+        return True
+    except Exception:  # noqa: BLE001 — py4j surface moved: fail closed
+        return False
+
+
+def _files_fingerprint(files: list[str]) -> dict | None:
+    """Per-file (size, mtime_ns) + total footer row count, recorded at
+    build time and re-validated by ``_fingerprint_ok`` before the files
+    are trusted as a re-rank source. None when any file can't be
+    stat'd locally (remote FS) — then no source is recorded at all,
+    since it could never be validated later."""
+    import os as _os
+
+    out: dict[str, list[int]] = {}
+    rows: int | None = 0
+    try:
+        import pyarrow.parquet as papq
+    except Exception:  # noqa: BLE001
+        papq = None
+        rows = None
+    for f in files:
+        p = _local_path(f)
+        try:
+            st = _os.stat(p)
+        except OSError:
+            return None
+        out[f] = [int(st.st_size), int(st.st_mtime_ns)]
+        if rows is not None:
+            try:
+                rows += papq.ParquetFile(p).metadata.num_rows
+            except Exception:  # noqa: BLE001 — not parquet
+                rows = None
+    return {"files": out, "num_rows": rows}
+
+
+def _source_manifest_fields(df: DataFrame) -> dict:
+    """The ``source_files`` + ``source_fingerprint`` manifest fields for
+    an index built over ``df`` — empty when the plan transforms the
+    scanned values or the files can't be fingerprinted (ADVICE r11)."""
+    files = _input_files(df)
+    if not files or not _plan_is_raw_files(df):
+        return {"source_files": []}
+    fp = _files_fingerprint(files)
+    if fp is None:
+        return {"source_files": []}
+    return {"source_files": files, "source_fingerprint": fp}
 
 
 def _resolve_rerank(index, k, rerank, source, family, adc_recall):
@@ -675,7 +814,9 @@ def create_pq_index(
         "ksub": ksub,
         "count": int(total),
         "codebooks": [[[float(x) for x in row] for row in book] for book in books],
-        "source_files": _input_files(src),
+        # gated on the USER's plan shape, not the internal projection
+        # (the id cast we add is reapplied by _manifest_source)
+        **_source_manifest_fields(df),
         "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     tmp = os.path.join(path, ".manifest.json.tmp")

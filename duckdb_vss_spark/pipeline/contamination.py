@@ -42,7 +42,7 @@ def ngram_contamination(
     max_train_df: int | None = None,
     broadcast_eval: bool | None = None,
     broadcast_eval_docs: int = 20_000,
-    broadcast_train_bytes: int = 8 << 20,
+    broadcast_train_bytes: int = 20 << 20,
 ) -> DataFrame:
     """Per-eval-doc contamination report: (id_col, n_shared_grams,
     n_train_docs), eval docs with zero overlap omitted.
@@ -95,7 +95,8 @@ def ngram_contamination(
     # small eval side. The measured flip on the documents corpus sits
     # between 5 MB and 19 MB of compressed input (x8 = 4.8 MB: shuffle
     # 1.4s vs broadcast 1.9s; x32 = 19 MB: broadcast 6.5s vs shuffle
-    # 9.2s) — the 8 MiB default splits it; the proxy is rough across
+    # 9.2s) — the 20 MiB default splits it in the gate's uncompressed
+    # terms (the corpus's ~2.6x footer ratio); the proxy is rough across
     # corpora, but everything that matters at warehouse scale is far
     # above it, so misclassification risk is confined to the sub-second
     # regime. Train size reads file metadata only (no job; Catalyst's
@@ -104,9 +105,15 @@ def ngram_contamination(
     # size is a pushed-scan count probe, paid only after the train side
     # qualifies. ``broadcast_eval`` overrides either way.
     if broadcast_eval is None:
-        from duckdb_vss_spark.sources.layout import input_bytes
+        # collect_gate_bytes, not input_bytes (ADVICE r11): the gate
+        # sizes a broadcast (a driver-side materialization), so RLE-
+        # heavy columns must be measured decompressed. The threshold
+        # default moved 8 MiB -> 20 MiB with it — the measured flip on
+        # the documents corpus (5-19 MB compressed) scaled by its
+        # ~2.6x footer-uncompressed ratio, keeping the same flip point.
+        from duckdb_vss_spark.sources.layout import collect_gate_bytes
 
-        tb = input_bytes(docs)
+        tb = collect_gate_bytes(docs)
         broadcast_eval = (tb < 0 or tb >= broadcast_train_bytes) and (
             docs.where(is_eval).limit(broadcast_eval_docs + 1).count()
             <= broadcast_eval_docs

@@ -2164,9 +2164,13 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_vss_spark.operators.mmr import mmr_rerank
 
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") % 200 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
-    )
+    # NULL-embedding queries mirror the oracle's cand CTE (`AND
+    # embedding IS NOT NULL` on the q side): a NULL qvec on an id
+    # divisible by 200 would emit NULL-distance candidates and k
+    # arbitrary selections with no oracle counterpart (ADVICE r11)
+    q = emb.where(
+        (F.col("vec_id") % 200 == 0) & F.col("embedding").isNotNull()
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
     # self-search: the query point is always its own rank-1 hit (dist
     # 0) and would collapse every MMR score to the degenerate 0 tie —
     # take k+1 then drop the self-match, leaving the top-16 others
@@ -2197,9 +2201,11 @@ def q_knn_join_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     results (the reference's hnsw_lateral_join_group.test:34-44 —
     list(nbr ORDER BY dist) GROUP BY id above the index join)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") % 200 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
-    )
+    # the oracle's inner WHERE filters q.embedding IS NOT NULL — mirror
+    # it (same latent NULL-query class as q_mmr_rerank, ADVICE r11)
+    q = emb.where(
+        (F.col("vec_id") % 200 == 0) & F.col("embedding").isNotNull()
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
     out = knn_join(q, emb.select("vec_id", "embedding"), "qvec", "embedding", 4, metric="l2sq")
     return (
         out.groupBy("qid")

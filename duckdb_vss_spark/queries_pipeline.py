@@ -875,7 +875,7 @@ def _dedup_clusters_oracle(rounds: int = 12) -> str:
     ),
     lab0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lab FROM edges)"""
     ]
-    for k in range(rounds):
+    for k in range(rounds + 1):  # +1: the convergence-guard round
         parts.append(f"""
     nm{k} AS MATERIALIZED (
       SELECT l.id, least(l.lab, min(l2.lab)) AS lab
@@ -886,9 +886,18 @@ def _dedup_clusters_oracle(rounds: int = 12) -> str:
       SELECT a.id, least(a.lab, b.lab) AS lab
       FROM nm{k} a JOIN nm{k} b ON b.id = a.lab
     )""")
+    # Convergence guard (ADVICE r11): the fixed round count silently
+    # mislabels any component whose effective diameter outruns it —
+    # emit one extra round and fail LOUDLY (zero rows -> row-count
+    # mismatch) if it still changed anything. The guard subquery is
+    # uncorrelated, so both engines evaluate it once.
     return f"""
     WITH {",".join(parts)}
-    SELECT id, lab AS cluster_id FROM lab{rounds}
+    SELECT id, lab AS cluster_id FROM lab{rounds + 1}
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lab{rounds} a JOIN lab{rounds + 1} b
+      ON a.id = b.id AND a.lab <> b.lab
+    )
     """
 
 

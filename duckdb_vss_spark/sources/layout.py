@@ -167,11 +167,26 @@ def input_uncompressed_bytes(df: DataFrame) -> int:
     return total * max(1, leaves // max(1, len(files)))
 
 
+# Conservative decompression ratio applied when the on-disk size is
+# known but the footer-uncompressed one is not (pyarrow unavailable,
+# non-parquet file): snappy/zstd parquet pages typically decompress
+# 2-4x; 8x bounds RLE-heavy outliers without making every small CSV
+# read "unknown" (ADVICE r11 — max(compressed, -1) silently degraded
+# to the compressed-only gate, exactly the hazard the r10 fix closed).
+_UNKNOWN_DECOMPRESSION_RATIO = 8
+
+
 def collect_gate_bytes(df: DataFrame) -> int:
     """The size a driver-local ``collect()`` gate must compare against:
-    the LARGER of the on-disk and footer-uncompressed estimates (each
-    -1 when unknown; -1 overall means "unknown, treat as large")."""
-    return max(input_bytes(df), input_uncompressed_bytes(df))
+    the LARGER of the on-disk and footer-uncompressed estimates. When
+    only the on-disk size is known, it is scaled by a conservative
+    decompression ratio instead of being trusted raw (ADVICE r11);
+    -1 overall means "unknown, treat as large"."""
+    disk = input_bytes(df)
+    unc = input_uncompressed_bytes(df)
+    if disk >= 0 and unc < 0:
+        return disk * _UNKNOWN_DECOMPRESSION_RATIO
+    return max(disk, unc)
 
 
 def widen_narrow_scan(df: DataFrame, key: Column | str | None = None) -> DataFrame:

@@ -291,3 +291,54 @@ def test_non_file_source_warns_once_and_stays_adc(spark, tmp_path, recwarn):
         assert sum("ADC-only" in str(w.message) for w in seen) == 1
     adc_explicit = [(r["vid"], r["dist"]) for r in ix.knn_search(qv, 5, rerank=0).collect()]
     assert adc_default == adc_explicit
+
+
+def test_transformed_source_not_recorded(spark, emb, tmp_path):
+    """ADVICE r11 (medium): a build whose vec column was transformed IN
+    PLACE (same column name) must NOT record source_files — the
+    auto-rerank default would otherwise 'exactly' re-rank against raw
+    file vectors that were never indexed."""
+    flipped = emb.withColumn("embedding", F.reverse("embedding"))
+    ix = create_pq_index(
+        spark, flipped, "embedding", "vec_id", str(tmp_path / "tix"),
+        m=16, ksub=16, overwrite=True,
+    )
+    assert ix.manifest["source_files"] == []
+    assert "source_fingerprint" not in ix.manifest
+
+
+def test_attribute_only_plan_still_records_source(spark, emb, tmp_path):
+    """Row-selecting / attribute-only shapes (select + filter) keep the
+    auto-rerank source: the file bytes ARE the indexed values."""
+    df = emb.select("vec_id", "embedding").where(F.col("vec_id") % 2 == 0)
+    ix = create_pq_index(
+        spark, df, "embedding", "vec_id", str(tmp_path / "fix"),
+        m=16, ksub=16, overwrite=True,
+    )
+    assert ix.manifest["source_files"]
+    fp = ix.manifest["source_fingerprint"]
+    assert fp["files"] and fp["num_rows"] and fp["num_rows"] > 0
+
+
+def test_fingerprint_invalidated_by_overwrite(spark, tmp_path):
+    """ADVICE r11 (medium): overwriting the source files at the same
+    paths after the build must invalidate the recorded source — the
+    manifest stores a (size, mtime_ns, row-count) fingerprint that
+    _manifest_source re-validates before every use."""
+    import numpy as np
+
+    from duckdb_vss_spark.index.pq import _manifest_source
+
+    rng = np.random.default_rng(3)
+    src_path = str(tmp_path / "vecs")
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(300)]
+    spark.createDataFrame(rows, "vid long, v array<float>").repartition(1).write.parquet(src_path)
+    df = spark.read.parquet(src_path)
+    ix = create_pq_index(spark, df, "v", "vid", str(tmp_path / "oix"), m=4, ksub=8)
+    assert ix.manifest["source_files"]
+    assert _manifest_source(spark, ix.manifest) is not None
+    rows2 = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(301)]
+    spark.createDataFrame(rows2, "vid long, v array<float>").repartition(1).write.mode(
+        "overwrite"
+    ).parquet(src_path)
+    assert _manifest_source(spark, ix.manifest) is None
