@@ -133,3 +133,42 @@ def test_sql_words_parity_via_duckdb(emb):
 def test_validation():
     with pytest.raises(ValueError, match="dims"):
         binary_signature("v", 0)
+
+
+def test_default_signature_calibrated_recall(spark, emb):
+    """VERDICT r11 #1: the DEFAULT call signature (rescore=None) must
+    deliver >=0.9 recall@10 — the shortlist is calibrated on a bounded
+    sample of the corpus (calibrate_rescore), not a fixed 10·k."""
+    from duckdb_vss_spark.index.bq import calibrate_rescore
+
+    r = calibrate_rescore(emb, "embedding", 10)
+    assert r > 100  # must exceed the old fixed default on this corpus
+    hits = total = 0
+    for vid in (7, 29, 123, 211, 375):
+        qv = [float(x) for x in emb.where(F.col("vec_id") == vid).first()["embedding"]]
+        brute = {r["vec_id"] for r in knn_search(emb, "embedding", qv, 10).collect()}
+        got = {
+            r["vec_id"]
+            for r in bq_knn(
+                emb.select("vec_id", "embedding"), "embedding", "vec_id", qv, 10
+            ).collect()
+        }
+        hits += len(got & brute)
+        total += 10
+    assert hits / total >= 0.9
+
+
+def test_calibration_cached_and_explicit_rescore_skips(spark, emb):
+    """The calibration is cached per (files, col, k, metric) and an
+    explicit rescore never triggers it."""
+    from duckdb_vss_spark.index import bq as bqmod
+
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+    bq_knn(emb.select("vec_id", "embedding"), "embedding", "vec_id", qv, 10).collect()
+    keys = [k for k in bqmod._CAL_CACHE if k[1] == "embedding" and k[2] == 10]
+    assert keys, "default call populates the calibration cache"
+    before = dict(bqmod._CAL_CACHE)
+    bq_knn(
+        emb.select("vec_id", "embedding"), "embedding", "vec_id", qv, 10, rescore=50
+    ).collect()
+    assert bqmod._CAL_CACHE == before
