@@ -136,6 +136,7 @@ def normalize_text(
     form: str = "NFC",
     lowercase: bool = True,
     collapse_ws: bool = True,
+    casefold: bool = False,
 ):
     """Unicode canonicalization — the pass a dedup pipeline runs BEFORE
     fingerprinting, so visually-identical documents that differ only in
@@ -147,11 +148,22 @@ def normalize_text(
     standard as DuckDB's utf8proc ``nfc_normalize``, which the oracle
     uses); the case/whitespace steps stay native Column expressions.
     At 100 TB this is a map-only pass — no shuffle, scales with the
-    scan."""
+    scan.
+
+    Case handling (VERDICT r11 #7): ``lowercase=True`` (the default)
+    applies simple LOWERCASING (native ``F.lower`` — what DuckDB's
+    ``lower()`` computes, so the oracle replays it exactly).
+    ``casefold=True`` instead applies FULL Unicode case folding
+    (``str.casefold`` inside the same Arrow batch: ß→ss, final sigma
+    ς→σ, length-changing folds) — stronger dedup equivalence, but not
+    expressible in portable SQL, so it is opt-in and unit-tested
+    rather than oracle-backed."""
     if form not in ("NFC", "NFKC", "NFD", "NFKD"):
         raise ValueError("form must be one of NFC, NFKC, NFD, NFKD")
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import StringType
+
+    do_fold = bool(casefold)
 
     # NOTE: no type annotations on the UDF — with PEP 563 (module-wide
     # `from __future__ import annotations`) they become strings and
@@ -160,13 +172,17 @@ def normalize_text(
     def _norm(s):
         import unicodedata
 
-        return s.map(
-            lambda x: unicodedata.normalize(form, x) if x is not None else None
-        )
+        def one(x):
+            if x is None:
+                return None
+            y = unicodedata.normalize(form, x)
+            return y.casefold() if do_fold else y
+
+        return s.map(one)
 
     c = F.col(col) if isinstance(col, str) else col
     out = _norm(c)
-    if lowercase:
+    if lowercase and not do_fold:
         out = F.lower(out)
     if collapse_ws:
         out = F.trim(F.regexp_replace(out, r"\s+", " "))

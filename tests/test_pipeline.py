@@ -906,3 +906,34 @@ def test_embedding_neardup_pairs_quadratic_guard(spark):
         embedding_neardup_pairs(df, "embedding", "vec_id", threshold=0.99, max_rows=None)
         .count() >= 0
     )
+
+
+def test_normalize_text_casefold_mode(spark):
+    """VERDICT r11 #7: lowercase=True is simple F.lower (oracle-exact vs
+    DuckDB lower()); casefold=True opts into full Unicode folding inside
+    the Arrow batch (ß→ss, final sigma, length-changing folds)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark.pipeline.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "STRA\u00dfE"), (2, "\u03a3\u0391\u03a3  Cafe\u0301"), (3, None)],
+        "id long, t string",
+    )
+    out = df.select(
+        "id",
+        normalize_text("t").alias("lo"),
+        normalize_text("t", casefold=True).alias("cf"),
+    ).orderBy("id").collect()
+    # simple lowercase: ß survives (DuckDB lower() semantics)
+    assert out[0]["lo"] == "straße"
+    # full casefold: ß→ss
+    assert out[0]["cf"] == "strasse"
+    # final-position sigma folds to σ under casefold; lower() gives ς
+    assert out[1]["lo"].startswith("σας")
+    assert out[1]["cf"].startswith("σασ")
+    # NFC composes e + U+0301 into the single codepoint é in both modes
+    # (and the double space collapses)
+    assert out[1]["lo"].endswith(" café") and len(out[1]["lo"].split()) == 2
+    assert out[1]["cf"].endswith(" café")
+    assert out[2]["lo"] is None and out[2]["cf"] is None
