@@ -487,9 +487,171 @@ class HnswIndex:
 
     # -- maintenance ------------------------------------------------------
 
-    def rebuild(self, df: DataFrame) -> "HnswIndex":
+    def add_batch(
+        self,
+        df: DataFrame,
+        num_partitions: int | None = None,
+        driver_build_max_bytes: int = 4 << 20,
+    ) -> "HnswIndex":
+        """Offline incremental maintenance (VERDICT r11 #3): build
+        per-partition graphs over the NEW batch only and merge them into
+        this artifact as additional shards + an atomic manifest update —
+        the offline analogue of the reference's Insert/Append path
+        (src/hnsw/hnsw_index.cpp:391-449). O(|batch|) build work instead
+        of a full rebuild; search fans out across old + new shards
+        unchanged (the per-query global merge is already exact across
+        shards). ``info().count`` grows by the batch's row count — the
+        reference's post-insert count semantics
+        (test/sql/hnsw/hnsw_insert.test:18-67).
+
+        Contract edges, both inherited from the reference:
+        - appended ids are NOT deduplicated against existing shards (the
+          reference's Insert appends too); pair with
+          ``pipeline.corpus_diff`` upstream so only genuinely-new docs
+          arrive here;
+        - deletes still go through ``rebuild()``/``compact()``.
+
+        Many small adds accumulate shards, and every shard adds k
+        candidates per query to the merge — ``compact(df)`` re-packs
+        into right-sized graphs (the reference's compaction-after-
+        inserts contract). At 100 TB this is the path that makes daily
+        ingestion O(new data): batch shards build partition-parallel
+        with the same 64k-vector ceiling as the bulk build."""
+        import numpy as np
+        import pandas as pd
+
+        man = self.manifest
+        id_col, vec_col = man["id_col"], man["vec_col"]
+        params = dict(
+            metric=man["metric"],
+            m=man["params"]["m"],
+            m0=man["params"]["m0"],
+            ef_construction=man["params"]["ef_construction"],
+            dims=man["dimensions"],
+        )
+        parts_dir = os.path.join(self.path, "parts")
+        pid_base = 1 + max((p["pid"] for p in man["partitions"]), default=-1)
+
+        src = df.select(
+            F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
+        ).where(F.col(vec_col).isNotNull())
+
+        from duckdb_vss_spark.sources.layout import collect_gate_bytes
+
+        est = collect_gate_bytes(src)
+        local_rows = None
+        total = None
+        if 0 <= est <= driver_build_max_bytes:
+            local_rows = src.collect()
+            total = len(local_rows)
+        elif num_partitions is None:
+            total = src.count()
+        if num_partitions is None:
+            # batch shards size purely by the build ceiling — no
+            # parallelism floor: an add should MINIMIZE new shards
+            # (each one widens every future query's merge fan-out)
+            num_partitions = max(1, ((total or 0) + 65_536 - 1) // 65_536)
+
+        def _batch_stats(pid: int, keys: "np.ndarray", vecs: "np.ndarray") -> dict:
+            if vecs.shape[1] != params["dims"]:
+                raise ValueError(
+                    f"HNSW index keys must be of type FLOAT[{params['dims']}]"
+                )
+            g = HNSWGraph(
+                params["dims"], params["metric"], params["m"], params["m0"],
+                params["ef_construction"], seed=42 + pid,
+            ).build(keys, vecs)
+            file = os.path.join(parts_dir, f"part-{pid:05d}.pkl")
+            with open(file, "wb") as f:
+                f.write(g.to_bytes())
+            return {
+                "pid": pid,
+                "file": file,
+                "count": len(keys),
+                "max_level": g.max_level,
+                "memory": g.approx_memory_bytes(),
+                "levels_stats": json.dumps(g.level_stats()),
+            }
+
+        if local_rows is not None:
+            stats = []
+            if total:
+                keys_all = np.fromiter(
+                    (r[0] for r in local_rows), dtype=np.int64, count=total
+                )
+                vecs_all = np.stack(
+                    [np.asarray(r[1], dtype=np.float32) for r in local_rows]
+                )
+                for i in range(num_partitions):
+                    sel = np.arange(i, total, num_partitions)
+                    if sel.size:
+                        stats.append(
+                            _batch_stats(pid_base + i, keys_all[sel], vecs_all[sel])
+                        )
+        else:
+
+            def build_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                from pyspark import TaskContext
+
+                pid = pid_base + TaskContext.get().partitionId()
+                keys_acc, vec_acc = [], []
+                for pdf in batches:
+                    if len(pdf):
+                        keys_acc.append(pdf[id_col].to_numpy(dtype=np.int64))
+                        vec_acc.append(
+                            np.stack(
+                                [np.asarray(v, dtype=np.float32) for v in pdf[vec_col]]
+                            )
+                        )
+                if not keys_acc:
+                    return
+                row = _batch_stats(
+                    pid, np.concatenate(keys_acc), np.concatenate(vec_acc)
+                )
+                yield pd.DataFrame({k: [v] for k, v in row.items()})
+
+            stats = src.repartition(num_partitions).mapInPandas(
+                build_part,
+                schema="pid int, file string, count long, max_level int, memory long, levels_stats string",
+            ).collect()
+
+        new_parts = [
+            {
+                "pid": r["pid"],
+                "file": r["file"],
+                "count": r["count"],
+                "max_level": r["max_level"],
+                "memory": r["memory"],
+                "levels_stats": json.loads(r["levels_stats"]),
+            }
+            for r in sorted(stats, key=lambda r: r["pid"])
+        ]
+        merged = dict(man)
+        merged["partitions"] = list(man["partitions"]) + new_parts
+        merged["count"] = int(man["count"] + sum(p["count"] for p in new_parts))
+        merged["capacity"] = int(
+            man["capacity"] + sum(p["count"] for p in new_parts)
+        )
+        merged["approx_memory_usage"] = int(
+            man["approx_memory_usage"] + sum(p["memory"] for p in new_parts)
+        )
+        merged["num_partitions"] = len(merged["partitions"])
+        merged["updated_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        tmp = os.path.join(self.path, ".manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(merged, f, indent=1)
+        os.replace(tmp, os.path.join(self.path, "manifest.json"))
+        self.manifest = merged
+        return self
+
+    def rebuild(
+        self, df: DataFrame, num_partitions: int | None = None
+    ) -> "HnswIndex":
         """Bulk rebuild from the current table snapshot — replaces the
-        reference's Insert/Delete/Compact online paths (§2.1 #11, #13)."""
+        reference's Insert/Delete/Compact online paths (§2.1 #11, #13).
+        Keeps the current shard count unless ``num_partitions`` says
+        otherwise (0/None after batch adds would preserve shard
+        inflation — compact() passes 0 to re-derive)."""
         m = self.manifest
         return create_hnsw_index(
             self.spark,
@@ -503,7 +665,9 @@ class HnswIndex:
             m=m["params"]["m"],
             m0=m["params"]["m0"],
             ef_construction=m["params"]["ef_construction"],
-            num_partitions=m["num_partitions"],
+            num_partitions=(
+                m["num_partitions"] if num_partitions is None else (num_partitions or None)
+            ),
             overwrite=True,
         )
 
@@ -512,8 +676,10 @@ class HnswIndex:
         reference's compaction re-packs the graph allocator in place;
         immutable Spark artifacts re-compact by bulk rebuild from the
         current snapshot — same post-state contract (a dense graph over
-        the live rows)."""
-        return self.rebuild(df)
+        the live rows). Shard count is RE-DERIVED from the snapshot's
+        size, not inherited — after a run of add_batch calls the whole
+        point of compacting is shedding the accumulated shard fan-out."""
+        return self.rebuild(df, num_partitions=0)
 
     def info(self) -> DataFrame:
         """Index metadata DataFrame with the reference's

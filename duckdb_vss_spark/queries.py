@@ -2270,6 +2270,49 @@ def q_hnsw_self_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_mismatch.agg(F.count(F.lit(1)).alias("n_mismatch"))
 
 
+@register_extra(
+    "q_hnsw_add_batch",
+    f"""
+    SELECT vec_id,
+           list_distance(CAST(embedding AS DOUBLE[]), {_ORACLE_QVEC.format(vid=13)}) AS dist,
+           (SELECT count(*) FROM embeddings WHERE embedding IS NOT NULL) AS n_indexed
+    FROM embeddings
+    WHERE embedding IS NOT NULL
+    ORDER BY dist, vec_id
+    LIMIT 10
+    """,
+)
+def q_hnsw_add_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline incremental index maintenance (NEW r12, VERDICT r11 #3):
+    build the HNSW artifact over HALF the corpus, ``add_batch`` the
+    other half (new shards + atomic manifest merge — the offline
+    analogue of the reference's Insert/Append,
+    src/hnsw/hnsw_index.cpp:391-449), then search the MERGED artifact
+    at ef≫k. The oracle is brute force over the FULL corpus — exact
+    only if the merge really searches both halves — and ``n_indexed``
+    pins the post-insert count semantics
+    (test/sql/hnsw/hnsw_insert.test:18-67: index_info().count grows by
+    the inserted rows)."""
+    import tempfile as _tempfile
+
+    from duckdb_vss_spark.index import create_hnsw_index
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    first = emb.where(F.col("vec_id") % 2 == 0)
+    second = emb.where(F.col("vec_id") % 2 == 1)
+    path = _os.path.join(_tempfile.mkdtemp(prefix="vss_addbatch_"), "ix")
+    idx = create_hnsw_index(
+        spark, first, vec_col="embedding", id_col="vec_id", path=path,
+        name="emb_hnsw_half", metric="l2sq", overwrite=True,
+    )
+    idx = idx.add_batch(second)
+    qv = _query_vec(spark, sf_dir, 13)
+    out = idx.knn_search(emb, qv, 10, ef_search=400).select("vec_id", "dist")
+    return out.withColumn("n_indexed", F.lit(int(idx.count)).cast("long"))
+
+
 # --------------------------------------------------------------------------
 # TPC-H shapes beyond the round-4 inventory (q08/q12/q21 adapted to the
 # driver's trimmed schemas — no partsupp/commitdate/receiptdate/shipmode)

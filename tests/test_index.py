@@ -429,3 +429,81 @@ def test_driver_local_build_matches_distributed(spark, tmp_path):
         for r in knn_search(src, "v", q, 5).select("vid", "dist").collect()
     ]
     assert got_l == want
+
+
+# -- offline incremental maintenance: add_batch (VERDICT r11 #3) ----------
+
+
+def test_add_batch_merged_equals_full_rebuild(spark, emb, tmp_path):
+    """The done-bar: merged artifact ≡ full rebuild at ef≫k (both are
+    exact at this scale, so they must agree row for row)."""
+    nn = emb.where(F.col("embedding").isNotNull())
+    first = nn.where(F.col("vec_id") % 2 == 0)
+    second = nn.where(F.col("vec_id") % 2 == 1)
+    merged = create_hnsw_index(
+        spark, first, "embedding", "vec_id", str(tmp_path / "m"), overwrite=True
+    ).add_batch(second)
+    full = create_hnsw_index(
+        spark, nn, "embedding", "vec_id", str(tmp_path / "f"), overwrite=True
+    )
+    qv = [float(x) for x in nn.where(F.col("vec_id") == 29).first()["embedding"]]
+    a = [(r["vec_id"], r["dist"]) for r in merged.knn_search(nn, qv, 10, ef_search=400).collect()]
+    b = [(r["vec_id"], r["dist"]) for r in full.knn_search(nn, qv, 10, ef_search=400).collect()]
+    assert a == b
+
+
+def test_add_batch_count_semantics_and_persistence(spark, emb, tmp_path):
+    """info().count grows by the batch rows (hnsw_insert.test:18-67
+    count semantics); the merged manifest survives a reload; shard pids
+    continue after the existing ones."""
+    nn = emb.where(F.col("embedding").isNotNull())
+    first = nn.where(F.col("vec_id") < 100)
+    second = nn.where(F.col("vec_id") >= 100)
+    n1, n2 = first.count(), second.count()
+    path = str(tmp_path / "p")
+    ix = create_hnsw_index(spark, first, "embedding", "vec_id", path, overwrite=True)
+    pids_before = {p["pid"] for p in ix.manifest["partitions"]}
+    ix = ix.add_batch(second)
+    assert ix.count == n1 + n2
+    info_count = ix.info().first()["count"]
+    assert info_count == n1 + n2
+    new_pids = {p["pid"] for p in ix.manifest["partitions"]} - pids_before
+    assert new_pids and min(new_pids) > max(pids_before)
+    re = load_index(spark, path)
+    assert re.count == n1 + n2
+    qv = [float(x) for x in nn.where(F.col("vec_id") == 150).first()["embedding"]]
+    got = {r["vec_id"] for r in re.knn_search(nn, qv, 5, ef_search=400).collect()}
+    want = {r["vec_id"] for r in knn_search(nn, "embedding", qv, 5).collect()}
+    assert got == want
+
+
+def test_add_batch_dim_mismatch_rejected(spark, emb, tmp_path):
+    ix = create_hnsw_index(
+        spark, emb, "embedding", "vec_id", str(tmp_path / "d"), overwrite=True
+    )
+    bad = spark.createDataFrame(
+        [(9001, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="FLOAT"):
+        ix.add_batch(bad)
+
+
+def test_add_batch_then_compact_repacks_shards(spark, emb, tmp_path):
+    """Repeated small adds accumulate shards; compact() re-packs to the
+    bulk build's sizing (the reference's compaction-after-inserts)."""
+    nn = emb.where(F.col("embedding").isNotNull())
+    base = nn.where(F.col("vec_id") < 300)
+    ix = create_hnsw_index(
+        spark, base, "embedding", "vec_id", str(tmp_path / "c"), overwrite=True
+    )
+    for lo in (300, 350, 400):
+        ix = ix.add_batch(nn.where((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 50)))
+    grown = len(ix.manifest["partitions"])
+    assert grown >= 4
+    ix = ix.compact(nn.where(F.col("vec_id") < 450))
+    assert len(ix.manifest["partitions"]) < grown
+    qv = [float(x) for x in nn.where(F.col("vec_id") == 29).first()["embedding"]]
+    sub = nn.where(F.col("vec_id") < 450)
+    got = {r["vec_id"] for r in ix.knn_search(sub, qv, 5, ef_search=400).collect()}
+    want = {r["vec_id"] for r in knn_search(sub, "embedding", qv, 5).collect()}
+    assert got == want
