@@ -209,6 +209,7 @@ class HnswIndex:
         ef_search: int | None = None,
         dist_col: str = "dist",
         post_filter=None,
+        prefilter_overfetch: float | None = None,
     ) -> DataFrame:
         """ANN top-k: per-partition graph search → exact global merge →
         late-materialized fetch of payload rows by id (the reference's
@@ -222,7 +223,19 @@ class HnswIndex:
         so the scan selects k nearest FIRST and the predicate filters the
         k rows after — the result may have fewer than k rows. That is the
         documented trade the reference makes to keep the index usable
-        under a WHERE."""
+        under a WHERE.
+
+        ``prefilter_overfetch=c`` (r12, VERDICT r11 #4) opts into
+        Spark-native WHERE semantics instead: each shard searches
+        ``max(ceil(c·k), k+8)`` candidates, the predicate filters the
+        merged candidate pool, and the k nearest SURVIVORS come back —
+        a WHERE + top-k returns k rows whenever the over-fetched pool
+        holds k matches. Still approximate for highly-selective
+        predicates (a filter keeping one row in a million needs a
+        proportionally larger c); the reference's post-filter default
+        stays the default because it is the documented contract."""
+        import math
+
         import numpy as np
         import pandas as pd
 
@@ -233,26 +246,41 @@ class HnswIndex:
         if len(q) != self.dims:
             raise ValueError(f"HNSW index keys must be of type FLOAT[{self.dims}]")
         kk = int(k)
+        if prefilter_overfetch is not None:
+            if post_filter is None:
+                raise ValueError("prefilter_overfetch requires post_filter")
+            if float(prefilter_overfetch) < 1.0:
+                raise ValueError("prefilter_overfetch must be >= 1.0")
+            take = max(int(math.ceil(float(prefilter_overfetch) * kk)), kk + 8)
+        else:
+            take = kk
 
         def search_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             qv = np.asarray(q, dtype=np.float32)
             for pdf in batches:
                 for file in pdf["file"]:
                     g = _load_graph(file)
-                    keys, _ = g.search(qv, kk, ef)
+                    keys, _ = g.search(qv, take, max(ef, take))
                     yield pd.DataFrame({id_col: keys})
 
         cand = self._parts_df().mapInPandas(search_part, schema=f"{id_col} long")
         dist_fn = distance_for_metric(self.metric)
-        # candidate ids are k·P rows — tiny; broadcast-join back to base
+        # candidate ids are take·P rows — tiny; broadcast-join back to base
         matched = df.join(F.broadcast(cand), on=id_col, how="inner")
-        out = (
-            matched.withColumn(dist_col, dist_fn(F.col(vec_col), q))
-            .orderBy(F.col(dist_col).asc_nulls_last(), F.col(id_col))
-            .limit(kk)
-        )
+        scored = matched.withColumn(dist_col, dist_fn(F.col(vec_col), q))
+        cond = None
         if post_filter is not None:
             cond = F.expr(post_filter) if isinstance(post_filter, str) else post_filter
+        if prefilter_overfetch is not None:
+            # Spark-native mode: filter the over-fetched pool FIRST,
+            # then keep the k nearest survivors
+            return (
+                scored.where(cond)
+                .orderBy(F.col(dist_col).asc_nulls_last(), F.col(id_col))
+                .limit(kk)
+            )
+        out = scored.orderBy(F.col(dist_col).asc_nulls_last(), F.col(id_col)).limit(kk)
+        if cond is not None:
             out = out.where(cond)
         return out
 

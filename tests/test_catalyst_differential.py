@@ -137,3 +137,47 @@ def test_filtered_match_documents_filter_pullup_divergence(spark, grid, hooked2)
     ]
     assert all(i < 50 for i in got)
     assert set(got) <= set(unfiltered)
+
+
+def test_prefilter_overfetch_returns_k_survivors(spark, grid, hooked2):
+    """VERDICT r11 #4: both filtered-ANN modes pinned side by side.
+    Default (post-filter pull-up) keeps reference parity and may
+    under-return; prefilter_overfetch=c opts into Spark-native WHERE
+    semantics — over-fetch max(ceil(c·k), k+8) per shard, filter the
+    pool, return the k nearest SURVIVORS — and on this fixture must
+    equal vanilla Spark's filter-first top-k exactly."""
+    idx = hooked2._indexes[("grid_items", "vec")][0]
+    qv = [9.0, 9.0, 9.0]
+    # reference-parity default: under-returns (the unfiltered top-5
+    # around (9,9,9) all have id >= 50)
+    pulled = idx.knn_search(grid, qv, 5, post_filter="id < 50").collect()
+    assert len(pulled) < 5
+    # Spark-native mode: k survivors, identical to vanilla filter-first
+    native = [
+        r["id"]
+        for r in idx.knn_search(
+            grid, qv, 5, ef_search=400, post_filter="id < 50",
+            prefilter_overfetch=200.0,
+        ).collect()
+    ]
+    raw = spark._vss_sql_original
+    vanilla = [
+        r["id"]
+        for r in raw(
+            "SELECT id FROM grid_items WHERE id < 50 "
+            "ORDER BY array_distance(vec, array(9.0, 9.0, 9.0)), id LIMIT 5"
+        ).collect()
+    ]
+    assert len(native) == 5 and native == vanilla
+
+
+def test_prefilter_overfetch_validation(spark, grid, hooked2):
+    idx = hooked2._indexes[("grid_items", "vec")][0]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="requires post_filter"):
+        idx.knn_search(grid, [1.0, 1.0, 1.0], 3, prefilter_overfetch=2.0)
+    with _pytest.raises(ValueError, match=">= 1.0"):
+        idx.knn_search(
+            grid, [1.0, 1.0, 1.0], 3, post_filter="id < 5", prefilter_overfetch=0.5
+        )
