@@ -782,6 +782,27 @@ def main() -> None:
             .knn_join(qdf, emb.select("vec_id", "embedding"), "qvec", 5, "qid")
             .count(),
         )
+        # r12: offline incremental maintenance — build over half, time
+        # the shard-merge of the other half (its own artifact path so
+        # the mutation never contaminates the rows above)
+        ab_path = "/tmp/bench_hnsw_add"
+        ab: dict[str, object] = {}
+        section(
+            "hnsw_add_setup",
+            lambda: ab.__setitem__(
+                "i",
+                create_hnsw_index(
+                    spark, emb.where(F.col("vec_id") % 2 == 0),
+                    "embedding", "vec_id", ab_path, overwrite=True,
+                ),
+            ),
+        )
+        if "i" in ab:
+            timed(
+                "hnsw_add_batch",
+                lambda: ab["i"].add_batch(emb.where(F.col("vec_id") % 2 == 1)),
+                runs=1,  # a merge is a job, not a repeated query (and it mutates)
+            )
 
     # vector: IVF build + partition-pruned search (the scale path)
     from duckdb_vss_spark.index import create_ivf_index
