@@ -353,6 +353,64 @@ class IvfIndex:
 
     # -- maintenance ------------------------------------------------------
 
+    def add_batch(self, df: DataFrame) -> "IvfIndex":
+        """Offline incremental maintenance (r12 — the IVF face of the
+        HNSW ``add_batch``, VERDICT r11 #3): assign the new batch to the
+        EXISTING centroids (frozen — the standard IVF append; centroid
+        drift is a rebuild) in one map-only Arrow stage, append into the
+        hive-partitioned ``lists/`` layout, and atomically update the
+        manifest's total + per-list counts. O(|batch|) work; probes
+        read the appended files through the same partition filter.
+        Appended ids are not deduplicated against existing lists (the
+        reference's Insert appends too); deletes go through rebuild().
+
+        The per-list count update recomputes the assign projection over
+        the BATCH (ids + list_id only) — a second map pass over the
+        batch, never the corpus."""
+        man = self.manifest
+        id_col, vec_col = man["id_col"], man["vec_col"]
+        src = df.select(
+            F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
+        ).where(F.col(vec_col).isNotNull())
+        probe = src.select(F.size(vec_col).alias("d")).first()
+        if probe is not None and int(probe["d"]) != int(man["dimensions"]):
+            raise ValueError(
+                f"IVF index keys must be of type FLOAT[{man['dimensions']}] "
+                f"(batch has FLOAT[{probe['d']}])"
+            )
+        lists_dir = os.path.join(self.path, "lists")
+        assigned = src.withColumn(
+            "list_id", _assign_udf(self._centroids, self.metric)(F.col(vec_col))
+        )
+        assigned.write.partitionBy("list_id").mode("append").parquet(lists_dir)
+        # histogram of what was just appended: scan the batch's own
+        # (tiny, ids+list_id) projection, not the whole lists dir
+        hist = {
+            int(r["list_id"]): int(r["n"])
+            for r in assigned.groupBy("list_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        bad = [lid for lid in hist if lid < 0 or lid >= man["nlist"]]
+        if bad:  # pragma: no cover — assign argmins over nlist by design
+            raise ValueError(f"assignment produced out-of-range list ids: {bad}")
+        merged = dict(man)
+        merged["count"] = int(man["count"] + sum(hist.values()))
+        merged["lists"] = [
+            {
+                "list_id": p["list_id"],
+                "count": int(p["count"] + hist.get(int(p["list_id"]), 0)),
+            }
+            for p in man["lists"]
+        ]
+        merged["updated_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        tmp = os.path.join(self.path, ".manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(merged, f)
+        os.replace(tmp, os.path.join(self.path, "manifest.json"))
+        self.manifest = merged
+        return self
+
     def rebuild(self, df: DataFrame) -> "IvfIndex":
         m = self.manifest
         return create_ivf_index(

@@ -368,6 +368,58 @@ class IvfPqIndex:
             .drop(vec_col, "_qvec")
         )
 
+    def add_batch(self, df: DataFrame) -> "IvfPqIndex":
+        """Offline incremental maintenance (r12 — the IVFADC face of the
+        HNSW ``add_batch``, VERDICT r11 #3): assign + residual-encode
+        the new batch with the EXISTING centroids and codebooks (frozen;
+        drift is a rebuild) in one map-only Arrow stage, append into the
+        hive-partitioned ``codes/list_id=N/`` layout, and atomically
+        update the manifest count. Probes and the executor-side query
+        stream re-list the per-list files per call, so they pick the
+        appended codes up immediately. The auto-rerank source extends /
+        drops by the same rule as PqIndex.add_batch (a partial source
+        would silently lose new-batch candidates in the re-rank join)."""
+        from duckdb_vss_spark.index.ivf import _count_and_dims
+        from duckdb_vss_spark.index.pq import _merge_source_fields
+
+        man = self.manifest
+        id_col, vec_col = man["id_col"], man["vec_col"]
+        src = df.select(
+            F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
+        ).where(F.col(vec_col).isNotNull())
+        n, dims = _count_and_dims(src, vec_col, "an IVFADC add_batch")
+        if dims != man["dimensions"]:
+            raise ValueError(
+                f"IVFPQ index keys must be of type FLOAT[{man['dimensions']}] "
+                f"(batch has FLOAT[{dims}])"
+            )
+        codes_dir = os.path.join(self.path, "codes")
+        enc = _assign_encode_udf(self._centroids, self._books, self.metric)(
+            F.col(vec_col)
+        )
+        (
+            src.withColumn("_e", enc)
+            .select(
+                id_col,
+                F.col("_e.list_id").alias("list_id"),
+                F.col("_e.pq_code").alias("pq_code"),
+            )
+            .write.partitionBy("list_id")
+            .mode("append")
+            .parquet(codes_dir)
+        )
+        merged = dict(man)
+        merged["count"] = int(man["count"] + n)
+        merged.pop("source_fingerprint", None)
+        merged.update(_merge_source_fields(man, df, "IvfPqIndex"))
+        merged["updated_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        tmp = os.path.join(self.path, ".manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(merged, f)
+        os.replace(tmp, os.path.join(self.path, "manifest.json"))
+        self.manifest = merged
+        return self
+
 
 def create_ivfpq_index(
     spark: SparkSession,

@@ -260,6 +260,50 @@ def _source_manifest_fields(df: DataFrame) -> dict:
     return {"source_files": files, "source_fingerprint": fp}
 
 
+def _merge_source_fields(manifest: dict, batch_df: DataFrame, family: str) -> dict:
+    """Source fields after appending ``batch_df``'s rows to an index.
+
+    Extends files + fingerprint when BOTH the existing manifest and the
+    batch are fingerprintable raw file scans; otherwise DROPS the
+    source entirely (with a warning) — an auto-rerank source covering
+    only part of the corpus would silently lose new-batch candidates in
+    the re-rank join, which is worse than the warned ADC-only fallback.
+    The merged list is a set-union by path (a batch filtered from the
+    SAME files as the build — the common incremental pattern — is a
+    no-op on the list; every candidate id still resolves exactly once
+    since each path is listed once). num_rows is recomputed over the
+    union's footers so overlapping files are never double-counted."""
+    old_files = manifest.get("source_files") or []
+    old_fp = manifest.get("source_fingerprint")
+    if old_files and old_fp:
+        new = _source_manifest_fields(batch_df)
+        nf = new.get("source_files") or []
+        if nf:
+            files = sorted(set(old_files) | set(nf))
+            fp_files = dict(old_fp["files"])
+            fp_files.update(new["source_fingerprint"]["files"])
+            try:
+                import pyarrow.parquet as papq
+
+                num_rows = sum(
+                    papq.ParquetFile(_local_path(f)).metadata.num_rows for f in files
+                )
+            except Exception:  # noqa: BLE001 — footer unreadable
+                num_rows = None
+            return {
+                "source_files": files,
+                "source_fingerprint": {"files": fp_files, "num_rows": num_rows},
+            }
+        warnings.warn(
+            f"{family}.add_batch: dropping the recorded re-rank source — the "
+            f"batch is not a fingerprintable raw file scan. Default knn calls "
+            f"will be ADC-only with a warning; pass source= explicitly or "
+            f"rebuild the index.",
+            stacklevel=3,
+        )
+    return {"source_files": []}
+
+
 def _resolve_rerank(index, k, rerank, source, family, adc_recall):
     """Default-signature semantics for the quantized knn paths (VERDICT
     r10 #1, the same weak-default class as the IVF nprobe calibration
@@ -580,6 +624,52 @@ class PqIndex:
         return np.concatenate(
             [self._books[j][codes[:, j]] for j in range(m)], axis=1
         )
+
+    def add_batch(self, df: DataFrame) -> "PqIndex":
+        """Offline incremental maintenance (r12 — the PQ face of the
+        HNSW ``add_batch``, VERDICT r11 #3): encode the new batch with
+        the EXISTING codebooks (frozen — the standard PQ append recipe;
+        codebook drift is a rebuild) in one map-only Arrow stage,
+        append the (id, pq_code) parquet next to the existing codes,
+        and atomically update the manifest count. O(|batch|) work; the
+        ADC scan and the executor-side query stream pick the new files
+        up on their next driver-side listing.
+
+        The recorded auto-rerank source EXTENDS when the batch is a
+        fingerprintable raw file scan over new files, and is DROPPED
+        (with a warning) otherwise — a source covering only part of
+        the corpus would silently lose new-batch candidates in the
+        re-rank join. Appended ids are not deduplicated against the
+        existing codes (the reference's Insert appends too)."""
+        man = self.manifest
+        id_col, vec_col = man["id_col"], man["vec_col"]
+        src = df.select(
+            F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
+        ).where(F.col(vec_col).isNotNull())
+        from duckdb_vss_spark.index.ivf import _count_and_dims
+
+        n, dims = _count_and_dims(src, vec_col, "a PQ add_batch")
+        if dims != man["dimensions"]:
+            raise ValueError(
+                f"PQ index keys must be of type FLOAT[{man['dimensions']}] "
+                f"(batch has FLOAT[{dims}])"
+            )
+        codes_dir = os.path.join(self.path, "codes")
+        src.withColumn(
+            "pq_code", _encode_udf(self._books, self.metric)(F.col(vec_col))
+        ).select(id_col, "pq_code").write.mode("append").parquet(codes_dir)
+
+        merged = dict(man)
+        merged["count"] = int(man["count"] + n)
+        merged.pop("source_fingerprint", None)
+        merged.update(_merge_source_fields(man, df, "PqIndex"))
+        merged["updated_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        tmp = os.path.join(self.path, ".manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(merged, f)
+        os.replace(tmp, os.path.join(self.path, "manifest.json"))
+        self.manifest = merged
+        return self
 
     # -- single-query ADC top-k ------------------------------------------
 

@@ -1641,6 +1641,93 @@ def q_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_extra(
+    "q_pq_add_batch",
+    f"""
+    SELECT vec_id,
+           list_distance(CAST(embedding AS DOUBLE[]), {_ORACLE_QVEC.format(vid=43)}) AS dist,
+           (SELECT count(*) FROM embeddings WHERE embedding IS NOT NULL) AS n_indexed
+    FROM embeddings
+    WHERE embedding IS NOT NULL
+    ORDER BY dist, vec_id
+    LIMIT 10
+    """,
+)
+def q_pq_add_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ offline incremental maintenance (NEW r12, the quantized face
+    of VERDICT r11 #3): build codes over HALF the corpus, ``add_batch``
+    the other half (frozen codebooks, appended codes parquet, atomic
+    manifest update with the re-rank source EXTENDED by set-union), then
+    search at FULL-width rerank — exact by construction over whatever
+    rows the index actually holds, so the full-corpus brute force is a
+    strict oracle only if the appended codes are really scanned AND the
+    merged manifest source resolves (the rerank join would drop
+    new-batch candidates otherwise). n_indexed pins the post-append
+    count semantics."""
+    import tempfile as _tempfile
+
+    from duckdb_vss_spark.index import create_pq_index
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    first = emb.where(F.col("vec_id") % 2 == 0)
+    second = emb.where(F.col("vec_id") % 2 == 1)
+    path = _os.path.join(_tempfile.mkdtemp(prefix="vss_pqadd_"), "ix")
+    idx = create_pq_index(
+        spark, first, vec_col="embedding", id_col="vec_id", path=path,
+        name="emb_pq_half", metric="l2sq", m=16, ksub=16, overwrite=True,
+    )
+    idx = idx.add_batch(second)
+    qv = _query_vec(spark, sf_dir, 43)
+    out = idx.knn_search(qv, 10, rerank=idx.manifest["count"])
+    return out.select(
+        "vec_id", F.col("dist").cast("double").alias("dist")
+    ).withColumn("n_indexed", F.lit(int(idx.manifest["count"])).cast("long"))
+
+
+@register_extra(
+    "q_ivf_add_batch",
+    f"""
+    SELECT vec_id,
+           list_distance(CAST(embedding AS DOUBLE[]), {_ORACLE_QVEC.format(vid=47)}) AS dist,
+           (SELECT count(*) FROM embeddings WHERE embedding IS NOT NULL) AS n_indexed
+    FROM embeddings
+    WHERE embedding IS NOT NULL
+    ORDER BY dist, vec_id
+    LIMIT 10
+    """,
+)
+def q_ivf_add_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF offline incremental maintenance (NEW r12): build lists over
+    HALF the corpus, ``add_batch`` the other half (frozen centroids,
+    hive-appended list files, per-list manifest counts updated), then
+    probe ALL lists — exact over the rows the lists actually hold, so
+    the full-corpus brute force is strict only if the appended files
+    are scanned through the same partition filter. n_indexed pins the
+    post-append count."""
+    import tempfile as _tempfile
+
+    from duckdb_vss_spark.index import create_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    first = emb.where(F.col("vec_id") % 2 == 0)
+    second = emb.where(F.col("vec_id") % 2 == 1)
+    path = _os.path.join(_tempfile.mkdtemp(prefix="vss_ivfadd_"), "ix")
+    idx = create_ivf_index(
+        spark, first, vec_col="embedding", id_col="vec_id", path=path,
+        name="emb_ivf_half", metric="l2sq", overwrite=True,
+    )
+    idx = idx.add_batch(second)
+    qv = _query_vec(spark, sf_dir, 47)
+    out = idx.knn_search(qv, 10, nprobe=idx.nlist)
+    return out.select(
+        "vec_id", F.col("dist").cast("double").alias("dist")
+    ).withColumn("n_indexed", F.lit(int(idx.manifest["count"])).cast("long"))
+
+
 _KNN_JOIN_ORACLE = """
     WITH q AS (
       SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings

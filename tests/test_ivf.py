@@ -275,3 +275,31 @@ def test_driver_local_build_matches_distributed(spark, tmp_path):
     got_l = [(r["vid"], round(r["dist"], 9)) for r in local.knn_search(q, 5).collect()]
     got_d = [(r["vid"], round(r["dist"], 9)) for r in dist.knn_search(q, 5).collect()]
     assert got_l == got_d and len(got_l) == 5
+
+
+def test_add_batch_appends_lists_and_counts(spark, emb, tmp_path):
+    """r12: add_batch assigns to FROZEN centroids, hive-appends list
+    files, and updates total + per-list manifest counts; an all-probe
+    search over the merged index is exact vs brute force."""
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark.index.ivf import create_ivf_index, load_ivf_index
+    from duckdb_vss_spark.operators.topk import knn_search
+
+    nn = emb.where(F.col("embedding").isNotNull())
+    h1 = nn.where(F.col("vec_id") % 2 == 0)
+    h2 = nn.where(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivfab")
+    ix = create_ivf_index(spark, h1, "embedding", "vec_id", path)
+    cents = ix.manifest["centroids"]
+    ix = ix.add_batch(h2)
+    assert ix.manifest["centroids"] == cents  # frozen
+    assert ix.manifest["count"] == nn.count()
+    assert sum(p["count"] for p in ix.manifest["lists"]) == nn.count()
+    qv = [float(x) for x in nn.where(F.col("vec_id") == 29).first()["embedding"]]
+    got = [r["vec_id"] for r in ix.knn_search(qv, 10, nprobe=ix.nlist).collect()]
+    want = [r["vec_id"] for r in knn_search(nn, "embedding", qv, 10).collect()]
+    assert got == want
+    re = load_ivf_index(spark, path)
+    assert re.manifest["count"] == nn.count()
+    assert re.info().first()["count"] == nn.count()

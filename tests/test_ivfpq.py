@@ -274,3 +274,27 @@ def test_default_signature_auto_reranks(spark, ivfpq, emb):
     assert len(overlap) >= 9
     for r in overlap:
         assert abs(r["dist"] - brute[r["vec_id"]]) < 1e-9
+
+
+def test_add_batch_merged_exact_at_all_probe_full_rerank(spark, emb, tmp_path):
+    """r12: IVFADC add_batch assigns + residual-encodes with the frozen
+    centroids/codebooks and appends per-list codes; all-probe +
+    full-width rerank over the merged index is exact vs brute force."""
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark.index.ivfpq import create_ivfpq_index
+    from duckdb_vss_spark.operators.topk import knn_search
+
+    nn = emb.where(F.col("embedding").isNotNull())
+    h1 = nn.where(F.col("vec_id") % 2 == 0)
+    h2 = nn.where(F.col("vec_id") % 2 == 1)
+    ix = create_ivfpq_index(
+        spark, h1, "embedding", "vec_id", str(tmp_path / "ipab"), m=16, ksub=16
+    )
+    ix = ix.add_batch(h2)
+    n = nn.count()
+    assert ix.manifest["count"] == n
+    qv = [float(x) for x in nn.where(F.col("vec_id") == 29).first()["embedding"]]
+    got = [r["vec_id"] for r in ix.knn_search(qv, 10, nprobe=ix.nlist, rerank=n).collect()]
+    want = [r["vec_id"] for r in knn_search(nn, "embedding", qv, 10).collect()]
+    assert got == want

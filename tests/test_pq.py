@@ -342,3 +342,66 @@ def test_fingerprint_invalidated_by_overwrite(spark, tmp_path):
         "overwrite"
     ).parquet(src_path)
     assert _manifest_source(spark, ix.manifest) is None
+
+
+def test_add_batch_appends_codes_and_extends_source(spark, emb, tmp_path):
+    """r12: add_batch encodes with the FROZEN codebooks, appends codes,
+    bumps count, and extends the auto-rerank source by set-union (same
+    file both halves -> unchanged 1-file list); full-width rerank over
+    the merged index is exact vs brute force, and survives a reload."""
+    from duckdb_vss_spark.index.pq import load_pq_index
+
+    nn = emb.where(F.col("embedding").isNotNull())
+    h1 = nn.where(F.col("vec_id") % 2 == 0)
+    h2 = nn.where(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "abx")
+    ix = create_pq_index(spark, h1, "embedding", "vec_id", path, m=16, ksub=16)
+    books_before = ix.manifest["codebooks"]
+    n1 = ix.manifest["count"]
+    ix = ix.add_batch(h2)
+    assert ix.manifest["count"] == nn.count()
+    assert ix.manifest["codebooks"] == books_before  # frozen
+    assert len(ix.manifest["source_files"]) == 1  # set-union, same file
+    qv = [float(x) for x in nn.where(F.col("vec_id") == 29).first()["embedding"]]
+    got = [r["vec_id"] for r in ix.knn_search(qv, 10, rerank=ix.manifest["count"]).collect()]
+    want = [r["vec_id"] for r in knn_search(nn, "embedding", qv, 10).collect()]
+    assert got == want
+    re = load_pq_index(spark, path)
+    assert re.manifest["count"] == nn.count() and re.manifest["count"] > n1
+
+
+def test_add_batch_non_file_batch_drops_source_with_warning(spark, emb, tmp_path):
+    """A batch the engine can't fingerprint must DROP the recorded
+    source (a partial source would silently lose new-batch candidates
+    in the rerank join) and warn."""
+    import warnings as _w
+
+    import numpy as np
+
+    nn = emb.where(F.col("embedding").isNotNull())
+    ix = create_pq_index(
+        spark, nn, "embedding", "vec_id", str(tmp_path / "dsx"), m=16, ksub=16
+    )
+    assert ix.manifest["source_files"]
+    rng = np.random.default_rng(5)
+    batch = spark.createDataFrame(
+        [(10_000 + i, [float(x) for x in rng.normal(size=64)]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    with _w.catch_warnings(record=True) as seen:
+        _w.simplefilter("always")
+        ix = ix.add_batch(batch)
+        assert any("dropping the recorded re-rank source" in str(w.message) for w in seen)
+    assert ix.manifest["source_files"] == []
+    assert "source_fingerprint" not in ix.manifest
+
+
+def test_add_batch_dim_mismatch_rejected_pq(spark, emb, tmp_path):
+    ix = create_pq_index(
+        spark, emb, "embedding", "vec_id", str(tmp_path / "dmx"), m=16, ksub=16
+    )
+    bad = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="FLOAT"):
+        ix.add_batch(bad)
