@@ -520,6 +520,7 @@ class HnswIndex:
         df: DataFrame,
         num_partitions: int | None = None,
         driver_build_max_bytes: int = 4 << 20,
+        manifest_extra: dict | None = None,
     ) -> "HnswIndex":
         """Offline incremental maintenance (VERDICT r11 #3): build
         per-partition graphs over the NEW batch only and merge them into
@@ -665,6 +666,11 @@ class HnswIndex:
         )
         merged["num_partitions"] = len(merged["partitions"])
         merged["updated_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        if manifest_extra:
+            # riding the SAME atomic write lets callers make the merge
+            # transactional with their own bookkeeping (e.g. the
+            # streaming epoch stamp that makes replays exactly-once)
+            merged.update(manifest_extra)
         tmp = os.path.join(self.path, ".manifest.json.tmp")
         with open(tmp, "w") as f:
             json.dump(merged, f, indent=1)

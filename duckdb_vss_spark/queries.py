@@ -3522,6 +3522,64 @@ def q_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "q_stream_index_add",
+    f"""
+    SELECT vec_id,
+           list_distance(CAST(embedding AS DOUBLE[]), {_ORACLE_QVEC.format(vid=19)}) AS dist,
+           (SELECT count(*) FROM embeddings WHERE embedding IS NOT NULL) AS n_indexed
+    FROM embeddings
+    WHERE embedding IS NOT NULL
+    ORDER BY dist, vec_id
+    LIMIT 10
+    """,
+)
+def q_stream_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental index maintenance, oracle-checked (NEW
+    r12): half the corpus arrives as epoch 0 (creates the artifact),
+    the other half as epoch 1 through a RESTARTED query on the same
+    checkpoint (``streaming_index_add`` — per-epoch ``add_batch``
+    merge, O(batch) not O(corpus); the epoch stamp rides the merge's
+    atomic manifest write, so replays are exactly-once). The merged
+    artifact's ef≫k search must match full-corpus brute force, and
+    n_indexed pins the post-merge count."""
+    import tempfile as _tempfile
+
+    from duckdb_vss_spark.index import load_index
+    from duckdb_vss_spark.streaming.ops import streaming_index_add
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    base = _tempfile.mkdtemp(prefix="vss_stream_add_")
+    src = _os.path.join(base, "src")
+    idx_path = _os.path.join(base, "ix")
+    ckpt = _os.path.join(base, "ckpt")
+    halves = emb.select("vec_id", "embedding")
+
+    def run_once():
+        q = streaming_index_add(
+            spark.readStream.schema("vec_id long, embedding array<float>").parquet(src),
+            index_path=idx_path,
+            vec_col="embedding",
+            id_col="vec_id",
+            checkpoint_dir=ckpt,
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    halves.where(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(src)
+    run_once()
+    halves.where(F.col("vec_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    idx = load_index(spark, idx_path)
+    qv = _query_vec(spark, sf_dir, 19)
+    out = idx.knn_search(emb, qv, 10, ef_search=400).select("vec_id", "dist")
+    return out.select(
+        "vec_id", F.col("dist").cast("double").alias("dist")
+    ).withColumn("n_indexed", F.lit(int(idx.count)).cast("long"))
+
+
+@register_extra(
     "q_stream_knn_serve",
     """
     SELECT qid, rid, dist, rn FROM (

