@@ -856,6 +856,26 @@ def main() -> None:
             .collect(),
         )
 
+    # vector: persisted BQ artifact (r12 — 1 bit/dim, signatures written
+    # once, manifest-calibrated default rescore)
+    from duckdb_vss_spark.index import create_bq_index
+
+    bq_path = "/tmp/bench_bq_idx"
+    bqi = {}
+    if emb is not None:
+        timed(
+            "bq_build",
+            lambda: bqi.__setitem__(
+                "i",
+                create_bq_index(
+                    spark, emb.select("vec_id", "embedding"), "embedding",
+                    "vec_id", bq_path, overwrite=True,
+                ),
+            ),
+            runs=1,
+        )
+        timed("bq_search_default", lambda: bqi["i"].knn_search(qv, 10).collect())
+
     # vector: IVFADC — both scale levers composed (pruned lists ×
     # residual-PQ bytes)
     from duckdb_vss_spark.index import create_ivfpq_index

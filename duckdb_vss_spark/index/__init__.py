@@ -38,7 +38,11 @@ from duckdb_vss_spark.index.ivfsq import (  # noqa: F401
     load_ivfsq_index,
 )
 from duckdb_vss_spark.index.bq import (  # noqa: F401
+    BqIndex,
     binary_signature,
     bq_knn,
+    create_bq_index,
+    drop_bq_index,
     hamming_distance,
+    load_bq_index,
 )

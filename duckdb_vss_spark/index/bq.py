@@ -50,6 +50,10 @@ __all__ = [
     "bq_knn",
     "bq_signature_sql",
     "calibrate_rescore",
+    "BqIndex",
+    "create_bq_index",
+    "load_bq_index",
+    "drop_bq_index",
 ]
 
 _LOG = logging.getLogger(__name__)
@@ -300,3 +304,262 @@ def bq_signature_sql(vec_expr: str, dims: int) -> list[str]:
         )
         out.append(f"CAST({terms} AS BIGINT)")
     return out
+
+
+# --------------------------------------------------------------------------
+# Persisted BQ artifact: signatures parquet + manifest (r12)
+# --------------------------------------------------------------------------
+
+
+class BqIndex:
+    """Handle over a built BQ artifact (manifest + signatures parquet).
+
+    Completes the index-family symmetry (HNSW/PQ/IVF/IVFADC/SQ all have
+    persisted artifacts): signatures are computed ONCE at build instead
+    of per query, the recall calibration lives in the manifest as a
+    shortlist FRACTION (so it keeps scaling the default rescore as
+    ``add_batch`` grows the corpus), and the exact-rescore source is
+    the same plan-shape-gated, fingerprint-validated machinery as PQ's
+    (pq._source_manifest_fields / pq._manifest_source)."""
+
+    def __init__(self, spark, path: str, manifest: dict):
+        self.spark = spark
+        self.path = path
+        self.manifest = manifest
+
+    @property
+    def metric(self) -> str:
+        return self.manifest["metric"]
+
+    @property
+    def dims(self) -> int:
+        return self.manifest["dimensions"]
+
+    @property
+    def count(self) -> int:
+        return self.manifest["count"]
+
+    def _sigs_df(self) -> DataFrame:
+        import os
+
+        return self.spark.read.parquet(os.path.join(self.path, "sigs"))
+
+    def default_rescore(self, k: int) -> int:
+        """margin · calibrated-fraction · CURRENT count, clamped to
+        [10·k, count] — recomputed from the manifest so batch adds keep
+        the recall target without recalibrating."""
+        man = self.manifest
+        n = int(man["count"])
+        want = int(np.ceil(man["cal_margin"] * man["cal_fraction"] * n))
+        return int(min(n, max(10 * int(k), want)))
+
+    def knn_search(
+        self,
+        query_vec,
+        k: int,
+        rescore: int | None = None,
+        source: DataFrame | None = None,
+        dist_col: str = "dist",
+    ) -> DataFrame:
+        """Hamming shortlist over the PERSISTED signatures + exact
+        rescore. ``rescore=None`` uses the manifest-calibrated default;
+        ``rescore=0`` returns the raw Hamming shortlist (id, hamming).
+        The rescore source resolves like PQ's: explicit ``source=``,
+        else the fingerprint-validated build-time files; unreachable →
+        ADC-style warned Hamming-only result."""
+        from duckdb_vss_spark.index.pq import _manifest_source
+
+        man = self.manifest
+        id_col = man["id_col"]
+        q = [float(x) for x in query_vec]
+        if len(q) != self.dims:
+            raise ValueError(f"BQ index keys must be of type FLOAT[{self.dims}]")
+        take = self.default_rescore(k) if rescore is None else int(rescore)
+        qsig = [
+            sum(
+                (1 << (b - w))
+                for b in range(w, min(w + _BITS, self.dims))
+                if q[b] > 0
+            )
+            for w in range(0, self.dims, _BITS)
+        ]
+        qcol = F.array(*[F.lit(x).cast("bigint") for x in qsig])
+        hd = hamming_distance(F.col("sig"), qcol)
+        short = (
+            self._sigs_df()
+            .select(id_col, hd.alias("hamming"))
+            .orderBy(F.col("hamming").asc_nulls_last(), F.col(id_col))
+            .limit(max(take, int(k)) if take > 0 else int(k))
+        )
+        if take <= 0:
+            return short.limit(int(k))
+        if source is None:
+            source = _manifest_source(self.spark, man)
+        if source is None:
+            if self.path not in _WEAK_WARNED:
+                _WEAK_WARNED.add(self.path)
+                warnings.warn(
+                    "BqIndex: returning Hamming-only results because the "
+                    "original vectors are unreachable (non-file build or "
+                    "fingerprint mismatch) — pass source=<vectors df> for "
+                    "exact rescore, or rescore=0 to silence.",
+                    stacklevel=2,
+                )
+            return short.limit(int(k))
+        vec_col = man["vec_col"]
+        dist_fn = distance_for_metric(self.metric)
+        return (
+            source.join(F.broadcast(short.drop("hamming")), id_col)
+            .withColumn(dist_col, dist_fn(F.col(vec_col), q))
+            .orderBy(F.col(dist_col).asc_nulls_last(), F.col(id_col))
+            .limit(int(k))
+            .drop(vec_col)
+        )
+
+    def add_batch(self, df: DataFrame) -> "BqIndex":
+        """Offline incremental maintenance (the BQ face of the r12
+        add_batch family): sign-pack the new batch with the SAME pure
+        Column expression (signatures are training-free, so there is no
+        frozen-codebook caveat here), append the (id, sig) parquet, and
+        atomically bump the manifest count — the calibrated default
+        rescore rescales automatically because it is stored as a
+        fraction. The rescore source extends/drops by PQ's set-union
+        rule."""
+        import json as _json
+        import os
+        import time as _time
+
+        from duckdb_vss_spark.index.ivf import _count_and_dims
+        from duckdb_vss_spark.index.pq import _merge_source_fields
+
+        man = self.manifest
+        id_col, vec_col = man["id_col"], man["vec_col"]
+        src = df.select(
+            F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
+        ).where(F.col(vec_col).isNotNull())
+        n, dims = _count_and_dims(src, vec_col, "a BQ add_batch")
+        if dims != man["dimensions"]:
+            raise ValueError(
+                f"BQ index keys must be of type FLOAT[{man['dimensions']}] "
+                f"(batch has FLOAT[{dims}])"
+            )
+        src.select(
+            id_col, binary_signature(vec_col, dims).alias("sig")
+        ).write.mode("append").parquet(os.path.join(self.path, "sigs"))
+        merged = dict(man)
+        merged["count"] = int(man["count"] + n)
+        merged.pop("source_fingerprint", None)
+        merged.update(_merge_source_fields(man, df, "BqIndex"))
+        merged["updated_at"] = _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime())
+        tmp = os.path.join(self.path, ".manifest.json.tmp")
+        with open(tmp, "w") as f:
+            _json.dump(merged, f)
+        os.replace(tmp, os.path.join(self.path, "manifest.json"))
+        self.manifest = merged
+        return self
+
+
+def create_bq_index(
+    spark,
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    name: str = "bq_idx",
+    metric: str = "l2sq",
+    target_recall: float = 0.9,
+    cal_margin: float = 1.3,
+    cal_rows: int = 1024,
+    overwrite: bool = False,
+) -> BqIndex:
+    """Persist 63-bit sign-pack signatures as a parquet artifact + a
+    manifest holding the recall calibration as a FRACTION (see
+    ``calibrate_rescore`` — the per-call estimator this build-time form
+    replaces) and the fingerprinted exact-rescore source (same ADVICE
+    r11 machinery as PQ). One map-only Column-expression write — the
+    signature is codegen, no UDF, no training."""
+    import json as _json
+    import os
+    import shutil
+    import time as _time
+
+    from duckdb_vss_spark.index.ivf import _count_and_dims
+    from duckdb_vss_spark.index.pq import _source_manifest_fields
+    from duckdb_vss_spark.session import check_persistence_enabled
+
+    if metric not in ("l2sq", "cosine", "ip"):
+        raise ValueError("BQ index 'metric' must be one of: 'cosine', 'ip', 'l2sq'")
+    check_persistence_enabled(spark)
+    src = df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
+    ).where(F.col(vec_col).isNotNull())
+    n, dims = _count_and_dims(src, vec_col, "a BQ index")
+
+    # calibration sample (same estimator as calibrate_rescore, but the
+    # fraction is persisted instead of re-estimated per session)
+    rows = (
+        src.select(vec_col)
+        .orderBy(F.md5(F.col(vec_col).cast("string")))
+        .limit(int(min(cal_rows, n)))
+        .collect()
+    )
+    mat = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    s = len(mat)
+    rng = np.random.RandomState(0)
+    qidx = rng.choice(s, size=min(64, s), replace=False)
+    dists = _exact_dists(mat[qidx], mat, metric)
+    bits = mat > 0
+    ham = (bits[qidx][:, None, :] != bits[None, :, :]).sum(-1)
+    kk = min(10, s - 1)
+    fracs: list[float] = []
+    for i in range(len(qidx)):
+        true = np.argsort(dists[i], kind="stable")[: kk + 1]
+        true = true[true != qidx[i]][:kk]
+        hrank = np.argsort(np.argsort(ham[i], kind="stable"), kind="stable")
+        fracs.extend(((hrank[true] + 1) / s).tolist())
+    fr = np.sort(np.asarray(fracs))
+    frac = float(fr[min(len(fr) - 1, int(np.ceil(target_recall * len(fr))) - 1)])
+
+    if os.path.exists(path):
+        if not overwrite:
+            raise ValueError(f"index path {path!r} already exists (use overwrite=True)")
+        shutil.rmtree(path)
+    os.makedirs(path)
+    src.select(
+        id_col, binary_signature(vec_col, dims).alias("sig")
+    ).write.parquet(os.path.join(path, "sigs"))
+    manifest = {
+        "index_name": name,
+        "vec_col": vec_col,
+        "id_col": id_col,
+        "metric": metric,
+        "dimensions": dims,
+        "count": int(n),
+        "bits_per_word": _BITS,
+        "cal_fraction": frac,
+        "cal_margin": float(cal_margin),
+        "cal_target_recall": float(target_recall),
+        **_source_manifest_fields(df),
+        "created_at": _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime()),
+    }
+    tmp = os.path.join(path, ".manifest.json.tmp")
+    with open(tmp, "w") as f:
+        _json.dump(manifest, f)
+    os.replace(tmp, os.path.join(path, "manifest.json"))
+    return BqIndex(spark, path, manifest)
+
+
+def load_bq_index(spark, path: str) -> BqIndex:
+    import json as _json
+    import os
+
+    with open(os.path.join(path, "manifest.json")) as f:
+        return BqIndex(spark, path, _json.load(f))
+
+
+def drop_bq_index(path: str) -> None:
+    import os
+    import shutil
+
+    if os.path.exists(os.path.join(path, "manifest.json")):
+        shutil.rmtree(path)

@@ -2196,6 +2196,32 @@ def q_bq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("dist", "vec_id")
 
 
+@register_extra("q_bq_index_knn", _bq_oracle(rescore=150, qvid=53))
+def q_bq_index_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-artifact BQ search (NEW r12): signatures computed ONCE
+    at build into a parquet artifact (index/bq.BqIndex) with the recall
+    calibration stored as a manifest FRACTION and the exact-rescore
+    source fingerprinted like PQ's. The oracle replays the identical
+    63-bit words, (hamming, id) shortlist-of-150 and exact rescore in
+    portable SQL — strict: the artifact path must produce bit-identical
+    signatures to the on-the-fly Column expression."""
+    import tempfile as _tempfile
+
+    from duckdb_vss_spark.index import create_bq_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _os.path.join(_tempfile.mkdtemp(prefix="vss_bqix_"), "ix")
+    idx = create_bq_index(
+        spark, emb.select("vec_id", "embedding"), "embedding", "vec_id", path,
+        metric="l2sq",
+    )
+    qv = _query_vec(spark, sf_dir, 53)
+    out = idx.knn_search(qv, 10, rescore=150)
+    return out.select(
+        "vec_id", F.col("dist").cast("double").alias("dist")
+    ).orderBy("dist", "vec_id")
+
+
 def _mmr_oracle(n_cand: int = 16, k: int = 5) -> str:
     """Unrolled-greedy MMR oracle (operators/mmr.py): round 1 is the
     nearest neighbor; each later round MATERIALIZES the per-candidate

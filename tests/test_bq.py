@@ -172,3 +172,91 @@ def test_calibration_cached_and_explicit_rescore_skips(spark, emb):
         emb.select("vec_id", "embedding"), "embedding", "vec_id", qv, 10, rescore=50
     ).collect()
     assert bqmod._CAL_CACHE == before
+
+
+# -- persisted BQ artifact (r12) -------------------------------------------
+
+
+def test_bq_index_matches_on_the_fly(spark, emb, tmp_path):
+    """The artifact's persisted signatures must be bit-identical to the
+    on-the-fly Column expression: same shortlist, same rescored top-k."""
+    from duckdb_vss_spark.index.bq import create_bq_index
+
+    ix = create_bq_index(
+        spark, emb.select("vec_id", "embedding"), "embedding", "vec_id",
+        str(tmp_path / "bqix"),
+    )
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 29).first()["embedding"]]
+    via_index = [
+        (r["vec_id"], r["dist"]) for r in ix.knn_search(qv, 10, rescore=120).collect()
+    ]
+    via_fn = [
+        (r["vec_id"], r["dist"])
+        for r in bq_knn(
+            emb.select("vec_id", "embedding"), "embedding", "vec_id", qv, 10,
+            rescore=120,
+        ).collect()
+    ]
+    assert via_index == via_fn
+
+
+def test_bq_index_default_recall_and_fraction_scaling(spark, emb, tmp_path):
+    """Manifest-calibrated default hits >=0.9 recall@10; the stored
+    FRACTION rescales the default rescore as add_batch grows the
+    corpus (no recalibration)."""
+    from duckdb_vss_spark.index.bq import create_bq_index, load_bq_index
+
+    nn = emb.where(F.col("embedding").isNotNull())
+    ix = create_bq_index(
+        spark, nn.select("vec_id", "embedding"), "embedding", "vec_id",
+        str(tmp_path / "full"),
+    )
+    hits = total = 0
+    for vid in (7, 29, 123):
+        qv = [float(x) for x in nn.where(F.col("vec_id") == vid).first()["embedding"]]
+        brute = {r["vec_id"] for r in knn_search(nn, "embedding", qv, 10).collect()}
+        got = {r["vec_id"] for r in ix.knn_search(qv, 10).collect()}
+        hits += len(got & brute)
+        total += 10
+    assert hits / total >= 0.9
+    # fraction scaling under add_batch
+    h1 = nn.where(F.col("vec_id") % 2 == 0)
+    h2 = nn.where(F.col("vec_id") % 2 == 1)
+    grown = create_bq_index(
+        spark, h1.select("vec_id", "embedding"), "embedding", "vec_id",
+        str(tmp_path / "half"),
+    )
+    r_before = grown.default_rescore(10)
+    grown = grown.add_batch(h2.select("vec_id", "embedding"))
+    assert grown.count == nn.count()
+    assert grown.default_rescore(10) > r_before  # fraction x grown count
+    qv = [float(x) for x in nn.where(F.col("vec_id") == 7).first()["embedding"]]
+    got = [r["vec_id"] for r in grown.knn_search(qv, 5, rescore=grown.count).collect()]
+    want = [r["vec_id"] for r in knn_search(nn, "embedding", qv, 5).collect()]
+    assert got == want
+    assert load_bq_index(spark, str(tmp_path / "half")).count == nn.count()
+
+
+def test_bq_index_hamming_only_and_persistence_gate(spark, emb, tmp_path):
+    """rescore=0 returns the raw Hamming shortlist; builds honor the
+    persistence gate like every other index family."""
+    from duckdb_vss_spark.index.bq import create_bq_index
+
+    ix = create_bq_index(
+        spark, emb.select("vec_id", "embedding"), "embedding", "vec_id",
+        str(tmp_path / "h"),
+    )
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+    rows = ix.knn_search(qv, 5, rescore=0).collect()
+    assert len(rows) == 5 and "hamming" in rows[0].asDict()
+    import pytest as _pytest
+
+    spark.conf.set("spark.vss.enable_experimental_persistence", "false")
+    try:
+        with _pytest.raises(Exception, match="persistence"):
+            create_bq_index(
+                spark, emb.select("vec_id", "embedding"), "embedding", "vec_id",
+                str(tmp_path / "gate"),
+            )
+    finally:
+        spark.conf.set("spark.vss.enable_experimental_persistence", "true")
