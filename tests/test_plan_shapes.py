@@ -419,3 +419,26 @@ def test_two_consumer_aggregates_scan_fact_table_once(spark):
         assert plan.count("lineitem.parquet") <= 1, (
             f"{name} scans lineitem {plan.count('lineitem.parquet')}x"
         )
+
+
+def test_bq_index_scan_shape(spark, tmp_path):
+    """r12 persisted BQ artifact: the Hamming shortlist scan reads ONLY
+    (id, sig) from the signatures parquet — never the vectors — merges
+    via TakeOrderedAndProject, and runs with no Python worker anywhere
+    in the shortlist stage (the signature/Hamming math is pure Column
+    codegen)."""
+    from duckdb_vss_spark.index import create_bq_index
+
+    emb = load_table(spark, SF, "embeddings")
+    idx = create_bq_index(
+        spark, emb.select("vec_id", "embedding"), "embedding", "vec_id",
+        str(tmp_path / "bq"), overwrite=True,
+    )
+    qv = [float(x) for x in emb.where(F.col("embedding").isNotNull()).first()["embedding"]]
+    # rescore=0 pins the shortlist-only shape (the default adds the
+    # legitimate rescore join against the fingerprinted source)
+    plan = plan_of(idx.knn_search(qv, 5, rescore=0))
+    read = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "sig" in read and "embedding" not in read
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
