@@ -493,17 +493,42 @@ class VssPlanner:
         return (
             type(idx).__name__.replace("Hnsw", "HNSW_")
             .replace("Ivf", "IVF_")
+            .replace("Pq", "PQ_")
+            .replace("Bq", "BQ_")
+            .replace("Sq", "SQ_")
             .replace("Index", "INDEX_SCAN")
         )
 
     def _index_hits(self, idx, table: str, query_vec, k: int, where: str | None = None) -> DataFrame:
         """Run the index scan; k ordered rows with a ``dist`` column.
         ``where`` applies ABOVE the scan (filter pull-up — may return
-        fewer than k rows, matching hnsw_optimize_scan.cpp:161-191)."""
+        fewer than k rows, matching hnsw_optimize_scan.cpp:161-191).
+
+        Any registered index family routes here (r12): HNSW
+        late-materializes payload columns itself; IVF holds full rows
+        in its lists; the quantized artifacts (PQ/IVFADC/BQ) return
+        (id, dist) at their DEFAULT signatures (auto-rerank /
+        calibrated rescore — the ≥0.9-recall contracts), so the
+        payload columns the projection needs are late-materialized
+        with a broadcast id-join against the base table, preserving
+        the scan's (dist, id) order."""
         base = self.spark.table(table)
-        if type(idx).__name__ == "IvfIndex":
+        kind = type(idx).__name__
+        if kind == "IvfIndex":
             return idx.knn_search(query_vec, k, post_filter=where)
-        return idx.knn_search(base, query_vec, k, post_filter=where)
+        if kind == "HnswIndex":
+            return idx.knn_search(base, query_vec, k, post_filter=where)
+        # quantized families: (id, dist) hits -> payload by id
+        id_col = idx.manifest["id_col"]
+        hits = idx.knn_search(query_vec, int(k)).select(id_col, "dist")
+        out = (
+            base.join(F.broadcast(hits), id_col)
+            .orderBy(F.col("dist").asc_nulls_last(), F.col(id_col))
+            .limit(int(k))
+        )
+        if where is not None:
+            out = out.where(F.expr(where))
+        return out
 
     def sql(self, sql: str) -> DataFrame:
         match = match_topk(sql)

@@ -2196,6 +2196,44 @@ def q_bq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("dist", "vec_id")
 
 
+@register_extra("q_sql_quantized_topk", "SELECT CAST(0 AS BIGINT) AS n_mismatch")
+def q_sql_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-index SQL routing, self-consistency-checked (NEW r12):
+    a PQ artifact registered with the planner must route a plain
+    `ORDER BY distance LIMIT k` through PQ_INDEX_SCAN (the planner
+    late-materializes the projection's payload columns by broadcast
+    id-join over the (id, dist) hits) and return EXACTLY what the
+    direct index call returns at the same default signature — the
+    q_hnsw_self_consistency pattern, because the auto-rerank default's
+    shortlist is not SQL-replayable."""
+    import tempfile as _tempfile
+
+    from duckdb_vss_spark.index import create_pq_index
+    from duckdb_vss_spark.plans import VssPlanner
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.createOrReplaceTempView("emb_qroute")
+    path = _os.path.join(_tempfile.mkdtemp(prefix="vss_pqroute_"), "ix")
+    idx = create_pq_index(
+        spark, emb, "embedding", "vec_id", path, m=16, ksub=16, overwrite=True
+    )
+    planner = VssPlanner(spark)
+    planner.register_index("emb_qroute", "embedding", idx)
+    qv = _query_vec(spark, sf_dir, 31)
+    lit = ",".join(repr(x) for x in qv)
+    routed = planner.sql(
+        f"SELECT vec_id FROM emb_qroute "
+        f"ORDER BY array_distance(embedding, array({lit})) LIMIT 10"
+    )
+    if planner.last_plan != "PQ_INDEX_SCAN":
+        raise AssertionError(f"expected PQ_INDEX_SCAN, got {planner.last_plan}")
+    direct = idx.knn_search(qv, 10).select("vec_id")
+    n_mismatch = routed.join(direct, "vec_id", "full_outer").where(
+        routed["vec_id"].isNull() | direct["vec_id"].isNull()
+    )
+    return n_mismatch.agg(F.count(F.lit(1)).alias("n_mismatch"))
+
+
 @register_extra("q_bq_index_knn", _bq_oracle(rescore=150, qvid=53))
 def q_bq_index_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted-artifact BQ search (NEW r12): signatures computed ONCE

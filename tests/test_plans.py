@@ -447,3 +447,49 @@ def test_match_topk_qualified_column(spark, grid, planner_with_index):
     )
     assert p.last_plan == "HNSW_INDEX_SCAN"
     assert df.count() == 3
+
+
+def test_quantized_indexes_route_through_topk_rule(spark, tmp_path):
+    """r12: any registered index family routes the TopN rule — the
+    quantized artifacts (PQ/BQ) return (id, dist) and the planner
+    late-materializes the projection's payload columns by broadcast
+    id-join, preserving the scan's order. The routed result must equal
+    the direct index call exactly (both run the same default
+    signature), and the marker names the family."""
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark.index import create_bq_index, create_pq_index
+    from duckdb_vss_spark.plans import VssPlanner
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    emb.createOrReplaceTempView("emb_routed")
+    nn = emb.where(F.col("embedding").isNotNull())
+    qv = [float(x) for x in nn.where(F.col("vec_id") == 11).first()["embedding"]]
+    lit = ",".join(repr(x) for x in qv)
+
+    pq = create_pq_index(
+        spark, emb, "embedding", "vec_id", str(tmp_path / "pq"), m=16, ksub=16
+    )
+    p = VssPlanner(spark)
+    p.register_index("emb_routed", "embedding", pq)
+    routed = p.sql(
+        f"SELECT vec_id, label FROM emb_routed "
+        f"ORDER BY array_distance(embedding, array({lit})) LIMIT 5"
+    )
+    assert p.last_plan == "PQ_INDEX_SCAN"
+    direct = [r["vec_id"] for r in pq.knn_search(qv, 5).collect()]
+    assert [r["vec_id"] for r in routed.collect()] == direct
+
+    bq = create_bq_index(
+        spark, emb.select("vec_id", "embedding"), "embedding", "vec_id",
+        str(tmp_path / "bq"),
+    )
+    p2 = VssPlanner(spark)
+    p2.register_index("emb_routed", "embedding", bq)
+    routed2 = p2.sql(
+        f"SELECT vec_id FROM emb_routed "
+        f"ORDER BY array_distance(embedding, array({lit})) LIMIT 5"
+    )
+    assert p2.last_plan == "BQ_INDEX_SCAN"
+    direct2 = [r["vec_id"] for r in bq.knn_search(qv, 5).collect()]
+    assert [r["vec_id"] for r in routed2.collect()] == direct2
