@@ -520,7 +520,16 @@ class VssPlanner:
             return idx.knn_search(base, query_vec, k, post_filter=where)
         # quantized families: (id, dist) hits -> payload by id
         id_col = idx.manifest["id_col"]
-        hits = idx.knn_search(query_vec, int(k)).select(id_col, "dist")
+        hits = idx.knn_search(query_vec, int(k))
+        if "dist" not in hits.columns:
+            # a BQ artifact without a resolvable rescore source returns
+            # hamming-only hits — NOT metric-ordered, so the honest move
+            # is not routing at all (callers fall back to the seq scan)
+            raise LookupError(
+                "quantized index returned no metric distance "
+                "(no rescore source) — not routable"
+            )
+        hits = hits.select(id_col, "dist")
         out = (
             base.join(F.broadcast(hits), id_col)
             .orderBy(F.col("dist").asc_nulls_last(), F.col(id_col))
@@ -534,15 +543,22 @@ class VssPlanner:
         match = match_topk(sql)
         idx = self._index_for(match) if match else None
         if match and idx is not None:
-            self.last_plan = self._marker(idx)
-            hits = self._index_hits(idx, match.table, match.query_vec, match.k, match.where)
-            # reproject to the requested select list; the distance column
-            # is recomputed by the projection like the reference (§3-B.4)
-            hits.createOrReplaceTempView("__vss_topk__")
-            cols = match.cols
-            if cols == "*":
-                return hits.drop("dist")
-            return self._raw_sql(f"SELECT {cols} FROM __vss_topk__")
+            try:
+                self.last_plan = self._marker(idx)
+                hits = self._index_hits(idx, match.table, match.query_vec, match.k, match.where)
+                # reproject to the requested select list; the distance column
+                # is recomputed by the projection like the reference (§3-B.4)
+                hits.createOrReplaceTempView("__vss_topk__")
+                cols = match.cols
+                if cols == "*":
+                    return hits.drop("dist")
+                return self._raw_sql(f"SELECT {cols} FROM __vss_topk__")
+            except LookupError:
+                # a registered index that cannot serve metric-ordered
+                # hits (r12: BQ without a rescore source) must not
+                # break a previously-valid statement — seq-scan it
+                self.last_plan = "SEQ_SCAN"
+                return self._raw_sql(canonicalize_cosine(rewrite_operators(sql)))
 
         mb = match_minby(sql)
         if mb is not None:

@@ -136,3 +136,74 @@ def test_optimize_never_raises_on_odd_frames(spark, dfp):
     ]
     for df in frames:
         assert dfp.optimize(df) is df
+
+
+def test_quantized_index_routes_via_dataframe_api(spark, grid, tmp_path):
+    """r12: the public DataFrame-API route (planner.optimize) fires for
+    quantized artifacts too — same _index_hits generalization as the
+    SQL hook; routed result == direct index call at the default
+    signature. Needs a FILE-backED source: a BQ artifact without a
+    resolvable rescore source serves hamming-only hits, which the
+    planner refuses to route (see the fallback test below)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark.index import create_bq_index
+    from duckdb_vss_spark.plans import VssPlanner
+
+    src = str(tmp_path / "grid_pq")
+    grid.write.parquet(src)
+    gridf = spark.read.parquet(src)
+    gridf.createOrReplaceTempView("df_items_q")
+    bq = create_bq_index(
+        spark, gridf, "vec", "id", str(tmp_path / "bq"), overwrite=True
+    )
+    assert bq.manifest["source_files"]
+    p = VssPlanner(spark)
+    p.register_index("df_items_q", "vec", bq)
+    df = (
+        spark.table("df_items_q")
+        .orderBy(F.expr("array_distance(vec, array(2.0, 2.0, 2.0))"))
+        .limit(4)
+        .select("id")
+    )
+    fast = p.optimize(df)
+    assert p.last_plan == "BQ_INDEX_SCAN"
+    direct = [r["id"] for r in bq.knn_search([2.0, 2.0, 2.0], 4).collect()]
+    assert [r["id"] for r in fast.collect()] == direct
+
+
+def test_unroutable_bq_falls_back_to_seq_scan(spark, grid, tmp_path):
+    """A BQ artifact whose rescore source is unreachable serves
+    hamming-only hits — NOT metric-ordered — so BOTH routes must
+    refuse to route it and execute the statement unchanged instead of
+    breaking it."""
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark.index import create_bq_index
+    from duckdb_vss_spark.plans import VssPlanner
+
+    grid.createOrReplaceTempView("df_items_nq")
+    # in-memory source: no files -> no fingerprintable rescore source
+    bq = create_bq_index(
+        spark, grid, "vec", "id", str(tmp_path / "bq_mem"), overwrite=True
+    )
+    assert bq.manifest["source_files"] == []
+    p = VssPlanner(spark)
+    p.register_index("df_items_nq", "vec", bq)
+    stmt = (
+        "SELECT id FROM df_items_nq "
+        "ORDER BY array_distance(vec, array(2.0, 2.0, 2.0)) LIMIT 4"
+    )
+    got = [r["id"] for r in p.sql(stmt).collect()]
+    assert p.last_plan == "SEQ_SCAN"
+    want = [r["id"] for r in spark.sql(stmt).collect()]
+    assert got == want
+    df = (
+        spark.table("df_items_nq")
+        .orderBy(F.expr("array_distance(vec, array(2.0, 2.0, 2.0))"))
+        .limit(4)
+        .select("id")
+    )
+    fast = p.optimize(df)
+    assert p.last_plan == "SEQ_SCAN"
+    assert [r["id"] for r in fast.collect()] == want
