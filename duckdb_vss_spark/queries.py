@@ -2206,17 +2206,11 @@ def q_sql_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     direct index call returns at the same default signature — the
     q_hnsw_self_consistency pattern, because the auto-rerank default's
     shortlist is not SQL-replayable."""
-    import tempfile as _tempfile
-
-    from duckdb_vss_spark.index import create_pq_index
     from duckdb_vss_spark.plans import VssPlanner
 
     emb = load_table(spark, sf_dir, "embeddings")
     emb.createOrReplaceTempView("emb_qroute")
-    path = _os.path.join(_tempfile.mkdtemp(prefix="vss_pqroute_"), "ix")
-    idx = create_pq_index(
-        spark, emb, "embedding", "vec_id", path, m=16, ksub=16, overwrite=True
-    )
+    idx = _get_pq_index(spark, sf_dir)  # session-cached artifact
     planner = VssPlanner(spark)
     planner.register_index("emb_qroute", "embedding", idx)
     qv = _query_vec(spark, sf_dir, 31)
