@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from duckdb_vss_spark.functions.distance import distance_for_metric
+from duckdb_vss_spark.index.manifest import write_manifest
 from duckdb_vss_spark.index.hnsw_graph import (
     DEFAULT_EF_CONSTRUCTION,
     DEFAULT_EF_SEARCH,
@@ -671,10 +672,7 @@ class HnswIndex:
             # transactional with their own bookkeeping (e.g. the
             # streaming epoch stamp that makes replays exactly-once)
             merged.update(manifest_extra)
-        tmp = os.path.join(self.path, ".manifest.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(merged, f, indent=1)
-        os.replace(tmp, os.path.join(self.path, "manifest.json"))
+        write_manifest(self.path, merged, indent=1)
         self.manifest = merged
         return self
 
@@ -936,10 +934,7 @@ def _commit_manifest(
             for r in sorted(stats, key=lambda r: r["pid"])
         ],
     }
-    tmp = os.path.join(path, ".manifest.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1)
-    os.replace(tmp, os.path.join(path, "manifest.json"))
+    write_manifest(path, manifest, indent=1)
     return HnswIndex(spark, path, manifest)
 
 

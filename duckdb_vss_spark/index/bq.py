@@ -42,6 +42,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from duckdb_vss_spark.index.manifest import write_manifest
 from duckdb_vss_spark.functions.distance import distance_for_metric
 
 __all__ = [
@@ -60,10 +61,11 @@ _LOG = logging.getLogger(__name__)
 
 _BITS = 63  # bits packed per BIGINT word; bit 63 (sign) never used
 
-# (source files, vec_col, k, metric) -> calibrated rescore, so repeated
-# default-signature calls over the same corpus pay the calibration scan
-# once per session; in-memory sources (no files) recalibrate per call
-_CAL_CACHE: dict[tuple, int] = {}
+# (source files, vec_col, k, metric) -> (calibrated rescore, corpus
+# rows), so repeated default-signature calls over the same corpus pay
+# the calibration scan once per session; in-memory sources (no files)
+# recalibrate per call
+_CAL_CACHE: dict[tuple, tuple[int, int]] = {}
 # cache keys that already emitted the weak-signature warning
 _WEAK_WARNED: set[tuple] = set()
 
@@ -86,6 +88,105 @@ def _exact_dists(qs: np.ndarray, mat: np.ndarray, metric: str) -> np.ndarray:
     return 1.0 - dot / denom
 
 
+def _corpus_rows(base: DataFrame) -> int:
+    """Row count for calibration: parquet footers when file-backed (no
+    Spark job; footers ignore pushed filters, over-counting — which
+    only ever ENLARGES the shortlist, the conservative direction), else
+    one count()."""
+    try:
+        files = base.inputFiles()
+        if files:
+            import pyarrow.parquet as papq
+
+            from duckdb_vss_spark.index.pq import _local_path
+
+            return sum(
+                papq.ParquetFile(_local_path(f)).metadata.num_rows for f in files
+            )
+    except Exception:  # noqa: BLE001 — non-parquet / remote FS
+        pass
+    return base.count()
+
+
+def _estimate_fraction(
+    mat: np.ndarray,
+    metric: str,
+    k: int = 10,
+    target: float = 0.9,
+    nq: int = 64,
+    seed: int = 0,
+) -> float:
+    """Shortlist FRACTION needed for ``target`` recall@k, estimated on
+    a sample matrix: for ``nq`` seeded sample queries, each true top-k
+    neighbor's Hamming-rank fraction within the sample estimates its
+    rank fraction in the full corpus (scale-invariant for exchangeable
+    rows; within-sample k-NN are farther than full-corpus k-NN, so the
+    estimate errs conservative). The SINGLE implementation behind both
+    the per-call default (``calibrate_rescore``) and the build-time
+    manifest field (``create_bq_index``). Returns 1.0 (exact — the
+    whole corpus) when the sample is too small to estimate (< 2
+    rows)."""
+    s = len(mat)
+    if s < 2:
+        return 1.0
+    rng = np.random.RandomState(seed)
+    qidx = rng.choice(s, size=min(nq, s), replace=False)
+    dists = _exact_dists(mat[qidx], mat, metric)
+    bits = mat > 0
+    ham = (bits[qidx][:, None, :] != bits[None, :, :]).sum(-1)
+    kk = min(int(k), s - 1)
+    fracs: list[float] = []
+    for i in range(len(qidx)):
+        true = np.argsort(dists[i], kind="stable")[: kk + 1]
+        true = true[true != qidx[i]][:kk]
+        hrank = np.argsort(np.argsort(ham[i], kind="stable"), kind="stable")
+        fracs.extend(((hrank[true] + 1) / s).tolist())
+    if not fracs:
+        return 1.0
+    fr = np.sort(np.asarray(fracs))
+    return float(fr[min(len(fr) - 1, int(np.ceil(target * len(fr))) - 1)])
+
+
+def _sample_matrix(base: DataFrame, vec_col: str, cal_rows: int, n: int) -> np.ndarray:
+    """Bounded deterministic calibration sample: TakeOrdered by a keyed
+    hash — one scan, NO shuffle, the same shape as the shortlist scan
+    itself."""
+    rows = (
+        base.select(vec_col)
+        .orderBy(F.md5(F.col(vec_col).cast("string")))
+        .limit(int(min(cal_rows, n)))
+        .collect()
+    )
+    if not rows:
+        return np.empty((0, 0), dtype=np.float64)
+    return np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+
+
+def _calibrate_with_n(
+    df: DataFrame,
+    vec_col: str,
+    k: int,
+    metric: str,
+    target: float,
+    margin: float,
+    cal_rows: int,
+    nq: int,
+    seed: int,
+) -> tuple[int, int]:
+    """(rescore, corpus_rows) — shared by the default path and its
+    weak-signature warning so footers are read once."""
+    base = df.where(F.col(vec_col).isNotNull())
+    n = _corpus_rows(base)
+    if n <= 10 * int(k):
+        return int(max(n, 1)), n  # floor shortlist already covers the corpus
+    mat = _sample_matrix(base, vec_col, cal_rows, n)
+    # footer-n can dwarf the FILTERED row count (pushed filters are
+    # invisible to footers) — a 0/1-row sample estimates nothing;
+    # fraction 1.0 degrades to an exact full-corpus shortlist
+    f = _estimate_fraction(mat, metric, k=k, target=target, nq=nq, seed=seed)
+    return int(min(n, max(10 * int(k), int(np.ceil(margin * f * n))))), n
+
+
 def calibrate_rescore(
     df: DataFrame,
     vec_col: str,
@@ -102,68 +203,16 @@ def calibrate_rescore(
     recall@10 = 0.64 at bench scale; how many Hamming candidates the
     true top-k hides behind depends on the DATA's sign-bit separation,
     not on k). Same recall-targeted-default pattern as ivf.py's
-    ``_calibrate_nprobe``.
+    ``_calibrate_nprobe``; the estimator itself is ``_estimate_fraction``
+    (shared with ``create_bq_index``'s manifest calibration).
 
-    Estimated driver-side on a bounded deterministic sample: TakeOrdered
-    by a keyed hash (one scan, NO shuffle — the same shape as the
-    shortlist scan itself) pulls ≤``cal_rows`` vectors; for ``nq``
-    seeded sample queries, each true top-k neighbor's Hamming-rank
-    FRACTION within the sample estimates its rank fraction in the full
-    corpus (scale-invariant for exchangeable rows; within-sample k-NN
-    are farther than full-corpus k-NN, so the estimate errs
-    conservative). rescore = clamp(margin · f(target) · n, 10·k, n),
-    with n from parquet footers when the source is file-backed (no
-    job) else one count().
-
-    O(cal_rows² + nq·cal_rows·dims) numpy on the driver — milliseconds
-    at the 1024-row cap."""
-    base = df.where(F.col(vec_col).isNotNull())
-    # corpus size: footer metadata first (no Spark job). Footer rows
-    # ignore pushed filters, over-counting n — which only ever ENLARGES
-    # the shortlist (conservative direction).
-    n = -1
-    try:
-        files = base.inputFiles()
-        if files:
-            import pyarrow.parquet as papq
-            from urllib.parse import unquote, urlparse
-
-            n = sum(
-                papq.ParquetFile(
-                    unquote(urlparse(f).path) if "://" in f else f
-                ).metadata.num_rows
-                for f in files
-            )
-    except Exception:  # noqa: BLE001 — non-parquet / remote FS
-        n = -1
-    if n < 0:
-        n = base.count()
-    if n <= 10 * int(k):
-        return int(max(n, 1))  # the floor shortlist already covers the corpus
-    rows = (
-        base.select(vec_col)
-        .orderBy(F.md5(F.col(vec_col).cast("string")))
-        .limit(int(min(cal_rows, n)))
-        .collect()
-    )
-    mat = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
-    s = len(mat)
-    rng = np.random.RandomState(seed)
-    qidx = rng.choice(s, size=min(nq, s), replace=False)
-    qs = mat[qidx]
-    dists = _exact_dists(qs, mat, metric)
-    bits = mat > 0
-    ham = (bits[qidx][:, None, :] != bits[None, :, :]).sum(-1)
-    kk = min(int(k), s - 1)
-    fracs: list[float] = []
-    for i in range(len(qidx)):
-        true = np.argsort(dists[i], kind="stable")[: kk + 1]
-        true = true[true != qidx[i]][:kk]
-        hrank = np.argsort(np.argsort(ham[i], kind="stable"), kind="stable")
-        fracs.extend(((hrank[true] + 1) / s).tolist())
-    fr = np.sort(np.asarray(fracs))
-    f = float(fr[min(len(fr) - 1, int(np.ceil(target * len(fr))) - 1)])
-    return int(min(n, max(10 * int(k), int(np.ceil(margin * f * n)))))
+    rescore = clamp(margin · f(target) · n, 10·k, n), with n from
+    parquet footers when the source is file-backed (no job) else one
+    count(). O(cal_rows² + nq·cal_rows·dims) numpy on the driver —
+    milliseconds at the 1024-row cap."""
+    return _calibrate_with_n(
+        df, vec_col, k, metric, target, margin, cal_rows, nq, seed
+    )[0]
 
 
 def binary_signature(vec, dims: int) -> Column:
@@ -233,36 +282,26 @@ def bq_knn(
         files = tuple(sorted(_input_files(df)))
         key = (files, vec_col, int(k), metric) if files else None
         if key is not None and key in _CAL_CACHE:
-            take = _CAL_CACHE[key]
+            take, n_total = _CAL_CACHE[key]
         else:
-            take = calibrate_rescore(df, vec_col, k, metric)
+            take, n_total = _calibrate_with_n(
+                df, vec_col, k, metric, 0.9, 1.3, 1024, 64, 0
+            )
             if key is not None:
-                _CAL_CACHE[key] = take
+                _CAL_CACHE[key] = (take, n_total)
         _LOG.info("bq_knn: calibrated default rescore=%d for k=%d", take, k)
         # weak-signature warning (once per cache key): a shortlist above
         # 10% of the corpus means the 1-bit prefilter is barely
         # filtering — the scan-byte win is being repaid in rescore reads
         if key is not None and key not in _WEAK_WARNED:
             _WEAK_WARNED.add(key)
-            try:
-                import pyarrow.parquet as papq
-                from urllib.parse import unquote, urlparse
-
-                n_total = sum(
-                    papq.ParquetFile(
-                        unquote(urlparse(f).path) if "://" in f else f
-                    ).metadata.num_rows
-                    for f in files
+            if take > 0.1 * n_total:
+                warnings.warn(
+                    f"bq_knn: calibrated shortlist ({take}) exceeds 10% of "
+                    f"the corpus ({n_total}) — 1-bit signatures separate "
+                    f"this data weakly; consider PQ or HNSW.",
+                    stacklevel=2,
                 )
-                if take > 0.1 * n_total:
-                    warnings.warn(
-                        f"bq_knn: calibrated shortlist ({take}) exceeds 10% of "
-                        f"the corpus ({n_total}) — 1-bit signatures separate "
-                        f"this data weakly; consider PQ or HNSW.",
-                        stacklevel=2,
-                    )
-            except Exception:  # noqa: BLE001
-                pass
     qsig = [
         sum(
             (1 << (b - w)) for b in range(w, min(w + _BITS, dims)) if q[b] > 0
@@ -451,10 +490,7 @@ class BqIndex:
         merged.pop("source_fingerprint", None)
         merged.update(_merge_source_fields(man, df, "BqIndex"))
         merged["updated_at"] = _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime())
-        tmp = os.path.join(self.path, ".manifest.json.tmp")
-        with open(tmp, "w") as f:
-            _json.dump(merged, f)
-        os.replace(tmp, os.path.join(self.path, "manifest.json"))
+        write_manifest(self.path, merged)
         self.manifest = merged
         return self
 
@@ -495,30 +531,14 @@ def create_bq_index(
     ).where(F.col(vec_col).isNotNull())
     n, dims = _count_and_dims(src, vec_col, "a BQ index")
 
-    # calibration sample (same estimator as calibrate_rescore, but the
-    # fraction is persisted instead of re-estimated per session)
-    rows = (
-        src.select(vec_col)
-        .orderBy(F.md5(F.col(vec_col).cast("string")))
-        .limit(int(min(cal_rows, n)))
-        .collect()
-    )
-    mat = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
-    s = len(mat)
-    rng = np.random.RandomState(0)
-    qidx = rng.choice(s, size=min(64, s), replace=False)
-    dists = _exact_dists(mat[qidx], mat, metric)
-    bits = mat > 0
-    ham = (bits[qidx][:, None, :] != bits[None, :, :]).sum(-1)
-    kk = min(10, s - 1)
-    fracs: list[float] = []
-    for i in range(len(qidx)):
-        true = np.argsort(dists[i], kind="stable")[: kk + 1]
-        true = true[true != qidx[i]][:kk]
-        hrank = np.argsort(np.argsort(ham[i], kind="stable"), kind="stable")
-        fracs.extend(((hrank[true] + 1) / s).tolist())
-    fr = np.sort(np.asarray(fracs))
-    frac = float(fr[min(len(fr) - 1, int(np.ceil(target_recall * len(fr))) - 1)])
+    if n == 0:
+        raise ValueError("cannot build a BQ index over an empty vector column")
+
+    # calibration sample: the SAME estimator as calibrate_rescore
+    # (_estimate_fraction), but the fraction is persisted instead of
+    # re-estimated per session; < 2 sample rows → 1.0 (exact shortlist)
+    mat = _sample_matrix(src, vec_col, cal_rows, n)
+    frac = _estimate_fraction(mat, metric, k=10, target=target_recall)
 
     if os.path.exists(path):
         if not overwrite:
@@ -542,10 +562,7 @@ def create_bq_index(
         **_source_manifest_fields(df),
         "created_at": _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime()),
     }
-    tmp = os.path.join(path, ".manifest.json.tmp")
-    with open(tmp, "w") as f:
-        _json.dump(manifest, f)
-    os.replace(tmp, os.path.join(path, "manifest.json"))
+    write_manifest(path, manifest)
     return BqIndex(spark, path, manifest)
 
 

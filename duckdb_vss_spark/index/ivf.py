@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, IntegerType
 
+from duckdb_vss_spark.index.manifest import write_manifest
 from duckdb_vss_spark.functions.distance import distance_for_metric
 
 __all__ = ["create_ivf_index", "load_ivf_index", "drop_ivf_index", "IvfIndex"]
@@ -364,9 +365,14 @@ class IvfIndex:
         Appended ids are not deduplicated against existing lists (the
         reference's Insert appends too); deletes go through rebuild().
 
-        The per-list count update recomputes the assign projection over
-        the BATCH (ids + list_id only) — a second map pass over the
-        batch, never the corpus."""
+        The per-list count update reads the JUST-WRITTEN files' parquet
+        footers (new paths = the before/after directory-listing diff) —
+        no second pass over the batch, and the counts are exactly what
+        was written even if the batch source is non-deterministic
+        (an unordered limit or a sample would make a recomputed
+        histogram silently diverge from the written rows). Falls back
+        to recomputing the assign projection when pyarrow is
+        unavailable."""
         man = self.manifest
         id_col, vec_col = man["id_col"], man["vec_col"]
         src = df.select(
@@ -379,18 +385,35 @@ class IvfIndex:
                 f"(batch has FLOAT[{probe['d']}])"
             )
         lists_dir = os.path.join(self.path, "lists")
+
+        def _listing() -> set[str]:
+            out = set()
+            for root, _dirs, names in os.walk(lists_dir):
+                for nm in names:
+                    if nm.endswith(".parquet"):
+                        out.add(os.path.join(root, nm))
+            return out
+
+        before = _listing()
         assigned = src.withColumn(
             "list_id", _assign_udf(self._centroids, self.metric)(F.col(vec_col))
         )
         assigned.write.partitionBy("list_id").mode("append").parquet(lists_dir)
-        # histogram of what was just appended: scan the batch's own
-        # (tiny, ids+list_id) projection, not the whole lists dir
-        hist = {
-            int(r["list_id"]): int(r["n"])
-            for r in assigned.groupBy("list_id")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        hist: dict[int, int] = {}
+        try:
+            import pyarrow.parquet as papq
+
+            for f in _listing() - before:
+                part = os.path.basename(os.path.dirname(f))
+                lid = int(part.split("=", 1)[1])
+                hist[lid] = hist.get(lid, 0) + int(papq.ParquetFile(f).metadata.num_rows)
+        except Exception:  # noqa: BLE001 — pyarrow unavailable: recompute
+            hist = {
+                int(r["list_id"]): int(r["n"])
+                for r in assigned.groupBy("list_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
         bad = [lid for lid in hist if lid < 0 or lid >= man["nlist"]]
         if bad:  # pragma: no cover — assign argmins over nlist by design
             raise ValueError(f"assignment produced out-of-range list ids: {bad}")
@@ -404,10 +427,7 @@ class IvfIndex:
             for p in man["lists"]
         ]
         merged["updated_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
-        tmp = os.path.join(self.path, ".manifest.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(merged, f)
-        os.replace(tmp, os.path.join(self.path, "manifest.json"))
+        write_manifest(self.path, merged)
         self.manifest = merged
         return self
 
@@ -611,10 +631,7 @@ def create_ivf_index(
             for lid in range(nlist)
         ],
     }
-    tmp = os.path.join(path, ".manifest.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, os.path.join(path, "manifest.json"))
+    write_manifest(path, manifest)
     return IvfIndex(spark, path, manifest)
 
 

@@ -51,6 +51,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from duckdb_vss_spark.index.manifest import write_manifest
 from duckdb_vss_spark.functions.distance import distance_for_metric
 from duckdb_vss_spark.index.ivf import _calibrate_nprobe, _count_and_dims, _kmeans, _norm_rows
 from duckdb_vss_spark.index.pq import (
@@ -413,10 +414,7 @@ class IvfPqIndex:
         merged.pop("source_fingerprint", None)
         merged.update(_merge_source_fields(man, df, "IvfPqIndex"))
         merged["updated_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
-        tmp = os.path.join(self.path, ".manifest.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(merged, f)
-        os.replace(tmp, os.path.join(self.path, "manifest.json"))
+        write_manifest(self.path, merged)
         self.manifest = merged
         return self
 
@@ -573,10 +571,7 @@ def create_ivfpq_index(
         **_source_manifest_fields(df),
         "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
-    tmp = os.path.join(path, ".manifest.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, os.path.join(path, "manifest.json"))
+    write_manifest(path, manifest)
     return IvfPqIndex(spark, path, manifest)
 
 

@@ -54,6 +54,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType, DoubleType
 
+from duckdb_vss_spark.index.manifest import write_manifest
 from duckdb_vss_spark.functions.distance import distance_for_metric
 from duckdb_vss_spark.index.ivf import _kmeans, _norm_rows
 
@@ -276,6 +277,20 @@ def _merge_source_fields(manifest: dict, batch_df: DataFrame, family: str) -> di
     old_files = manifest.get("source_files") or []
     old_fp = manifest.get("source_fingerprint")
     if old_files and old_fp:
+        # validate the OLD fingerprint BEFORE extending (r12 review): a
+        # source file overwritten in place since the build would have
+        # its stale (size, mtime_ns) silently REFRESHED by the set-union
+        # below — re-arming exactly the silent-wrong-rerank hazard
+        # _fingerprint_ok exists to close. Stale -> drop the source.
+        if not _fingerprint_ok(manifest):
+            warnings.warn(
+                f"{family}.add_batch: dropping the recorded re-rank source — "
+                f"its build-time fingerprint no longer matches (source files "
+                f"changed since the index was built). Default knn calls will "
+                f"be ADC-only with a warning; rebuild the index.",
+                stacklevel=3,
+            )
+            return {"source_files": []}
         new = _source_manifest_fields(batch_df)
         nf = new.get("source_files") or []
         if nf:
@@ -664,10 +679,7 @@ class PqIndex:
         merged.pop("source_fingerprint", None)
         merged.update(_merge_source_fields(man, df, "PqIndex"))
         merged["updated_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
-        tmp = os.path.join(self.path, ".manifest.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(merged, f)
-        os.replace(tmp, os.path.join(self.path, "manifest.json"))
+        write_manifest(self.path, merged)
         self.manifest = merged
         return self
 
@@ -909,10 +921,7 @@ def create_pq_index(
         **_source_manifest_fields(df),
         "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
-    tmp = os.path.join(path, ".manifest.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, os.path.join(path, "manifest.json"))
+    write_manifest(path, manifest)
     return PqIndex(spark, path, manifest)
 
 

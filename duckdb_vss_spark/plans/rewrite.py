@@ -674,9 +674,14 @@ class VssPlanner:
             # the index scan ranks by the metric's *distance* ascending,
             # which is exactly similarity descending for cosine/ip — so
             # min_by and max_by share the same indexed top-k
-            self.last_plan = self._marker(idx)
-            hits = self._index_hits(idx, mb.table, mb.query_vec, mb.k)
-        else:
+            try:
+                self.last_plan = self._marker(idx)
+                hits = self._index_hits(idx, mb.table, mb.query_vec, mb.k)
+            except LookupError:
+                # unroutable quantized hits (no metric distance — r12
+                # review): seq-scan like the top-k path does
+                idx = None
+        if idx is None:
             self.last_plan = "SEQ_SCAN"
             # ties break by the value column (deterministic in both paths
             # when value is the row id; the reference's own tests only
@@ -703,14 +708,20 @@ class VssPlanner:
         if ml is None:
             return None
         # prefer the graph index (the batched multi-query scan is HNSW's
-        # ExecuteMultiScan shape); fall back to IVF's list-routed join
+        # ExecuteMultiScan shape); fall back to IVF's list-routed join.
+        # ONLY these two families are lateral-capable here (r12 review):
+        # the quantized artifacts' knn_join signatures differ and their
+        # hits carry no inner payload columns, so a registered PQ/BQ
+        # index must route laterals to the brute path, not crash.
         fallback = None
         for idx in self._indexes.get((ml.inner.lower(), ml.item_col.lower()), []):
             if idx.metric != ml.metric:
                 continue
-            if type(idx).__name__ == "HnswIndex":
+            kind = type(idx).__name__
+            if kind == "HnswIndex":
                 return idx
-            fallback = fallback or idx
+            if kind == "IvfIndex":
+                fallback = fallback or idx
         return fallback
 
     def _run_lateral_brute(self, ml: LateralMatch) -> DataFrame:

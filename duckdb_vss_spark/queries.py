@@ -1588,7 +1588,7 @@ def q_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _get_pq_index(spark: SparkSession, sf_dir: str):
     """Build (once per sf_dir) the PQ codes artifact over embeddings.
     ksub scales with corpus size (training needs >= ksub sample rows);
-    m=16 subspaces over the 64-dim embeddings = 4 dims/code."""
+    m=32 subspaces over the 64-dim embeddings = 2 dims/code."""
     from duckdb_vss_spark.index import create_pq_index, load_pq_index
 
     tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]

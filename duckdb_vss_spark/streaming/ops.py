@@ -322,10 +322,9 @@ def streaming_index_add(
                 **index_opts,
             )
             ix.manifest["last_epoch"] = int(epoch_id)
-            tmp = os.path.join(index_path, ".manifest.json.tmp")
-            with open(tmp, "w") as f:
-                json.dump(ix.manifest, f, indent=1)
-            os.replace(tmp, man_path)
+            from duckdb_vss_spark.index.manifest import write_manifest
+
+            write_manifest(index_path, ix.manifest, indent=1)
             return
         ix = load_index(spark, index_path)
         if int(ix.manifest.get("last_epoch", -1)) >= int(epoch_id):

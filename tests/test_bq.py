@@ -260,3 +260,18 @@ def test_bq_index_hamming_only_and_persistence_gate(spark, emb, tmp_path):
             )
     finally:
         spark.conf.set("spark.vss.enable_experimental_persistence", "true")
+
+
+def test_default_on_filtered_file_source_does_not_crash(spark, tmp_path):
+    """r12 review: footer-n ignores pushed filters, so a file-backed
+    source filtered to 0-1 rows used to crash the calibration sample
+    (np.stack of an empty list / empty rank fractions); it must now
+    degrade to an exact full-corpus-fraction shortlist and return the
+    surviving rows."""
+    src = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qv = [float(x) for x in src.where(F.col("vec_id") == 7).first()["embedding"]]
+    one = src.where(F.col("vec_id") == 42)
+    out = bq_knn(one, "embedding", "vec_id", qv, 10).collect()
+    assert len(out) <= 1
+    none = src.where(F.col("vec_id") == -1)
+    assert bq_knn(none, "embedding", "vec_id", qv, 10).collect() == []

@@ -405,3 +405,34 @@ def test_add_batch_dim_mismatch_rejected_pq(spark, emb, tmp_path):
     )
     with pytest.raises(ValueError, match="FLOAT"):
         ix.add_batch(bad)
+
+
+def test_add_batch_after_source_overwrite_drops_source(spark, tmp_path):
+    """r12 review: add_batch over an index whose source files were
+    overwritten in place must DROP the source, not refresh the stale
+    fingerprint (which would re-arm the silent-wrong-rerank hazard
+    _fingerprint_ok closes)."""
+    import warnings as _w
+
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    src_path = str(tmp_path / "vecs")
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(300)]
+    spark.createDataFrame(rows, "vid long, v array<float>").repartition(1).write.parquet(src_path)
+    ix = create_pq_index(
+        spark, spark.read.parquet(src_path), "v", "vid", str(tmp_path / "ow"), m=4, ksub=8
+    )
+    assert ix.manifest["source_files"]
+    # overwrite the source in place (different vectors, same column names)
+    rows2 = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(300)]
+    spark.createDataFrame(rows2, "vid long, v array<float>").repartition(1).write.mode(
+        "overwrite"
+    ).parquet(src_path)
+    batch = spark.read.parquet(src_path).where("vid < 10")
+    with _w.catch_warnings(record=True) as seen:
+        _w.simplefilter("always")
+        ix = ix.add_batch(batch)
+        assert any("fingerprint no longer matches" in str(w.message) for w in seen)
+    assert ix.manifest["source_files"] == []
+    assert "source_fingerprint" not in ix.manifest
