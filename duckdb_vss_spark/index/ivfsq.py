@@ -32,6 +32,7 @@ import logging
 import math
 import os
 import shutil
+import time
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
@@ -117,6 +118,46 @@ class IvfSqIndex:
         )
 
 
+    def add_batch(self, df: DataFrame) -> "IvfSqIndex":
+        """Offline incremental maintenance (r12 — the IVF×SQ face of the
+        add_batch family): assign to the FROZEN centroids and SQ-encode
+        with the FROZEN per-dim bounds in one map-only stage, hive-append
+        into ``lists/``, atomically bump the manifest count. Frozen-codec
+        caveat specific to SQ: batch values OUTSIDE the trained min/max
+        range clamp to the range edge (larger reconstruction error for
+        those dims) — fine for appends from the same distribution;
+        rebuild when the distribution shifts. Appended ids are not
+        deduplicated (the reference's Insert appends too)."""
+        from duckdb_vss_spark.index.ivf import _assign_udf, _count_and_dims
+        from duckdb_vss_spark.index.manifest import write_manifest
+        from duckdb_vss_spark.index.sq import sq_encode
+
+        man = self.manifest
+        id_col, vec_col = man["id_col"], man["vec_col"]
+        src = df.select(
+            F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
+        ).where(F.col(vec_col).isNotNull())
+        n, dims = _count_and_dims(src, vec_col, "an IVF-SQ add_batch")
+        if dims != man["dimensions"]:
+            raise ValueError(
+                f"IVF-SQ index keys must be of type FLOAT[{man['dimensions']}] "
+                f"(batch has FLOAT[{dims}])"
+            )
+        assign = _assign_udf(self._centroids, man["metric"])
+        encoded = sq_encode(src, vec_col, self._mins, self._maxs).withColumn(
+            "list_id", assign(F.col(vec_col))
+        )
+        encoded.select(id_col, "codes", "list_id").write.partitionBy(
+            "list_id"
+        ).mode("append").parquet(os.path.join(self.path, "lists"))
+        merged = dict(man)
+        merged["count"] = int(man["count"] + n)
+        merged["updated_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        write_manifest(self.path, merged)
+        self.manifest = merged
+        return self
+
+
 def create_ivfsq_index(
     spark: SparkSession,
     df: DataFrame,
@@ -190,8 +231,9 @@ def create_ivfsq_index(
         "sq_mins": [float(x) for x in mins],
         "sq_maxs": [float(x) for x in maxs],
     }
-    with open(os.path.join(path, "manifest.json"), "w") as f:
-        json.dump(manifest, f)
+    from duckdb_vss_spark.index.manifest import write_manifest
+
+    write_manifest(path, manifest)
     return IvfSqIndex(spark, path, manifest)
 
 

@@ -121,3 +121,38 @@ def test_ivfsq_partition_pruning_and_rerank_exact(spark, tmp_path):
         .collect()
     ]
     assert got == exact
+
+
+def test_ivfsq_add_batch_appends_and_rerank_exact(spark, tmp_path):
+    """r12: IVF-SQ add_batch assigns to frozen centroids and encodes
+    with frozen SQ bounds; all-probe + source re-rank over the merged
+    index is exact vs brute force, count/persistence updated."""
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark.index.ivfsq import create_ivfsq_index, load_ivfsq_index
+    from duckdb_vss_spark.operators.topk import knn_search
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").where(
+        F.col("embedding").isNotNull()
+    )
+    h1 = emb.where(F.col("vec_id") % 2 == 0)
+    h2 = emb.where(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivfsq_ab")
+    ix = create_ivfsq_index(spark, h1, "embedding", "vec_id", path)
+    cents = ix.manifest["centroids"]
+    bounds = (ix.manifest["sq_mins"], ix.manifest["sq_maxs"])
+    ix = ix.add_batch(h2)
+    assert ix.manifest["centroids"] == cents  # frozen routing
+    assert (ix.manifest["sq_mins"], ix.manifest["sq_maxs"]) == bounds  # frozen codec
+    assert ix.manifest["count"] == emb.count()
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 29).first()["embedding"]]
+    got = [
+        r["vec_id"]
+        for r in ix.knn_search(
+            qv, 10, nprobe=ix.nlist, rerank=ix.manifest["count"],
+            source=emb.select("vec_id", "embedding"),
+        ).collect()
+    ]
+    want = [r["vec_id"] for r in knn_search(emb, "embedding", qv, 10).collect()]
+    assert got == want
+    assert load_ivfsq_index(spark, path).manifest["count"] == emb.count()
