@@ -280,7 +280,22 @@ def bq_knn(
         from duckdb_vss_spark.index.pq import _input_files
 
         files = tuple(sorted(_input_files(df)))
-        key = (files, vec_col, int(k), metric) if files else None
+        # the key also carries the ANALYZED PLAN's semantic hash
+        # (ADVICE r12): two logically different frames over the same
+        # parquet files — df vs df.where(pred), or a withColumn that
+        # transforms the vec column in place — must not share one
+        # cached (rescore, n) entry, or the cached shortlist silently
+        # misses the recall target (or over-provisions) for the other
+        # caller. semanticHash is plan-identity, stable per session.
+        try:
+            plan_id = int(df.semanticHash())
+        except Exception:  # noqa: BLE001 — connect/py4j surface moved
+            plan_id = None
+        key = (
+            (files, plan_id, vec_col, int(k), metric)
+            if files and plan_id is not None
+            else None
+        )
         if key is not None and key in _CAL_CACHE:
             take, n_total = _CAL_CACHE[key]
         else:
@@ -463,12 +478,15 @@ class BqIndex:
         atomically bump the manifest count — the calibrated default
         rescore rescales automatically because it is stored as a
         fraction. The rescore source extends/drops by PQ's set-union
-        rule."""
+        rule. Empty batch: no-op (ADVICE r12, family-consistent).
+        Crash window: commits via staged_append — after a crash inside
+        the rename→manifest window, rebuild."""
         import json as _json
         import os
         import time as _time
 
-        from duckdb_vss_spark.index.ivf import _count_and_dims
+        from duckdb_vss_spark.index.ivf import _batch_count_and_dims
+        from duckdb_vss_spark.index.manifest import staged_append
         from duckdb_vss_spark.index.pq import _merge_source_fields
 
         man = self.manifest
@@ -476,15 +494,18 @@ class BqIndex:
         src = df.select(
             F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
         ).where(F.col(vec_col).isNotNull())
-        n, dims = _count_and_dims(src, vec_col, "a BQ add_batch")
+        n, dims = _batch_count_and_dims(src, vec_col)
+        if n == 0:
+            return self
         if dims != man["dimensions"]:
             raise ValueError(
                 f"BQ index keys must be of type FLOAT[{man['dimensions']}] "
                 f"(batch has FLOAT[{dims}])"
             )
-        src.select(
-            id_col, binary_signature(vec_col, dims).alias("sig")
-        ).write.mode("append").parquet(os.path.join(self.path, "sigs"))
+        staged_append(
+            src.select(id_col, binary_signature(vec_col, dims).alias("sig")),
+            os.path.join(self.path, "sigs"),
+        )
         merged = dict(man)
         merged["count"] = int(man["count"] + n)
         merged.pop("source_fingerprint", None)

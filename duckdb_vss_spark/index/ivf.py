@@ -59,6 +59,19 @@ def _count_and_dims(src: DataFrame, vec_col: str, what: str) -> tuple[int, int]:
     return total, int(row["d"])
 
 
+def _batch_count_and_dims(src: DataFrame, vec_col: str) -> tuple[int, int | None]:
+    """add_batch variant of ``_count_and_dims``: an empty (or all-NULL)
+    batch returns ``(0, None)`` so every family's add_batch can no-op —
+    a drained upstream (``corpus_diff`` finding zero new docs) must not
+    throw on some index types while IvfIndex.add_batch treats the same
+    input as a no-op (ADVICE r12)."""
+    row = src.agg(
+        F.count(F.lit(1)).alias("n"), F.first(F.size(vec_col)).alias("d")
+    ).first()
+    n = int(row["n"])
+    return (n, int(row["d"])) if n else (0, None)
+
+
 def _kmeans(sample: np.ndarray, nlist: int, iters: int, seed: int) -> np.ndarray:
     """Seeded Lloyd's k-means on a driver-sized sample (float64 for a
     stable oracle). kmeans++-style init: first centroid seeded-random,
@@ -366,13 +379,16 @@ class IvfIndex:
         reference's Insert appends too); deletes go through rebuild().
 
         The per-list count update reads the JUST-WRITTEN files' parquet
-        footers (new paths = the before/after directory-listing diff) —
-        no second pass over the batch, and the counts are exactly what
-        was written even if the batch source is non-deterministic
-        (an unordered limit or a sample would make a recomputed
-        histogram silently diverge from the written rows). Falls back
-        to recomputing the assign projection when pyarrow is
-        unavailable."""
+        footers (new paths = exactly what ``staged_append`` moved into
+        place) — no second pass over the batch, and the counts are
+        exactly what was written even if the batch source is
+        non-deterministic (an unordered limit or a sample would make a
+        recomputed histogram silently diverge from the written rows).
+        Falls back to recomputing the assign projection when pyarrow
+        is unavailable. Crash window: commits via staged_append —
+        after a crash inside the rename→manifest window, rebuild."""
+        from duckdb_vss_spark.index.manifest import staged_append
+
         man = self.manifest
         id_col, vec_col = man["id_col"], man["vec_col"]
         src = df.select(
@@ -385,25 +401,15 @@ class IvfIndex:
                 f"(batch has FLOAT[{probe['d']}])"
             )
         lists_dir = os.path.join(self.path, "lists")
-
-        def _listing() -> set[str]:
-            out = set()
-            for root, _dirs, names in os.walk(lists_dir):
-                for nm in names:
-                    if nm.endswith(".parquet"):
-                        out.add(os.path.join(root, nm))
-            return out
-
-        before = _listing()
         assigned = src.withColumn(
             "list_id", _assign_udf(self._centroids, self.metric)(F.col(vec_col))
         )
-        assigned.write.partitionBy("list_id").mode("append").parquet(lists_dir)
+        new_files = staged_append(assigned, lists_dir, partition_by="list_id")
         hist: dict[int, int] = {}
         try:
             import pyarrow.parquet as papq
 
-            for f in _listing() - before:
+            for f in new_files:
                 part = os.path.basename(os.path.dirname(f))
                 lid = int(part.split("=", 1)[1])
                 hist[lid] = hist.get(lid, 0) + int(papq.ParquetFile(f).metadata.num_rows)

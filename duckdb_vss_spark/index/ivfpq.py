@@ -379,8 +379,12 @@ class IvfPqIndex:
         stream re-list the per-list files per call, so they pick the
         appended codes up immediately. The auto-rerank source extends /
         drops by the same rule as PqIndex.add_batch (a partial source
-        would silently lose new-batch candidates in the re-rank join)."""
-        from duckdb_vss_spark.index.ivf import _count_and_dims
+        would silently lose new-batch candidates in the re-rank join).
+        Empty batch: no-op (ADVICE r12, family-consistent). Crash
+        window: commits via staged_append — after a crash inside the
+        rename→manifest window, rebuild."""
+        from duckdb_vss_spark.index.ivf import _batch_count_and_dims
+        from duckdb_vss_spark.index.manifest import staged_append
         from duckdb_vss_spark.index.pq import _merge_source_fields
 
         man = self.manifest
@@ -388,7 +392,9 @@ class IvfPqIndex:
         src = df.select(
             F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
         ).where(F.col(vec_col).isNotNull())
-        n, dims = _count_and_dims(src, vec_col, "an IVFADC add_batch")
+        n, dims = _batch_count_and_dims(src, vec_col)
+        if n == 0:
+            return self
         if dims != man["dimensions"]:
             raise ValueError(
                 f"IVFPQ index keys must be of type FLOAT[{man['dimensions']}] "
@@ -398,16 +404,14 @@ class IvfPqIndex:
         enc = _assign_encode_udf(self._centroids, self._books, self.metric)(
             F.col(vec_col)
         )
-        (
-            src.withColumn("_e", enc)
-            .select(
+        staged_append(
+            src.withColumn("_e", enc).select(
                 id_col,
                 F.col("_e.list_id").alias("list_id"),
                 F.col("_e.pq_code").alias("pq_code"),
-            )
-            .write.partitionBy("list_id")
-            .mode("append")
-            .parquet(codes_dir)
+            ),
+            codes_dir,
+            partition_by="list_id",
         )
         merged = dict(man)
         merged["count"] = int(man["count"] + n)

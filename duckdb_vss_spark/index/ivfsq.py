@@ -127,9 +127,12 @@ class IvfSqIndex:
         range clamp to the range edge (larger reconstruction error for
         those dims) — fine for appends from the same distribution;
         rebuild when the distribution shifts. Appended ids are not
-        deduplicated (the reference's Insert appends too)."""
-        from duckdb_vss_spark.index.ivf import _assign_udf, _count_and_dims
-        from duckdb_vss_spark.index.manifest import write_manifest
+        deduplicated (the reference's Insert appends too). Empty batch:
+        no-op (ADVICE r12, family-consistent). Crash window: commits
+        via staged_append — after a crash inside the rename→manifest
+        window, rebuild."""
+        from duckdb_vss_spark.index.ivf import _assign_udf, _batch_count_and_dims
+        from duckdb_vss_spark.index.manifest import staged_append, write_manifest
         from duckdb_vss_spark.index.sq import sq_encode
 
         man = self.manifest
@@ -137,7 +140,9 @@ class IvfSqIndex:
         src = df.select(
             F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
         ).where(F.col(vec_col).isNotNull())
-        n, dims = _count_and_dims(src, vec_col, "an IVF-SQ add_batch")
+        n, dims = _batch_count_and_dims(src, vec_col)
+        if n == 0:
+            return self
         if dims != man["dimensions"]:
             raise ValueError(
                 f"IVF-SQ index keys must be of type FLOAT[{man['dimensions']}] "
@@ -147,9 +152,11 @@ class IvfSqIndex:
         encoded = sq_encode(src, vec_col, self._mins, self._maxs).withColumn(
             "list_id", assign(F.col(vec_col))
         )
-        encoded.select(id_col, "codes", "list_id").write.partitionBy(
-            "list_id"
-        ).mode("append").parquet(os.path.join(self.path, "lists"))
+        staged_append(
+            encoded.select(id_col, "codes", "list_id"),
+            os.path.join(self.path, "lists"),
+            partition_by="list_id",
+        )
         merged = dict(man)
         merged["count"] = int(man["count"] + n)
         merged["updated_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())

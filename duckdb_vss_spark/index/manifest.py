@@ -10,8 +10,10 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import uuid
 
-__all__ = ["write_manifest"]
+__all__ = ["write_manifest", "staged_append"]
 
 
 def write_manifest(path: str, manifest: dict, indent: int | None = None) -> None:
@@ -20,3 +22,53 @@ def write_manifest(path: str, manifest: dict, indent: int | None = None) -> None
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=indent)
     os.replace(tmp, os.path.join(path, "manifest.json"))
+
+
+def staged_append(df, target_dir: str, partition_by: str | None = None) -> list[str]:
+    """Append ``df``'s rows under ``target_dir`` with a NARROW commit
+    window (ADVICE r12: every quantized ``add_batch`` used to
+    ``mode("append")`` straight into the live data dir, so a crash
+    anywhere inside the Spark write left orphan part files that the
+    scans read while the manifest count stayed stale). The batch is
+    written to a hidden sibling staging dir first — invisible to every
+    reader, both because it is never the read path and because Spark
+    skips dot-prefixed files — and the finished part files are renamed
+    into place only after the whole write succeeded, immediately before
+    the caller's atomic manifest update.
+
+    Residual window, documented on every add_batch: a crash BETWEEN the
+    renames and the manifest write (microseconds of local fs metadata
+    ops, vs the whole encode+write job before) can still leave
+    scan-visible rows with a stale manifest count — after a failed
+    add_batch, ``rebuild()`` restores exactness. A crash mid-write
+    leaves only the unreferenced staging dir: retrying the add never
+    duplicates rows, and leftover ``.staging-*`` dirs are swept here on
+    the next successful append.
+
+    Returns the list of files moved in (hive-partitioned layouts keep
+    their ``key=value/`` subpaths, so callers can derive per-partition
+    counts from exactly what was committed)."""
+    parent = os.path.dirname(target_dir.rstrip("/")) or "."
+    # sweep orphans from previously-crashed appends of THIS artifact
+    if os.path.isdir(parent):
+        for nm in os.listdir(parent):
+            if nm.startswith(".staging-"):
+                shutil.rmtree(os.path.join(parent, nm), ignore_errors=True)
+    stage = os.path.join(parent, f".staging-{uuid.uuid4().hex[:12]}")
+    writer = df.write
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.mode("overwrite").parquet(stage)
+    moved: list[str] = []
+    for root, _dirs, names in os.walk(stage):
+        rel = os.path.relpath(root, stage)
+        for nm in names:
+            if not nm.endswith(".parquet"):
+                continue
+            dest_dir = target_dir if rel == "." else os.path.join(target_dir, rel)
+            os.makedirs(dest_dir, exist_ok=True)
+            dest = os.path.join(dest_dir, nm)
+            os.replace(os.path.join(root, nm), dest)
+            moved.append(dest)
+    shutil.rmtree(stage, ignore_errors=True)
+    return moved

@@ -114,16 +114,37 @@ def _fingerprint_ok(manifest: dict) -> bool:
     return True
 
 
+class LegacyManifestError(ValueError):
+    """The manifest records ``source_files`` but predates the
+    ``source_fingerprint`` schema (pre-r12 artifact). Serving it would
+    silently degrade the auto-rerank default to ADC-only recall (~0.74
+    at m=8) — the exact silent-wrong-default class the fingerprint
+    hardening exists to close (VERDICT r12 #1). Rebuild the index (or
+    re-create it over the same files to re-fingerprint)."""
+
+
 def _manifest_source(spark: SparkSession, manifest: dict) -> DataFrame | None:
     """Reload the ORIGINAL vectors from the file-backed source recorded
     in the manifest at build time (``source_files``), projected to the
     minimal (id, vec) shape the exact re-rank needs. Returns None when
-    the index was built from a non-file source, the files have moved,
-    or the fingerprint recorded at build time no longer matches
-    (ADVICE r11) — callers fall back to ADC-only scoring with a
-    one-time warning."""
+    the index was built from a non-file source or the fingerprint
+    recorded at build time no longer matches (ADVICE r11) — callers
+    fall back to ADC-only scoring with a one-time warning. A manifest
+    with ``source_files`` but NO fingerprint at all is a pre-r12
+    legacy artifact and raises instead (VERDICT r12 #1): 'the files
+    changed under me' is runtime drift worth a warned fallback, but
+    'built by code that could not prove its source' must not silently
+    serve below the >=0.9-recall default contract."""
     files = manifest.get("source_files") or []
-    if not files or not _fingerprint_ok(manifest):
+    if not files:
+        return None
+    if "source_fingerprint" not in manifest:
+        raise LegacyManifestError(
+            "index manifest records source_files but no source_fingerprint "
+            "— a pre-r12 legacy artifact whose auto-rerank default would "
+            "silently degrade to ADC-only recall; rebuild the index."
+        )
+    if not _fingerprint_ok(manifest):
         return None
     id_col, vec_col = manifest["id_col"], manifest["vec_col"]
     try:
@@ -276,6 +297,12 @@ def _merge_source_fields(manifest: dict, batch_df: DataFrame, family: str) -> di
     union's footers so overlapping files are never double-counted."""
     old_files = manifest.get("source_files") or []
     old_fp = manifest.get("source_fingerprint")
+    if old_files and "source_fingerprint" not in manifest:
+        raise LegacyManifestError(
+            f"{family}.add_batch: the manifest records source_files but no "
+            f"source_fingerprint — a pre-r12 legacy artifact; rebuild the "
+            f"index before appending to it."
+        )
     if old_files and old_fp:
         # validate the OLD fingerprint BEFORE extending (r12 review): a
         # source file overwritten in place since the build would have
@@ -655,24 +682,34 @@ class PqIndex:
         (with a warning) otherwise — a source covering only part of
         the corpus would silently lose new-batch candidates in the
         re-rank join. Appended ids are not deduplicated against the
-        existing codes (the reference's Insert appends too)."""
+        existing codes (the reference's Insert appends too). An empty
+        batch is a no-op (ADVICE r12, family-consistent). Crash
+        window: the batch commits via a staging dir renamed into place
+        right before the manifest write (index/manifest.staged_append)
+        — after a crash INSIDE that microsecond window, rebuild()."""
         man = self.manifest
         id_col, vec_col = man["id_col"], man["vec_col"]
         src = df.select(
             F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
         ).where(F.col(vec_col).isNotNull())
-        from duckdb_vss_spark.index.ivf import _count_and_dims
+        from duckdb_vss_spark.index.ivf import _batch_count_and_dims
+        from duckdb_vss_spark.index.manifest import staged_append
 
-        n, dims = _count_and_dims(src, vec_col, "a PQ add_batch")
+        n, dims = _batch_count_and_dims(src, vec_col)
+        if n == 0:
+            return self
         if dims != man["dimensions"]:
             raise ValueError(
                 f"PQ index keys must be of type FLOAT[{man['dimensions']}] "
                 f"(batch has FLOAT[{dims}])"
             )
         codes_dir = os.path.join(self.path, "codes")
-        src.withColumn(
-            "pq_code", _encode_udf(self._books, self.metric)(F.col(vec_col))
-        ).select(id_col, "pq_code").write.mode("append").parquet(codes_dir)
+        staged_append(
+            src.withColumn(
+                "pq_code", _encode_udf(self._books, self.metric)(F.col(vec_col))
+            ).select(id_col, "pq_code"),
+            codes_dir,
+        )
 
         merged = dict(man)
         merged["count"] = int(man["count"] + n)

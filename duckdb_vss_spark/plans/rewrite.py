@@ -35,7 +35,18 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["rewrite_operators", "canonicalize_cosine", "match_topk", "pushable_where", "VssPlanner"]
+__all__ = [
+    "rewrite_operators", "canonicalize_cosine", "match_topk",
+    "pushable_where", "VssPlanner", "UnroutableIndexError",
+]
+
+
+class UnroutableIndexError(Exception):
+    """A registered index cannot serve this statement (e.g. the routed
+    table lacks the manifest's id column). Dedicated type so the
+    planner's seq-scan fallback catches exactly this — a broad
+    ``except LookupError`` would also swallow KeyError/IndexError from
+    genuine bugs inside the routing path (ADVICE r12)."""
 
 
 # -- operator aliases -> function names (hnsw_index.cpp:636-643) -----------
@@ -499,39 +510,55 @@ class VssPlanner:
             .replace("Index", "INDEX_SCAN")
         )
 
-    def _index_hits(self, idx, table: str, query_vec, k: int, where: str | None = None) -> DataFrame:
+    def _index_hits(
+        self, idx, table: str, query_vec, k: int,
+        where: str | None = None, vec_col: str | None = None,
+    ) -> DataFrame:
         """Run the index scan; k ordered rows with a ``dist`` column.
         ``where`` applies ABOVE the scan (filter pull-up — may return
         fewer than k rows, matching hnsw_optimize_scan.cpp:161-191).
 
         Any registered index family routes here (r12): HNSW
         late-materializes payload columns itself; IVF holds full rows
-        in its lists; the quantized artifacts (PQ/IVFADC/BQ) return
-        (id, dist) at their DEFAULT signatures (auto-rerank /
-        calibrated rescore — the ≥0.9-recall contracts), so the
-        payload columns the projection needs are late-materialized
-        with a broadcast id-join against the base table, preserving
-        the scan's (dist, id) order."""
+        in its lists. The quantized artifacts (PQ/IVFADC/IVFSQ/BQ)
+        over-fetch their DEFAULT shortlist as approximate-order ids
+        only, and the EXACT metric is recomputed on the broadcast
+        id-join against the routed base table (r13, VERDICT r12 #2):
+        the routed table IS the source the query's distance call reads,
+        so the rescore needs no manifest source resolution — ADC-only
+        ~0.74-recall results are unreachable via SQL regardless of
+        whether the build-time fingerprint still validates. The
+        shortlist sizes are the direct API's default signatures
+        (10·k for PQ/IVFADC/IVFSQ, the calibrated fraction for BQ), so
+        routed results ≡ ``knn_search`` with default rerank."""
         base = self.spark.table(table)
         kind = type(idx).__name__
         if kind == "IvfIndex":
             return idx.knn_search(query_vec, k, post_filter=where)
         if kind == "HnswIndex":
             return idx.knn_search(base, query_vec, k, post_filter=where)
-        # quantized families: (id, dist) hits -> payload by id
+        # quantized families: approximate shortlist ids -> exact rescore
         id_col = idx.manifest["id_col"]
-        hits = idx.knn_search(query_vec, int(k))
-        if "dist" not in hits.columns:
-            # a BQ artifact without a resolvable rescore source returns
-            # hamming-only hits — NOT metric-ordered, so the honest move
-            # is not routing at all (callers fall back to the seq scan)
-            raise LookupError(
-                "quantized index returned no metric distance "
-                "(no rescore source) — not routable"
+        vcol = vec_col or idx.manifest["vec_col"]
+        if id_col not in base.columns or vcol not in base.columns:
+            raise UnroutableIndexError(
+                f"table {table!r} lacks the index's id/vector columns "
+                f"({id_col!r}, {vcol!r}) — not routable"
             )
-        hits = hits.select(id_col, "dist")
+        if kind == "BqIndex":
+            take = idx.default_rescore(int(k))
+            short = idx.knn_search(query_vec, take, rescore=0)
+        elif kind == "IvfSqIndex":
+            short = idx.knn_search(query_vec, max(10 * int(k), int(k)))
+        else:  # PqIndex / IvfPqIndex
+            short = idx.knn_search(query_vec, max(10 * int(k), int(k)), rerank=0)
+        from duckdb_vss_spark.functions.distance import distance_for_metric
+
+        dist_fn = distance_for_metric(idx.metric)
+        q = [float(x) for x in query_vec]
         out = (
-            base.join(F.broadcast(hits), id_col)
+            base.join(F.broadcast(short.select(id_col)), id_col)
+            .withColumn("dist", dist_fn(F.col(vcol), q))
             .orderBy(F.col("dist").asc_nulls_last(), F.col(id_col))
             .limit(int(k))
         )
@@ -545,7 +572,10 @@ class VssPlanner:
         if match and idx is not None:
             try:
                 self.last_plan = self._marker(idx)
-                hits = self._index_hits(idx, match.table, match.query_vec, match.k, match.where)
+                hits = self._index_hits(
+                    idx, match.table, match.query_vec, match.k,
+                    match.where, vec_col=match.vec_col,
+                )
                 # reproject to the requested select list; the distance column
                 # is recomputed by the projection like the reference (§3-B.4)
                 hits.createOrReplaceTempView("__vss_topk__")
@@ -553,9 +583,9 @@ class VssPlanner:
                 if cols == "*":
                     return hits.drop("dist")
                 return self._raw_sql(f"SELECT {cols} FROM __vss_topk__")
-            except LookupError:
-                # a registered index that cannot serve metric-ordered
-                # hits (r12: BQ without a rescore source) must not
+            except UnroutableIndexError:
+                # a registered index that cannot serve this statement
+                # (routed table lacks the manifest's id column) must not
                 # break a previously-valid statement — seq-scan it
                 self.last_plan = "SEQ_SCAN"
                 return self._raw_sql(canonicalize_cosine(rewrite_operators(sql)))
@@ -615,7 +645,9 @@ class VssPlanner:
         prev_plan = self.last_plan
         try:
             self.last_plan = self._marker(idx)
-            hits = self._index_hits(idx, m.table, m.query_vec, m.k).alias(m.table)
+            hits = self._index_hits(
+                idx, m.table, m.query_vec, m.k, vec_col=m.vec_col
+            ).alias(m.table)
             for f in m.filters:
                 hits = hits.where(F.expr(f))
             if m.project_exprs:
@@ -676,10 +708,12 @@ class VssPlanner:
             # min_by and max_by share the same indexed top-k
             try:
                 self.last_plan = self._marker(idx)
-                hits = self._index_hits(idx, mb.table, mb.query_vec, mb.k)
-            except LookupError:
-                # unroutable quantized hits (no metric distance — r12
-                # review): seq-scan like the top-k path does
+                hits = self._index_hits(
+                    idx, mb.table, mb.query_vec, mb.k, vec_col=mb.vec_col
+                )
+            except UnroutableIndexError:
+                # unroutable index (routed table lacks the manifest's id
+                # column — r12 review): seq-scan like the top-k path does
                 idx = None
         if idx is None:
             self.last_plan = "SEQ_SCAN"

@@ -1184,8 +1184,11 @@ import os as _os
 
 # bump when the graph/artifact layout changes so cached /tmp artifacts
 # built by older code are never reused by a newer engine
-# (v4: manifests record source_files for the auto-rerank default)
-_ARTIFACT_VERSION = "v4"
+# (v4: manifests record source_files for the auto-rerank default;
+#  v5: source_files require a validated source_fingerprint — a v4
+#  manifest predating the fingerprint schema would silently degrade the
+#  auto-rerank default to ADC-only recall, VERDICT r12 #1)
+_ARTIFACT_VERSION = "v5"
 
 
 def _get_index(spark: SparkSession, sf_dir: str):

@@ -288,14 +288,22 @@ def streaming_index_add(
 
     Epoch idempotency: foreachBatch replays the in-flight micro-batch
     after a restart, and add_batch is append-only, so the manifest
-    records ``last_epoch`` IN THE SAME atomic manifest write as the
-    merge — a replayed epoch is detected and skipped, making the merge
-    exactly-once. The first batch creates the artifact (its epoch
-    stamp is a separate write; a crash landing exactly between the
-    create and the stamp replays batch 0 onto itself — the one
-    at-least-once edge, same boundary the refresh op has). An existing
-    artifact at ``index_path`` (e.g. a bulk nightly build) is extended,
-    not overwritten.
+    records the last merged epoch IN THE SAME atomic manifest write as
+    the merge — a replayed epoch is detected and skipped, making the
+    merge exactly-once. The stamp is SCOPED TO THE STREAM (ADVICE r12:
+    epoch ids restart at 0 whenever the checkpoint directory changes,
+    so a bare global stamp would silently DROP every early batch of a
+    restarted-with-fresh-checkpoint stream, and two streams sharing
+    one index would suppress each other): the manifest holds
+    ``last_epochs = {checkpoint-dir-hash: epoch}``, so only a true
+    replay of the same checkpointed query is skipped. A pre-r13 bare
+    ``last_epoch`` stamp is honored only until the first scoped write.
+    The first batch creates the artifact (its epoch stamp is a
+    separate write; a crash landing exactly between the create and the
+    stamp replays batch 0 onto itself — the one at-least-once edge,
+    same boundary the refresh op has). An existing artifact at
+    ``index_path`` (e.g. a bulk nightly build) is extended, not
+    overwritten.
 
     Duplicate ids across epochs append like the reference's Insert
     does — pair with ``streaming_dedup_against_store``/``corpus_diff``
@@ -304,7 +312,16 @@ def streaming_index_add(
     (the reference's compaction-after-inserts contract).
 
     Returns the StreamingQuery."""
+    import hashlib
+
     from duckdb_vss_spark.index import create_hnsw_index, load_index
+
+    # the stream's identity: its checkpoint dir IS the epoch-counter
+    # scope (Spark's epoch ids are per-checkpoint), so keying the stamp
+    # by it makes the replay guard exact
+    stream_key = hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:12]
 
     def add(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -321,15 +338,21 @@ def streaming_index_add(
                 overwrite=True,  # a replayed epoch-0 recreate is idempotent
                 **index_opts,
             )
-            ix.manifest["last_epoch"] = int(epoch_id)
+            ix.manifest["last_epochs"] = {stream_key: int(epoch_id)}
             from duckdb_vss_spark.index.manifest import write_manifest
 
             write_manifest(index_path, ix.manifest, indent=1)
             return
         ix = load_index(spark, index_path)
-        if int(ix.manifest.get("last_epoch", -1)) >= int(epoch_id):
+        stamps = dict(ix.manifest.get("last_epochs") or {})
+        if not stamps and "last_epoch" in ix.manifest:
+            # pre-r13 manifest: the bare stamp can only have come from
+            # a same-stream run (the scoped schema ships with this fix)
+            stamps = {stream_key: int(ix.manifest["last_epoch"])}
+        if int(stamps.get(stream_key, -1)) >= int(epoch_id):
             return  # replayed micro-batch after restart — already merged
-        ix.add_batch(batch_df, manifest_extra={"last_epoch": int(epoch_id)})
+        stamps[stream_key] = int(epoch_id)
+        ix.add_batch(batch_df, manifest_extra={"last_epochs": stamps})
 
     return (
         vectors.writeStream.outputMode("append")

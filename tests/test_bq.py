@@ -159,19 +159,26 @@ def test_default_signature_calibrated_recall(spark, emb):
 
 
 def test_calibration_cached_and_explicit_rescore_skips(spark, emb):
-    """The calibration is cached per (files, col, k, metric) and an
-    explicit rescore never triggers it."""
+    """The calibration is cached per (files, plan, col, k, metric) and
+    an explicit rescore never triggers it. The plan discriminator
+    (ADVICE r12): a logically different frame over the SAME files —
+    e.g. a filtered subset — must calibrate separately, not reuse the
+    full-corpus shortlist size."""
     from duckdb_vss_spark.index import bq as bqmod
 
     qv = [float(x) for x in emb.where(F.col("vec_id") == 7).first()["embedding"]]
     bq_knn(emb.select("vec_id", "embedding"), "embedding", "vec_id", qv, 10).collect()
-    keys = [k for k in bqmod._CAL_CACHE if k[1] == "embedding" and k[2] == 10]
+    keys = [k for k in bqmod._CAL_CACHE if k[2] == "embedding" and k[3] == 10]
     assert keys, "default call populates the calibration cache"
     before = dict(bqmod._CAL_CACHE)
     bq_knn(
         emb.select("vec_id", "embedding"), "embedding", "vec_id", qv, 10, rescore=50
     ).collect()
     assert bqmod._CAL_CACHE == before
+    # same files, different plan -> its own cache entry
+    filtered = emb.select("vec_id", "embedding").where(F.col("vec_id") % 2 == 0)
+    bq_knn(filtered, "embedding", "vec_id", qv, 10).collect()
+    assert len(bqmod._CAL_CACHE) == len(before) + 1
 
 
 # -- persisted BQ artifact (r12) -------------------------------------------

@@ -142,9 +142,9 @@ def test_quantized_index_routes_via_dataframe_api(spark, grid, tmp_path):
     """r12: the public DataFrame-API route (planner.optimize) fires for
     quantized artifacts too — same _index_hits generalization as the
     SQL hook; routed result == direct index call at the default
-    signature. Needs a FILE-backED source: a BQ artifact without a
-    resolvable rescore source serves hamming-only hits, which the
-    planner refuses to route (see the fallback test below)."""
+    signature (r13: the planner rescores the over-fetched shortlist
+    exactly against the routed table, so this holds with or without a
+    manifest rescore source)."""
     from pyspark.sql import functions as F
 
     from duckdb_vss_spark.index import create_bq_index
@@ -172,11 +172,13 @@ def test_quantized_index_routes_via_dataframe_api(spark, grid, tmp_path):
     assert [r["id"] for r in fast.collect()] == direct
 
 
-def test_unroutable_bq_falls_back_to_seq_scan(spark, grid, tmp_path):
-    """A BQ artifact whose rescore source is unreachable serves
-    hamming-only hits — NOT metric-ordered — so BOTH routes must
-    refuse to route it and execute the statement unchanged instead of
-    breaking it."""
+def test_sourceless_bq_routes_with_planner_rescore(spark, grid, tmp_path):
+    """r13 (VERDICT r12 #2): a BQ artifact with NO resolvable rescore
+    source is still routable — the planner over-fetches the Hamming
+    shortlist as ids only and recomputes the EXACT metric on the
+    broadcast id-join against the routed table itself (the routed
+    table IS the source the query's distance call reads). ADC/Hamming
+    approximate orderings are unreachable via SQL."""
     from pyspark.sql import functions as F
 
     from duckdb_vss_spark.index import create_bq_index
@@ -194,9 +196,17 @@ def test_unroutable_bq_falls_back_to_seq_scan(spark, grid, tmp_path):
         "SELECT id FROM df_items_nq "
         "ORDER BY array_distance(vec, array(2.0, 2.0, 2.0)) LIMIT 4"
     )
+    # exact top-4 with the planner's deterministic (dist, id) tie-break
+    want = [
+        r["id"]
+        for r in spark.sql(
+            "SELECT id FROM df_items_nq "
+            "ORDER BY array_distance(vec, array(2.0, 2.0, 2.0)), id LIMIT 4"
+        ).collect()
+    ]
     got = [r["id"] for r in p.sql(stmt).collect()]
-    assert p.last_plan == "SEQ_SCAN"
-    want = [r["id"] for r in spark.sql(stmt).collect()]
+    assert p.last_plan == "BQ_INDEX_SCAN"
+    # tiny corpus: the calibrated shortlist covers it -> exact top-k
     assert got == want
     df = (
         spark.table("df_items_nq")
@@ -205,5 +215,39 @@ def test_unroutable_bq_falls_back_to_seq_scan(spark, grid, tmp_path):
         .select("id")
     )
     fast = p.optimize(df)
-    assert p.last_plan == "SEQ_SCAN"
+    assert p.last_plan == "BQ_INDEX_SCAN"
     assert [r["id"] for r in fast.collect()] == want
+
+
+def test_genuinely_unroutable_index_falls_back_to_seq_scan(spark, grid, tmp_path):
+    """An index whose manifest id column is absent from the routed
+    table cannot late-materialize — the planner must raise the
+    dedicated UnroutableIndexError internally and execute the
+    statement unchanged (ADVICE r12: a broad LookupError catch would
+    also swallow genuine routing bugs)."""
+    from duckdb_vss_spark.index import create_bq_index
+    from duckdb_vss_spark.plans import VssPlanner
+
+    # the view renames the id column away from the manifest's id_col
+    grid.withColumnRenamed("id", "key").createOrReplaceTempView("df_items_noid")
+    bq = create_bq_index(
+        spark, grid, "vec", "id", str(tmp_path / "bq_noid"), overwrite=True
+    )
+    p = VssPlanner(spark)
+    p.register_index("df_items_noid", "vec", bq)
+    stmt = (
+        "SELECT key FROM df_items_noid "
+        "ORDER BY array_distance(vec, array(2.0, 2.0, 2.0)) LIMIT 4"
+    )
+    got = p.sql(stmt)
+    assert p.last_plan == "SEQ_SCAN"
+    # tie-safe check: same distance multiset as the raw statement
+    def dists(df):
+        return sorted(
+            r["d"]
+            for r in df.join(spark.table("df_items_noid"), "key")
+            .selectExpr("array_distance(vec, array(2.0, 2.0, 2.0)) AS d")
+            .collect()
+        )
+
+    assert dists(got) == dists(spark.sql(stmt))

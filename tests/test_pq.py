@@ -436,3 +436,91 @@ def test_add_batch_after_source_overwrite_drops_source(spark, tmp_path):
         assert any("fingerprint no longer matches" in str(w.message) for w in seen)
     assert ix.manifest["source_files"] == []
     assert "source_fingerprint" not in ix.manifest
+
+
+def test_legacy_fingerprintless_manifest_refuses(spark, tmp_path):
+    """VERDICT r12 #1: a manifest recording source_files but NO
+    source_fingerprint is a pre-r12 legacy artifact — serving it would
+    silently degrade the auto-rerank default to ADC-only recall, so
+    the default knn path (and add_batch) must raise legacy-requires-
+    rebuild instead of downgrading."""
+    import json
+    import os
+
+    import numpy as np
+    import pytest as _pt
+
+    from duckdb_vss_spark.index import load_pq_index
+    from duckdb_vss_spark.index.pq import LegacyManifestError, _manifest_source
+
+    rng = np.random.default_rng(11)
+    src_path = str(tmp_path / "vecs")
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(200)]
+    spark.createDataFrame(rows, "vid long, v array<float>").write.parquet(src_path)
+    ix = create_pq_index(
+        spark, spark.read.parquet(src_path), "v", "vid", str(tmp_path / "lg"),
+        m=4, ksub=8,
+    )
+    # simulate the pre-r12 manifest schema: files recorded, no fingerprint
+    man_file = os.path.join(ix.path, "manifest.json")
+    with open(man_file) as f:
+        man = json.load(f)
+    assert man.pop("source_fingerprint", None) is not None
+    with open(man_file, "w") as f:
+        json.dump(man, f)
+    legacy = load_pq_index(spark, ix.path)
+    with _pt.raises(LegacyManifestError, match="rebuild"):
+        _manifest_source(spark, legacy.manifest)
+    with _pt.raises(LegacyManifestError, match="rebuild"):
+        legacy.knn_search([0.0] * 16, 5)  # default signature auto-reranks
+    with _pt.raises(LegacyManifestError, match="rebuild"):
+        legacy.add_batch(spark.read.parquet(src_path).where("vid < 5"))
+    # explicit opt-outs still work: ADC-only and caller-supplied source
+    assert legacy.knn_search([0.0] * 16, 5, rerank=0).count() == 5
+    assert (
+        legacy.knn_search([0.0] * 16, 5, source=spark.read.parquet(src_path)).count()
+        == 5
+    )
+
+
+def test_add_batch_empty_is_noop_across_family(spark, tmp_path):
+    """ADVICE r12: an empty (or all-NULL) batch must be a no-op on
+    EVERY index type — a drained upstream dedup (corpus_diff returning
+    zero new docs) used to throw on PQ/BQ/IVFADC/IVFSQ while IVF
+    no-opped."""
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark.index import (
+        create_bq_index,
+        create_hnsw_index,
+        create_ivf_index,
+        create_ivfpq_index,
+        create_ivfsq_index,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+    )
+    empty = emb.where(F.lit(False))
+    all_null = emb.withColumn("embedding", F.lit(None).cast("array<float>"))
+    builders = {
+        "pq": lambda p: create_pq_index(spark, emb, "embedding", "vec_id", p, m=4, ksub=8),
+        "bq": lambda p: create_bq_index(spark, emb, "embedding", "vec_id", p),
+        "ivf": lambda p: create_ivf_index(spark, emb, "embedding", "vec_id", p, nlist=4),
+        "ivfpq": lambda p: create_ivfpq_index(
+            spark, emb, "embedding", "vec_id", p, nlist=4, m=4, ksub=8
+        ),
+        "ivfsq": lambda p: create_ivfsq_index(
+            spark, emb, "embedding", "vec_id", p, nlist=4
+        ),
+        "hnsw": lambda p: create_hnsw_index(spark, emb, "embedding", "vec_id", p),
+    }
+    for name, build in builders.items():
+        ix = build(str(tmp_path / name))
+        n = ix.manifest["count"]
+        ix = ix.add_batch(empty)
+        assert ix.manifest["count"] == n, f"{name}: empty batch changed count"
+        ix = ix.add_batch(all_null)
+        assert ix.manifest["count"] == n, f"{name}: all-NULL batch changed count"

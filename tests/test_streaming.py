@@ -524,7 +524,9 @@ def test_streaming_index_add_incremental_and_restart(spark, tmp_path):
     run_once()  # epoch 1 (restarted query, same checkpoint): add_batch
     idx = load_index(spark, idx_path)
     assert idx.count == emb.count()
-    assert int(idx.manifest["last_epoch"]) >= 1
+    # the stamp is scoped to THIS stream's checkpoint (ADVICE r12)
+    stamps = idx.manifest["last_epochs"]
+    assert len(stamps) == 1 and max(stamps.values()) >= 1
     # a third run with NO new data must not re-merge anything
     run_once()
     assert load_index(spark, idx_path).count == emb.count()
@@ -532,6 +534,30 @@ def test_streaming_index_add_incremental_and_restart(spark, tmp_path):
     got = {r["vec_id"] for r in idx.knn_search(emb, qv, 5, ef_search=400).collect()}
     want = {r["vec_id"] for r in knn_search(emb, "embedding", qv, 5).collect()}
     assert got == want
+
+    # ADVICE r12 (the actual data-loss scenario): restarting with a
+    # FRESH checkpoint resets epoch ids to 0 — the scoped stamp must
+    # NOT suppress the new stream's early epochs
+    extra = spark.createDataFrame(
+        [(100_000 + i, [float(i)] * 64) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    extra.coalesce(1).write.mode("append").parquet(src)
+    q = streaming_index_add(
+        spark.readStream.schema("vec_id long, embedding array<float>").parquet(src),
+        index_path=idx_path,
+        vec_col="embedding",
+        id_col="vec_id",
+        checkpoint_dir=str(tmp_path / "ckpt_fresh"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    # fresh checkpoint = the whole source replays; the old rows append
+    # as duplicates (documented Insert semantics) but NOTHING is
+    # dropped: the 5 genuinely-new ids must be searchable
+    final = load_index(spark, idx_path)
+    assert final.count == 2 * emb.count() + 5
+    assert len(final.manifest["last_epochs"]) == 2
 
 
 def test_streaming_index_add_replayed_epoch_skipped(spark, tmp_path):
@@ -551,13 +577,16 @@ def test_streaming_index_add_replayed_epoch_skipped(spark, tmp_path):
         spark, emb.where(F.col("vec_id") < 100), "embedding", "vec_id", idx_path
     )
     batch = emb.where(F.col("vec_id") >= 100)
-    ix.add_batch(batch, manifest_extra={"last_epoch": 5})
+    ix.add_batch(batch, manifest_extra={"last_epochs": {"ck1": 5}})
     n = ix.count
-    # replay of epoch 5 — the streaming guard consults last_epoch
+    # replay of epoch 5 on the SAME stream — the guard consults the
+    # scoped stamp (ADVICE r12)
     re = load_index(spark, idx_path)
-    assert int(re.manifest["last_epoch"]) == 5
-    if int(re.manifest.get("last_epoch", -1)) >= 5:
+    assert int(re.manifest["last_epochs"]["ck1"]) == 5
+    if int(re.manifest["last_epochs"].get("ck1", -1)) >= 5:
         pass  # guard fires: no second merge
     else:  # pragma: no cover
         re.add_batch(batch)
     assert load_index(spark, idx_path).count == n
+    # a DIFFERENT stream's epoch 5 is not a replay — it must merge
+    assert int(re.manifest["last_epochs"].get("ck2", -1)) < 5
