@@ -522,6 +522,7 @@ class HnswIndex:
         num_partitions: int | None = None,
         driver_build_max_bytes: int = 4 << 20,
         manifest_extra: dict | None = None,
+        auto_compact_shards: int | None = None,
     ) -> "HnswIndex":
         """Offline incremental maintenance (VERDICT r11 #3): build
         per-partition graphs over the NEW batch only and merge them into
@@ -542,11 +543,19 @@ class HnswIndex:
         - deletes still go through ``rebuild()``/``compact()``.
 
         Many small adds accumulate shards, and every shard adds k
-        candidates per query to the merge — ``compact(df)`` re-packs
-        into right-sized graphs (the reference's compaction-after-
-        inserts contract). At 100 TB this is the path that makes daily
-        ingestion O(new data): batch shards build partition-parallel
-        with the same 64k-vector ceiling as the bulk build."""
+        candidates per query to the merge — ``compact(df)`` /
+        ``compact_from_shards()`` re-pack into right-sized graphs (the
+        reference's compaction-after-inserts contract).
+        ``auto_compact_shards=N`` (r13, VERDICT r12 #4) makes that a
+        TRIGGER inside the maintenance path: when the merged manifest
+        exceeds N shards AND holds more shards than the snapshot-sized
+        shard count (so a genuinely large corpus is never compacted
+        into shards it would immediately need again), the artifact
+        repacks itself from its own stored vectors — no source needed.
+        At 100 TB this is the path that makes daily ingestion O(new
+        data): batch shards build partition-parallel with the same
+        64k-vector ceiling as the bulk build, and search cost stays
+        O(right-sized shards) instead of O(epochs)."""
         import numpy as np
         import pandas as pd
 
@@ -674,6 +683,16 @@ class HnswIndex:
             merged.update(manifest_extra)
         write_manifest(self.path, merged, indent=1)
         self.manifest = merged
+        if auto_compact_shards is not None:
+            right_sized = max(1, (merged["count"] + 65_536 - 1) // 65_536)
+            if (
+                len(merged["partitions"]) > int(auto_compact_shards)
+                and len(merged["partitions"]) > right_sized
+            ):
+                # preserve bookkeeping the caller just rode on this
+                # merge (streaming replay stamps) across the repack
+                keys = tuple(manifest_extra) if manifest_extra else ("last_epochs",)
+                return self.compact_from_shards(preserve=keys)
         return self
 
     def rebuild(
@@ -712,6 +731,64 @@ class HnswIndex:
         size, not inherited — after a run of add_batch calls the whole
         point of compacting is shedding the accumulated shard fan-out."""
         return self.rebuild(df, num_partitions=0)
+
+    def vectors_df(self) -> DataFrame:
+        """Reconstruct the indexed (id, vec) rows FROM THE SHARDS — the
+        graphs store their keys and float32 vectors, so compaction does
+        not need the original source. Executor-side: one mapInPandas
+        over the shard file list, each task streaming one graph's rows;
+        nothing corpus-sized touches the driver."""
+        import pandas as pd
+
+        id_col, vec_col = self.manifest["id_col"], self.manifest["vec_col"]
+
+        def load_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for file in pdf["file"]:
+                    g = _load_graph(file)
+                    yield pd.DataFrame(
+                        {id_col: g.keys, vec_col: list(g.vectors)}
+                    )
+
+        return self._parts_df().mapInPandas(
+            load_part, schema=f"{id_col} long, {vec_col} array<float>"
+        )
+
+    def compact_from_shards(
+        self, preserve: tuple[str, ...] = ("last_epochs",)
+    ) -> "HnswIndex":
+        """Self-contained compaction (r13, VERDICT r12 #4): repack the
+        accumulated add_batch/streaming shards into right-sized graphs
+        using only the artifact's own stored vectors — no source
+        DataFrame needed, so maintenance paths (streaming_index_add's
+        auto-compact trigger) can call it without holding the corpus.
+        Every shard adds ``k`` candidates to every future query's
+        merge, so a long run of small adds degrades search linearly in
+        shard count until this runs (the reference's compaction-after-
+        inserts contract, hnsw_index_pragmas.cpp:154-190).
+
+        The shard vectors are staged to parquet FIRST (the rebuild
+        deletes the artifact dir its own input would otherwise be lazily
+        read from), then rebuilt with snapshot-derived shard sizing;
+        ``preserve`` carries bookkeeping manifest keys (the streaming
+        replay stamps) across the rebuild's fresh manifest."""
+        import tempfile
+
+        stage = tempfile.mkdtemp(prefix="vss_compact_stage_")
+        try:
+            vec_dir = os.path.join(stage, "vecs")
+            self.vectors_df().write.parquet(vec_dir)
+            kept = {
+                k: self.manifest[k] for k in preserve if k in self.manifest
+            }
+            out = self.rebuild(self.spark.read.parquet(vec_dir), num_partitions=0)
+            if kept:
+                out.manifest.update(kept)
+                write_manifest(self.path, out.manifest, indent=1)
+            self.manifest = out.manifest
+            return self
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
 
     def info(self) -> DataFrame:
         """Index metadata DataFrame with the reference's

@@ -2257,6 +2257,162 @@ def q_bq_index_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("dist", "vec_id")
 
 
+def _get_bq_index(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir) the persisted BQ signatures artifact."""
+    from duckdb_vss_spark.index import create_bq_index, load_bq_index
+
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/vss_bq_{_ARTIFACT_VERSION}_{tag}"
+    if _os.path.exists(_os.path.join(path, "manifest.json")):
+        return load_bq_index(spark, path)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return create_bq_index(
+        spark, emb.select("vec_id", "embedding"), "embedding", "vec_id", path,
+        name="emb_bq", metric="l2sq", overwrite=True,
+    )
+
+
+@register_extra("q_sql_bq_route_topk", "SELECT CAST(0 AS BIGINT) AS n_mismatch")
+def q_sql_bq_route_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BQ-family SQL routing, self-consistency-checked (r13, VERDICT
+    r12 #5 — the rule must route EVERY matching index family,
+    hnsw_optimize_scan.cpp:23-259): a PERSISTED BqIndex registered with
+    the planner serves `ORDER BY distance LIMIT k` through
+    BQ_INDEX_SCAN — Hamming shortlist at the manifest-calibrated
+    default size, exact rescore recomputed on the broadcast id-join
+    against the routed table (plans/rewrite.py _index_hits, r13) — and
+    must return EXACTLY what the direct knn_search returns at the same
+    default signature (same shortlist, both rescored exact)."""
+    from duckdb_vss_spark.plans import VssPlanner
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.createOrReplaceTempView("emb_bqroute")
+    idx = _get_bq_index(spark, sf_dir)
+    planner = VssPlanner(spark)
+    planner.register_index("emb_bqroute", "embedding", idx)
+    qv = _query_vec(spark, sf_dir, 47)
+    lit = ",".join(repr(x) for x in qv)
+    routed = planner.sql(
+        f"SELECT vec_id FROM emb_bqroute "
+        f"ORDER BY array_distance(embedding, array({lit})) LIMIT 10"
+    )
+    if planner.last_plan != "BQ_INDEX_SCAN":
+        raise AssertionError(f"expected BQ_INDEX_SCAN, got {planner.last_plan}")
+    direct = idx.knn_search(qv, 10).select("vec_id")
+    mism = routed.join(direct, "vec_id", "full_outer").where(
+        routed["vec_id"].isNull() | direct["vec_id"].isNull()
+    )
+    return mism.agg(F.count(F.lit(1)).alias("n_mismatch"))
+
+
+@register_extra("q_sql_ivfpq_route_topk", "SELECT CAST(0 AS BIGINT) AS n_mismatch")
+def q_sql_ivfpq_route_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC SQL routing, self-consistency-checked (r13, VERDICT r12
+    #5): the probed residual-ADC shortlist routes through
+    IVF_PQ_INDEX_SCAN with the planner's exact rescore; routed ≡
+    direct knn_search at the default signature (same default nprobe,
+    same 10·k shortlist, both rescored exact)."""
+    from duckdb_vss_spark.plans import VssPlanner
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.createOrReplaceTempView("emb_ivfpqroute")
+    idx = _get_ivfpq_index(spark, sf_dir)
+    planner = VssPlanner(spark)
+    planner.register_index("emb_ivfpqroute", "embedding", idx)
+    qv = _query_vec(spark, sf_dir, 59)
+    lit = ",".join(repr(x) for x in qv)
+    routed = planner.sql(
+        f"SELECT vec_id FROM emb_ivfpqroute "
+        f"ORDER BY array_distance(embedding, array({lit})) LIMIT 10"
+    )
+    if "IVF_" not in planner.last_plan or "PQ_" not in planner.last_plan:
+        raise AssertionError(f"expected IVFPQ routing, got {planner.last_plan}")
+    direct = idx.knn_search(qv, 10).select("vec_id")
+    mism = routed.join(direct, "vec_id", "full_outer").where(
+        routed["vec_id"].isNull() | direct["vec_id"].isNull()
+    )
+    return mism.agg(F.count(F.lit(1)).alias("n_mismatch"))
+
+
+@register_extra(
+    "q_sql_quantized_lateral_fallback",
+    """
+    SELECT qid, rid, dist FROM (
+      SELECT q.qid, r.vec_id AS rid,
+             list_distance(CAST(q.qvec AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])) AS dist,
+             row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY list_distance(CAST(q.qvec AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])), r.vec_id
+             ) AS rn
+      FROM (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 100 = 0) q,
+           embeddings r
+      WHERE q.qvec IS NOT NULL AND r.embedding IS NOT NULL
+    ) WHERE rn <= 3
+    """,
+)
+def q_sql_quantized_lateral_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral top-k with ONLY a quantized index registered (r13,
+    VERDICT r12 #5 — driver row for the 5c57bae fallbacks): PQ/BQ
+    artifacts are not lateral-capable (their knn_join carries no inner
+    payload columns), so the planner must route the correlated LATERAL
+    to the brute crossjoin+window path — EXACT, hence the strict
+    brute-force SQL oracle — instead of crashing or serving an
+    approximate join. Spark cannot run this SQL natively at all, so
+    the fallback IS the execution path."""
+    from duckdb_vss_spark.plans import VssPlanner
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.createOrReplaceTempView("embeddings")
+    emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    ).createOrReplaceTempView("emb_pq_queries")
+    planner = VssPlanner(spark)
+    planner.register_index("embeddings", "embedding", _get_pq_index(spark, sf_dir))
+    df = planner.sql(
+        "SELECT qid, vec_id, dist FROM emb_pq_queries a, "
+        "LATERAL (SELECT b.vec_id FROM embeddings b "
+        "ORDER BY array_distance(a.qvec, b.embedding) LIMIT 3) nn"
+    )
+    if planner.last_plan != "SEQ_SCAN":
+        raise AssertionError(f"expected SEQ_SCAN fallback, got {planner.last_plan}")
+    return df.select(
+        "qid", F.col("vec_id").alias("rid"), F.col("dist").cast("double").alias("dist")
+    )
+
+
+@register_extra("q_sql_quantized_minby", "SELECT CAST(0 AS BIGINT) AS n_mismatch")
+def q_sql_quantized_minby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-ary min_by with a quantized index registered (r13, VERDICT r12
+    #5): the planner serves the ordered-list rewrite target from the
+    PQ route's exact-rescored hits, so the list must equal the direct
+    knn_search ids at the same default signature, in the same order."""
+    from duckdb_vss_spark.plans import VssPlanner
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.createOrReplaceTempView("emb_minbyq")
+    idx = _get_pq_index(spark, sf_dir)
+    planner = VssPlanner(spark)
+    planner.register_index("emb_minbyq", "embedding", idx)
+    qv = _query_vec(spark, sf_dir, 61)
+    lit = ",".join(repr(x) for x in qv)
+    out = planner.sql(
+        f"SELECT min_by(vec_id, array_distance(embedding, array({lit})), 6) AS nbrs "
+        f"FROM emb_minbyq"
+    )
+    if planner.last_plan != "PQ_INDEX_SCAN":
+        raise AssertionError(f"expected PQ_INDEX_SCAN, got {planner.last_plan}")
+    routed = out.select(
+        F.array_join(F.col("nbrs").cast("array<string>"), ",").alias("nbrs")
+    )
+    direct_ids = [str(r["vec_id"]) for r in idx.knn_search(qv, 6).collect()]
+    return routed.select(
+        F.when(F.col("nbrs") == ",".join(direct_ids), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("bigint")
+        .alias("n_mismatch")
+    )
+
+
 def _mmr_oracle(n_cand: int = 16, k: int = 5) -> str:
     """Unrolled-greedy MMR oracle (operators/mmr.py): round 1 is the
     nearest neighbor; each later round MATERIALIZES the per-candidate
@@ -3587,7 +3743,8 @@ def q_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT vec_id,
            list_distance(CAST(embedding AS DOUBLE[]), {_ORACLE_QVEC.format(vid=19)}) AS dist,
-           (SELECT count(*) FROM embeddings WHERE embedding IS NOT NULL) AS n_indexed
+           (SELECT count(*) FROM embeddings WHERE embedding IS NOT NULL) AS n_indexed,
+           CAST(1 AS INT) AS n_shards
     FROM embeddings
     WHERE embedding IS NOT NULL
     ORDER BY dist, vec_id
@@ -3596,13 +3753,19 @@ def q_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING incremental index maintenance, oracle-checked (NEW
-    r12): half the corpus arrives as epoch 0 (creates the artifact),
-    the other half as epoch 1 through a RESTARTED query on the same
-    checkpoint (``streaming_index_add`` — per-epoch ``add_batch``
-    merge, O(batch) not O(corpus); the epoch stamp rides the merge's
-    atomic manifest write, so replays are exactly-once). The merged
-    artifact's ef≫k search must match full-corpus brute force, and
-    n_indexed pins the post-merge count."""
+    r12, EXTENDED r13 per VERDICT r12 #4): a quarter of the corpus
+    arrives per epoch through RESTARTED queries on the same checkpoint
+    (``streaming_index_add`` — per-epoch ``add_batch`` merge, O(batch)
+    not O(corpus); the scoped epoch stamp rides the merge's atomic
+    manifest write, so replays are exactly-once). The maintenance path
+    AUTO-COMPACTS when the shard count exceeds the trigger
+    (``compact_from_shards`` — repack from the artifact's own stored
+    vectors, no source scan), so search cost after N epochs tracks the
+    right-sized shard count, not N: ``n_shards`` pins it at the bulk
+    build's sizing (1 at oracle scale), and the ef≫k search over the
+    many-epoch artifact must STILL match full-corpus brute force
+    exactly. ``n_indexed`` pins the post-merge count
+    (hnsw_insert.test:18-67 semantics)."""
     import tempfile as _tempfile
 
     from duckdb_vss_spark.index import load_index
@@ -3615,7 +3778,7 @@ def q_stream_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _os.path.join(base, "src")
     idx_path = _os.path.join(base, "ix")
     ckpt = _os.path.join(base, "ckpt")
-    halves = emb.select("vec_id", "embedding")
+    quarters = emb.select("vec_id", "embedding")
 
     def run_once():
         q = streaming_index_add(
@@ -3624,20 +3787,25 @@ def q_stream_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
             vec_col="embedding",
             id_col="vec_id",
             checkpoint_dir=ckpt,
+            auto_compact_shards=1,  # compact on every merge: N epochs, 1 shard
         )
         q.processAllAvailable()
         q.stop()
 
-    halves.where(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(src)
-    run_once()
-    halves.where(F.col("vec_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
-    run_once()
+    for r in range(4):
+        quarters.where(F.col("vec_id") % 4 == r).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        run_once()
     idx = load_index(spark, idx_path)
-    qv = _query_vec(spark, sf_dir, 19)
-    out = idx.knn_search(emb, qv, 10, ef_search=400).select("vec_id", "dist")
-    return out.select(
-        "vec_id", F.col("dist").cast("double").alias("dist")
-    ).withColumn("n_indexed", F.lit(int(idx.count)).cast("long"))
+    out = idx.knn_search(emb, _query_vec(spark, sf_dir, 19), 10, ef_search=400)
+    return (
+        out.select("vec_id", F.col("dist").cast("double").alias("dist"))
+        .withColumn("n_indexed", F.lit(int(idx.count)).cast("long"))
+        .withColumn(
+            "n_shards", F.lit(len(idx.manifest["partitions"])).cast("int")
+        )
+    )
 
 
 @register_extra(

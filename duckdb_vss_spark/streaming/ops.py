@@ -278,6 +278,7 @@ def streaming_index_add(
     vec_col: str,
     id_col: str,
     checkpoint_dir: str,
+    auto_compact_shards: int = 64,
     **index_opts,
 ):
     """Micro-batch INCREMENTAL index maintenance (r12): each batch is
@@ -308,8 +309,16 @@ def streaming_index_add(
     Duplicate ids across epochs append like the reference's Insert
     does — pair with ``streaming_dedup_against_store``/``corpus_diff``
     upstream when the stream can replay source rows. Shards accumulate
-    one-per-epoch-partition; run ``compact()`` on a maintenance cadence
-    (the reference's compaction-after-inserts contract).
+    one-per-epoch-partition, and every shard adds k candidates to every
+    future query's merge — so the merge itself carries the compaction
+    cadence (r13, VERDICT r12 #4): when the artifact exceeds
+    ``auto_compact_shards`` shards beyond its snapshot-sized count, it
+    repacks from its own stored vectors (``compact_from_shards``, no
+    source scan), with the replay stamps preserved across the repack.
+    Search cost after N epochs therefore tracks the compacted shard
+    count, not N. The repack replaces the artifact dir; a crash inside
+    it loses the artifact (same window as the reference's PRAGMA
+    compact) — the stream recreates it from the checkpoint's replay.
 
     Returns the StreamingQuery."""
     import hashlib
@@ -352,7 +361,11 @@ def streaming_index_add(
         if int(stamps.get(stream_key, -1)) >= int(epoch_id):
             return  # replayed micro-batch after restart — already merged
         stamps[stream_key] = int(epoch_id)
-        ix.add_batch(batch_df, manifest_extra={"last_epochs": stamps})
+        ix.add_batch(
+            batch_df,
+            manifest_extra={"last_epochs": stamps},
+            auto_compact_shards=auto_compact_shards,
+        )
 
     return (
         vectors.writeStream.outputMode("append")

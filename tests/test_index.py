@@ -507,3 +507,55 @@ def test_add_batch_then_compact_repacks_shards(spark, emb, tmp_path):
     got = {r["vec_id"] for r in ix.knn_search(sub, qv, 5, ef_search=400).collect()}
     want = {r["vec_id"] for r in knn_search(sub, "embedding", qv, 5).collect()}
     assert got == want
+
+
+def test_compact_from_shards_and_auto_trigger(spark, emb, tmp_path):
+    """r13 (VERDICT r12 #4): compact_from_shards() repacks the
+    accumulated shards using only the artifact's own stored vectors —
+    no source DataFrame — and add_batch(auto_compact_shards=N) fires
+    it inside the maintenance path. Exact results unchanged, count
+    unchanged, shard count back to the snapshot sizing, bookkeeping
+    (last_epochs) preserved across the repack."""
+    nn = emb.where(F.col("embedding").isNotNull())
+    base = nn.where(F.col("vec_id") < 300)
+    ix = create_hnsw_index(
+        spark, base, "embedding", "vec_id", str(tmp_path / "ac"), overwrite=True
+    )
+    # grow shards WITHOUT the trigger, riding a streaming-style stamp
+    for i, lo in enumerate((300, 350, 400)):
+        ix = ix.add_batch(
+            nn.where((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 50)),
+            manifest_extra={"last_epochs": {"ckX": i}},
+        )
+    grown = len(ix.manifest["partitions"])
+    assert grown >= 4
+    n = ix.count
+    # the final add exceeds the threshold -> auto-compact fires
+    ix = ix.add_batch(
+        nn.where((F.col("vec_id") >= 450) & (F.col("vec_id") < 500)),
+        manifest_extra={"last_epochs": {"ckX": 3}},
+        auto_compact_shards=3,
+    )
+    assert len(ix.manifest["partitions"]) < grown
+    assert len(ix.manifest["partitions"]) == max(1, (ix.count + 65_535) // 65_536)
+    assert ix.count == n + nn.where(
+        (F.col("vec_id") >= 450) & (F.col("vec_id") < 500)
+    ).count()
+    assert ix.manifest["last_epochs"] == {"ckX": 3}
+    # exactness after the repack (ef >> k makes ANN exact here)
+    sub = nn.where((F.col("vec_id") < 500) & ~F.col("vec_id").between(440, 449))
+    qv = [float(x) for x in nn.where(F.col("vec_id") == 29).first()["embedding"]]
+    got = {r["vec_id"] for r in ix.knn_search(sub, qv, 10, ef_search=400).collect()}
+    want = {
+        r["vec_id"]
+        for r in knn_search(
+            sub.where(F.col("vec_id") < 450) .unionByName(sub.where(F.col("vec_id") >= 450)),
+            "embedding", qv, 10,
+        ).collect()
+    }
+    assert got == want
+    # reload sees the compacted artifact
+    re = load_index(spark, ix.path)
+    assert re.count == ix.count and len(re.manifest["partitions"]) == len(
+        ix.manifest["partitions"]
+    )
