@@ -124,59 +124,85 @@ _EXTRA_ORACLES: dict[str, str] = {}
 # full registry gate after the change), q_bq_knn (its strict oracle
 # pins an EXPLICIT rescore; the r12 calibration only changes the
 # default signature, which the bench recall table now measures).
+# Round-13 composition (VERDICT r12 #3 — rotate to the rows whose last
+# driver evidence is r11, before they cross the freshness boundary;
+# after this window no registry row's driver evidence is older than
+# r12):
+#   1. Six seats for r13-touched paths: q_sql_quantized_topk (the
+#      planner now EXACT-rescores quantized shortlists against the
+#      routed table, VERDICT r12 #2 — ADC-only results unreachable via
+#      SQL), q_sql_bq_route_topk + q_sql_ivfpq_route_topk +
+#      q_sql_quantized_lateral_fallback + q_sql_quantized_minby (NEW —
+#      the whole-family routing oracles, VERDICT r12 #5),
+#      q_stream_index_add (epoch stamps now scoped per checkpoint,
+#      ADVICE r12; extended with the auto-compaction contract,
+#      VERDICT r12 #4: 4 epochs -> n_shards pinned at 1, search exact).
+#   2. The 45 rows last driver-verified in r11, minus one displaced:
+#      q_sql_maxby_topk loses its seat to the routing family (same
+#      match_minby code path as q_sql_minby_topk with descending=True;
+#      keeps its r11 evidence, first in line for r14 — the
+#      q_pca_power/q_mmr_rerank displacement precedent).
+# NOT re-seated despite r13 code touches (CI-enforced, r12 driver
+# evidence kept): the add_batch family rows q_pq_add_batch /
+# q_ivf_add_batch / q_bq_index_knn etc. (staged_append + empty-batch
+# no-op are commit-protocol changes, behavior-identical on the gate
+# data, re-verified by the 151-query registry gate and the new unit
+# tests), q_pq_knn / q_ivfpq_knn / q_hnsw_knn (legacy-manifest refusal
+# only fires on pre-v5 artifacts, impossible under the bumped
+# _ARTIFACT_VERSION paths).
 _DECLARED: list[str] = [
-    # 1. r12-touched paths first (the driver checks in order)
-    "q_hnsw_add_batch",
-    "q_dedup_clusters",
-    "q_pq_knn",
-    "q_ivfpq_knn",
-    "q_hnsw_knn",
-    "q_normalize_text",
-    # 2. the 44 r10-evidence rows
-    "q03_shipping_priority",
-    "q04_priority_semi",
-    "q05_local_supplier_volume",
-    "q07_volume_shipping",
-    "q10_returned_items",
-    "q14_type_revenue_share",
-    "q15_top_supplier",
-    "q16_parts_supplier",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "q22_inactive_customers",
-    "q_chunk_docs",
-    "q_contamination",
-    "q_doc_oov_rate",
-    "q_embedding_neardup",
-    "q_event_percentiles",
-    "q_hash_sample",
-    "q_hnsw_knn_filtered_empty",
-    "q_hnsw_knn_join",
-    "q_image_phash_dedup",
-    "q_incremental_dedup",
-    "q_interval_join",
-    "q_ivfpq_knn_join",
-    "q_ivfsq_knn",
-    "q_kmeans",
-    "q_kmv_distinct",
-    "q_lang_quality",
-    "q_media_frame_sample",
-    "q_media_resize",
-    "q_mix_budget",
-    "q_moving_window_sum",
-    "q_pca_power",
-    "q_pii_scrub",
-    "q_pivot_events",
-    "q_random_projection",
-    "q_repetition_stats",
-    "q_rollup_revenue",
-    "q_shuffle_shards",
-    "q_source_cap",
-    "q_stratified_sample",
-    "q_stream_interval_join",
-    "q_stream_static_join",
-    "q_text_stats",
-    "q_vocab_topk",
+    # 1. r13-touched paths first (the driver checks in order)
+    "q_sql_quantized_topk",
+    "q_sql_bq_route_topk",
+    "q_sql_ivfpq_route_topk",
+    "q_sql_quantized_lateral_fallback",
+    "q_sql_quantized_minby",
+    "q_stream_index_add",
+    # 2. the r11-evidence rows (all but the displaced q_sql_maxby_topk)
+    "q02_min_cost_supplier",
+    "q06_forecast_revenue",
+    "q08_market_share",
+    "q12_late_priority",
+    "q21_waiting_suppliers",
+    "q_asof_join",
+    "q_bm25_topk",
+    "q_bq_knn",
+    "q_corpus_diff",
+    "q_curation_e2e",
+    "q_dedup_keep_best",
+    "q_df_api_topk",
+    "q_embedding_neardup_lsh",
+    "q_fingerprint",
+    "q_hnsw_index_info",
+    "q_hnsw_self_consistency",
+    "q_hybrid_rrf",
+    "q_incremental_dedup_keep",
+    "q_ivf_knn_join",
+    "q_knn_classify",
+    "q_knn_cosine",
+    "q_knn_inner_product",
+    "q_knn_join_grouped",
+    "q_lang_id",
+    "q_media_audio_energy",
+    "q_media_jpeg_pipeline",
+    "q_minhash_signature",
+    "q_mmr_rerank",
+    "q_perplexity_filter",
+    "q_pq_knn_join",
+    "q_quality_score",
+    "q_semantic_doc_search",
+    "q_sessionize_events",
+    "q_simhash",
+    "q_simhash_pairs",
+    "q_sq_knn",
+    "q_sql_ext_topk",
+    "q_sql_minby_topk",
+    "q_stream_curation",
+    "q_stream_dedup_store",
+    "q_stream_knn_serve",
+    "q_stream_session_windows",
+    "q_vss_match_stats",
+    "q_weighted_sample",
 ]
 
 
