@@ -191,7 +191,27 @@ class HnswIndex:
 
     @property
     def count(self) -> int:
-        return self.manifest["count"]
+        """LIVE rows (indexed minus tombstoned) — the reference's
+        post-delete count semantics (hnsw_insert.test / usearch
+        size()); ``manifest["count"]`` stays the raw indexed total."""
+        return int(self.manifest["count"]) - int(self.manifest.get("deleted_count", 0))
+
+    def _tombstones_df(self) -> DataFrame | None:
+        """(id) rows marked deleted, or None when there are none."""
+        name = self.manifest.get("tombstones_dir")
+        if not name or not int(self.manifest.get("deleted_count", 0)):
+            return None
+        return self.spark.read.parquet(os.path.join(self.path, name))
+
+    def _tombstone_ids(self) -> "frozenset[int]":
+        """Driver-side set for the in-task merges — bounded by the
+        maintenance contract (tombstones accumulate only between
+        compactions; a huge delete set is the signal to compact)."""
+        t = self._tombstones_df()
+        if t is None:
+            return frozenset()
+        id_col = self.manifest["id_col"]
+        return frozenset(int(r[0]) for r in t.select(id_col).collect())
 
     def _parts_df(self) -> DataFrame:
         files = [p["file"] for p in self.manifest["partitions"]]
@@ -255,6 +275,10 @@ class HnswIndex:
             take = max(int(math.ceil(float(prefilter_overfetch) * kk)), kk + 8)
         else:
             take = kk
+        # mark-deletes (r13): over-fetch by the tombstone count so the
+        # post-filter anti-join still leaves k live candidates
+        dead = int(self.manifest.get("deleted_count", 0))
+        take += dead
 
         def search_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             qv = np.asarray(q, dtype=np.float32)
@@ -265,6 +289,15 @@ class HnswIndex:
                     yield pd.DataFrame({id_col: keys})
 
         cand = self._parts_df().mapInPandas(search_part, schema=f"{id_col} long")
+        tomb = self._tombstones_df()
+        if tomb is not None:
+            cand = cand.join(
+                F.broadcast(
+                    tomb.select(F.col(self.manifest["id_col"]).alias(id_col))
+                ),
+                id_col,
+                "left_anti",
+            )
         dist_fn = distance_for_metric(self.metric)
         # candidate ids are take·P rows — tiny; broadcast-join back to base
         matched = df.join(F.broadcast(cand), on=id_col, how="inner")
@@ -366,13 +399,15 @@ class HnswIndex:
         files = [p["file"] for p in self.manifest["partitions"]]
         ef = get_ef_search(self.spark, ef_search)
         kk = int(k)
+        # mark-deletes (r13): fetch kk+dead per graph, filter below
+        fetch = kk + int(self.manifest.get("deleted_count", 0))
         chunk = max(1, int(queries_per_batch))
 
         def search_queries(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             # thin picklable shim over the module-level buffered stream
             # (see _search_query_stream for the batching rationale)
             return _search_query_stream(
-                batches, query_vec_col, query_id_col, id_col, files, kk, ef, chunk
+                batches, query_vec_col, query_id_col, id_col, files, fetch, ef, chunk
             )
 
         cand = (
@@ -380,6 +415,9 @@ class HnswIndex:
             .where(F.col(query_vec_col).isNotNull())
             .mapInPandas(search_queries, schema=f"{query_id_col} long, {id_col} long")
         )
+        tomb = self._tombstones_df()
+        if tomb is not None:
+            cand = cand.join(F.broadcast(tomb.select(id_col)), id_col, "left_anti")
         dist_fn = distance_for_metric(self.metric)
         qv_by_id = queries.select(query_id_col, query_vec_col)
         # no forced broadcast of the query vectors: Catalyst/AQE picks
@@ -455,6 +493,12 @@ class HnswIndex:
         files = [p["file"] for p in self.manifest["partitions"]]
         ef = get_ef_search(self.spark, ef_search)
         kk = int(k)
+        # mark-deletes (r13): the merge happens IN-TASK, so the
+        # tombstones ride into the workers as a (bounded) array; each
+        # graph over-fetches by the tombstone count
+        dead = self._tombstone_ids()
+        dead_arr = np.asarray(sorted(dead), dtype=np.int64) if dead else None
+        fetch = kk + len(dead)
 
         def serve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -470,7 +514,7 @@ class HnswIndex:
                 dist_acc: list[list] = [[] for _ in range(nq)]
                 for file in files:
                     g = _load_graph(file)
-                    keys_per_q, dists_per_q = g.search_batch(mat, kk, ef)
+                    keys_per_q, dists_per_q = g.search_batch(mat, fetch, max(ef, fetch))
                     for i in range(nq):
                         keys_acc[i].append(keys_per_q[i])
                         dist_acc[i].append(dists_per_q[i])
@@ -481,6 +525,9 @@ class HnswIndex:
                 for i in range(nq):
                     ks = np.concatenate(keys_acc[i])
                     ds = np.concatenate(dist_acc[i])
+                    if dead_arr is not None:
+                        live = ~np.isin(ks, dead_arr)
+                        ks, ds = ks[live], ds[live]
                     top = np.lexsort((ks, ds))[:kk]
                     sel = ks[top]
                     out_q.extend([qids[i]] * len(sel))
@@ -676,6 +723,22 @@ class HnswIndex:
         )
         merged["num_partitions"] = len(merged["partitions"])
         merged["updated_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        old_tomb_dir = None
+        if int(man.get("deleted_count", 0)):
+            # re-adding a tombstoned id REVIVES it (delete_batch doc):
+            # drop the batch's ids from the tombstone set in the same
+            # atomic manifest commit as the shard merge
+            import uuid as _uuid
+
+            remaining = self._tombstones_df().select(id_col).join(
+                src.select(id_col).distinct(), id_col, "left_anti"
+            )
+            tname = f"tombstones-{_uuid.uuid4().hex[:12]}"
+            remaining.write.parquet(os.path.join(self.path, tname))
+            n_dead = self.spark.read.parquet(os.path.join(self.path, tname)).count()
+            old_tomb_dir = man.get("tombstones_dir")
+            merged["tombstones_dir"] = tname
+            merged["deleted_count"] = int(n_dead)
         if manifest_extra:
             # riding the SAME atomic write lets callers make the merge
             # transactional with their own bookkeeping (e.g. the
@@ -683,6 +746,8 @@ class HnswIndex:
             merged.update(manifest_extra)
         write_manifest(self.path, merged, indent=1)
         self.manifest = merged
+        if old_tomb_dir and old_tomb_dir != merged.get("tombstones_dir"):
+            shutil.rmtree(os.path.join(self.path, old_tomb_dir), ignore_errors=True)
         if auto_compact_shards is not None:
             right_sized = max(1, (merged["count"] + 65_536 - 1) // 65_536)
             if (
@@ -693,6 +758,72 @@ class HnswIndex:
                 # merge (streaming replay stamps) across the repack
                 keys = tuple(manifest_extra) if manifest_extra else ("last_epochs",)
                 return self.compact_from_shards(preserve=keys)
+        return self
+
+    def keys_df(self) -> DataFrame:
+        """The indexed ids, reconstructed from the shards (executor-side
+        like ``vectors_df`` but keys only — skinny rows)."""
+        import pandas as pd
+
+        id_col = self.manifest["id_col"]
+
+        def load_keys(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for file in pdf["file"]:
+                    yield pd.DataFrame({id_col: _load_graph(file).keys})
+
+        return self._parts_df().mapInPandas(load_keys, schema=f"{id_col} long")
+
+    def delete_batch(self, ids) -> "HnswIndex":
+        """Offline mark-delete (r13 — the Delete-hook analogue of the
+        add_batch family; reference src/hnsw/hnsw_index.cpp:466-482
+        marks rows deleted in usearch and compaction reclaims them):
+        the ids are tombstoned in the artifact, every search path
+        (knn_search / knn_join / knn_transform / the SQL planner route)
+        over-fetches by the tombstone count and filters them from the
+        candidates, ``count``/``info()`` report live rows, and
+        ``compact()``/``compact_from_shards()`` physically drop them.
+        O(|ids| + |tombstones|) work — no shard is rewritten here.
+
+        ``ids``: a DataFrame carrying the index's id column (extra
+        columns ignored) or a plain iterable of ints. Ids absent from
+        the index are ignored (delete-of-missing is a no-op, matching
+        DML DELETE semantics). Re-adding a tombstoned id via
+        ``add_batch`` REVIVES it (the tombstone is by id; the
+        reference's rowid-level mark behaves the same way after a
+        re-insert). Tombstones are maintenance-scale state: searches
+        over-fetch and anti-join against them per query, so a large
+        accumulated delete set is the signal to compact."""
+        import uuid as _uuid
+
+        man = self.manifest
+        id_col = man["id_col"]
+        if isinstance(ids, DataFrame):
+            col = id_col if id_col in ids.columns else ids.columns[0]
+            ids_df = ids.select(F.col(col).cast("long").alias(id_col))
+        else:
+            ids_df = self.spark.createDataFrame(
+                [(int(x),) for x in ids], f"{id_col} long"
+            )
+        ids_df = ids_df.where(F.col(id_col).isNotNull()).distinct()
+        # only mark ids the index actually holds (count semantics)
+        present = ids_df.join(self.keys_df().distinct(), id_col, "left_semi")
+        old = self._tombstones_df()
+        merged_ids = present if old is None else old.select(id_col).unionByName(
+            present
+        ).distinct()
+        name = f"tombstones-{_uuid.uuid4().hex[:12]}"
+        merged_ids.write.parquet(os.path.join(self.path, name))
+        n_dead = self.spark.read.parquet(os.path.join(self.path, name)).count()
+        merged = dict(man)
+        old_dir = merged.get("tombstones_dir")
+        merged["tombstones_dir"] = name
+        merged["deleted_count"] = int(n_dead)
+        merged["updated_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        write_manifest(self.path, merged, indent=1)
+        self.manifest = merged
+        if old_dir and old_dir != name:
+            shutil.rmtree(os.path.join(self.path, old_dir), ignore_errors=True)
         return self
 
     def rebuild(
@@ -777,7 +908,18 @@ class HnswIndex:
         stage = tempfile.mkdtemp(prefix="vss_compact_stage_")
         try:
             vec_dir = os.path.join(stage, "vecs")
-            self.vectors_df().write.parquet(vec_dir)
+            live = self.vectors_df()
+            tomb = self._tombstones_df()
+            if tomb is not None:
+                # compaction physically drops mark-deleted rows (the
+                # reference's delete-reclaim contract); the rebuild's
+                # fresh manifest carries no tombstones
+                live = live.join(
+                    F.broadcast(tomb.select(self.manifest["id_col"])),
+                    self.manifest["id_col"],
+                    "left_anti",
+                )
+            live.write.parquet(vec_dir)
             kept = {
                 k: self.manifest[k] for k in preserve if k in self.manifest
             }
@@ -1046,7 +1188,7 @@ def index_info(spark: SparkSession, path: str) -> DataFrame:
         man["table_name"],
         man["metric"],
         man["dimensions"],
-        man["count"],
+        man["count"] - man.get("deleted_count", 0),  # live rows (r13 deletes)
         man["capacity"],
         man["approx_memory_usage"],
         max_level + 1,

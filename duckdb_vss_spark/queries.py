@@ -139,9 +139,12 @@ _EXTRA_ORACLES: dict[str, str] = {}
 #      VERDICT r12 #4: 4 epochs -> n_shards pinned at 1, search exact).
 #   2. The 45 rows last driver-verified in r11, minus one displaced:
 #      q_sql_maxby_topk loses its seat to the routing family (same
-#      match_minby code path as q_sql_minby_topk with descending=True;
-#      keeps its r11 evidence, first in line for r14 — the
-#      q_pca_power/q_mmr_rerank displacement precedent).
+#      match_minby code path as q_sql_minby_topk with descending=True)
+#      and q_knn_inner_product loses its to q_hnsw_delete_batch (NEW
+#      r13 — the Delete-hook analogue; the brute-distance family keeps
+#      q_knn_cosine/q_knn_classify); both keep their r11 evidence,
+#      first in line for r14 — the q_pca_power/q_mmr_rerank
+#      displacement precedent.
 # NOT re-seated despite r13 code touches (CI-enforced, r12 driver
 # evidence kept): the add_batch family rows q_pq_add_batch /
 # q_ivf_add_batch / q_bq_index_knn etc. (staged_append + empty-batch
@@ -158,7 +161,9 @@ _DECLARED: list[str] = [
     "q_sql_quantized_lateral_fallback",
     "q_sql_quantized_minby",
     "q_stream_index_add",
-    # 2. the r11-evidence rows (all but the displaced q_sql_maxby_topk)
+    "q_hnsw_delete_batch",
+    # 2. the r11-evidence rows (minus the two displaced:
+    #    q_sql_maxby_topk and q_knn_inner_product)
     "q02_min_cost_supplier",
     "q06_forecast_revenue",
     "q08_market_share",
@@ -180,7 +185,6 @@ _DECLARED: list[str] = [
     "q_ivf_knn_join",
     "q_knn_classify",
     "q_knn_cosine",
-    "q_knn_inner_product",
     "q_knn_join_grouped",
     "q_lang_id",
     "q_media_audio_energy",
@@ -2746,6 +2750,47 @@ def q_hnsw_add_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = _query_vec(spark, sf_dir, 13)
     out = idx.knn_search(emb, qv, 10, ef_search=400).select("vec_id", "dist")
     return out.withColumn("n_indexed", F.lit(int(idx.count)).cast("long"))
+
+
+@register_extra(
+    "q_hnsw_delete_batch",
+    f"""
+    SELECT vec_id,
+           list_distance(CAST(embedding AS DOUBLE[]), {_ORACLE_QVEC.format(vid=11)}) AS dist,
+           (SELECT count(*) FROM embeddings
+            WHERE embedding IS NOT NULL AND vec_id % 3 <> 0) AS n_live
+    FROM embeddings
+    WHERE embedding IS NOT NULL AND vec_id % 3 <> 0
+    ORDER BY dist, vec_id
+    LIMIT 10
+    """,
+)
+def q_hnsw_delete_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline mark-delete maintenance (NEW r13 — the Delete-hook
+    analogue completing the add_batch family; reference
+    src/hnsw/hnsw_index.cpp:466-482 marks rows deleted in usearch and
+    compaction reclaims them): build over the FULL corpus, tombstone
+    every vec_id % 3 == 0 via ``delete_batch`` (O(|ids|), no shard
+    rewrite), then search at ef≫k. The oracle is brute force over the
+    REMAINING rows — exact only if the tombstones are really filtered
+    with the over-fetch keeping k live candidates — and ``n_live``
+    pins the post-delete count semantics (live = indexed − deleted)."""
+    import tempfile as _tempfile
+
+    from duckdb_vss_spark.index import create_hnsw_index
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    path = _os.path.join(_tempfile.mkdtemp(prefix="vss_delbatch_"), "ix")
+    idx = create_hnsw_index(
+        spark, emb, vec_col="embedding", id_col="vec_id", path=path,
+        name="emb_hnsw_del", metric="l2sq", overwrite=True,
+    )
+    idx = idx.delete_batch(emb.where(F.col("vec_id") % 3 == 0).select("vec_id"))
+    qv = _query_vec(spark, sf_dir, 11)
+    out = idx.knn_search(emb, qv, 10, ef_search=400).select("vec_id", "dist")
+    return out.withColumn("n_live", F.lit(int(idx.count)).cast("long"))
 
 
 # --------------------------------------------------------------------------

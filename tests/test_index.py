@@ -559,3 +559,83 @@ def test_compact_from_shards_and_auto_trigger(spark, emb, tmp_path):
     assert re.count == ix.count and len(re.manifest["partitions"]) == len(
         ix.manifest["partitions"]
     )
+
+
+def test_delete_batch_marks_filters_and_compacts(spark, emb, tmp_path):
+    """r13 — the Delete-hook analogue (reference hnsw_index.cpp:466-482
+    mark-delete + compact reclaim): deleted ids disappear from every
+    search path, count/info() report live rows, compaction drops them
+    physically, and re-adding a tombstoned id revives it."""
+    nn = emb.where(F.col("embedding").isNotNull()).select("vec_id", "embedding")
+    ix = create_hnsw_index(
+        spark, nn, "embedding", "vec_id", str(tmp_path / "del"), overwrite=True
+    )
+    n_total = ix.count
+    dead = nn.where(F.col("vec_id") % 3 == 0).select("vec_id")
+    n_dead = dead.count()
+    ix = ix.delete_batch(dead)
+    assert ix.count == n_total - n_dead
+    assert ix.info().first()["count"] == n_total - n_dead
+    # delete-of-missing + double-delete are no-ops on the count
+    ix = ix.delete_batch([10**12, 10**12 + 1]).delete_batch(dead)
+    assert ix.count == n_total - n_dead
+
+    live = nn.where(F.col("vec_id") % 3 != 0)
+    qv = [float(x) for x in nn.where(F.col("vec_id") == 7).first()["embedding"]]
+    want = [
+        (r["vec_id"], r["dist"])
+        for r in knn_search(live, "embedding", qv, 10).collect()
+    ]
+    # knn_search: exact over the live rows at ef >> k
+    got = [
+        (r["vec_id"], r["dist"])
+        for r in ix.knn_search(nn, qv, 10, ef_search=400).collect()
+    ]
+    assert got == want
+    # knn_join: per-query results exclude tombstones
+    q = nn.where(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    jids = {
+        r["vec_id"]
+        for r in ix.knn_join(q, nn, "qvec", 10, "qid", ef_search=400).collect()
+    }
+    assert jids == {v for v, _ in want}
+    # knn_transform (in-task merge): same exclusion
+    tids = {
+        r["vec_id"]
+        for r in ix.knn_transform(q, nn, "qvec", 10, "qid", ef_search=400).collect()
+    }
+    assert tids == {v for v, _ in want}
+
+    # reload sees the tombstones
+    re = load_index(spark, ix.path)
+    assert re.count == n_total - n_dead
+
+    # revive: re-adding two tombstoned ids makes them searchable again
+    revive = nn.where(F.col("vec_id").isin(0, 3))
+    re = re.add_batch(revive)
+    assert re.count == n_total - n_dead + 2 * revive.count()  # appended + revived
+    assert re.manifest["deleted_count"] == n_dead - revive.count()
+
+    # compact_from_shards physically drops the remaining tombstones
+    before_parts = len(re.manifest["partitions"])
+    re = re.compact_from_shards()
+    assert re.manifest.get("deleted_count", 0) == 0
+    assert "tombstones_dir" not in re.manifest or not re.manifest.get("deleted_count")
+    assert len(re.manifest["partitions"]) <= before_parts
+    # live rows after revive = live ∪ two copies of each revived id
+    # (the original shard copy was un-tombstoned AND the batch appended
+    # a duplicate — the reference's re-insert-after-delete appends too),
+    # so the oracle is a multiset over that exact union
+    got2 = sorted(
+        (r["vec_id"], r["dist"])
+        for r in re.knn_search(nn, qv, 10, ef_search=400).collect()
+    )
+    want2 = sorted(
+        (r["vec_id"], r["dist"])
+        for r in knn_search(
+            live.unionByName(revive).unionByName(revive), "embedding", qv, 10
+        ).collect()
+    )
+    assert got2 == want2
