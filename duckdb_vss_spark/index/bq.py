@@ -267,72 +267,77 @@ def hamming_distance(a: Column, b: Column) -> Column:
 # --------------------------------------------------------------------------
 
 
-def centered_signature(vec, dims: int, center: list[float]) -> Column:
+# The 64-term expression trees below are assembled as SINGLE F.expr
+# SQL strings, not chained Column ops: each F.lit/F.when/operator is a
+# py4j round trip, and 64 dims × ~4 calls ≈ 0.3-0.5 s of DRIVER time
+# per query — the known lit-chatter constant (measured: the first
+# Column-chained version put bq_search_default at +80% purely in
+# planning). One expr string is one py4j call; the JVM parses and
+# codegens the same tree. Literals are embedded via repr(float), which
+# round-trips the exact double.
+
+
+def _f(x: float) -> str:
+    """Exact double literal for Spark SQL (repr round-trips)."""
+    return f"CAST({x!r} AS DOUBLE)"
+
+
+def centered_signature(vec: str, dims: int, center: list[float]) -> Column:
     """``binary_signature`` of (vec - center): bit b of word w is set
     iff vec[63w+b] - center[63w+b] > 0."""
     if dims <= 0:
         raise ValueError("dims must be positive")
-    c = F.col(vec) if isinstance(vec, str) else vec
     words = []
     for w in range(0, dims, _BITS):
-        terms = None
-        for b in range(w, min(w + _BITS, dims)):
-            bit = F.shiftleft(
-                ((c[b] - F.lit(float(center[b]))) > 0).cast("bigint"), b - w
-            )
-            terms = bit if terms is None else terms + bit
-        words.append(terms)
-    return F.array(*words)
+        terms = " + ".join(
+            f"shiftleft(CAST((({vec}[{b}] - {_f(float(center[b]))}) > 0) AS BIGINT), {b - w})"
+            for b in range(w, min(w + _BITS, dims))
+        )
+        words.append(f"({terms})")
+    return F.expr(f"array({', '.join(words)})")
 
 
-def centered_norm(vec, dims: int, center: list[float]) -> Column:
+def centered_norm(vec: str, dims: int, center: list[float]) -> Column:
     """||vec - center||₂ as a sequential left-to-right fold (the same
     order the raw-sign consistency twin uses)."""
-    c = F.col(vec) if isinstance(vec, str) else vec
-    total = None
-    for i in range(dims):
-        t = (c[i] - F.lit(float(center[i]))) * (c[i] - F.lit(float(center[i])))
-        total = t if total is None else total + t
-    return F.sqrt(total)
+    total = " + ".join(
+        f"(({vec}[{i}] - {_f(float(center[i]))}) * ({vec}[{i}] - {_f(float(center[i]))}))"
+        for i in range(dims)
+    )
+    return F.expr(f"sqrt({total})")
 
 
-def full_norm(vec, dims: int) -> Column:
+def full_norm(vec: str, dims: int) -> Column:
     """||vec||₂ (for the cosine denominator), same fold order."""
-    c = F.col(vec) if isinstance(vec, str) else vec
-    total = None
-    for i in range(dims):
-        t = c[i] * c[i]
-        total = t if total is None else total + t
-    return F.sqrt(total)
+    total = " + ".join(f"({vec}[{i}] * {vec}[{i}])" for i in range(dims))
+    return F.expr(f"sqrt({total})")
 
 
-def _signed_dot_packed(sig: Column, xs: list[float], dims: int) -> Column:
+def _signed_dot_packed(sig: str, xs: list[float], dims: int) -> Column:
     """⟨sign bits, xs⟩ from the PACKED words: Σᵢ (bitᵢ ? xsᵢ : −xsᵢ),
-    summed left-to-right (exact ±xsᵢ terms — no arithmetic on xs, so
-    the raw-sign twin below is bit-identical by construction)."""
-    total = None
+    summed left-to-right (exact ±xsᵢ CASE terms — no arithmetic on xs,
+    so the raw-sign twin below is bit-identical by construction)."""
+    terms = []
     for w_idx, w in enumerate(range(0, dims, _BITS)):
         for b in range(w, min(w + _BITS, dims)):
-            bit = F.shiftright(sig[w_idx], b - w).bitwiseAND(F.lit(1))
-            t = F.when(bit == 1, F.lit(float(xs[b]))).otherwise(
-                F.lit(-float(xs[b]))
+            bit = f"(shiftright({sig}[{w_idx}], {b - w}) & 1) = 1"
+            terms.append(
+                f"(CASE WHEN {bit} THEN {_f(float(xs[b]))} ELSE {_f(-float(xs[b]))} END)"
             )
-            total = t if total is None else total + t
-    return total
+    return F.expr(" + ".join(terms))
 
 
-def _signed_dot_raw(vec, xs: list[float], dims: int, center: list[float]) -> Column:
+def _signed_dot_raw(vec: str, xs: list[float], dims: int, center: list[float]) -> Column:
     """The raw-vector twin of ``_signed_dot_packed``: signs recomputed
     from the original vector (used by the packed-vs-raw consistency
-    oracle; identical CASE terms, identical fold order)."""
-    c = F.col(vec) if isinstance(vec, str) else vec
-    total = None
+    oracle; identical CASE value terms, identical fold order)."""
+    terms = []
     for b in range(dims):
-        t = F.when(
-            (c[b] - F.lit(float(center[b]))) > 0, F.lit(float(xs[b]))
-        ).otherwise(F.lit(-float(xs[b])))
-        total = t if total is None else total + t
-    return total
+        cond = f"({vec}[{b}] - {_f(float(center[b]))}) > 0"
+        terms.append(
+            f"(CASE WHEN {cond} THEN {_f(float(xs[b]))} ELSE {_f(-float(xs[b]))} END)"
+        )
+    return F.expr(" + ".join(terms))
 
 
 def asym_score(
@@ -622,7 +627,7 @@ class BqIndex:
                 if self.metric == "l2sq"
                 else q
             )
-            dot = _signed_dot_packed(F.col("sig"), xs, self.dims)
+            dot = _signed_dot_packed("sig", xs, self.dims)
             sc = asym_score(dot, F.col("vnc"), q, man, F.col("vfull"))
             # alias to the shared shortlist-rank name so the rescore
             # join below is branch-agnostic (rescore=0 callers get the
