@@ -126,8 +126,9 @@ _EXTRA_ORACLES: dict[str, str] = {}
 # default signature, which the bench recall table now measures).
 # Round-13 composition (VERDICT r12 #3 — rotate to the rows whose last
 # driver evidence is r11, before they cross the freshness boundary;
-# after this window no registry row's driver evidence is older than
-# r12):
+# after this window no seated row's driver evidence is older than r12,
+# and the only r11-evidence rows left are the two displaced below —
+# both first in line for r14):
 #   1. Six seats for r13-touched paths: q_sql_quantized_topk (the
 #      planner now EXACT-rescores quantized shortlists against the
 #      routed table, VERDICT r12 #2 — ADC-only results unreachable via
