@@ -217,10 +217,25 @@ def calibrate_rescore(
 
 def binary_signature(vec, dims: int) -> Column:
     """array<bigint> of ceil(dims/63) words; bit b of word w is set iff
-    vec[63w + b] > 0. Pure Column arithmetic — codegen, no UDF."""
+    vec[63w + b] > 0. Pure Column arithmetic — codegen, no UDF.
+
+    A string column name builds the tree as ONE F.expr SQL string (a
+    Column-chained build is ~130 py4j round trips ≈ 0.2-0.4 s of
+    driver time per call — the lit-chatter constant, same fix as the
+    asym expression builders below); a Column argument keeps the
+    chained form for composability."""
     if dims <= 0:
         raise ValueError("dims must be positive")
-    c = F.col(vec) if isinstance(vec, str) else vec
+    if isinstance(vec, str):
+        words = []
+        for w in range(0, dims, _BITS):
+            terms = " + ".join(
+                f"shiftleft(CAST(({vec}[{b}] > 0) AS BIGINT), {b - w})"
+                for b in range(w, min(w + _BITS, dims))
+            )
+            words.append(f"({terms})")
+        return F.expr(f"array({', '.join(words)})")
+    c = vec
     words = []
     for w in range(0, dims, _BITS):
         terms = None
