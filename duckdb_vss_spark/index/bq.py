@@ -594,12 +594,20 @@ class BqIndex:
 
     @property
     def count(self) -> int:
-        return self.manifest["count"]
+        """LIVE rows (indexed minus tombstoned, r13 delete_batch);
+        ``manifest["count"]`` stays the raw indexed total."""
+        from duckdb_vss_spark.index import tombstones as _tomb
+
+        return _tomb.live_count(self.manifest)
 
     def _sigs_df(self) -> DataFrame:
         import os
 
-        return self.spark.read.parquet(os.path.join(self.path, "sigs"))
+        from duckdb_vss_spark.index import tombstones as _tomb
+
+        return _tomb.filter_dead(
+            self, self.spark.read.parquet(os.path.join(self.path, "sigs"))
+        )
 
     def default_rescore(self, k: int) -> int:
         """margin · calibrated-fraction · CURRENT count, clamped to
@@ -695,7 +703,9 @@ class BqIndex:
             .drop(vec_col)
         )
 
-    def add_batch(self, df: DataFrame) -> "BqIndex":
+    def add_batch(
+        self, df: DataFrame, manifest_extra: dict | None = None
+    ) -> "BqIndex":
         """Offline incremental maintenance (the BQ face of the r12
         add_batch family): sign-pack the new batch with the SAME pure
         Column expression (signatures are training-free, so there is no
@@ -748,8 +758,43 @@ class BqIndex:
         merged.pop("source_fingerprint", None)
         merged.update(_merge_source_fields(man, df, "BqIndex"))
         merged["updated_at"] = _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime())
+        if manifest_extra:
+            # e.g. streaming replay stamps — ride the SAME atomic commit
+            merged.update(manifest_extra)
+        from duckdb_vss_spark.index import tombstones as _tomb
+
+        old_tomb = _tomb.revive(self, src.select(id_col), merged)
         write_manifest(self.path, merged)
         self.manifest = merged
+        if old_tomb:
+            import shutil as _shutil
+
+            _shutil.rmtree(os.path.join(self.path, old_tomb), ignore_errors=True)
+        return self
+
+    def delete_batch(self, ids) -> "BqIndex":
+        """Offline mark-delete (r13 — the BQ face of the delete_batch
+        family; see index/tombstones.py for the shared contract,
+        reference src/hnsw/hnsw_index.cpp:466-482): tombstone the ids,
+        O(|ids|), no signature rewrite. The shortlist scan (both
+        scorings) and the SQL planner route filter the tombstones;
+        ``count`` reports live rows; ``add_batch`` of a tombstoned id
+        revives it; ``compact()`` reclaims physically. The calibrated
+        default shortlist keeps scaling off the RAW indexed count —
+        conservative (never smaller than the live-count target)."""
+        from duckdb_vss_spark.index import tombstones as _tomb
+
+        return _tomb.mark_delete(self, ids, self._sigs_df())
+
+    def compact(self) -> "BqIndex":
+        """Physically drop tombstoned signatures and re-pack the
+        accumulated add_batch part files (the reference's
+        compaction-after-DML contract, hnsw_index_pragmas.cpp:154-190).
+        Self-contained — no source DataFrame needed."""
+        from duckdb_vss_spark.index import tombstones as _tomb
+
+        out = _tomb.compact_data(self, "sigs")
+        _tomb.finish_compact(self, new_count=out.count())
         return self
 
 

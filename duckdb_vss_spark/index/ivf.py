@@ -244,8 +244,20 @@ class IvfIndex:
     def dims(self) -> int:
         return self.manifest["dimensions"]
 
+    @property
+    def count(self) -> int:
+        """LIVE rows (indexed minus tombstoned, r13 delete_batch);
+        ``manifest["count"]`` stays the raw indexed total."""
+        from duckdb_vss_spark.index import tombstones as _tomb
+
+        return _tomb.live_count(self.manifest)
+
     def _lists_df(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "lists"))
+        from duckdb_vss_spark.index import tombstones as _tomb
+
+        return _tomb.filter_dead(
+            self, self.spark.read.parquet(os.path.join(self.path, "lists"))
+        )
 
     def _probe_ids(self, query_vec, nprobe: int) -> list[int]:
         q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
@@ -367,7 +379,9 @@ class IvfIndex:
 
     # -- maintenance ------------------------------------------------------
 
-    def add_batch(self, df: DataFrame) -> "IvfIndex":
+    def add_batch(
+        self, df: DataFrame, manifest_extra: dict | None = None
+    ) -> "IvfIndex":
         """Offline incremental maintenance (r12 — the IVF face of the
         HNSW ``add_batch``, VERDICT r11 #3): assign the new batch to the
         EXISTING centroids (frozen — the standard IVF append; centroid
@@ -433,8 +447,54 @@ class IvfIndex:
             for p in man["lists"]
         ]
         merged["updated_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        if manifest_extra:
+            # e.g. streaming replay stamps — ride the SAME atomic commit
+            merged.update(manifest_extra)
+        from duckdb_vss_spark.index import tombstones as _tomb
+
+        old_tomb = _tomb.revive(self, src.select(id_col), merged)
         write_manifest(self.path, merged)
         self.manifest = merged
+        if old_tomb:
+            shutil.rmtree(os.path.join(self.path, old_tomb), ignore_errors=True)
+        return self
+
+    def delete_batch(self, ids) -> "IvfIndex":
+        """Offline mark-delete (r13 — the IVF face of the delete_batch
+        family; see index/tombstones.py for the shared contract,
+        reference src/hnsw/hnsw_index.cpp:466-482): tombstone the ids,
+        O(|ids|), no list rewrite. Probed scans (knn_search and the
+        knn_join list join) filter the tombstones; ``count`` and
+        ``info()`` report live totals; ``add_batch`` of a tombstoned
+        id revives it. Per-list stats stay RAW until ``compact()``
+        physically reclaims and recounts (the tombstone set is not
+        list-attributed by design — that would cost the assign join
+        this O(|ids|) path avoids)."""
+        from duckdb_vss_spark.index import tombstones as _tomb
+
+        return _tomb.mark_delete(self, ids, self._lists_df())
+
+    def compact(self) -> "IvfIndex":
+        """Physically drop tombstoned rows and re-pack each inverted
+        list's accumulated add_batch part files into one file (the
+        reference's compaction-after-DML contract,
+        hnsw_index_pragmas.cpp:154-190); per-list manifest stats are
+        recounted from the rewritten files. Self-contained — lists
+        hold the full (id, vec) rows."""
+        from duckdb_vss_spark.index import tombstones as _tomb
+
+        out = _tomb.compact_data(self, "lists", partition_by="list_id")
+        counts = {
+            int(r["list_id"]): int(r["n"])
+            for r in out.groupBy("list_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        lists = [
+            {"list_id": int(p["list_id"]), "count": counts.get(int(p["list_id"]), 0)}
+            for p in self.manifest["lists"]
+        ]
+        _tomb.finish_compact(
+            self, new_count=sum(counts.values()), extra={"lists": lists}
+        )
         return self
 
     def rebuild(self, df: DataFrame) -> "IvfIndex":
@@ -461,7 +521,7 @@ class IvfIndex:
             m["table_name"],
             m["metric"],
             m["dimensions"],
-            m["count"],
+            self.count,  # live rows (r13 deletes); list_stats stay raw
             m["nlist"],
             m["default_nprobe"],
             [(p["list_id"], p["count"]) for p in m["lists"]],

@@ -115,6 +115,7 @@ def _ivfadc_query_stream(
     take: int,
     chunk: int,
     slab: int = 16384,
+    dead: np.ndarray | None = None,
 ):
     """Executor-side multi-query IVFADC over a stream of query batches
     (the residual-PQ twin of pq._adc_query_stream; VERDICT r9 #2: the
@@ -159,6 +160,12 @@ def _ivfadc_query_stream(
                 )
             for file in files:
                 ids, codes = _load_codes(file, id_col, m)
+                if dead is not None and len(dead):
+                    # tombstone mask (r13 delete_batch) — after the
+                    # LRU fetch so the cached arrays stay unmasked
+                    from duckdb_vss_spark.index.tombstones import mask_dead
+
+                    ids, codes = mask_dead(ids, codes, dead)
                 for lo in range(0, len(ids), slab):
                     arr = codes[lo : lo + slab]
                     d = np.zeros((len(qs), len(arr)), dtype=np.float64)
@@ -213,8 +220,20 @@ class IvfPqIndex:
     def dims(self) -> int:
         return self.manifest["dimensions"]
 
+    @property
+    def count(self) -> int:
+        """LIVE rows (indexed minus tombstoned, r13 delete_batch);
+        ``manifest["count"]`` stays the raw indexed total."""
+        from duckdb_vss_spark.index import tombstones as _tomb
+
+        return _tomb.live_count(self.manifest)
+
     def _codes_df(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "codes"))
+        from duckdb_vss_spark.index import tombstones as _tomb
+
+        return _tomb.filter_dead(
+            self, self.spark.read.parquet(os.path.join(self.path, "codes"))
+        )
 
     def knn_search(
         self,
@@ -332,11 +351,15 @@ class IvfPqIndex:
         files_by_list = _codes_files_by_list(os.path.join(self.path, "codes"))
         take = int(rerank) if rerank else int(k)
         chunk = max(1, int(queries_per_batch))
+        from duckdb_vss_spark.index import tombstones as _tomb
+
+        dead = _tomb.dead_id_array(self)
 
         def stream(batches):
             return _ivfadc_query_stream(
                 batches, query_vec_col, query_id_col, id_col,
                 files_by_list, cents, books, metric, nprobe, take, chunk,
+                dead=dead,
             )
 
         qrows = queries.select(query_id_col, query_vec_col).where(
@@ -369,7 +392,9 @@ class IvfPqIndex:
             .drop(vec_col, "_qvec")
         )
 
-    def add_batch(self, df: DataFrame) -> "IvfPqIndex":
+    def add_batch(
+        self, df: DataFrame, manifest_extra: dict | None = None
+    ) -> "IvfPqIndex":
         """Offline incremental maintenance (r12 — the IVFADC face of the
         HNSW ``add_batch``, VERDICT r11 #3): assign + residual-encode
         the new batch with the EXISTING centroids and codebooks (frozen;
@@ -418,8 +443,42 @@ class IvfPqIndex:
         merged.pop("source_fingerprint", None)
         merged.update(_merge_source_fields(man, df, "IvfPqIndex"))
         merged["updated_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        if manifest_extra:
+            # e.g. streaming replay stamps — ride the SAME atomic commit
+            merged.update(manifest_extra)
+        from duckdb_vss_spark.index import tombstones as _tomb
+
+        old_tomb = _tomb.revive(self, src.select(id_col), merged)
         write_manifest(self.path, merged)
         self.manifest = merged
+        if old_tomb:
+            shutil.rmtree(os.path.join(self.path, old_tomb), ignore_errors=True)
+        return self
+
+    def delete_batch(self, ids) -> "IvfPqIndex":
+        """Offline mark-delete (r13 — the IVFADC face of the
+        delete_batch family; see index/tombstones.py for the shared
+        contract, reference src/hnsw/hnsw_index.cpp:466-482):
+        tombstone the ids, O(|ids|), no code rewrite. The probed ADC
+        scan, the executor-side query stream and the SQL planner route
+        filter the tombstones; ``count`` reports live rows;
+        ``add_batch`` of a tombstoned id revives it; ``compact()``
+        reclaims physically."""
+        from duckdb_vss_spark.index import tombstones as _tomb
+
+        return _tomb.mark_delete(self, ids, self._codes_df())
+
+    def compact(self) -> "IvfPqIndex":
+        """Physically drop tombstoned codes and re-pack each list's
+        accumulated add_batch part files into one file (the
+        reference's compaction-after-DML contract,
+        hnsw_index_pragmas.cpp:154-190). Self-contained — codes hold
+        everything the ADC paths serve from; the auto-rerank source
+        fields are untouched."""
+        from duckdb_vss_spark.index import tombstones as _tomb
+
+        out = _tomb.compact_data(self, "codes", partition_by="list_id")
+        _tomb.finish_compact(self, new_count=out.count())
         return self
 
 

@@ -62,6 +62,21 @@ class IvfSqIndex:
     def dims(self) -> int:
         return self.manifest["dimensions"]
 
+    @property
+    def count(self) -> int:
+        """LIVE rows (indexed minus tombstoned, r13 delete_batch);
+        ``manifest["count"]`` stays the raw indexed total."""
+        from duckdb_vss_spark.index import tombstones as _tomb
+
+        return _tomb.live_count(self.manifest)
+
+    def _lists_df(self) -> DataFrame:
+        from duckdb_vss_spark.index import tombstones as _tomb
+
+        return _tomb.filter_dead(
+            self, self.spark.read.parquet(os.path.join(self.path, "lists"))
+        )
+
     def _probe_ids(self, query_vec, nprobe: int) -> list[int]:
         q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
         if q.shape[0] != self.dims:
@@ -92,7 +107,7 @@ class IvfSqIndex:
         probes = self._probe_ids(query_vec, nprobe)
         q = [float(x) for x in query_vec]
         id_col = self.manifest["id_col"]
-        lists = self.spark.read.parquet(os.path.join(self.path, "lists"))
+        lists = self._lists_df()
         recon = sq_reconstruct(F.col("codes"), self._mins, self._maxs)
         qv = F.from_json(
             F.lit("[" + ",".join(repr(float(x)) for x in q) + "]"),
@@ -118,7 +133,9 @@ class IvfSqIndex:
         )
 
 
-    def add_batch(self, df: DataFrame) -> "IvfSqIndex":
+    def add_batch(
+        self, df: DataFrame, manifest_extra: dict | None = None
+    ) -> "IvfSqIndex":
         """Offline incremental maintenance (r12 — the IVF×SQ face of the
         add_batch family): assign to the FROZEN centroids and SQ-encode
         with the FROZEN per-dim bounds in one map-only stage, hive-append
@@ -160,8 +177,40 @@ class IvfSqIndex:
         merged = dict(man)
         merged["count"] = int(man["count"] + n)
         merged["updated_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        if manifest_extra:
+            # e.g. streaming replay stamps — ride the SAME atomic commit
+            merged.update(manifest_extra)
+        from duckdb_vss_spark.index import tombstones as _tomb
+
+        old_tomb = _tomb.revive(self, src.select(id_col), merged)
         write_manifest(self.path, merged)
         self.manifest = merged
+        if old_tomb:
+            shutil.rmtree(os.path.join(self.path, old_tomb), ignore_errors=True)
+        return self
+
+    def delete_batch(self, ids) -> "IvfSqIndex":
+        """Offline mark-delete (r13 — the IVF×SQ face of the
+        delete_batch family; see index/tombstones.py for the shared
+        contract, reference src/hnsw/hnsw_index.cpp:466-482):
+        tombstone the ids, O(|ids|), no list rewrite. The probed
+        SQ-ADC scan filters the tombstones; ``count`` reports live
+        rows; ``add_batch`` of a tombstoned id revives it;
+        ``compact()`` reclaims physically."""
+        from duckdb_vss_spark.index import tombstones as _tomb
+
+        return _tomb.mark_delete(self, ids, self._lists_df())
+
+    def compact(self) -> "IvfSqIndex":
+        """Physically drop tombstoned rows and re-pack each list's
+        accumulated add_batch part files into one file (the
+        reference's compaction-after-DML contract,
+        hnsw_index_pragmas.cpp:154-190). Self-contained — the SQ lists
+        hold everything the shortlist scan serves from."""
+        from duckdb_vss_spark.index import tombstones as _tomb
+
+        out = _tomb.compact_data(self, "lists", partition_by="list_id")
+        _tomb.finish_compact(self, new_count=out.count())
         return self
 
 

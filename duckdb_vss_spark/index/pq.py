@@ -597,6 +597,7 @@ def _adc_query_stream(
     take: int,
     chunk: int,
     slab: int = 16384,
+    dead: np.ndarray | None = None,
 ):
     """Executor-side multi-query ADC over a stream of query batches
     (VERDICT r7 #2 / r8 #1: the old path ``collect()``ed the query set
@@ -620,6 +621,12 @@ def _adc_query_stream(
         best_i = np.full((nq, take), -1, dtype=np.int64)
         for file in files:
             ids, codes = _load_codes(file, id_col, m)
+            if dead is not None and len(dead):
+                # tombstone mask (r13 delete_batch) — after the LRU
+                # fetch so the cached arrays stay unmasked
+                from duckdb_vss_spark.index.tombstones import mask_dead
+
+                ids, codes = mask_dead(ids, codes, dead)
             for lo in range(0, len(ids), slab):
                 arr = codes[lo : lo + slab]
                 d = np.zeros((nq, len(arr)), dtype=np.float64)
@@ -656,8 +663,21 @@ class PqIndex:
     def dims(self) -> int:
         return self.manifest["dimensions"]
 
+    @property
+    def count(self) -> int:
+        """LIVE rows (indexed minus tombstoned) — the reference's
+        post-delete count semantics; ``manifest["count"]`` stays the
+        raw indexed total."""
+        from duckdb_vss_spark.index import tombstones as _tomb
+
+        return _tomb.live_count(self.manifest)
+
     def _codes_df(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "codes"))
+        from duckdb_vss_spark.index import tombstones as _tomb
+
+        return _tomb.filter_dead(
+            self, self.spark.read.parquet(os.path.join(self.path, "codes"))
+        )
 
     def decode(self, codes: np.ndarray) -> np.ndarray:
         """(n, m) uint8 → (n, dims) reconstructed centroids (testing and
@@ -667,7 +687,9 @@ class PqIndex:
             [self._books[j][codes[:, j]] for j in range(m)], axis=1
         )
 
-    def add_batch(self, df: DataFrame) -> "PqIndex":
+    def add_batch(
+        self, df: DataFrame, manifest_extra: dict | None = None
+    ) -> "PqIndex":
         """Offline incremental maintenance (r12 — the PQ face of the
         HNSW ``add_batch``, VERDICT r11 #3): encode the new batch with
         the EXISTING codebooks (frozen — the standard PQ append recipe;
@@ -716,8 +738,40 @@ class PqIndex:
         merged.pop("source_fingerprint", None)
         merged.update(_merge_source_fields(man, df, "PqIndex"))
         merged["updated_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        if manifest_extra:
+            # e.g. streaming replay stamps — ride the SAME atomic commit
+            merged.update(manifest_extra)
+        from duckdb_vss_spark.index import tombstones as _tomb
+
+        old_tomb = _tomb.revive(self, src.select(id_col), merged)
         write_manifest(self.path, merged)
         self.manifest = merged
+        if old_tomb:
+            shutil.rmtree(os.path.join(self.path, old_tomb), ignore_errors=True)
+        return self
+
+    def delete_batch(self, ids) -> "PqIndex":
+        """Offline mark-delete (r13 — the PQ face of the delete_batch
+        family; see index/tombstones.py for the shared contract,
+        reference src/hnsw/hnsw_index.cpp:466-482): tombstone the ids,
+        O(|ids|), no code rewrite. The ADC scan, the executor-side
+        query stream and the SQL planner route all filter the
+        tombstones; ``count`` reports live rows; ``add_batch`` of a
+        tombstoned id revives it; ``compact()`` reclaims physically."""
+        from duckdb_vss_spark.index import tombstones as _tomb
+
+        return _tomb.mark_delete(self, ids, self._codes_df())
+
+    def compact(self) -> "PqIndex":
+        """Physically drop tombstoned codes and re-pack the accumulated
+        add_batch part files (the reference's compaction-after-DML
+        contract, hnsw_index_pragmas.cpp:154-190). Self-contained —
+        codes hold everything PQ serves from, so no source DataFrame
+        is needed; the auto-rerank source fields are untouched."""
+        from duckdb_vss_spark.index import tombstones as _tomb
+
+        out = _tomb.compact_data(self, "codes")
+        _tomb.finish_compact(self, new_count=out.count())
         return self
 
     # -- single-query ADC top-k ------------------------------------------
@@ -803,17 +857,20 @@ class PqIndex:
         ``rerank=None`` (the default) AUTO-reranks a 10·k shortlist
         whenever the original vectors are reachable; ``rerank=0``
         forces ADC-only (see _resolve_rerank, VERDICT r10 #1)."""
+        from duckdb_vss_spark.index import tombstones as _tomb
+
         rerank, source = _resolve_rerank(self, k, rerank, source, "PqIndex", "0.74")
         books, metric = self._books, self.metric
         id_col = self.manifest["id_col"]
         files = _list_parquet_files(os.path.join(self.path, "codes"))
         take = int(rerank) if rerank else int(k)
         chunk = max(1, int(queries_per_batch))
+        dead = _tomb.dead_id_array(self)
 
         def stream(batches):
             return _adc_query_stream(
                 batches, query_vec_col, query_id_col, id_col,
-                files, books, metric, take, chunk,
+                files, books, metric, take, chunk, dead=dead,
             )
 
         qrows = queries.select(query_id_col, query_vec_col).where(

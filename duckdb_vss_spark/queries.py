@@ -129,7 +129,7 @@ _EXTRA_ORACLES: dict[str, str] = {}
 # after this window no seated row's driver evidence is older than r12,
 # and the only r11-evidence rows left are the two displaced below —
 # both first in line for r14):
-#   1. Six seats for r13-touched paths: q_sql_quantized_topk (the
+#   1. Eight seats for r13-touched paths: q_sql_quantized_topk (the
 #      planner now EXACT-rescores quantized shortlists against the
 #      routed table, VERDICT r12 #2 — ADC-only results unreachable via
 #      SQL), q_sql_bq_route_topk + q_sql_ivfpq_route_topk +
@@ -137,15 +137,20 @@ _EXTRA_ORACLES: dict[str, str] = {}
 #      the whole-family routing oracles, VERDICT r12 #5),
 #      q_stream_index_add (epoch stamps now scoped per checkpoint,
 #      ADVICE r12; extended with the auto-compaction contract,
-#      VERDICT r12 #4: 4 epochs -> n_shards pinned at 1, search exact).
-#   2. The 45 rows last driver-verified in r11, minus one displaced:
+#      VERDICT r12 #4: 4 epochs -> n_shards pinned at 1, search exact),
+#      q_hnsw_delete_batch + q_pq_delete_batch (NEW r13 — the
+#      Delete-hook analogue, HNSW face and the quantized-family face;
+#      IVF/IVFADC/IVFSQ/BQ + revive + compact() reclaim are CI-pinned
+#      family-wide in tests/test_delete_quantized.py).
+#   2. The 45 rows last driver-verified in r11, minus three displaced:
 #      q_sql_maxby_topk loses its seat to the routing family (same
-#      match_minby code path as q_sql_minby_topk with descending=True)
-#      and q_knn_inner_product loses its to q_hnsw_delete_batch (NEW
-#      r13 — the Delete-hook analogue; the brute-distance family keeps
-#      q_knn_cosine/q_knn_classify); both keep their r11 evidence,
-#      first in line for r14 — the q_pca_power/q_mmr_rerank
-#      displacement precedent.
+#      match_minby code path as q_sql_minby_topk with descending=True),
+#      q_knn_inner_product loses its to q_hnsw_delete_batch (the
+#      brute-distance family keeps q_knn_cosine/q_knn_classify), and
+#      q_simhash_pairs loses its to q_pq_delete_batch (same
+#      pipeline/dedup.py simhash path as the seated q_simhash); all
+#      three keep their r11 evidence, first in line for r14 — the
+#      q_pca_power/q_mmr_rerank displacement precedent.
 # NOT re-seated despite r13 code touches (CI-enforced, r12 driver
 # evidence kept): the add_batch family rows q_pq_add_batch /
 # q_ivf_add_batch / q_bq_index_knn etc. (staged_append + empty-batch
@@ -163,8 +168,9 @@ _DECLARED: list[str] = [
     "q_sql_quantized_minby",
     "q_stream_index_add",
     "q_hnsw_delete_batch",
-    # 2. the r11-evidence rows (minus the two displaced:
-    #    q_sql_maxby_topk and q_knn_inner_product)
+    "q_pq_delete_batch",
+    # 2. the r11-evidence rows (minus the three displaced:
+    #    q_sql_maxby_topk, q_knn_inner_product, q_simhash_pairs)
     "q02_min_cost_supplier",
     "q06_forecast_revenue",
     "q08_market_share",
@@ -198,7 +204,6 @@ _DECLARED: list[str] = [
     "q_semantic_doc_search",
     "q_sessionize_events",
     "q_simhash",
-    "q_simhash_pairs",
     "q_sq_knn",
     "q_sql_ext_topk",
     "q_sql_minby_topk",
@@ -2791,6 +2796,52 @@ def q_hnsw_delete_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = idx.delete_batch(emb.where(F.col("vec_id") % 3 == 0).select("vec_id"))
     qv = _query_vec(spark, sf_dir, 11)
     out = idx.knn_search(emb, qv, 10, ef_search=400).select("vec_id", "dist")
+    return out.withColumn("n_live", F.lit(int(idx.count)).cast("long"))
+
+
+@register_extra(
+    "q_pq_delete_batch",
+    f"""
+    SELECT vec_id,
+           list_distance(CAST(embedding AS DOUBLE[]), {_ORACLE_QVEC.format(vid=11)}) AS dist,
+           (SELECT count(*) FROM embeddings
+            WHERE embedding IS NOT NULL AND vec_id % 3 <> 0) AS n_live
+    FROM embeddings
+    WHERE embedding IS NOT NULL AND vec_id % 3 <> 0
+    ORDER BY dist, vec_id
+    LIMIT 10
+    """,
+)
+def q_pq_delete_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """delete_batch extended to the QUANTIZED family (r13 — the same
+    family-wide completion add_batch got in r12; shared contract in
+    index/tombstones.py, reference src/hnsw/hnsw_index.cpp:466-482):
+    build a PQ artifact over the full corpus, tombstone every
+    vec_id % 3 == 0 (O(|ids|), no code rewrite), search with a
+    full-width exact rerank. The oracle is brute force over the
+    REMAINING rows — exact only if the ADC shortlist scan really
+    filters the tombstones (a single leaked dead id would outrank a
+    live one) — and ``n_live`` pins the live-count semantics. The
+    IVF/IVFADC/IVFSQ/BQ faces plus revive-on-add_batch and the
+    physical compact() reclaim are CI-pinned family-wide in
+    tests/test_delete_quantized.py."""
+    import tempfile as _tempfile
+
+    from duckdb_vss_spark.index.pq import create_pq_index
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    path = _os.path.join(_tempfile.mkdtemp(prefix="vss_pqdel_"), "ix")
+    idx = create_pq_index(
+        spark, emb, vec_col="embedding", id_col="vec_id", path=path,
+        name="emb_pq_del", metric="l2sq", overwrite=True,
+    )
+    idx = idx.delete_batch(emb.where(F.col("vec_id") % 3 == 0).select("vec_id"))
+    qv = _query_vec(spark, sf_dir, 11)
+    out = idx.knn_search(qv, 10, rerank=idx.count, source=emb).select(
+        "vec_id", "dist"
+    )
     return out.withColumn("n_live", F.lit(int(idx.count)).cast("long"))
 
 
