@@ -272,6 +272,39 @@ def streaming_index_refresh(
     )
 
 
+_INDEX_KINDS: dict[str, tuple[str, str, str | None]] = {
+    # kind -> (create fn, load fn, data subdir for the file-count
+    # compaction trigger; None = HNSW, which carries its own
+    # shard-count trigger inside add_batch)
+    "hnsw": ("create_hnsw_index", "load_index", None),
+    "pq": ("create_pq_index", "load_pq_index", "codes"),
+    "ivf": ("create_ivf_index", "load_ivf_index", "lists"),
+    "ivfpq": ("create_ivfpq_index", "load_ivfpq_index", "codes"),
+    "ivfsq": ("create_ivfsq_index", "load_ivfsq_index", "lists"),
+    "bq": ("create_bq_index", "load_bq_index", "sigs"),
+}
+
+
+def _index_fns(kind: str):
+    import duckdb_vss_spark.index as ixmod
+    from duckdb_vss_spark.index import bq, ivf, ivfpq, ivfsq, pq
+
+    create_name, load_name, subdir = _INDEX_KINDS[kind]
+    mods = [ixmod, pq, ivf, ivfpq, ivfsq, bq]
+    create = next(getattr(m, create_name) for m in mods if hasattr(m, create_name))
+    load = next(getattr(m, load_name) for m in mods if hasattr(m, load_name))
+    return create, load, subdir
+
+
+def _data_file_count(path: str, subdir: str) -> int:
+    import os as _os
+
+    total = 0
+    for _root, _dirs, names in _os.walk(_os.path.join(path, subdir)):
+        total += sum(1 for nm in names if nm.endswith(".parquet"))
+    return total
+
+
 def streaming_index_add(
     vectors: DataFrame,
     index_path: str,
@@ -279,10 +312,12 @@ def streaming_index_add(
     id_col: str,
     checkpoint_dir: str,
     auto_compact_shards: int = 64,
+    index_kind: str = "hnsw",
     **index_opts,
 ):
-    """Micro-batch INCREMENTAL index maintenance (r12): each batch is
-    merged into the artifact via ``HnswIndex.add_batch`` — O(batch)
+    """Micro-batch INCREMENTAL index maintenance (r12; family-wide
+    r13): each batch is merged into the artifact via the index
+    family's ``add_batch`` — O(batch)
     per epoch instead of ``streaming_index_refresh``'s O(corpus)
     rebuild, which is the difference between a stream that keeps up
     and one that falls behind as the corpus grows.
@@ -320,10 +355,24 @@ def streaming_index_add(
     it loses the artifact (same window as the reference's PRAGMA
     compact) — the stream recreates it from the checkpoint's replay.
 
+    ``index_kind`` (r13, the family-wide face): any index family with
+    an ``add_batch`` — ``"hnsw"`` (default) or ``"pq"``/``"ivf"``/
+    ``"ivfpq"``/``"ivfsq"``/``"bq"``. The first micro-batch CREATES a
+    quantized artifact, which freezes its codecs (codebooks/centroids/
+    SQ bounds/BQ calibration) on that batch's distribution — fine for
+    a stationary stream, but the recommended production pattern is to
+    seed ``index_path`` with a bulk nightly build and let the stream
+    EXTEND it (an existing artifact is never overwritten). Quantized
+    compaction cadence: their add_batch appends one part file per
+    batch-partition per epoch, so past ``auto_compact_shards`` data
+    files beyond the right-sized count the merge calls the family's
+    self-contained ``compact()`` (tombstones reclaimed too; the replay
+    stamps survive the repack — finish_compact copies the manifest).
+
     Returns the StreamingQuery."""
     import hashlib
 
-    from duckdb_vss_spark.index import create_hnsw_index, load_index
+    create_index, load_index_fn, data_subdir = _index_fns(index_kind)
 
     # the stream's identity: its checkpoint dir IS the epoch-counter
     # scope (Spark's epoch ids are per-checkpoint), so keying the stamp
@@ -338,7 +387,7 @@ def streaming_index_add(
         spark = batch_df.sparkSession
         man_path = os.path.join(index_path, "manifest.json")
         if not os.path.exists(man_path):
-            ix = create_hnsw_index(
+            ix = create_index(
                 spark,
                 batch_df,
                 vec_col=vec_col,
@@ -352,7 +401,7 @@ def streaming_index_add(
 
             write_manifest(index_path, ix.manifest, indent=1)
             return
-        ix = load_index(spark, index_path)
+        ix = load_index_fn(spark, index_path)
         stamps = dict(ix.manifest.get("last_epochs") or {})
         if not stamps and "last_epoch" in ix.manifest:
             # pre-r13 manifest: the bare stamp can only have come from
@@ -361,11 +410,24 @@ def streaming_index_add(
         if int(stamps.get(stream_key, -1)) >= int(epoch_id):
             return  # replayed micro-batch after restart — already merged
         stamps[stream_key] = int(epoch_id)
-        ix.add_batch(
-            batch_df,
-            manifest_extra={"last_epochs": stamps},
-            auto_compact_shards=auto_compact_shards,
+        if data_subdir is None:  # HNSW: shard trigger rides add_batch
+            ix.add_batch(
+                batch_df,
+                manifest_extra={"last_epochs": stamps},
+                auto_compact_shards=auto_compact_shards,
+            )
+            return
+        ix.add_batch(batch_df, manifest_extra={"last_epochs": stamps})
+        # hive-layout families legitimately hold ~one file PER LIST
+        # after a compact — the trigger must not refire on that floor
+        right_sized = max(
+            1,
+            (int(ix.manifest["count"]) + 65_535) // 65_536,
+            int(ix.manifest.get("nlist", 1)),
         )
+        n_files = _data_file_count(index_path, data_subdir)
+        if n_files > int(auto_compact_shards) and n_files > right_sized:
+            ix.compact()
 
     return (
         vectors.writeStream.outputMode("append")

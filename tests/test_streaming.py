@@ -590,3 +590,78 @@ def test_streaming_index_add_replayed_epoch_skipped(spark, tmp_path):
     assert load_index(spark, idx_path).count == n
     # a DIFFERENT stream's epoch 5 is not a replay — it must merge
     assert int(re.manifest["last_epochs"].get("ck2", -1)) < 5
+
+
+def test_streaming_index_add_quantized_kind(spark, tmp_path):
+    """r13: streaming_index_add generalized family-wide — index_kind
+    picks any family with an add_batch. PQ face: epoch 0 creates (and
+    freezes the codebooks), epoch 1 extends O(batch), the replay stamp
+    rides the same atomic manifest commit, the file-count trigger
+    compacts via the family's self-contained compact() WITHOUT losing
+    the stamps, and a full-width-rerank search over the final artifact
+    matches brute force over everything ingested."""
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark.index.pq import load_pq_index
+    from duckdb_vss_spark.operators.topk import knn_search
+    from duckdb_vss_spark.streaming.ops import streaming_index_add
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+    )
+    h1 = emb.where(F.col("vec_id") % 2 == 0)
+    h2 = emb.where(F.col("vec_id") % 2 == 1)
+    src = str(tmp_path / "srcq")
+    h1.coalesce(1).write.parquet(src)
+    idx_path = str(tmp_path / "inc_pq")
+    ckpt = str(tmp_path / "ckptq")
+
+    def run_once():
+        q = streaming_index_add(
+            spark.readStream.schema(
+                "vec_id long, embedding array<float>"
+            ).parquet(src),
+            index_path=idx_path,
+            vec_col="embedding",
+            id_col="vec_id",
+            checkpoint_dir=ckpt,
+            index_kind="pq",
+            auto_compact_shards=1,  # force the quantized compact cadence
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()  # epoch 0 creates the PQ artifact
+    ix = load_pq_index(spark, idx_path)
+    assert ix.count == h1.count()
+    books0 = ix.manifest["codebooks"]
+    h2.coalesce(1).write.mode("append").parquet(src)
+    run_once()  # epoch 1: add_batch with frozen codebooks + compact
+    ix = load_pq_index(spark, idx_path)
+    assert ix.count == emb.count()
+    assert ix.manifest["codebooks"] == books0  # frozen, not retrained
+    stamps = ix.manifest["last_epochs"]
+    assert len(stamps) == 1 and max(stamps.values()) >= 1  # survived compact
+    # the trigger repacked the appended part files into the right size
+    import os as _os
+
+    n_files = sum(
+        1
+        for _r, _d, names in _os.walk(_os.path.join(idx_path, "codes"))
+        for nm in names
+        if nm.endswith(".parquet")
+    )
+    assert n_files == 1
+    # replay with no new data: stamp suppresses a re-merge
+    run_once()
+    assert load_pq_index(spark, idx_path).count == emb.count()
+    # exactness: full-width rerank vs brute force over everything
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+    got = {
+        r["vec_id"]
+        for r in ix.knn_search(qv, 5, rerank=ix.count, source=emb).collect()
+    }
+    want = {r["vec_id"] for r in knn_search(emb, "embedding", qv, 5).collect()}
+    assert got == want
