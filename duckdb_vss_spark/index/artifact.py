@@ -774,7 +774,9 @@ class HnswIndex:
 
         return self._parts_df().mapInPandas(load_keys, schema=f"{id_col} long")
 
-    def delete_batch(self, ids) -> "HnswIndex":
+    def delete_batch(
+        self, ids, manifest_extra: dict | None = None
+    ) -> "HnswIndex":
         """Offline mark-delete (r13 — the Delete-hook analogue of the
         add_batch family; reference src/hnsw/hnsw_index.cpp:466-482
         marks rows deleted in usearch and compaction reclaims them):
@@ -819,6 +821,9 @@ class HnswIndex:
         old_dir = merged.get("tombstones_dir")
         merged["tombstones_dir"] = name
         merged["deleted_count"] = int(n_dead)
+        if manifest_extra:
+            # e.g. streaming replay stamps — ride the SAME atomic commit
+            merged.update(manifest_extra)
         merged["updated_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
         write_manifest(self.path, merged, indent=1)
         self.manifest = merged

@@ -772,7 +772,9 @@ class BqIndex:
             _shutil.rmtree(os.path.join(self.path, old_tomb), ignore_errors=True)
         return self
 
-    def delete_batch(self, ids) -> "BqIndex":
+    def delete_batch(
+        self, ids, manifest_extra: dict | None = None
+    ) -> "BqIndex":
         """Offline mark-delete (r13 — the BQ face of the delete_batch
         family; see index/tombstones.py for the shared contract,
         reference src/hnsw/hnsw_index.cpp:466-482): tombstone the ids,
@@ -784,7 +786,7 @@ class BqIndex:
         conservative (never smaller than the live-count target)."""
         from duckdb_vss_spark.index import tombstones as _tomb
 
-        return _tomb.mark_delete(self, ids, self._sigs_df())
+        return _tomb.mark_delete(self, ids, self._sigs_df(), manifest_extra)
 
     def compact(self) -> "BqIndex":
         """Physically drop tombstoned signatures and re-pack the

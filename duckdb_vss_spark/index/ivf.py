@@ -459,7 +459,9 @@ class IvfIndex:
             shutil.rmtree(os.path.join(self.path, old_tomb), ignore_errors=True)
         return self
 
-    def delete_batch(self, ids) -> "IvfIndex":
+    def delete_batch(
+        self, ids, manifest_extra: dict | None = None
+    ) -> "IvfIndex":
         """Offline mark-delete (r13 — the IVF face of the delete_batch
         family; see index/tombstones.py for the shared contract,
         reference src/hnsw/hnsw_index.cpp:466-482): tombstone the ids,
@@ -472,7 +474,7 @@ class IvfIndex:
         this O(|ids|) path avoids)."""
         from duckdb_vss_spark.index import tombstones as _tomb
 
-        return _tomb.mark_delete(self, ids, self._lists_df())
+        return _tomb.mark_delete(self, ids, self._lists_df(), manifest_extra)
 
     def compact(self) -> "IvfIndex":
         """Physically drop tombstoned rows and re-pack each inverted

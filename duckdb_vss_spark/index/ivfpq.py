@@ -455,7 +455,9 @@ class IvfPqIndex:
             shutil.rmtree(os.path.join(self.path, old_tomb), ignore_errors=True)
         return self
 
-    def delete_batch(self, ids) -> "IvfPqIndex":
+    def delete_batch(
+        self, ids, manifest_extra: dict | None = None
+    ) -> "IvfPqIndex":
         """Offline mark-delete (r13 — the IVFADC face of the
         delete_batch family; see index/tombstones.py for the shared
         contract, reference src/hnsw/hnsw_index.cpp:466-482):
@@ -466,7 +468,7 @@ class IvfPqIndex:
         reclaims physically."""
         from duckdb_vss_spark.index import tombstones as _tomb
 
-        return _tomb.mark_delete(self, ids, self._codes_df())
+        return _tomb.mark_delete(self, ids, self._codes_df(), manifest_extra)
 
     def compact(self) -> "IvfPqIndex":
         """Physically drop tombstoned codes and re-pack each list's

@@ -189,7 +189,9 @@ class IvfSqIndex:
             shutil.rmtree(os.path.join(self.path, old_tomb), ignore_errors=True)
         return self
 
-    def delete_batch(self, ids) -> "IvfSqIndex":
+    def delete_batch(
+        self, ids, manifest_extra: dict | None = None
+    ) -> "IvfSqIndex":
         """Offline mark-delete (r13 — the IVF×SQ face of the
         delete_batch family; see index/tombstones.py for the shared
         contract, reference src/hnsw/hnsw_index.cpp:466-482):
@@ -199,7 +201,7 @@ class IvfSqIndex:
         ``compact()`` reclaims physically."""
         from duckdb_vss_spark.index import tombstones as _tomb
 
-        return _tomb.mark_delete(self, ids, self._lists_df())
+        return _tomb.mark_delete(self, ids, self._lists_df(), manifest_extra)
 
     def compact(self) -> "IvfSqIndex":
         """Physically drop tombstoned rows and re-pack each list's

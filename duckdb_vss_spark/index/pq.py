@@ -750,7 +750,9 @@ class PqIndex:
             shutil.rmtree(os.path.join(self.path, old_tomb), ignore_errors=True)
         return self
 
-    def delete_batch(self, ids) -> "PqIndex":
+    def delete_batch(
+        self, ids, manifest_extra: dict | None = None
+    ) -> "PqIndex":
         """Offline mark-delete (r13 — the PQ face of the delete_batch
         family; see index/tombstones.py for the shared contract,
         reference src/hnsw/hnsw_index.cpp:466-482): tombstone the ids,
@@ -760,7 +762,7 @@ class PqIndex:
         tombstoned id revives it; ``compact()`` reclaims physically."""
         from duckdb_vss_spark.index import tombstones as _tomb
 
-        return _tomb.mark_delete(self, ids, self._codes_df())
+        return _tomb.mark_delete(self, ids, self._codes_df(), manifest_extra)
 
     def compact(self) -> "PqIndex":
         """Physically drop tombstoned codes and re-pack the accumulated

@@ -106,7 +106,7 @@ def live_count(manifest: dict) -> int:
     return int(manifest["count"]) - int(manifest.get("deleted_count", 0))
 
 
-def mark_delete(index, ids, keys_df: DataFrame):
+def mark_delete(index, ids, keys_df: DataFrame, manifest_extra: dict | None = None):
     """The shared delete_batch body: tombstone ``ids`` in ``index``'s
     artifact. ``keys_df`` is the family's live id listing (a skinny
     column-pruned scan of its codes/sigs/lists) — only ids the index
@@ -140,6 +140,9 @@ def mark_delete(index, ids, keys_df: DataFrame):
     old_dir = merged.get("tombstones_dir")
     merged["tombstones_dir"] = name
     merged["deleted_count"] = int(n_dead)
+    if manifest_extra:
+        # e.g. streaming replay stamps — ride the SAME atomic commit
+        merged.update(manifest_extra)
     merged["updated_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     write_manifest(index.path, merged)
     index.manifest = merged

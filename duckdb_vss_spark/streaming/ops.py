@@ -437,6 +437,85 @@ def streaming_index_add(
     )
 
 
+def streaming_index_delete(
+    ids: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    index_kind: str = "hnsw",
+    auto_compact_dead_fraction: float | None = 0.25,
+):
+    """Micro-batch INCREMENTAL index deletes (r13 — the streaming face
+    of ``delete_batch``, completing the streaming DML pair with
+    ``streaming_index_add``; reference src/hnsw/hnsw_index.cpp:466-482
+    mark-delete + compact reclaim): each micro-batch of ids is
+    tombstoned into the artifact at ``index_path`` — O(|batch| +
+    |tombstones|) per epoch, no data rewrite; every search over the
+    artifact excludes them from the next query on.
+
+    Replay safety: deleting the same ids twice is a NO-OP by
+    construction (tombstones are a set), so the operation is
+    idempotent even without the stamp — but the per-checkpoint epoch
+    stamp (``last_del_epochs``, riding the same atomic manifest commit
+    as the tombstone write) is kept anyway so a true same-stream
+    replay cannot re-kill an id that a CONCURRENT add stream revived
+    between the original batch and its replay. Cross-stream ordering
+    beyond that is wall-clock, as in any CDC apply: an add and a
+    delete of the same id racing through two streams land in commit
+    order.
+
+    ``auto_compact_dead_fraction``: once tombstones exceed this
+    fraction of the indexed rows, the merge compacts — every query
+    pays the anti-join/over-fetch proportional to the tombstone count,
+    so unbounded accumulation degrades search exactly like unbounded
+    shards do on the add side. HNSW repacks from its own stored
+    vectors (``compact_from_shards``); quantized families rewrite
+    their codes/sigs/lists (``compact()``). Both preserve the replay
+    stamps. None disables (manual cadence).
+
+    A batch arriving before the artifact exists is SKIPPED with the
+    checkpoint advancing (deleting from nothing deletes nothing — the
+    same DELETE-of-missing no-op as the batch API).
+
+    Returns the StreamingQuery."""
+    import hashlib
+
+    _create, load_index_fn, data_subdir = _index_fns(index_kind)
+    stream_key = hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:12]
+
+    def kill(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if not os.path.exists(os.path.join(index_path, "manifest.json")):
+            return  # nothing to delete from (yet)
+        ix = load_index_fn(spark, index_path)
+        stamps = dict(ix.manifest.get("last_del_epochs") or {})
+        if int(stamps.get(stream_key, -1)) >= int(epoch_id):
+            return  # replayed micro-batch after restart — already applied
+        stamps[stream_key] = int(epoch_id)
+        ix.delete_batch(batch_df, manifest_extra={"last_del_epochs": stamps})
+        if auto_compact_dead_fraction is None:
+            return
+        dead = int(ix.manifest.get("deleted_count", 0))
+        total = int(ix.manifest.get("count", 0))
+        if total and dead / total > float(auto_compact_dead_fraction):
+            if data_subdir is None:
+                ix.compact_from_shards(
+                    preserve=("last_epochs", "last_del_epochs")
+                )
+            else:
+                ix.compact()
+
+    return (
+        ids.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(kill)
+        .start()
+    )
+
+
 def stream_static_enrich(
     stream: DataFrame,
     dim: DataFrame,

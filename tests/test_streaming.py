@@ -665,3 +665,120 @@ def test_streaming_index_add_quantized_kind(spark, tmp_path):
     }
     want = {r["vec_id"] for r in knn_search(emb, "embedding", qv, 5).collect()}
     assert got == want
+
+
+def test_streaming_index_delete(spark, tmp_path):
+    """r13: streaming_index_delete — the streaming face of the Delete
+    hook (reference hnsw_index.cpp:466-482). Ids arriving per
+    micro-batch are tombstoned with the replay stamp riding the same
+    atomic manifest commit; searches exclude them immediately; a
+    pre-artifact batch is a DELETE-of-missing no-op; the dead-fraction
+    trigger compacts (HNSW repack from own vectors) with the stamps
+    preserved."""
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark.index import create_hnsw_index, load_index
+    from duckdb_vss_spark.operators.topk import knn_search
+    from duckdb_vss_spark.streaming.ops import streaming_index_delete
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+    )
+    del_src = str(tmp_path / "del_src")
+    idx_path = str(tmp_path / "del_idx")
+    ckpt = str(tmp_path / "del_ckpt")
+
+    def run_once(**kw):
+        q = streaming_index_delete(
+            spark.readStream.schema("vec_id long").parquet(del_src),
+            index_path=idx_path,
+            checkpoint_dir=ckpt,
+            **kw,
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    # batch 0 arrives BEFORE the artifact exists: skipped, checkpoint
+    # advances (delete-of-missing), and those ids stay live forever
+    emb.where(F.col("vec_id") == 1).select("vec_id").coalesce(1).write.parquet(del_src)
+    run_once()
+    ix = create_hnsw_index(
+        spark, emb, "embedding", "vec_id", idx_path, overwrite=True
+    )
+    n = ix.count
+    # epoch 1: delete vec_id % 5 == 0
+    dead1 = emb.where(F.col("vec_id") % 5 == 0).select("vec_id")
+    dead1.coalesce(1).write.mode("append").parquet(del_src)
+    run_once()
+    ix = load_index(spark, idx_path)
+    assert ix.count == n - dead1.count()
+    assert ix.manifest["last_del_epochs"]  # stamped
+    # replay (same checkpoint, no new data): nothing re-applied
+    run_once()
+    assert load_index(spark, idx_path).count == n - dead1.count()
+    # search excludes the stream-deleted ids, exactly
+    live = emb.where((F.col("vec_id") % 5 != 0))
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 3).first()["embedding"]]
+    got = {
+        r["vec_id"]
+        for r in load_index(spark, idx_path)
+        .knn_search(emb, qv, 10, ef_search=400)
+        .collect()
+    }
+    want = {r["vec_id"] for r in knn_search(live, "embedding", qv, 10).collect()}
+    assert got == want
+    # epoch 2 pushes the dead fraction past the trigger -> compaction
+    # physically reclaims (no tombstones left) and stamps survive
+    dead2 = emb.where(F.col("vec_id") % 5 == 1).select("vec_id")
+    dead2.coalesce(1).write.mode("append").parquet(del_src)
+    run_once(auto_compact_dead_fraction=0.2)
+    ix = load_index(spark, idx_path)
+    assert ix.count == n - dead1.count() - dead2.count()
+    assert not int(ix.manifest.get("deleted_count", 0))
+    assert ix.manifest["last_del_epochs"]
+
+
+def test_streaming_index_delete_quantized(spark, tmp_path):
+    """The quantized face of the streaming delete: PQ artifact, ids
+    tombstoned per epoch, dead-fraction trigger calls the family's
+    self-contained compact(), full-width-rerank search stays exact."""
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark.index.pq import create_pq_index, load_pq_index
+    from duckdb_vss_spark.operators.topk import knn_search
+    from duckdb_vss_spark.streaming.ops import streaming_index_delete
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+    )
+    idx_path = str(tmp_path / "pqd_idx")
+    ix = create_pq_index(spark, emb, "embedding", "vec_id", idx_path)
+    n = ix.count
+    del_src = str(tmp_path / "pqd_src")
+    dead = emb.where(F.col("vec_id") % 3 == 0).select("vec_id")
+    dead.coalesce(1).write.parquet(del_src)
+    q = streaming_index_delete(
+        spark.readStream.schema("vec_id long").parquet(del_src),
+        index_path=idx_path,
+        checkpoint_dir=str(tmp_path / "pqd_ckpt"),
+        index_kind="pq",
+        auto_compact_dead_fraction=0.1,
+    )
+    q.processAllAvailable()
+    q.stop()
+    ix = load_pq_index(spark, idx_path)
+    assert ix.count == n - dead.count()
+    assert not int(ix.manifest.get("deleted_count", 0))  # compacted
+    assert ix.manifest["last_del_epochs"]  # stamp survived compact()
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+    got = {
+        r["vec_id"]
+        for r in ix.knn_search(qv, 10, rerank=ix.count, source=emb).collect()
+    }
+    live = emb.where(F.col("vec_id") % 3 != 0)
+    want = {r["vec_id"] for r in knn_search(live, "embedding", qv, 10).collect()}
+    assert got == want
