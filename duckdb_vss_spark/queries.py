@@ -4014,6 +4014,76 @@ def q_stream_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "q_stream_index_delete",
+    f"""
+    SELECT vec_id,
+           list_distance(CAST(embedding AS DOUBLE[]), {_ORACLE_QVEC.format(vid=23)}) AS dist,
+           (SELECT count(*) FROM embeddings
+            WHERE embedding IS NOT NULL AND vec_id % 4 NOT IN (0, 1)) AS n_live,
+           CAST(0 AS BIGINT) AS n_tombstones
+    FROM embeddings
+    WHERE embedding IS NOT NULL AND vec_id % 4 NOT IN (0, 1)
+    ORDER BY dist, vec_id
+    LIMIT 10
+    """,
+)
+def q_stream_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING index deletes, oracle-checked (r13 — the Delete-hook
+    face completing the streaming DML pair; reference
+    hnsw_index.cpp:466-482): a bulk-built artifact receives two
+    delete epochs through RESTARTED queries on one checkpoint
+    (``streaming_index_delete`` — per-epoch ``delete_batch``
+    tombstoning with the replay stamp riding the same atomic manifest
+    commit), the second epoch pushing the dead fraction past the
+    compaction trigger, so the artifact is physically reclaimed
+    (``n_tombstones`` pins 0) and the ef≫k search over it must STILL
+    match brute force over the REMAINING rows exactly; ``n_live`` pins
+    the post-delete count semantics."""
+    import tempfile as _tempfile
+
+    from duckdb_vss_spark.index import create_hnsw_index, load_index
+    from duckdb_vss_spark.streaming.ops import streaming_index_delete
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    base = _tempfile.mkdtemp(prefix="vss_stream_del_")
+    src = _os.path.join(base, "src")
+    idx_path = _os.path.join(base, "ix")
+    ckpt = _os.path.join(base, "ckpt")
+    create_hnsw_index(
+        spark, emb, vec_col="embedding", id_col="vec_id", path=idx_path,
+        name="emb_hnsw_sdel", metric="l2sq", overwrite=True,
+    )
+
+    def run_once():
+        q = streaming_index_delete(
+            spark.readStream.schema("vec_id long").parquet(src),
+            index_path=idx_path,
+            checkpoint_dir=ckpt,
+            auto_compact_dead_fraction=0.2,
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    for r in range(2):
+        emb.where(F.col("vec_id") % 4 == r).select("vec_id").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        run_once()
+    idx = load_index(spark, idx_path)
+    out = idx.knn_search(emb, _query_vec(spark, sf_dir, 23), 10, ef_search=400)
+    return (
+        out.select("vec_id", F.col("dist").cast("double").alias("dist"))
+        .withColumn("n_live", F.lit(int(idx.count)).cast("long"))
+        .withColumn(
+            "n_tombstones",
+            F.lit(int(idx.manifest.get("deleted_count", 0))).cast("long"),
+        )
+    )
+
+
+@register_extra(
     "q_stream_knn_serve",
     """
     SELECT qid, rid, dist, rn FROM (
