@@ -24,10 +24,71 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["save_table", "insert_into", "delete_where", "merge_upsert", "overwrite_where", "read_table"]
+__all__ = [
+    "save_table",
+    "insert_into",
+    "delete_where",
+    "merge_upsert",
+    "overwrite_where",
+    "read_table",
+    "bind_index",
+    "unbind_indexes",
+    "bound_indexes",
+]
 
 
 _FORMATS = ("parquet", "csv", "json")
+
+# ---------------------------------------------------------------------------
+# DML -> index hooks (r13). The reference keeps its HNSW index consistent
+# through table DML via PhysicalInsert/PhysicalDelete hooks into the index
+# (src/hnsw/hnsw_index.cpp:391-500: Insert appends rows, Delete marks them
+# in usearch, compaction reclaims). Binding an index artifact to a table
+# path gives the Spark sinks the same behavior on the OFFLINE maintenance
+# family: insert_into -> add_batch, delete_where -> delete_batch (mark-
+# delete), merge_upsert -> delete_batch + physical compact + add_batch
+# (id-level tombstones cannot version two rows sharing an id, so the old
+# version must be physically dropped before the new one appends — an
+# O(corpus) repack, proportionate to the O(corpus) table rewrite MERGE
+# already performs).
+#
+# Transactionality seam (documented, not hidden): the reference wraps
+# table + index in one transaction; here each step commits atomically on
+# its own (file-commit protocol for the table, atomic manifest writes for
+# the index), so a crash BETWEEN steps can leave the index one DML behind
+# or ahead of the table — rebuild() restores exactness, and every
+# individual step is idempotent or replay-safe.
+# ---------------------------------------------------------------------------
+
+_BOUND_INDEXES: dict[str, list] = {}
+
+
+def bind_index(path: str, index) -> None:
+    """Register ``index`` (any family handle with add_batch/
+    delete_batch) as bound to the table at ``path``: subsequent
+    insert_into / delete_where / merge_upsert calls on that path
+    propagate to it, the reference's index-DML-hook behavior."""
+    for fn in ("add_batch", "delete_batch"):
+        if not hasattr(index, fn):
+            raise ValueError(f"index {type(index).__name__} lacks {fn}()")
+    _BOUND_INDEXES.setdefault(os.path.abspath(path), []).append(index)
+
+
+def unbind_indexes(path: str) -> None:
+    _BOUND_INDEXES.pop(os.path.abspath(path), None)
+
+
+def bound_indexes(path: str) -> list:
+    return list(_BOUND_INDEXES.get(os.path.abspath(path), []))
+
+
+def _index_compact(ix) -> None:
+    """Physical tombstone reclaim, family-dispatched: HNSW repacks from
+    its own stored vectors; quantized families rewrite their data dir."""
+    if hasattr(ix, "compact_from_shards"):
+        ix.compact_from_shards()
+    else:
+        ix.compact()
 
 
 def save_table(
@@ -85,8 +146,12 @@ def read_table(
 
 
 def insert_into(df: DataFrame, path: str) -> None:
-    """INSERT INTO ... SELECT: append files to the table directory."""
+    """INSERT INTO ... SELECT: append files to the table directory.
+    Bound indexes receive the batch via ``add_batch`` (the reference's
+    Insert hook, hnsw_index.cpp:391-449) — O(batch) each."""
     df.write.mode("append").parquet(path)
+    for ix in bound_indexes(path):
+        ix.add_batch(df)
 
 
 def delete_where(spark: SparkSession, path: str, predicate: Column) -> int:
@@ -94,10 +159,23 @@ def delete_where(spark: SparkSession, path: str, predicate: Column) -> int:
 
     Returns the number of deleted rows. The rewrite goes through a
     sibling temp dir + rename so a crash never leaves a half table.
+    Bound indexes tombstone the deleted ids via ``delete_batch`` (the
+    reference's Delete hook, hnsw_index.cpp:466-482) — the ids are
+    STAGED before the table swap (the lazy plan reads the old files),
+    and the index update applies after the swap succeeds, so a failed
+    rewrite never half-deletes from an index.
     """
     df = spark.read.parquet(path)
     total = df.count()
     surviving = df.where(~predicate | predicate.isNull())
+    hooked = bound_indexes(path)
+    staged = None
+    if hooked:
+        id_cols = sorted({ix.manifest["id_col"] for ix in hooked})
+        staged = path.rstrip("/") + ".__deleted_ids__"
+        df.where(predicate).select(*id_cols).write.mode("overwrite").parquet(
+            staged
+        )
     tmp = path.rstrip("/") + ".__rewrite__"
     surviving.write.mode("overwrite").parquet(tmp)
     kept = spark.read.parquet(tmp).count()
@@ -105,6 +183,11 @@ def delete_where(spark: SparkSession, path: str, predicate: Column) -> int:
 
     shutil.rmtree(path)
     os.rename(tmp, path)
+    if hooked:
+        dead = spark.read.parquet(staged)
+        for ix in hooked:
+            ix.delete_batch(dead.select(ix.manifest["id_col"]))
+        shutil.rmtree(staged, ignore_errors=True)
     return total - kept
 
 
@@ -148,11 +231,39 @@ def merge_upsert(
     tmp = path.rstrip("/") + ".__rewrite__"
     merged.write.mode("overwrite").parquet(tmp)
     n_after = spark.read.parquet(tmp).count()
+    hooked = bound_indexes(path)
+    staged_keys = None
+    if hooked:
+        # the caller's ``updates`` may derive from the target itself,
+        # so its keys are STAGED before the swap deletes the old files
+        staged_keys = path.rstrip("/") + ".__upsert_keys__"
+        updates.select(*key_cols).distinct().write.mode("overwrite").parquet(
+            staged_keys
+        )
     import shutil
 
     shutil.rmtree(path)
     os.rename(tmp, path)
     inserted = n_after - n_target
+    # index hook: tombstone the upserted keys, PHYSICALLY reclaim (an
+    # id-level tombstone cannot distinguish the old row from the new
+    # one about to append — revive-on-add would resurrect both), then
+    # append the new versions. The compact is O(corpus), proportionate
+    # to the O(corpus) table rewrite MERGE itself just performed. The
+    # updates re-read from the JUST-WRITTEN table files (tmp committed
+    # above): an ``updates`` frame derived from the target itself
+    # would otherwise lazily re-read files the swap deleted — hence
+    # the pre-swap key staging.
+    if hooked:
+        fresh = spark.read.parquet(path)
+        keys = spark.read.parquet(staged_keys)
+        for ix in hooked:
+            id_col = ix.manifest["id_col"]
+            up = fresh.join(F.broadcast(keys), key_cols, "left_semi")
+            ix.delete_batch(up.select(id_col))
+            _index_compact(ix)
+            ix.add_batch(up)
+        shutil.rmtree(staged_keys, ignore_errors=True)
     return {"updated": n_updates - inserted, "inserted": inserted}
 
 

@@ -216,3 +216,91 @@ def test_compact_table_empty_dir_raises(spark, tmp_path):
     p.mkdir()
     with _pytest.raises(ValueError, match="no parquet files"):
         compact_table(spark, str(p))
+
+
+def test_dml_index_hooks(spark, tmp_path):
+    """r13: bind_index gives the sinks the reference's DML->index hook
+    behavior (hnsw_index.cpp:391-500): insert_into -> add_batch,
+    delete_where -> delete_batch, merge_upsert -> tombstone + physical
+    compact + add_batch (no stale version survives). Both an HNSW and
+    a PQ handle bound to one table stay search-consistent with it
+    through the whole insert/delete/upsert cycle."""
+    import numpy as np
+
+    from duckdb_vss_spark.index import create_hnsw_index
+    from duckdb_vss_spark.index.pq import create_pq_index
+    from duckdb_vss_spark.operators.topk import knn_search
+    from duckdb_vss_spark.sources.sinks import (
+        bind_index,
+        bound_indexes,
+        merge_upsert,
+        unbind_indexes,
+    )
+
+    rng = np.random.RandomState(7)
+
+    def rows(ids):
+        return [(int(i), [float(x) for x in rng.randn(8)]) for i in ids]
+
+    p = str(tmp_path / "vecs")
+    save_table(
+        spark.createDataFrame(rows(range(200)), "vid long, v array<float>"), p
+    )
+    hnsw = create_hnsw_index(
+        spark, read_table(spark, p), "v", "vid", str(tmp_path / "hx"),
+        overwrite=True,
+    )
+    pq = create_pq_index(
+        spark, read_table(spark, p), "v", "vid", str(tmp_path / "px")
+    )
+    bind_index(p, hnsw)
+    bind_index(p, pq)
+    assert len(bound_indexes(p)) == 2
+
+    # INSERT: new rows searchable in both indexes
+    insert_into(
+        spark.createDataFrame(rows(range(200, 220)), "vid long, v array<float>"), p
+    )
+    assert hnsw.count == 220 and pq.count == 220
+
+    # DELETE: ids vanish from both
+    n_del = delete_where(spark, p, F.col("vid") % 10 == 0)
+    assert n_del == 22
+    assert hnsw.count == 198 and pq.count == 198
+    table = read_table(spark, p)
+    qv = rows([999])[0][1]
+    want = {r["vid"] for r in knn_search(table, "v", qv, 5).collect()}
+    got_h = {r["vid"] for r in hnsw.knn_search(table, qv, 5, ef_search=400).collect()}
+    got_p = {
+        r["vid"]
+        for r in pq.knn_search(qv, 5, rerank=pq.count, source=table).collect()
+    }
+    assert got_h == want and got_p == want
+
+    # MERGE: an existing key moves to a new vector; search follows the
+    # NEW version (the old one must not survive anywhere), and a new
+    # key appends
+    moved = rows([3])[0]
+    res = merge_upsert(
+        spark,
+        p,
+        spark.createDataFrame(
+            [moved, rows([500])[0]], "vid long, v array<float>"
+        ),
+        ["vid"],
+    )
+    assert res == {"updated": 1, "inserted": 1}
+    assert hnsw.count == 199 and pq.count == 199  # 198 - 1 replaced + 2
+    assert not int(hnsw.manifest.get("deleted_count", 0))  # compacted
+    assert not int(pq.manifest.get("deleted_count", 0))
+    table = read_table(spark, p)
+    qv3 = moved[1]  # the updated vector: its own id must be the top hit
+    top_h = hnsw.knn_search(table, qv3, 1, ef_search=400).first()["vid"]
+    top_p = pq.knn_search(qv3, 1, rerank=pq.count, source=table).first()["vid"]
+    assert top_h == 3 and top_p == 3
+    want3 = {r["vid"] for r in knn_search(table, "v", qv3, 5).collect()}
+    got3 = {r["vid"] for r in hnsw.knn_search(table, qv3, 5, ef_search=400).collect()}
+    assert got3 == want3
+
+    unbind_indexes(p)
+    assert bound_indexes(p) == []
