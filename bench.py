@@ -803,6 +803,20 @@ def main() -> None:
                 lambda: ab["i"].add_batch(emb.where(F.col("vec_id") % 2 == 1)),
                 runs=1,  # a merge is a job, not a repeated query (and it mutates)
             )
+            # r13: mark-delete cost (tombstone write, O(|ids|)) and the
+            # per-query overhead a tombstoned artifact pays (over-fetch
+            # + broadcast anti-join) — compare against hnsw_search
+            timed(
+                "hnsw_delete_batch",
+                lambda: ab["i"].delete_batch(
+                    emb.where(F.col("vec_id") % 10 == 3).select("vec_id")
+                ),
+                runs=1,  # mutates
+            )
+            timed(
+                "hnsw_search_tombstoned",
+                lambda: ab["i"].knn_search(emb, qv, 10).collect(),
+            )
 
     # vector: IVF build + partition-pruned search (the scale path)
     from duckdb_vss_spark.index import create_ivf_index
