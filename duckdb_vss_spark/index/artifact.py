@@ -1172,6 +1172,13 @@ def drop_index(path: str) -> None:
         shutil.rmtree(path)
 
 
+_INFO_SCHEMA = (
+    "catalog_name string, schema_name string, index_name string, table_name string, "
+    "metric string, dimensions long, count long, capacity long, approx_memory_usage long, "
+    "levels long, levels_stats array<struct<nodes:long,edges:long,max_edges:long,allocated_bytes:long>>"
+)
+
+
 def index_info(spark: SparkSession, path: str) -> DataFrame:
     """pragma_hnsw_index_info() equivalent (§2.1 #12): one row per index
     with aggregate level stats across partition graphs."""
@@ -1199,9 +1206,4 @@ def index_info(spark: SparkSession, path: str) -> DataFrame:
         max_level + 1,
         levels,
     )
-    schema = (
-        "catalog_name string, schema_name string, index_name string, table_name string, "
-        "metric string, dimensions long, count long, capacity long, approx_memory_usage long, "
-        "levels long, levels_stats array<struct<nodes:long,edges:long,max_edges:long,allocated_bytes:long>>"
-    )
-    return spark.createDataFrame([row], schema)
+    return spark.createDataFrame([row], _INFO_SCHEMA)

@@ -461,6 +461,8 @@ class VssPlanner:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self._indexes: dict[tuple[str, str], object] = {}
+        self._named: dict[str, dict] = {}  # SQL-DDL-created indexes by name
+        self._ddl_dir: str | None = None
         self.last_plan: str = ""
         # the unpatched parse/execute path: install_sql_extension
         # (plans/catalyst.py) rebinds spark.sql to THIS planner, so all
@@ -536,7 +538,10 @@ class VssPlanner:
         if kind == "IvfIndex":
             return idx.knn_search(query_vec, k, post_filter=where)
         if kind == "HnswIndex":
-            return idx.knn_search(base, query_vec, k, post_filter=where)
+            return idx.knn_search(
+                base, query_vec, k, post_filter=where,
+                ef_search=getattr(idx, "_sql_ef_search", None),
+            )
         # quantized families: approximate shortlist ids -> exact rescore
         id_col = idx.manifest["id_col"]
         vcol = vec_col or idx.manifest["vec_col"]
@@ -566,7 +571,188 @@ class VssPlanner:
             out = out.where(F.expr(where))
         return out
 
+    # -- SQL DDL surface (r13): the reference's index statements --------
+    # CREATE INDEX n ON t USING HNSW (col) [WITH (...)], DROP INDEX n,
+    # PRAGMA hnsw_compact_index('n'), pragma_hnsw_index_info() — the
+    # statements every reference test file opens with (hnsw_basic.test:16,
+    # hnsw_options.test, hnsw_index_pragmas.cpp). Spark has no rowids, so
+    # the indexed table must carry an integral id column (WITH (id='col')
+    # overrides the inference) — the one documented deviation.
+
+    _CREATE_IDX = re.compile(
+        r"^\s*CREATE\s+INDEX\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s+ON\s+"
+        r"([A-Za-z_][\w.]*)\s+USING\s+HNSW\s*\(\s*([A-Za-z_]\w*)\s*\)\s*"
+        r"(?:WITH\s*\((.*)\))?\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _DROP_IDX = re.compile(
+        r"^\s*DROP\s+INDEX\s+(IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*;?\s*$",
+        re.IGNORECASE,
+    )
+    _PRAGMA_COMPACT = re.compile(
+        r"^\s*PRAGMA\s+hnsw_compact_index\s*\(\s*'([^']+)'\s*\)\s*;?\s*$",
+        re.IGNORECASE,
+    )
+    _INFO_FN = re.compile(r"\bpragma_hnsw_index_info\s*\(\s*\)", re.IGNORECASE)
+    _INT_OPTS = {"m": 2, "m0": 2, "ef_construction": 1, "ef_search": 1}
+
+    def _empty_result(self) -> DataFrame:
+        return self.spark.createDataFrame([], "result string")
+
+    @staticmethod
+    def _parse_with_options(raw: str | None) -> dict:
+        """key = value pairs; values are 'quoted' strings or numbers.
+        Integer options validate with the reference's Binder-error
+        wording (hnsw_options.test / hnsw_index_plan.cpp:33-80)."""
+        opts: dict = {}
+        if not raw:
+            return opts
+        for part in raw.split(","):
+            if not part.strip():
+                continue
+            k, _, v = part.partition("=")
+            key, val = k.strip().lower(), v.strip()
+            if val.startswith("'") and val.endswith("'"):
+                opts[key] = val[1:-1]
+            else:
+                opts[key] = val
+        for key, floor in VssPlanner._INT_OPTS.items():
+            if key in opts:
+                label = {"m": "M", "m0": "M0"}.get(key, key)
+                try:
+                    opts[key] = int(opts[key])
+                except (TypeError, ValueError):
+                    raise ValueError(
+                        f"HNSW index '{label}' must be an integer"
+                    ) from None
+                if opts[key] < floor:
+                    raise ValueError(
+                        f"HNSW index '{label}' must be at least {floor}"
+                    )
+        return opts
+
+    def _infer_id_col(self, df: DataFrame, opts: dict) -> str:
+        want = opts.get("id") or opts.get("id_col")
+        if want:
+            if want not in df.columns:
+                raise ValueError(f"id column {want!r} not in table")
+            return want
+        ints = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.simpleString() in ("tinyint", "smallint", "int", "bigint")
+        ]
+        for c in ints:  # exact 'id', then any *id column, then first integral
+            if c.lower() == "id":
+                return c
+        for c in ints:
+            if c.lower().endswith("id"):
+                return c
+        if ints:
+            return ints[0]
+        raise ValueError(
+            "CREATE INDEX ... USING HNSW needs an integral id column on the "
+            "table (Spark has no rowids — the reference indexes rowids, "
+            "hnsw_index.cpp): add one or pass WITH (id = '<col>')"
+        )
+
+    def _try_ddl(self, sql: str) -> DataFrame | None:
+        m = self._CREATE_IDX.match(sql)
+        if m:
+            if_not_exists, name, table, vec_col, raw_opts = m.groups()
+            if name in self._named:
+                if if_not_exists:
+                    self.last_plan = "CREATE_HNSW_INDEX"
+                    return self._empty_result()
+                raise ValueError(f"an index with the name {name!r} already exists")
+            opts = self._parse_with_options(raw_opts)
+            from duckdb_vss_spark.index import create_hnsw_index
+
+            df = self.spark.table(table)
+            id_col = self._infer_id_col(df, opts)
+            if self._ddl_dir is None:
+                import tempfile
+
+                self._ddl_dir = tempfile.mkdtemp(prefix="vss_sql_indexes_")
+            base = self._ddl_dir
+            import os as _os
+
+            kwargs = {}
+            if "metric" in opts:
+                kwargs["metric"] = opts["metric"]
+            if "m" in opts:
+                kwargs["m"] = opts["m"]
+            if "m0" in opts:
+                kwargs["m0"] = opts["m0"]
+            if "ef_construction" in opts:
+                kwargs["ef_construction"] = opts["ef_construction"]
+            idx = create_hnsw_index(
+                self.spark, df, vec_col, id_col,
+                _os.path.join(base, name), name=name, overwrite=True, **kwargs,
+            )
+            if opts.get("ef_search"):
+                # WITH (ef_search = N): the reference persists the search
+                # width on the index; the routed scan honors it below
+                idx._sql_ef_search = int(opts["ef_search"])
+            self.register_index(table, vec_col, idx)
+            self._named[name] = {
+                "index": idx,
+                "table": table,
+                "vec_col": vec_col,
+                "ef_search": opts.get("ef_search"),
+            }
+            self.last_plan = "CREATE_HNSW_INDEX"
+            return self._empty_result()
+        m = self._DROP_IDX.match(sql)
+        if m:
+            if_exists, name = m.groups()
+            rec = self._named.pop(name, None)
+            if rec is None:
+                if if_exists:
+                    return self._empty_result()
+                raise ValueError(f"index {name!r} does not exist")
+            from duckdb_vss_spark.index import drop_index
+
+            key = (rec["table"].lower(), rec["vec_col"].lower())
+            lst = self._indexes.get(key, [])
+            self._indexes[key] = [i for i in lst if i is not rec["index"]]
+            drop_index(rec["index"].path)
+            self.last_plan = "DROP_INDEX"
+            return self._empty_result()
+        m = self._PRAGMA_COMPACT.match(sql)
+        if m:
+            name = m.group(1)
+            rec = self._named.get(name)
+            if rec is None:
+                raise ValueError(f"index {name!r} does not exist")
+            rec["index"].compact(self.spark.table(rec["table"]))
+            self.last_plan = "COMPACT_INDEX"
+            return self._empty_result()
+        if self._INFO_FN.search(sql):
+            from functools import reduce
+
+            from duckdb_vss_spark.index.artifact import index_info
+
+            infos = [
+                index_info(self.spark, rec["index"].path)
+                for rec in self._named.values()
+            ]
+            if infos:
+                info = reduce(lambda a, b: a.unionByName(b), infos)
+            else:
+                # empty registry: an empty frame with the 11-col schema
+                from duckdb_vss_spark.index.artifact import _INFO_SCHEMA
+
+                info = self.spark.createDataFrame([], _INFO_SCHEMA)
+            info.createOrReplaceTempView("__hnsw_info__")
+            self.last_plan = "INDEX_INFO"
+            return self._raw_sql(self._INFO_FN.sub("__hnsw_info__", sql))
+        return None
+
     def sql(self, sql: str) -> DataFrame:
+        ddl = self._try_ddl(sql)
+        if ddl is not None:
+            return ddl
         match = match_topk(sql)
         idx = self._index_for(match) if match else None
         if match and idx is not None:

@@ -2017,6 +2017,62 @@ def q_sql_topk_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "q_sql_ddl_cycle",
+    f"""
+    SELECT vec_id,
+           list_distance(CAST(embedding AS DOUBLE[]), {_ORACLE_QVEC.format(vid=29)}) AS dist
+    FROM embeddings
+    WHERE embedding IS NOT NULL
+    ORDER BY dist, vec_id
+    LIMIT 8
+    """,
+)
+def q_sql_ddl_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's SQL DDL surface end-to-end (r13 — the statements
+    every reference test file opens with, hnsw_basic.test:16 /
+    hnsw_options.test): ``CREATE INDEX ... USING HNSW (col) WITH
+    (...)`` builds and registers an artifact, the very next TopN
+    statement routes through it (marker pinned HNSW_INDEX_SCAN, ef ≫ k
+    so the brute-force SQL is a strict oracle), ``pragma_hnsw_index_
+    info()`` sees it, and ``DROP INDEX`` reverts the route to SEQ_SCAN
+    and removes the artifact. The k rows are materialized BEFORE the
+    drop (the routed frame lazily reads the artifact) — bounded, k=8."""
+    from duckdb_vss_spark.plans import VssPlanner
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.createOrReplaceTempView("embeddings")
+    spark.conf.set("spark.vss.ef_search", "400")
+    try:
+        planner = VssPlanner(spark)
+        planner.sql(
+            "CREATE INDEX ddl_cycle_idx ON embeddings USING HNSW (embedding) "
+            "WITH (metric = 'l2sq', id = 'vec_id')"
+        )
+        assert planner.last_plan == "CREATE_HNSW_INDEX", planner.last_plan
+        n_info = planner.sql(
+            "SELECT count(*) AS c FROM pragma_hnsw_index_info()"
+        ).first()["c"]
+        assert n_info == 1, n_info
+        qv = _query_vec(spark, sf_dir, 29)
+        lit = ",".join(repr(x) for x in qv)
+        df = planner.sql(
+            f"SELECT vec_id, dist FROM embeddings "
+            f"ORDER BY embedding <-> [{lit}]::FLOAT[{len(qv)}] LIMIT 8"
+        )
+        assert planner.last_plan == "HNSW_INDEX_SCAN", planner.last_plan
+        rows = [(int(r["vec_id"]), float(r["dist"])) for r in df.collect()]
+        planner.sql("DROP INDEX ddl_cycle_idx")
+        planner.sql(
+            f"SELECT vec_id FROM embeddings "
+            f"ORDER BY embedding <-> [{lit}]::FLOAT[{len(qv)}] LIMIT 8"
+        )
+        assert planner.last_plan == "SEQ_SCAN", planner.last_plan
+        return spark.createDataFrame(rows, "vec_id long, dist double")
+    finally:
+        spark.conf.unset("spark.vss.ef_search")
+
+
+@register_extra(
     "q_sql_ext_topk",
     f"""
     SELECT vec_id,

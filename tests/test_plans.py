@@ -1,6 +1,8 @@
 """Plan-rewrite layer: operator aliases, cosine canonicalization,
 TopN -> index-scan routing (reference: hnsw_rewrite.test, hnsw_basic.test)."""
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -493,3 +495,104 @@ def test_quantized_indexes_route_through_topk_rule(spark, tmp_path):
     assert p2.last_plan == "BQ_INDEX_SCAN"
     direct2 = [r["vec_id"] for r in bq.knn_search(qv, 5).collect()]
     assert [r["vec_id"] for r in routed2.collect()] == direct2
+
+
+# -- SQL DDL surface (r13): CREATE INDEX / DROP INDEX / PRAGMAs ------------
+# The statements every reference test file opens with (hnsw_basic.test:16,
+# hnsw_options.test, hnsw_index_pragmas.cpp). Spark has no rowids, so the
+# indexed table must carry an integral id column — the one documented
+# deviation (WITH (id='col') overrides the inference).
+
+
+def test_sql_create_index_routes_and_drop_reverts(spark, grid):
+    grid.createOrReplaceTempView("ddl_items")
+    p = VssPlanner(spark)
+    r = p.sql("CREATE INDEX ddl_idx ON ddl_items USING HNSW (vec)")
+    assert p.last_plan == "CREATE_HNSW_INDEX" and r.count() == 0
+    q = "SELECT id FROM ddl_items ORDER BY vec <-> [2.0,2.0,2.0]::FLOAT[3] LIMIT 3"
+    got = sorted(r["id"] for r in p.sql(q).collect())
+    assert p.last_plan == "HNSW_INDEX_SCAN"
+    want = sorted(
+        r["id"]
+        for r in knn_search(grid, "vec", [2.0, 2.0, 2.0], 3).select("id").collect()
+    )
+    assert got == want
+    # duplicate name: reference errors; IF NOT EXISTS: no-op
+    with pytest.raises(ValueError, match="already exists"):
+        p.sql("CREATE INDEX ddl_idx ON ddl_items USING HNSW (vec)")
+    p.sql("CREATE INDEX IF NOT EXISTS ddl_idx ON ddl_items USING HNSW (vec)")
+    # info pragma: one row, live count, composable projection
+    info = p.sql(
+        "SELECT index_name, count FROM pragma_hnsw_index_info() ORDER BY index_name"
+    )
+    assert p.last_plan == "INDEX_INFO"
+    assert [(r[0], r[1]) for r in info.collect()] == [("ddl_idx", grid.count())]
+    # compact pragma: rebuild-from-snapshot, still routable after
+    assert p.sql("PRAGMA hnsw_compact_index('ddl_idx')").count() == 0
+    assert p.last_plan == "COMPACT_INDEX"
+    assert sorted(r["id"] for r in p.sql(q).collect()) == want
+    assert p.last_plan == "HNSW_INDEX_SCAN"
+    # drop: seq-scan from then on, artifact gone, IF EXISTS tolerated
+    p.sql("DROP INDEX ddl_idx")
+    assert p.last_plan == "DROP_INDEX"
+    p.sql(q)
+    assert p.last_plan == "SEQ_SCAN"
+    with pytest.raises(ValueError, match="does not exist"):
+        p.sql("DROP INDEX ddl_idx")
+    assert p.sql("DROP INDEX IF EXISTS ddl_idx").count() == 0
+    assert p.sql("SELECT count(*) AS c FROM pragma_hnsw_index_info()").first()["c"] == 0
+
+
+def test_sql_create_index_option_validation(spark, grid):
+    """Binder-error wording parity with hnsw_options.test."""
+    grid.createOrReplaceTempView("ddl_items2")
+    p = VssPlanner(spark)
+    cases = [
+        ("M = 'foo'", "HNSW index 'M' must be an integer"),
+        ("M = 0", "HNSW index 'M' must be at least 2"),
+        ("M0 = 'foo'", "HNSW index 'M0' must be an integer"),
+        ("M0 = 0", "HNSW index 'M0' must be at least 2"),
+        ("ef_construction = 'foo'", "HNSW index 'ef_construction' must be an integer"),
+        ("ef_construction = 0", "HNSW index 'ef_construction' must be at least 1"),
+        ("ef_search = 'foo'", "HNSW index 'ef_search' must be an integer"),
+        ("ef_search = 0", "HNSW index 'ef_search' must be at least 1"),
+    ]
+    for opt, msg in cases:
+        with pytest.raises(ValueError, match=re.escape(msg)):
+            p.sql(f"CREATE INDEX bad ON ddl_items2 USING HNSW (vec) WITH ({opt})")
+    # metric validation flows through create_hnsw_index's gate
+    with pytest.raises(ValueError, match="'metric' must be one of"):
+        p.sql(
+            "CREATE INDEX bad ON ddl_items2 USING HNSW (vec) WITH (metric = 'manhattan')"
+        )
+
+
+def test_sql_create_index_with_options_and_id_inference(spark, grid):
+    """WITH options thread to the build; ef_search persists on the index
+    and the routed scan honors it; lowercase using hnsw(col) parses
+    (hnsw_basic.test uses both spellings); a table with NO integral id
+    column errors with the documented deviation message."""
+    grid.createOrReplaceTempView("ddl_items3")
+    p = VssPlanner(spark)
+    p.sql(
+        "CREATE INDEX opt_idx ON ddl_items3 USING hnsw(vec) "
+        "WITH (metric = 'cosine', M = 8, M0 = 16, ef_construction = 64, ef_search = 77)"
+    )
+    ix = p._named["opt_idx"]["index"]
+    assert ix.metric == "cosine"
+    assert ix.manifest["params"]["m"] == 8
+    assert ix.manifest["params"]["m0"] == 16
+    assert ix.manifest["params"]["ef_construction"] == 64
+    assert ix._sql_ef_search == 77
+    df = p.sql(
+        "SELECT id FROM ddl_items3 ORDER BY "
+        "array_cosine_distance(vec, [2.0,1.0,2.0]::FLOAT[3]) LIMIT 3"
+    )
+    assert p.last_plan == "HNSW_INDEX_SCAN" and df.count() == 3
+    p.sql("DROP INDEX opt_idx")
+    # no integral id column anywhere -> the documented rowid deviation
+    spark.createDataFrame(
+        [([1.0, 2.0, 3.0],)], "vec array<float>"
+    ).createOrReplaceTempView("no_id_items")
+    with pytest.raises(ValueError, match="no rowids"):
+        p.sql("CREATE INDEX nid ON no_id_items USING HNSW (vec)")
