@@ -581,7 +581,8 @@ class VssPlanner:
 
     _CREATE_IDX = re.compile(
         r"^\s*CREATE\s+INDEX\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s+ON\s+"
-        r"([A-Za-z_][\w.]*)\s+USING\s+HNSW\s*\(\s*([A-Za-z_]\w*)\s*\)\s*"
+        r"([A-Za-z_][\w.]*)\s+USING\s+(HNSW|IVF|PQ|IVFPQ|IVFADC|IVFSQ|BQ)"
+        r"\s*\(\s*([A-Za-z_]\w*)\s*\)\s*"
         r"(?:WITH\s*\((.*)\))?\s*;?\s*$",
         re.IGNORECASE | re.DOTALL,
     )
@@ -659,40 +660,77 @@ class VssPlanner:
     def _try_ddl(self, sql: str) -> DataFrame | None:
         m = self._CREATE_IDX.match(sql)
         if m:
-            if_not_exists, name, table, vec_col, raw_opts = m.groups()
+            if_not_exists, name, table, family, vec_col, raw_opts = m.groups()
+            family = family.upper()
+            if family == "IVFADC":
+                family = "IVFPQ"  # the reference literature name, aliased
             if name in self._named:
                 if if_not_exists:
-                    self.last_plan = "CREATE_HNSW_INDEX"
+                    self.last_plan = f"CREATE_{family}_INDEX"
                     return self._empty_result()
                 raise ValueError(f"an index with the name {name!r} already exists")
             opts = self._parse_with_options(raw_opts)
-            from duckdb_vss_spark.index import create_hnsw_index
-
             df = self.spark.table(table)
             id_col = self._infer_id_col(df, opts)
             if self._ddl_dir is None:
                 import tempfile
 
                 self._ddl_dir = tempfile.mkdtemp(prefix="vss_sql_indexes_")
-            base = self._ddl_dir
             import os as _os
 
-            kwargs = {}
-            if "metric" in opts:
-                kwargs["metric"] = opts["metric"]
-            if "m" in opts:
-                kwargs["m"] = opts["m"]
-            if "m0" in opts:
-                kwargs["m0"] = opts["m0"]
-            if "ef_construction" in opts:
-                kwargs["ef_construction"] = opts["ef_construction"]
-            idx = create_hnsw_index(
-                self.spark, df, vec_col, id_col,
-                _os.path.join(base, name), name=name, overwrite=True, **kwargs,
+            path = _os.path.join(self._ddl_dir, name)
+            kwargs = {k: opts[k] for k in ("metric",) if k in opts}
+            if family == "HNSW":
+                from duckdb_vss_spark.index import create_hnsw_index as _create
+
+                for k in ("m", "m0", "ef_construction"):
+                    if k in opts:
+                        kwargs[k] = opts[k]
+            elif family == "IVF":
+                from duckdb_vss_spark.index.ivf import create_ivf_index as _create
+
+                for k in ("nlist", "default_nprobe"):
+                    if k in opts:
+                        kwargs[k] = int(opts[k])
+            elif family == "PQ":
+                from duckdb_vss_spark.index.pq import create_pq_index as _create
+
+                if "m" in opts:
+                    kwargs["m"] = opts["m"]
+                if "ksub" in opts:
+                    kwargs["ksub"] = int(opts["ksub"])
+            elif family == "IVFPQ":
+                from duckdb_vss_spark.index.ivfpq import (
+                    create_ivfpq_index as _create,
+                )
+
+                if "m" in opts:
+                    kwargs["m"] = opts["m"]
+                for k in ("nlist", "ksub", "default_nprobe"):
+                    if k in opts:
+                        kwargs[k] = int(opts[k])
+            elif family == "IVFSQ":
+                from duckdb_vss_spark.index.ivfsq import (
+                    create_ivfsq_index as _create,
+                )
+
+                for k in ("nlist", "default_nprobe"):
+                    if k in opts:
+                        kwargs[k] = int(opts[k])
+            else:  # BQ
+                from duckdb_vss_spark.index.bq import create_bq_index as _create
+
+                if "scoring" in opts:
+                    kwargs["scoring"] = opts["scoring"]
+                if "target_recall" in opts:
+                    kwargs["target_recall"] = float(opts["target_recall"])
+            idx = _create(
+                self.spark, df, vec_col, id_col, path,
+                name=name, overwrite=True, **kwargs,
             )
             if opts.get("ef_search"):
                 # WITH (ef_search = N): the reference persists the search
-                # width on the index; the routed scan honors it below
+                # width on the index; the routed HNSW scan honors it
                 idx._sql_ef_search = int(opts["ef_search"])
             self.register_index(table, vec_col, idx)
             self._named[name] = {
@@ -701,7 +739,7 @@ class VssPlanner:
                 "vec_col": vec_col,
                 "ef_search": opts.get("ef_search"),
             }
-            self.last_plan = "CREATE_HNSW_INDEX"
+            self.last_plan = f"CREATE_{family}_INDEX"
             return self._empty_result()
         m = self._DROP_IDX.match(sql)
         if m:
@@ -725,7 +763,11 @@ class VssPlanner:
             rec = self._named.get(name)
             if rec is None:
                 raise ValueError(f"index {name!r} does not exist")
-            rec["index"].compact(self.spark.table(rec["table"]))
+            ix = rec["index"]
+            if type(ix).__name__ == "HnswIndex":
+                ix.compact(self.spark.table(rec["table"]))
+            else:  # quantized families: self-contained reclaim/repack
+                ix.compact()
             self.last_plan = "COMPACT_INDEX"
             return self._empty_result()
         if self._INFO_FN.search(sql):
@@ -736,6 +778,9 @@ class VssPlanner:
             infos = [
                 index_info(self.spark, rec["index"].path)
                 for rec in self._named.values()
+                # the reference pragma reports HNSW indexes; quantized
+                # artifacts expose their stats via their own info()
+                if type(rec["index"]).__name__ == "HnswIndex"
             ]
             if infos:
                 info = reduce(lambda a, b: a.unionByName(b), infos)

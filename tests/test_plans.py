@@ -596,3 +596,43 @@ def test_sql_create_index_with_options_and_id_inference(spark, grid):
     ).createOrReplaceTempView("no_id_items")
     with pytest.raises(ValueError, match="no rowids"):
         p.sql("CREATE INDEX nid ON no_id_items USING HNSW (vec)")
+
+
+def test_sql_create_index_quantized_families(spark, grid):
+    """Engine extension beyond the reference's HNSW-only DDL: the
+    quantized families are SQL-creatable too (USING IVF/PQ/IVFPQ/
+    IVFSQ/BQ, IVFADC aliasing IVFPQ), route through the planner's
+    exact-rescore quantized path, compact via the self-contained
+    family compact(), and drop cleanly."""
+    import os
+
+    grid.createOrReplaceTempView("ddl_items4")
+    p = VssPlanner(spark)
+    q = (
+        "SELECT id FROM ddl_items4 ORDER BY "
+        "vec <-> [2.0,2.0,2.0]::FLOAT[3] LIMIT 3"
+    )
+    want = sorted(
+        r["id"]
+        for r in knn_search(grid, "vec", [2.0, 2.0, 2.0], 3).select("id").collect()
+    )
+    for family, marker, opts in [
+        ("IVF", "IVF_INDEX_SCAN", " WITH (nlist = 4)"),
+        ("PQ", "PQ_INDEX_SCAN", " WITH (m = 3)"),
+        ("IVFADC", "IVF_PQ_INDEX_SCAN", " WITH (nlist = 4, m = 3)"),
+        ("BQ", "BQ_INDEX_SCAN", ""),
+    ]:
+        nm = f"qidx_{family.lower()}"
+        p.sql(f"CREATE INDEX {nm} ON ddl_items4 USING {family} (vec){opts}")
+        assert p.last_plan.startswith("CREATE_"), p.last_plan
+        path = p._named[nm]["index"].path
+        df = p.sql(q)
+        assert p.last_plan == marker, (family, p.last_plan)
+        # the planner exact-rescores quantized shortlists against the
+        # routed table, so full-probe/dense families are exact here
+        got = sorted(r["id"] for r in df.collect())
+        assert got == want, (family, got, want)
+        assert p.sql(f"PRAGMA hnsw_compact_index('{nm}')").count() == 0
+        p.sql(f"DROP INDEX {nm}")
+        assert not os.path.exists(path)
+    assert p.sql("SELECT count(*) AS c FROM pragma_hnsw_index_info()").first()["c"] == 0
