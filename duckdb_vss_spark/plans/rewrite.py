@@ -657,7 +657,65 @@ class VssPlanner:
             "hnsw_index.cpp): add one or pass WITH (id = '<col>')"
         )
 
+    _SET_CONF = re.compile(
+        r"^\s*SET\s+(hnsw_ef_search|hnsw_enable_experimental_persistence)"
+        r"\s*=\s*('[^']*'|\S+?)\s*;?\s*$",
+        re.IGNORECASE,
+    )
+    _RESET_CONF = re.compile(
+        r"^\s*RESET\s+(hnsw_ef_search|hnsw_enable_experimental_persistence)"
+        r"\s*;?\s*$",
+        re.IGNORECASE,
+    )
+
     def _try_ddl(self, sql: str) -> DataFrame | None:
+        m = self._SET_CONF.match(sql)
+        if m:
+            # the reference's session settings (README.md / settings
+            # registration in hnsw_index.cpp): SET hnsw_ef_search = N and
+            # SET hnsw_enable_experimental_persistence = bool translate to
+            # this engine's spark.vss.* session confs (session.py)
+            from duckdb_vss_spark.session import (
+                CONF_EF_SEARCH,
+                CONF_ENABLE_PERSISTENCE,
+            )
+
+            key, val = m.group(1).lower(), m.group(2).strip("'")
+            if key == "hnsw_ef_search":
+                try:
+                    ival = int(val)
+                except ValueError:
+                    raise ValueError(
+                        "'hnsw_ef_search' must be an integer"
+                    ) from None
+                if ival < 1:
+                    raise ValueError("'hnsw_ef_search' must be at least 1")
+                self.spark.conf.set(CONF_EF_SEARCH, str(ival))
+            else:
+                self.spark.conf.set(
+                    CONF_ENABLE_PERSISTENCE,
+                    "true" if val.lower() in ("true", "1", "yes") else "false",
+                )
+            self.last_plan = "SET"
+            return self._empty_result()
+        m = self._RESET_CONF.match(sql)
+        if m:
+            from duckdb_vss_spark.session import (
+                CONF_EF_SEARCH,
+                CONF_ENABLE_PERSISTENCE,
+            )
+
+            conf = (
+                CONF_EF_SEARCH
+                if m.group(1).lower() == "hnsw_ef_search"
+                else CONF_ENABLE_PERSISTENCE
+            )
+            try:
+                self.spark.conf.unset(conf)
+            except Exception:  # noqa: BLE001 — already unset
+                pass
+            self.last_plan = "RESET"
+            return self._empty_result()
         m = self._CREATE_IDX.match(sql)
         if m:
             if_not_exists, name, table, family, vec_col, raw_opts = m.groups()

@@ -636,3 +636,36 @@ def test_sql_create_index_quantized_families(spark, grid):
         p.sql(f"DROP INDEX {nm}")
         assert not os.path.exists(path)
     assert p.sql("SELECT count(*) AS c FROM pragma_hnsw_index_info()").first()["c"] == 0
+
+
+def test_sql_set_reference_settings(spark, grid):
+    """SET hnsw_ef_search / SET hnsw_enable_experimental_persistence —
+    the reference's session settings as SQL (hnsw_experimental_
+    persistence.test; settings registered in hnsw_index_physical_
+    create.cpp) — translate to the spark.vss.* confs, with the gate
+    actually blocking CREATE INDEX while persistence is off."""
+    from duckdb_vss_spark.session import CONF_EF_SEARCH, get_ef_search
+
+    grid.createOrReplaceTempView("set_items")
+    p = VssPlanner(spark)
+    try:
+        p.sql("SET hnsw_ef_search = 333")
+        assert get_ef_search(spark) == 333
+        with pytest.raises(ValueError, match="must be an integer"):
+            p.sql("SET hnsw_ef_search = 'foo'")
+        with pytest.raises(ValueError, match="at least 1"):
+            p.sql("SET hnsw_ef_search = 0")
+        p.sql("SET hnsw_enable_experimental_persistence = false")
+        with pytest.raises(ValueError, match="persistence is disabled"):
+            p.sql("CREATE INDEX blocked ON set_items USING HNSW (vec)")
+        p.sql("SET hnsw_enable_experimental_persistence = true")
+        p.sql("CREATE INDEX unblocked ON set_items USING HNSW (vec)")
+        p.sql("DROP INDEX unblocked")
+        p.sql("RESET hnsw_ef_search")
+        assert get_ef_search(spark) != 333
+    finally:
+        for c in (CONF_EF_SEARCH, "spark.vss.enable_experimental_persistence"):
+            try:
+                spark.conf.unset(c)
+            except Exception:
+                pass
