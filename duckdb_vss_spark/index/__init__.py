@@ -46,3 +46,39 @@ from duckdb_vss_spark.index.bq import (  # noqa: F401
     hamming_distance,
     load_bq_index,
 )
+
+
+def load_any_index(spark, path: str):
+    """Load an artifact of ANY family by sniffing its manifest (r13):
+    the maintenance surfaces (streaming_index_delete, operational
+    tooling) shouldn't need the caller to repeat which family lives at
+    ``path`` — the manifest already says. Field fingerprints, checked
+    in specificity order:
+
+      partitions             -> HNSW   (shard graph list)
+      sq_mins                -> IVF×SQ (per-dim codec bounds)
+      centroids + codebooks  -> IVFADC (both quantizer levels)
+      codebooks              -> PQ
+      centroids              -> IVF
+      cal_fraction           -> BQ     (persisted calibration)
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, "manifest.json")) as f:
+        man = json.load(f)
+    if "partitions" in man:
+        return HnswIndex(spark, path, man)
+    if "sq_mins" in man:
+        return IvfSqIndex(spark, path, man)
+    if "centroids" in man and "codebooks" in man:
+        return IvfPqIndex(spark, path, man)
+    if "codebooks" in man:
+        return PqIndex(spark, path, man)
+    if "centroids" in man:
+        return IvfIndex(spark, path, man)
+    if "cal_fraction" in man:
+        return BqIndex(spark, path, man)
+    raise ValueError(
+        f"manifest at {path!r} matches no known index family"
+    )

@@ -441,7 +441,7 @@ def streaming_index_delete(
     ids: DataFrame,
     index_path: str,
     checkpoint_dir: str,
-    index_kind: str = "hnsw",
+    index_kind: str | None = None,
     auto_compact_dead_fraction: float | None = 0.25,
 ):
     """Micro-batch INCREMENTAL index deletes (r13 — the streaming face
@@ -476,10 +476,15 @@ def streaming_index_delete(
     checkpoint advancing (deleting from nothing deletes nothing — the
     same DELETE-of-missing no-op as the batch API).
 
+    ``index_kind`` is OPTIONAL here (unlike the add face, which must
+    know what to CREATE on the first batch): an existing artifact's
+    manifest says which family it is (``load_any_index``).
+
     Returns the StreamingQuery."""
     import hashlib
 
-    _create, load_index_fn, data_subdir = _index_fns(index_kind)
+    from duckdb_vss_spark.index import load_any_index
+
     stream_key = hashlib.md5(
         os.path.abspath(checkpoint_dir).encode()
     ).hexdigest()[:12]
@@ -490,7 +495,11 @@ def streaming_index_delete(
         spark = batch_df.sparkSession
         if not os.path.exists(os.path.join(index_path, "manifest.json")):
             return  # nothing to delete from (yet)
-        ix = load_index_fn(spark, index_path)
+        if index_kind is not None:
+            _c, load_index_fn, _s = _index_fns(index_kind)
+            ix = load_index_fn(spark, index_path)
+        else:
+            ix = load_any_index(spark, index_path)
         stamps = dict(ix.manifest.get("last_del_epochs") or {})
         if int(stamps.get(stream_key, -1)) >= int(epoch_id):
             return  # replayed micro-batch after restart — already applied
@@ -501,11 +510,11 @@ def streaming_index_delete(
         dead = int(ix.manifest.get("deleted_count", 0))
         total = int(ix.manifest.get("count", 0))
         if total and dead / total > float(auto_compact_dead_fraction):
-            if data_subdir is None:
+            if hasattr(ix, "compact_from_shards"):  # HNSW: own-vector repack
                 ix.compact_from_shards(
                     preserve=("last_epochs", "last_del_epochs")
                 )
-            else:
+            else:  # quantized: self-contained data-dir rewrite
                 ix.compact()
 
     return (

@@ -174,3 +174,32 @@ def test_ivf_info_reports_live_count(spark, emb, tmp_path):
     n = ix.count
     ix = ix.delete_batch(emb.limit(7).select("vec_id"))
     assert ix.info().first()["count"] == n - 7
+
+
+def test_load_any_index_sniffs_every_family(spark, emb, tmp_path):
+    """r13: load_any_index resolves the family from the manifest alone
+    — the maintenance surfaces shouldn't need the caller to repeat
+    what the artifact already records."""
+    from duckdb_vss_spark.index import (
+        create_hnsw_index,
+        load_any_index,
+    )
+
+    builders = {
+        "HnswIndex": lambda p: create_hnsw_index(
+            spark, emb, "embedding", "vec_id", p, overwrite=True
+        ),
+        "PqIndex": lambda p: create_pq_index(spark, emb, "embedding", "vec_id", p),
+        "IvfIndex": lambda p: create_ivf_index(spark, emb, "embedding", "vec_id", p),
+        "IvfPqIndex": lambda p: create_ivfpq_index(
+            spark, emb, "embedding", "vec_id", p
+        ),
+        "IvfSqIndex": lambda p: create_ivfsq_index(
+            spark, emb, "embedding", "vec_id", p
+        ),
+        "BqIndex": lambda p: create_bq_index(spark, emb, "embedding", "vec_id", p),
+    }
+    for cls, build in builders.items():
+        p = str(tmp_path / cls)
+        build(p)
+        assert type(load_any_index(spark, p)).__name__ == cls
