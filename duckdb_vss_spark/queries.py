@@ -4005,7 +4005,7 @@ def q_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            list_distance(CAST(embedding AS DOUBLE[]), {_ORACLE_QVEC.format(vid=19)}) AS dist,
            (SELECT count(*) FROM embeddings WHERE embedding IS NOT NULL) AS n_indexed,
-           CAST(1 AS INT) AS n_shards
+           CAST(TRUE AS BOOLEAN) AS right_sized
     FROM embeddings
     WHERE embedding IS NOT NULL
     ORDER BY dist, vec_id
@@ -4022,8 +4022,12 @@ def q_stream_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     AUTO-COMPACTS when the shard count exceeds the trigger
     (``compact_from_shards`` — repack from the artifact's own stored
     vectors, no source scan), so search cost after N epochs tracks the
-    right-sized shard count, not N: ``n_shards`` pins it at the bulk
-    build's sizing (1 at oracle scale), and the ef≫k search over the
+    right-sized shard count, not N: ``right_sized`` pins the final
+    shard count AT the bulk-build derivation for the same corpus
+    (artifact.py create_hnsw_index: by_size = ceil(n/65536), small
+    tables split ≤8 ways for build parallelism — the r13 sf0.1 window
+    caught the original literal-1 pin as scale-dependent: 2000 rows
+    legitimately derive 4 shards), and the ef≫k search over the
     many-epoch artifact must STILL match full-corpus brute force
     exactly. ``n_indexed`` pins the post-merge count
     (hnsw_insert.test:18-67 semantics)."""
@@ -4060,11 +4064,18 @@ def q_stream_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_once()
     idx = load_index(spark, idx_path)
     out = idx.knn_search(emb, _query_vec(spark, sf_dir, 19), 10, ef_search=400)
+    # the bulk-build shard derivation for this corpus size (the value
+    # compact_from_shards re-derives; create_hnsw_index sizing comment)
+    n = int(idx.count)
+    by_size = max(1, (n + 65_536 - 1) // 65_536)
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    expected = max(by_size, min(par, 8, n // 500)) if n > 1_000 else by_size
     return (
         out.select("vec_id", F.col("dist").cast("double").alias("dist"))
-        .withColumn("n_indexed", F.lit(int(idx.count)).cast("long"))
+        .withColumn("n_indexed", F.lit(n).cast("long"))
         .withColumn(
-            "n_shards", F.lit(len(idx.manifest["partitions"])).cast("int")
+            "right_sized",
+            F.lit(len(idx.manifest["partitions"]) == expected),
         )
     )
 
