@@ -823,9 +823,20 @@ class VssPlanner:
                 raise ValueError(f"index {name!r} does not exist")
             ix = rec["index"]
             if type(ix).__name__ == "HnswIndex":
-                ix.compact(self.spark.table(rec["table"]))
-            else:  # quantized families: self-contained reclaim/repack
-                ix.compact()
+                # compact() REBUILDS and returns a fresh handle — rebind
+                # it everywhere or the planner keeps serving the stale
+                # manifest (old shard list, stale tombstone counts)
+                new_ix = ix.compact(self.spark.table(rec["table"]))
+            else:  # quantized families: self-contained, mutate in place
+                new_ix = ix.compact()
+            if new_ix is not ix:
+                if hasattr(ix, "_sql_ef_search"):
+                    new_ix._sql_ef_search = ix._sql_ef_search
+                key = (rec["table"].lower(), rec["vec_col"].lower())
+                self._indexes[key] = [
+                    new_ix if i is ix else i for i in self._indexes.get(key, [])
+                ]
+                rec["index"] = new_ix
             self.last_plan = "COMPACT_INDEX"
             return self._empty_result()
         if self._INFO_FN.search(sql):
