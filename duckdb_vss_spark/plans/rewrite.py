@@ -458,12 +458,28 @@ class VssPlanner:
     (hnsw_basic.test:19-22); ours assert the same marker here.
     """
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, catalog: str | None = None):
         self.spark = spark
         self._indexes: dict[tuple[str, str], object] = {}
         self._named: dict[str, dict] = {}  # SQL-DDL-created indexes by name
         self._ddl_dir: str | None = None
         self.last_plan: str = ""
+        # ``catalog``: a DIRECTORY that makes the SQL-DDL surface
+        # durable, the reference's index-persistence behavior
+        # (hnsw_experimental_persistence.test: indexes survive a
+        # database restart). CREATE INDEX artifacts build under it and
+        # the name registry rides <catalog>/catalog.json (atomic
+        # write); a new VssPlanner over the same catalog reloads every
+        # artifact (load_any_index) and re-registers the routes. No
+        # catalog (default) = session-scoped registry in a temp dir,
+        # the in-memory-database behavior.
+        self._catalog = catalog
+        if catalog is not None:
+            import os as _os
+
+            _os.makedirs(catalog, exist_ok=True)
+            self._ddl_dir = catalog
+            self._load_catalog()
         # the unpatched parse/execute path: install_sql_extension
         # (plans/catalyst.py) rebinds spark.sql to THIS planner, so all
         # internal parsing must bypass the hook or recurse forever
@@ -599,6 +615,60 @@ class VssPlanner:
 
     def _empty_result(self) -> DataFrame:
         return self.spark.createDataFrame([], "result string")
+
+    def _catalog_file(self):
+        import os as _os
+
+        return None if self._catalog is None else _os.path.join(
+            self._catalog, "catalog.json"
+        )
+
+    def _load_catalog(self) -> None:
+        import json as _json
+        import os as _os
+
+        f = self._catalog_file()
+        if not f or not _os.path.exists(f):
+            return
+        from duckdb_vss_spark.index import load_any_index
+
+        with open(f) as fh:
+            entries = _json.load(fh)
+        for name, rec in entries.items():
+            try:
+                idx = load_any_index(self.spark, rec["path"])
+            except (OSError, ValueError):
+                continue  # artifact dir gone — drop the dangling entry
+            if rec.get("ef_search"):
+                idx._sql_ef_search = int(rec["ef_search"])
+            self.register_index(rec["table"], rec["vec_col"], idx)
+            self._named[name] = {
+                "index": idx,
+                "table": rec["table"],
+                "vec_col": rec["vec_col"],
+                "ef_search": rec.get("ef_search"),
+            }
+
+    def _save_catalog(self) -> None:
+        f = self._catalog_file()
+        if not f:
+            return
+        import json as _json
+        import os as _os
+
+        entries = {
+            name: {
+                "path": rec["index"].path,
+                "table": rec["table"],
+                "vec_col": rec["vec_col"],
+                "ef_search": rec.get("ef_search"),
+            }
+            for name, rec in self._named.items()
+        }
+        tmp = f + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(entries, fh, indent=1)
+        _os.replace(tmp, f)
 
     @staticmethod
     def _parse_with_options(raw: str | None) -> dict:
@@ -797,6 +867,7 @@ class VssPlanner:
                 "vec_col": vec_col,
                 "ef_search": opts.get("ef_search"),
             }
+            self._save_catalog()
             self.last_plan = f"CREATE_{family}_INDEX"
             return self._empty_result()
         m = self._DROP_IDX.match(sql)
@@ -813,6 +884,7 @@ class VssPlanner:
             lst = self._indexes.get(key, [])
             self._indexes[key] = [i for i in lst if i is not rec["index"]]
             drop_index(rec["index"].path)
+            self._save_catalog()
             self.last_plan = "DROP_INDEX"
             return self._empty_result()
         m = self._PRAGMA_COMPACT.match(sql)
@@ -837,6 +909,7 @@ class VssPlanner:
                     new_ix if i is ix else i for i in self._indexes.get(key, [])
                 ]
                 rec["index"] = new_ix
+            self._save_catalog()
             self.last_plan = "COMPACT_INDEX"
             return self._empty_result()
         if self._INFO_FN.search(sql):

@@ -74,3 +74,46 @@ def test_hnsw_crud_lifecycle(spark, tmp_path):
     finally:
         unbind_indexes(table)
         p.sql("RESET hnsw_enable_experimental_persistence")
+
+def _mk_items(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in rng.randn(8)]) for i in range(300)],
+        "item_id long, v array<float>",
+    )
+
+
+def test_catalog_restart(spark, tmp_path):
+    from duckdb_vss_spark.operators import knn_search
+
+    items = _mk_items(spark)
+    items.createOrReplaceTempView("cat_items")
+    cat = str(tmp_path / "catalog")
+    p1 = VssPlanner(spark, catalog=cat)
+    p1.sql(
+        "CREATE INDEX cat_idx ON cat_items USING HNSW (v) "
+        "WITH (ef_search = 321, id = 'item_id')"
+    )
+    p1.sql("CREATE INDEX cat_bq ON cat_items USING BQ (v)")
+    qv = [float(x) for x in items.where(F.col("item_id") == 5).first()["v"]]
+    lit = ",".join(repr(x) for x in qv)
+    q = f"SELECT item_id FROM cat_items ORDER BY v <-> [{lit}]::FLOAT[8] LIMIT 5"
+
+    # "restart": a brand-new planner over the same catalog
+    p2 = VssPlanner(spark, catalog=cat)
+    assert set(p2._named) == {"cat_idx", "cat_bq"}
+    assert p2._named["cat_idx"]["index"]._sql_ef_search == 321
+    df = p2.sql(q)
+    assert p2.last_plan == "HNSW_INDEX_SCAN"
+    want = [
+        r["item_id"] for r in knn_search(items, "v", qv, 5).select("item_id").collect()
+    ]
+    assert [r["item_id"] for r in df.collect()] == want
+    # DROP in the restarted planner persists; a third planner sees it
+    p2.sql("DROP INDEX cat_bq")
+    p3 = VssPlanner(spark, catalog=cat)
+    assert set(p3._named) == {"cat_idx"}
+    p3.sql("DROP INDEX cat_idx")
+    assert VssPlanner(spark, catalog=cat)._named == {}
