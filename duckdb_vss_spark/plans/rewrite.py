@@ -738,7 +738,17 @@ class VssPlanner:
         re.IGNORECASE,
     )
 
+    _CHECKPOINT = re.compile(r"^\s*(?:FORCE\s+)?CHECKPOINT\s*;?\s*$", re.IGNORECASE)
+
     def _try_ddl(self, sql: str) -> DataFrame | None:
+        if self._CHECKPOINT.match(sql):
+            # the reference's CHECKPOINT flushes the WAL so the index
+            # survives restart (hnsw_crud.test:20). This engine's
+            # artifacts and catalog commit durably at every write
+            # (atomic manifest/catalog.json replace), so the statement
+            # is accepted as a no-op for script compatibility.
+            self.last_plan = "CHECKPOINT"
+            return self._empty_result()
         m = self._SET_CONF.match(sql)
         if m:
             # the reference's session settings (README.md / settings

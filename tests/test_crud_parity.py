@@ -32,6 +32,8 @@ def test_hnsw_crud_lifecycle(spark, tmp_path):
     p = VssPlanner(spark)
     p.sql("SET hnsw_enable_experimental_persistence = true;")
     p.sql("CREATE INDEX my_idx ON t1 USING HNSW (vec) WITH (id = 'rid');")
+    p.sql("CHECKPOINT;")  # accepted no-op: artifacts commit at write
+    assert p.last_plan == "CHECKPOINT"
     idx = p._named["my_idx"]["index"]
     bind_index(table, idx)
     try:
