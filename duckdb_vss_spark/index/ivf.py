@@ -486,6 +486,8 @@ class IvfIndex:
         from duckdb_vss_spark.index import tombstones as _tomb
 
         out = _tomb.compact_data(self, "lists", partition_by="list_id")
+        if out is None:
+            return self  # nothing to reclaim or coalesce (review r13)
         counts = {
             int(r["list_id"]): int(r["n"])
             for r in out.groupBy("list_id").agg(F.count(F.lit(1)).alias("n")).collect()

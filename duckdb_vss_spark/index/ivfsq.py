@@ -212,6 +212,8 @@ class IvfSqIndex:
         from duckdb_vss_spark.index import tombstones as _tomb
 
         out = _tomb.compact_data(self, "lists", partition_by="list_id")
+        if out is None:
+            return self  # nothing to reclaim or coalesce (review r13)
         _tomb.finish_compact(self, new_count=out.count())
         return self
 

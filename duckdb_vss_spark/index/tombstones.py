@@ -207,6 +207,22 @@ def compact_data(
         if nm.startswith(".compact-"):
             shutil.rmtree(os.path.join(index.path, nm), ignore_errors=True)
     data_dir = os.path.join(index.path, subdir)
+    # no-op guard (review r13): with zero tombstones and an already
+    # right-sized layout there is no state change to buy, so do not
+    # pay the O(corpus) rewrite or enter its crash window at all
+    if not int(index.manifest.get("deleted_count", 0)):
+        n_files = sum(
+            1
+            for _root, _dirs, names in os.walk(data_dir)
+            for nm in names
+            if nm.endswith(".parquet")
+        )
+        if partition_by:
+            floor = int(index.manifest.get("nlist", 1))
+        else:
+            floor = max(1, -(-live_count(index.manifest) // rows_per_file))
+        if n_files <= floor:
+            return None
     df = index.spark.read.parquet(data_dir)
     df = filter_dead(index, df)
     if partition_by:

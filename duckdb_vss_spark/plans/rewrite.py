@@ -886,6 +886,7 @@ class VssPlanner:
             rec = self._named.pop(name, None)
             if rec is None:
                 if if_exists:
+                    self.last_plan = "DROP_INDEX"
                     return self._empty_result()
                 raise ValueError(f"index {name!r} does not exist")
             from duckdb_vss_spark.index import drop_index
@@ -965,7 +966,17 @@ class VssPlanner:
                 cols = match.cols
                 if cols == "*":
                     return hits.drop("dist")
-                return self._raw_sql(f"SELECT {cols} FROM __vss_topk__")
+                try:
+                    return self._raw_sql(f"SELECT {cols} FROM __vss_topk__")
+                except Exception:
+                    # a select list the temp-view reprojection cannot
+                    # resolve (e.g. table-qualified refs, "items.id")
+                    # must not break a statement that runs fine
+                    # un-indexed — seq-scan it (review r13)
+                    self.last_plan = "SEQ_SCAN"
+                    return self._raw_sql(
+                        canonicalize_cosine(rewrite_operators(sql))
+                    )
             except UnroutableIndexError:
                 # a registered index that cannot serve this statement
                 # (routed table lacks the manifest's id column) must not
@@ -1162,8 +1173,9 @@ class VssPlanner:
         out = joined.join(q.drop(ml.query_col), qid).drop(qid, "rn")
         if ml.cols == "*":
             return out
-        exprs = [F.col(c.strip().split(".", 1)[-1]) for c in ml.cols.split(",")]
-        return out.select(*exprs)
+        # selectExpr-style entries: "x AS alias" survives (review r13)
+        exprs = [c.strip().split(".", 1)[-1] for c in ml.cols.split(",")]
+        return out.selectExpr(*exprs)
 
     def _run_lateral_indexed(self, ml: LateralMatch, idx) -> DataFrame:
         """Rewrite to the batched index join (PhysicalHNSWIndexJoin's job,
@@ -1189,5 +1201,5 @@ class VssPlanner:
         exprs = []
         for c in cols:
             base = c.split(".", 1)[1] if "." in c else c
-            exprs.append(F.col(base))
-        return out.select(*exprs)
+            exprs.append(base)  # selectExpr: "x AS alias" survives (review r13)
+        return out.selectExpr(*exprs)

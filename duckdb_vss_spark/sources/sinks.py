@@ -158,7 +158,10 @@ def delete_where(spark: SparkSession, path: str, predicate: Column) -> int:
     """DELETE FROM t WHERE p: rewrite surviving rows, atomically swap.
 
     Returns the number of deleted rows. The rewrite goes through a
-    sibling temp dir + rename so a crash never leaves a half table.
+    sibling temp dir, and the swap parks the old table at
+    ``.__old__`` across the rename — a crash leaves either the old
+    table (possibly under the .__old__ name, recoverable) or the new
+    one, never a half table.
     Bound indexes tombstone the deleted ids via ``delete_batch`` (the
     reference's Delete hook, hnsw_index.cpp:466-482) — the ids are
     STAGED before the table swap (the lazy plan reads the old files),
@@ -181,8 +184,15 @@ def delete_where(spark: SparkSession, path: str, predicate: Column) -> int:
     kept = spark.read.parquet(tmp).count()
     import shutil
 
-    shutil.rmtree(path)
+    # keep a recovery copy through the swap (review r13: a crash
+    # between a bare rmtree and the rename would lose the TABLE, with
+    # the data stranded in the .__rewrite__ dir nothing sweeps) — the
+    # unsafe window shrinks to one metadata rename
+    old_dir = path.rstrip("/") + ".__old__"
+    shutil.rmtree(old_dir, ignore_errors=True)  # previous crash's copy
+    os.rename(path, old_dir)
     os.rename(tmp, path)
+    shutil.rmtree(old_dir, ignore_errors=True)
     if hooked:
         dead = spark.read.parquet(staged)
         for ix in hooked:
@@ -242,8 +252,15 @@ def merge_upsert(
         )
     import shutil
 
-    shutil.rmtree(path)
+    # keep a recovery copy through the swap (review r13: a crash
+    # between a bare rmtree and the rename would lose the TABLE, with
+    # the data stranded in the .__rewrite__ dir nothing sweeps) — the
+    # unsafe window shrinks to one metadata rename
+    old_dir = path.rstrip("/") + ".__old__"
+    shutil.rmtree(old_dir, ignore_errors=True)  # previous crash's copy
+    os.rename(path, old_dir)
     os.rename(tmp, path)
+    shutil.rmtree(old_dir, ignore_errors=True)
     inserted = n_after - n_target
     # index hook: tombstone the upserted keys, PHYSICALLY reclaim (an
     # id-level tombstone cannot distinguish the old row from the new
@@ -306,8 +323,15 @@ def compact_table(
     if n_after != n_before:
         shutil.rmtree(tmp, ignore_errors=True)
         raise RuntimeError("compaction row-count mismatch; table untouched")
-    shutil.rmtree(path)
+    # keep a recovery copy through the swap (review r13: a crash
+    # between a bare rmtree and the rename would lose the TABLE, with
+    # the data stranded in the .__rewrite__ dir nothing sweeps) — the
+    # unsafe window shrinks to one metadata rename
+    old_dir = path.rstrip("/") + ".__old__"
+    shutil.rmtree(old_dir, ignore_errors=True)  # previous crash's copy
+    os.rename(path, old_dir)
     os.rename(tmp, path)
+    shutil.rmtree(old_dir, ignore_errors=True)
     after = [
         f
         for dp, _dn, fn in os.walk(path)

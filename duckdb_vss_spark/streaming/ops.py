@@ -34,6 +34,32 @@ def _events_schema(ts_type: T.DataType) -> T.StructType:
     )
 
 
+def _stage_symlink(prefix: str, sf_dir: str, filename: str) -> str:
+    """Stage a read-only table file behind a /tmp symlink dir (Spark's
+    file stream source needs a DIRECTORY). One shared implementation
+    (review r13: the lexists + try/except dance lived only in the
+    embeddings reader while the events/documents readers kept the
+    dangling-link + TOCTOU bugs it fixes): a dangling link (source
+    vanished) reports absent via exists() and would then raise
+    FileExistsError forever; the try/except closes the race between
+    concurrent sessions sharing the staging dir."""
+    import hashlib
+
+    stage = os.path.join(
+        "/tmp", f"{prefix}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, filename)
+    if os.path.lexists(link) and not os.path.exists(link):
+        os.unlink(link)
+    if not os.path.lexists(link):
+        try:
+            os.symlink(os.path.join(sf_dir, filename), link)
+        except FileExistsError:
+            pass
+    return stage
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read of the events table (file source; in production a
     Kafka source lands here — same downstream operators).
@@ -50,20 +76,15 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = os.path.join(sf_dir, "events.parquet")
     nanos = events_ts_unit(path) == "timestamp[ns]"
-    # Spark's file stream source requires a *directory*; stage a symlink
-    # to the (read-only) events file in a scratch dir.
-    import hashlib
-
-    stage = os.path.join(
-        "/tmp", f"vss_stream_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
-    )
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
+    stage = _stage_symlink("vss_stream", sf_dir, "events.parquet")
     if nanos:
         # legacy NANOS files are unreadable as timestamps; take the raw
-        # int64 and truncate ns→us (conf only affects NANOS columns)
+        # int64 and truncate ns→us. SESSION-WIDE side effect, documented
+        # (review r13): the conf stays set because the stream decodes
+        # lazily per micro-batch — later reads of OTHER nanos-timestamp
+        # parquet in this session will also see them as bigint. This
+        # repo's own readers derive the unit from the footer
+        # (sources.events_ts_unit) and are unaffected.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.readStream.schema(_events_schema(T.LongType())).parquet(stage)
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -176,15 +197,7 @@ def stream_interval_join(
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read of the documents table (file source)."""
-    import hashlib
-
-    stage = os.path.join(
-        "/tmp", f"vss_docstream_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
-    )
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "documents.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
+    stage = _stage_symlink("vss_docstream", sf_dir, "documents.parquet")
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -485,6 +498,10 @@ def streaming_index_delete(
 
     from duckdb_vss_spark.index import load_any_index
 
+    if index_kind is not None:
+        _index_fns(index_kind)  # validate EAGERLY — a typo'd kind must
+        # fail the call, not kill the running stream on its first batch
+
     stream_key = hashlib.md5(
         os.path.abspath(checkpoint_dir).encode()
     ).hexdigest()[:12]
@@ -562,24 +579,7 @@ def stream_static_enrich(
 def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read of the embeddings table (file source) — the query
     stream for online ANN serving (HnswIndex.knn_transform)."""
-    import hashlib
-
-    stage = os.path.join(
-        "/tmp", f"vss_embstream_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
-    )
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "embeddings.parquet")
-    # lexists, not exists: a dangling link (source sf_dir vanished)
-    # reports absent via exists() and then every call would raise
-    # FileExistsError; the try/except also closes the TOCTOU race
-    # between concurrent sessions sharing the /tmp staging dir.
-    if os.path.lexists(link) and not os.path.exists(link):
-        os.unlink(link)
-    if not os.path.lexists(link):
-        try:
-            os.symlink(os.path.join(sf_dir, "embeddings.parquet"), link)
-        except FileExistsError:
-            pass
+    stage = _stage_symlink("vss_embstream", sf_dir, "embeddings.parquet")
     schema = T.StructType(
         [
             T.StructField("vec_id", T.LongType()),
