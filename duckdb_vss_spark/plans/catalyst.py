@@ -399,7 +399,13 @@ def install_sql_extension(planner) -> None:
         # rewrite. The DuckDB-dialect front-end (operator aliases,
         # ``[..]::FLOAT[n]`` literals, k-ary min_by, lateral top-k)
         # runs ONLY for statements Spark cannot parse/analyze at all,
-        # which is exactly the reference-SQL surface.
+        # which is exactly the reference-SQL surface. One carve-out
+        # (r13): SET/RESET of the reference's hnsw_* settings — Spark
+        # parses SET natively and would silently set a meaningless
+        # bare conf key instead of the spark.vss.* gate the engine
+        # reads, so those two names route to the planner first.
+        if planner._SET_CONF.match(query) or planner._RESET_CONF.match(query):
+            return planner.sql(query)
         try:
             df = raw(query)
         except Exception:  # noqa: BLE001 — fall to the reference dialect

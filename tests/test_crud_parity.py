@@ -119,3 +119,27 @@ def test_catalog_restart(spark, tmp_path):
     assert set(p3._named) == {"cat_idx"}
     p3.sql("DROP INDEX cat_idx")
     assert VssPlanner(spark, catalog=cat)._named == {}
+
+
+def test_hooked_session_routes_reference_settings(spark, tmp_path):
+    """Under install_sql_extension, SET hnsw_ef_search must reach the
+    engine's conf — Spark would otherwise parse SET natively and set a
+    meaningless bare key (review r13)."""
+    from duckdb_vss_spark.plans import install_sql_extension, uninstall_sql_extension
+    from duckdb_vss_spark.session import get_ef_search
+
+    p = VssPlanner(spark)
+    install_sql_extension(p)
+    try:
+        spark.sql("SET hnsw_ef_search = 222")
+        assert get_ef_search(spark) == 222
+        spark.sql("RESET hnsw_ef_search")
+        assert get_ef_search(spark) != 222
+        # CHECKPOINT reaches the planner's no-op through the hook too
+        assert spark.sql("CHECKPOINT;").count() == 0
+    finally:
+        uninstall_sql_extension(spark)
+        try:
+            spark.conf.unset("spark.vss.ef_search")
+        except Exception:
+            pass
