@@ -785,7 +785,10 @@ class HnswIndex:
         over-fetches by the tombstone count and filters them from the
         candidates, ``count``/``info()`` report live rows, and
         ``compact()``/``compact_from_shards()`` physically drop them.
-        O(|ids| + |tombstones|) work — no shard is rewritten here.
+        Cost: the tombstone write is O(|ids| + |tombstones|), plus one
+        keys-only pass over the (worker-LRU-cached) shard graphs for
+        the membership check — the same cost class as a single query;
+        no shard is rewritten here.
 
         ``ids``: a DataFrame carrying the index's id column (extra
         columns ignored) or a plain iterable of ints. Ids absent from

@@ -111,8 +111,11 @@ def mark_delete(index, ids, keys_df: DataFrame, manifest_extra: dict | None = No
     artifact. ``keys_df`` is the family's live id listing (a skinny
     column-pruned scan of its codes/sigs/lists) — only ids the index
     actually holds are marked, so delete-of-missing and double-delete
-    are no-ops (DML DELETE semantics). O(|ids| + |tombstones|) work;
-    no data file is rewritten. Returns ``index`` with the manifest
+    are no-ops (DML DELETE semantics). Cost: the tombstone write is
+    O(|ids| + |tombstones|), plus ONE id-column index scan for the
+    membership check — the same cost class as a single query over the
+    artifact (column-pruned parquet for the quantized families;
+    worker-LRU-cached graphs for HNSW). No data file is rewritten. Returns ``index`` with the manifest
     updated in place (atomic write, old tombstone dir swept after)."""
     man = index.manifest
     id_col = man["id_col"]
