@@ -203,3 +203,71 @@ def test_load_any_index_sniffs_every_family(spark, emb, tmp_path):
         p = str(tmp_path / cls)
         build(p)
         assert type(load_any_index(spark, p)).__name__ == cls
+
+
+def test_pq_dml_lifecycle_matches_model(spark, tmp_path):
+    """Model-based lifecycle check (hypothesis-style op sequences,
+    derandomized): arbitrary interleavings of delete_batch / add_batch
+    (with revive + duplicate appends) / compact must track a plain
+    Python model of the DOCUMENTED count semantics (manifest count =
+    physical rows, deleted_count = tombstoned ids, live = difference;
+    compact drops every row of a tombstoned id and clears the set) and
+    must never surface a tombstoned id in a full-rerank search."""
+    import numpy as np
+
+    from duckdb_vss_spark.index.pq import create_pq_index
+
+    rng = np.random.RandomState(11)
+    vecs = {i: [float(x) for x in rng.randn(8)] for i in range(60)}
+
+    def frame(ids):
+        return spark.createDataFrame(
+            [(int(i), vecs[i]) for i in ids], "vec_id long, embedding array<float>"
+        )
+
+    ix = create_pq_index(
+        spark, frame(range(60)), "embedding", "vec_id",
+        str(tmp_path / "model"), m=4, ksub=8,
+    )
+    # model state
+    rows = {i: 1 for i in range(60)}  # physical row count per id
+    tomb: set[int] = set()
+
+    op_rng = np.random.RandomState(7)
+    ops = []
+    for _ in range(8):
+        kind = op_rng.choice(["del", "add", "compact"], p=[0.45, 0.45, 0.1])
+        subset = sorted(op_rng.choice(60, size=op_rng.randint(1, 12), replace=False))
+        ops.append((str(kind), [int(x) for x in subset]))
+    ops.append(("compact", []))  # always finish with a reclaim
+
+    qv = vecs[5]
+    for kind, subset in ops:
+        if kind == "del":
+            ix = ix.delete_batch(frame(subset).select("vec_id"))
+            tomb |= {i for i in subset if rows.get(i, 0) > 0 and i not in tomb}
+        elif kind == "add":
+            ix = ix.add_batch(frame(subset))
+            for i in subset:
+                rows[i] = rows.get(i, 0) + 1
+            tomb -= set(subset)
+        else:
+            ix = ix.compact()
+            rows = {i: c for i, c in rows.items() if i not in tomb}
+            tomb = set()
+        # count semantics track the model exactly: live = physical
+        # rows - tombstoned IDS (the documented duplicate-id caveat —
+        # exact row accounting returns at compact)
+        assert ix.count == sum(rows.values()) - len(tomb), (kind, subset)
+        assert int(ix.manifest.get("deleted_count", 0)) == len(tomb)
+        # full-rerank search: top-5 ids == brute force over live ids
+        live = [i for i in rows if i not in tomb and rows[i] > 0]
+        if len(live) >= 5:
+            src = frame(live)
+            got = [
+                r["vec_id"]
+                for r in ix.knn_search(qv, 5, rerank=ix.count, source=src).collect()
+            ]
+            d = np.array([[sum((a - b) ** 2 for a, b in zip(vecs[i], qv))] for i in live])
+            want = [live[j] for j in np.lexsort((np.array(live), d[:, 0]))[:5]]
+            assert got == want, (kind, subset)
