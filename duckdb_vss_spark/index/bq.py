@@ -36,6 +36,7 @@ Composes with IVF partitioning like PQ does.
 from __future__ import annotations
 
 import logging
+import os
 import warnings
 
 import numpy as np
@@ -703,6 +704,94 @@ class BqIndex:
             .drop(vec_col)
         )
 
+    def knn_join(
+        self,
+        queries: DataFrame,
+        query_vec_col: str,
+        k: int,
+        query_id_col: str,
+        rescore: int | None = None,
+        source: DataFrame | None = None,
+        dist_col: str = "dist",
+        rn_col: str = "rn",
+        queries_per_batch: int = 4096,
+    ) -> DataFrame:
+        """Batched multi-query BQ search, executor-side (r13 —
+        completes the family's knn_join matrix): map over the
+        *queries* DataFrame; each task scans the signature files off
+        the shared filesystem (worker-LRU ±1 sign matrices, BLAS
+        matmul scoring — the same kernel the calibration uses) and
+        keeps tie-safe running top-``take`` heaps (_bq_query_stream).
+        No driver relay: query cardinality is bounded by the cluster.
+        The no-rescore path is a single mapInPandas stage, zero
+        shuffles.
+
+        ``rescore=None`` (default) exact-rescores the manifest-
+        calibrated per-query shortlist against the resolved source
+        (explicit ``source=`` or the fingerprint-validated build-time
+        files); ``rescore=0`` returns the raw shortlist scores
+        (integer Hamming for ``scoring='hamming'`` artifacts, the
+        asymmetric estimator for ``'asym'``)."""
+        from duckdb_vss_spark.index import tombstones as _tomb
+        from duckdb_vss_spark.index.pq import _list_parquet_files, _manifest_source
+
+        man = self.manifest
+        id_col = man["id_col"]
+        take = self.default_rescore(k) if rescore is None else max(int(rescore), int(k))
+        files = _list_parquet_files(os.path.join(self.path, "sigs"))
+        dead = _tomb.dead_id_array(self)
+        chunk = max(1, int(queries_per_batch))
+        manifest = dict(man)
+
+        def stream(batches):
+            return _bq_query_stream(
+                batches, query_vec_col, query_id_col, id_col,
+                files, manifest, take, chunk, dead=dead,
+            )
+
+        qrows = queries.select(query_id_col, query_vec_col).where(
+            F.col(query_vec_col).isNotNull()
+        )
+        cand = qrows.mapInPandas(
+            stream, schema="_qid long, _id long, _dist double, _rn int"
+        ).select(
+            F.col("_qid").alias(query_id_col),
+            F.col("_id").alias(id_col),
+            F.col("_dist").alias(dist_col),
+            F.col("_rn").alias(rn_col),
+        )
+        if rescore is not None and int(rescore) <= 0:
+            return cand.where(F.col(rn_col) <= int(k))
+        if source is None:
+            source = _manifest_source(self.spark, man)
+        if source is None:
+            if self.path not in _WEAK_WARNED:
+                _WEAK_WARNED.add(self.path)
+                warnings.warn(
+                    "BqIndex: returning shortlist-score results because the "
+                    "original vectors are unreachable (non-file build or "
+                    "fingerprint mismatch) — pass source=<vectors df> for "
+                    "exact rescore, or rescore=0 to silence.",
+                    stacklevel=2,
+                )
+            return cand.where(F.col(rn_col) <= int(k))
+        from pyspark.sql import Window
+
+        vec_col = man["vec_col"]
+        dist_fn = distance_for_metric(self.metric)
+        qvecs = qrows.withColumnRenamed(query_vec_col, "_qvec")
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col(dist_col).asc_nulls_last(), F.col(id_col)
+        )
+        return (
+            source.join(cand.select(query_id_col, id_col), id_col)
+            .join(qvecs, query_id_col)
+            .withColumn(dist_col, dist_fn(F.col(vec_col), F.col("_qvec")))
+            .withColumn(rn_col, F.row_number().over(w))
+            .where(F.col(rn_col) <= int(k))
+            .drop(vec_col, "_qvec")
+        )
+
     def add_batch(
         self, df: DataFrame, manifest_extra: dict | None = None
     ) -> "BqIndex":
@@ -800,6 +889,114 @@ class BqIndex:
             return self  # nothing to reclaim or coalesce (review r13)
         _tomb.finish_compact(self, new_count=out.count())
         return self
+
+
+# worker-LRU cache of decoded signature files for the multi-query
+# stream (the BQ twin of pq._CODES_CACHE): (ids asc, ±1 sign matrix,
+# centered norms, full norms)
+_SIGS_CACHE: dict = {}
+_SIGS_CACHE_MAX = 8
+
+
+def _load_sigs(file: str, id_col: str, dims: int, asym: bool):
+    import os as _os
+
+    key = (file, _os.path.getmtime(file))
+    hit = _SIGS_CACHE.get(key)
+    if hit is None:
+        import pyarrow.parquet as papq
+
+        for k in [k for k in _SIGS_CACHE if k[0] == file]:
+            del _SIGS_CACHE[k]
+        cols = [id_col, "sig"] + (["vnc", "vfull"] if asym else [])
+        t = papq.read_table(file, columns=cols)
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        words = np.asarray(t["sig"].to_pylist(), dtype=np.int64)
+        n = len(ids)
+        signs = np.empty((n, dims), dtype=np.int8)
+        for b in range(dims):
+            w, off = divmod(b, _BITS)
+            signs[:, b] = (((words[:, w] >> off) & 1) * 2 - 1).astype(np.int8)
+        vn = np.asarray(t["vnc"].to_pylist(), dtype=np.float64) if asym else None
+        vf = np.asarray(t["vfull"].to_pylist(), dtype=np.float64) if asym else None
+        order = np.argsort(ids, kind="stable")
+        hit = (
+            ids[order],
+            signs[order],
+            vn[order] if vn is not None else None,
+            vf[order] if vf is not None else None,
+        )
+        while len(_SIGS_CACHE) >= _SIGS_CACHE_MAX:
+            _SIGS_CACHE.pop(next(iter(_SIGS_CACHE)))
+        _SIGS_CACHE[key] = hit
+    else:
+        del _SIGS_CACHE[key]
+        _SIGS_CACHE[key] = hit
+    return hit
+
+
+def _bq_query_stream(
+    batches,
+    query_vec_col: str,
+    query_id_col: str,
+    id_col: str,
+    files: list[str],
+    manifest: dict,
+    take: int,
+    chunk: int,
+    slab: int = 16384,
+    dead=None,
+):
+    """Executor-side multi-query BQ shortlist over a stream of query
+    batches (the 1-bit twin of pq._adc_query_stream; buffering shared
+    via _buffered_query_stream): per flush of ≤``chunk`` queries, scan
+    the signature files off the shared filesystem (worker-LRU, ±1 sign
+    matrices decoded once per file) and fold tie-safe running
+    top-``take`` heaps. The scorer is the SAME numpy kernel the
+    calibration uses (_asym_scores_np) for asym artifacts; for hamming
+    artifacts the ±1 dot is rank-identical to integer Hamming
+    (dot = dims − 2·hamming) and the emitted value IS the integer
+    Hamming distance, so ties break exactly like knn_search's
+    (hamming, id) ordering. No driver relay, no shuffle on the
+    no-rescore path."""
+    from duckdb_vss_spark.index.pq import _buffered_query_stream, _merge_topk
+
+    dims = int(manifest["dimensions"])
+    metric = manifest["metric"]
+    asym = manifest.get("scoring", "hamming") == "asym"
+    center = (
+        np.asarray(manifest["asym_center"], dtype=np.float64) if asym else None
+    )
+    rho = float(manifest.get("asym_rho", 1.0)) if asym else None
+
+    def score(qids: np.ndarray, qmat: np.ndarray):
+        nq = len(qids)
+        best_d = np.full((nq, take), np.inf)
+        best_i = np.full((nq, take), -1, dtype=np.int64)
+        qsigns = np.where(qmat > 0, 1.0, -1.0) if not asym else None
+        for file in files:
+            ids, signs, vn, vf = _load_sigs(file, id_col, dims, asym)
+            if dead is not None and len(dead):
+                keep = ~np.isin(ids, dead)
+                ids, signs = ids[keep], signs[keep]
+                vn = vn[keep] if vn is not None else None
+                vf = vf[keep] if vf is not None else None
+            for lo in range(0, len(ids), slab):
+                sl = slice(lo, lo + slab)
+                s = signs[sl].astype(np.float64)
+                if asym:
+                    d = _asym_scores_np(
+                        qmat, s, vn[sl], center, rho, metric,
+                        vf[sl] if vf is not None else None,
+                    )
+                else:
+                    d = (dims - qsigns @ s.T) / 2.0  # integer Hamming
+                best_d, best_i = _merge_topk(best_d, best_i, d, ids[sl], take)
+        return best_d, best_i
+
+    return _buffered_query_stream(
+        batches, query_vec_col, query_id_col, metric, take, chunk, score
+    )
 
 
 def create_bq_index(

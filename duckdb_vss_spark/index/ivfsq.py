@@ -133,6 +133,109 @@ class IvfSqIndex:
         )
 
 
+    def knn_join(
+        self,
+        queries: DataFrame,
+        query_vec_col: str,
+        k: int,
+        query_id_col: str,
+        nprobe: int | None = None,
+        rerank: int | None = None,
+        source: DataFrame | None = None,
+        dist_col: str = "dist",
+        rn_col: str = "rn",
+        broadcast_queries: bool | None = None,
+        broadcast_budget_bytes: int = 64 << 20,
+    ) -> DataFrame:
+        """Batched multi-query IVF×SQ top-k (r13 — completes the
+        family's knn_join matrix; the IvfIndex.knn_join shape with the
+        SQ codec in the scoring seat): each query explodes to its
+        ``nprobe`` probe lists, an equi-join on ``list_id`` routes it
+        to exactly those SQ-coded candidates (shuffle ∝ queries·nprobe
+        + probed lists, never queries × rows), the asymmetric SQ-ADC
+        distance (raw query vs reconstructed corpus — the sq.py codec,
+        bit-reproducible) scores them, and a ``row_number ≤ k`` window
+        merges. Optional exact re-rank late-materializes the top
+        ``rerank`` candidates per query against ``source``."""
+        from duckdb_vss_spark.functions.distance import distance_for_metric
+        from duckdb_vss_spark.index.ivf import _fits_broadcast, _norm_rows
+        from duckdb_vss_spark.index.sq import sq_reconstruct
+
+        import pandas as pd
+        from pyspark.sql import Window
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import ArrayType, IntegerType
+
+        nprobe = int(nprobe or self.manifest["default_nprobe"])
+        id_col = self.manifest["id_col"]
+        metric = self.manifest["metric"]
+        c = self._centroids
+        c_sq = (c**2).sum(axis=1)
+        npr = nprobe
+
+        def _probe(v):
+            mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+            mat = _norm_rows(mat, metric)
+            dist = (mat**2).sum(axis=1, keepdims=True) + c_sq - 2.0 * mat @ c.T
+            order = np.argsort(dist, axis=1, kind="stable")[:, :npr]
+            return pd.Series(list(order.astype(np.int32)))
+
+        probe_lists = pandas_udf(_probe, ArrayType(IntegerType()))
+        probed = queries.where(F.col(query_vec_col).isNotNull()).withColumn(
+            "list_id", F.explode(probe_lists(F.col(query_vec_col)))
+        )
+        if broadcast_queries is None:
+            broadcast_queries = _fits_broadcast(
+                queries, nprobe, broadcast_budget_bytes
+            )
+        probed_side = F.broadcast(probed) if broadcast_queries else probed
+        recon = sq_reconstruct(F.col("codes"), self._mins, self._maxs)
+        dist_fn = distance_for_metric(metric)
+        scored = (
+            self._lists_df()
+            .join(probed_side, on="list_id", how="inner")
+            .withColumn(
+                dist_col,
+                dist_fn(recon, F.col(query_vec_col).cast("array<double>")),
+            )
+        )
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col(dist_col).asc_nulls_last(), F.col(id_col)
+        )
+        take = int(rerank) if rerank else int(k)
+        cand = (
+            scored.withColumn(rn_col, F.row_number().over(w))
+            .where(F.col(rn_col) <= take)
+            .drop("codes", "list_id")
+        )
+        if not rerank:
+            return cand.drop(query_vec_col)
+        if source is None:
+            raise ValueError(
+                "rerank requires the source DataFrame with original vectors"
+            )
+        vec_col = self.manifest["vec_col"]
+        qvecs = queries.select(
+            query_id_col, F.col(query_vec_col).alias("_qvec")
+        ).where(F.col("_qvec").isNotNull())
+        w2 = Window.partitionBy(query_id_col).orderBy(
+            F.col(dist_col).asc_nulls_last(), F.col(id_col)
+        )
+        return (
+            source.join(cand.select(query_id_col, id_col), id_col)
+            .join(qvecs, query_id_col)
+            .withColumn(
+                dist_col,
+                dist_fn(
+                    F.col(vec_col).cast("array<double>"),
+                    F.col("_qvec").cast("array<double>"),
+                ),
+            )
+            .withColumn(rn_col, F.row_number().over(w2))
+            .where(F.col(rn_col) <= int(k))
+            .drop(vec_col, "_qvec")
+        )
+
     def add_batch(
         self, df: DataFrame, manifest_extra: dict | None = None
     ) -> "IvfSqIndex":

@@ -1809,6 +1809,54 @@ def q_pq_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rn")
 
 
+@register_extra("q_bq_knn_join", _KNN_JOIN_ORACLE)
+def q_bq_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query BQ join through the executor-side query stream
+    (index/bq._bq_query_stream, r13 — completes the family's knn_join
+    matrix): the query set flows as a DataFrame into mapInPandas,
+    each task scanning the worker-cached ±1 sign matrices with the
+    SAME numpy kernel the calibration uses and folding tie-safe
+    running top-k heaps. FULL-WIDTH exact re-rank makes the result
+    exact by construction, so the brute-force window SQL is a strict
+    oracle; calibrated default-shortlist recall is pinned in
+    tests/test_bq.py and bench."""
+    idx = _get_bq_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(
+        (F.col("vec_id") % 100 == 0) & F.col("embedding").isNotNull()
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    out = idx.knn_join(
+        qs, "qv", 5, "qid",
+        rescore=idx.manifest["count"], source=emb.select("vec_id", "embedding"),
+    )
+    return out.select(
+        "qid", "vec_id", F.col("dist").cast("double").alias("dist"), "rn"
+    ).orderBy("qid", "rn")
+
+
+@register_extra("q_ivfsq_knn_join", _KNN_JOIN_ORACLE)
+def q_ivfsq_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query IVF×SQ join (r13 — completes the family's knn_join
+    matrix; the IvfIndex.knn_join probed-equi-join shape with the SQ
+    codec scoring): each query explodes to its probe lists, the
+    list_id equi-join routes it to exactly those SQ codes, and a
+    per-query window merges. Full probes + FULL-WIDTH exact re-rank
+    keep the brute-force window SQL a strict oracle; partial-probe
+    recall is pinned in tests/test_sq.py."""
+    idx = _get_ivfsq_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(
+        (F.col("vec_id") % 100 == 0) & F.col("embedding").isNotNull()
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    out = idx.knn_join(
+        qs, "qv", 5, "qid", nprobe=idx.nlist,
+        rerank=idx.manifest["count"], source=emb.select("vec_id", "embedding"),
+    )
+    return out.select(
+        "qid", "vec_id", F.col("dist").cast("double").alias("dist"), "rn"
+    ).orderBy("qid", "rn")
+
+
 @register_extra("q_ivfpq_knn_join", _KNN_JOIN_ORACLE)
 def q_ivfpq_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-query IVFADC join through the executor-side query stream

@@ -361,3 +361,50 @@ def test_asym_add_batch_and_reload(spark, emb, tmp_path):
         for r in knn_search(nn, "embedding", qv, 10).collect()
     ]
     assert got == want
+
+
+def test_bq_knn_join_exact_and_tombstones(spark, emb, tmp_path):
+    """r13 knn_join (executor-side sign-matmul stream): FULL-WIDTH
+    rescore matches brute force per query for BOTH scorings, the
+    default calibrated shortlist holds the recall target, and
+    tombstoned ids never surface."""
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark.index.bq import create_bq_index
+    from duckdb_vss_spark.operators import knn_search
+
+    nn = emb.where(F.col("embedding").isNotNull())
+    qs = nn.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    truth = {}
+    for r in qs.collect():
+        truth[r["qid"]] = [
+            x["vec_id"]
+            for x in knn_search(nn, "embedding", [float(v) for v in r["qv"]], 5).collect()
+        ]
+    for scoring in ("asym", "hamming"):
+        ix = create_bq_index(
+            spark, nn, "embedding", "vec_id",
+            str(tmp_path / f"bqj_{scoring}"), scoring=scoring,
+        )
+        out = ix.knn_join(qs, "qv", 5, "qid", rescore=ix.count, source=nn)
+        got = {}
+        for r in out.orderBy("qid", "rn").collect():
+            got.setdefault(r["qid"], []).append(r["vec_id"])
+        assert got == truth, scoring
+        # default calibrated shortlist: recall@5 over the query set
+        out2 = ix.knn_join(qs, "qv", 5, "qid", source=nn)
+        got2 = {}
+        for r in out2.collect():
+            got2.setdefault(r["qid"], []).append(r["vec_id"])
+        hits = sum(len(set(got2.get(q, [])) & set(t)) for q, t in truth.items())
+        assert hits / (5 * len(truth)) >= 0.9, scoring
+    # tombstones: delete one true neighbor of the first query — the
+    # stream's worker-side mask must drop it from every result
+    qid0 = sorted(truth)[0]
+    dead_id = truth[qid0][0]
+    ix = ix.delete_batch([dead_id])
+    out3 = ix.knn_join(qs, "qv", 5, "qid", rescore=ix.count, source=nn)
+    ids3 = {r["vec_id"] for r in out3.collect()}
+    assert dead_id not in ids3

@@ -156,3 +156,44 @@ def test_ivfsq_add_batch_appends_and_rerank_exact(spark, tmp_path):
     want = [r["vec_id"] for r in knn_search(emb, "embedding", qv, 10).collect()]
     assert got == want
     assert load_ivfsq_index(spark, path).manifest["count"] == emb.count()
+
+
+def test_ivfsq_knn_join_exact_and_pruned(spark, tmp_path):
+    """r13 knn_join for IVF×SQ: full probes + full-width rerank match
+    brute force per query; partial probes keep routing recall
+    reasonable; the list_id equi-join never goes queries × rows."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark.index.ivfsq import create_ivfsq_index
+    from duckdb_vss_spark.operators import knn_search
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .where(F.col("embedding").isNotNull())
+        .cache()
+    )
+    qs = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    truth = {}
+    for r in qs.collect():
+        truth[r["qid"]] = [
+            x["vec_id"]
+            for x in knn_search(emb, "embedding", [float(v) for v in r["qv"]], 5).collect()
+        ]
+    ix = create_ivfsq_index(
+        spark, emb, "embedding", "vec_id", str(tmp_path / "sqj")
+    )
+    out = ix.knn_join(qs, "qv", 5, "qid", nprobe=ix.nlist, rerank=ix.count, source=emb)
+    got = {}
+    for r in out.orderBy("qid", "rn").collect():
+        got.setdefault(r["qid"], []).append(r["vec_id"])
+    assert got == truth
+    # calibrated default probes, no rerank: routing recall stays sane
+    out2 = ix.knn_join(qs, "qv", 5, "qid")
+    got2 = {}
+    for r in out2.collect():
+        got2.setdefault(r["qid"], []).append(r["vec_id"])
+    hits = sum(len(set(got2.get(q, [])) & set(t)) for q, t in truth.items())
+    assert hits / (5 * len(truth)) >= 0.6
