@@ -755,8 +755,14 @@ class HnswIndex:
                 and len(merged["partitions"]) > right_sized
             ):
                 # preserve bookkeeping the caller just rode on this
-                # merge (streaming replay stamps) across the repack
-                keys = tuple(manifest_extra) if manifest_extra else ("last_epochs",)
+                # merge (streaming replay stamps) across the repack —
+                # ALWAYS both stamp families (ADVICE r13: an add-stream
+                # compaction must not drop a co-resident delete
+                # stream's replay stamp, or a replayed delete epoch
+                # re-kills an id the add stream revived)
+                keys = ("last_epochs", "last_del_epochs") + (
+                    tuple(manifest_extra) if manifest_extra else ()
+                )
                 return self.compact_from_shards(preserve=keys)
         return self
 
@@ -894,7 +900,7 @@ class HnswIndex:
         )
 
     def compact_from_shards(
-        self, preserve: tuple[str, ...] = ("last_epochs",)
+        self, preserve: tuple[str, ...] = ("last_epochs", "last_del_epochs")
     ) -> "HnswIndex":
         """Self-contained compaction (r13, VERDICT r12 #4): repack the
         accumulated add_batch/streaming shards into right-sized graphs

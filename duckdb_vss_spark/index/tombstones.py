@@ -200,16 +200,29 @@ def compact_data(
 
     The caller owns the manifest commit (count := live, tombstone
     fields cleared) — call ``finish_compact`` right after. Crash
-    window, documented like staged_append's: the rewrite lands in a
-    hidden staging dir first, and the old-dir delete + rename are the
-    only non-atomic steps; a crash between them loses the artifact's
-    data dir — rebuild(). Compaction is offline maintenance, same
-    contract as the reference's PRAGMA."""
+    safety (ADVICE r13 — the old rmtree-then-rename window could lose
+    the whole data dir): the rewrite lands in a hidden staging dir,
+    then the old data dir is PARKED at a ``.__old__`` sibling across
+    the stage's rename-in, and the parked copy is removed only after
+    the swap — every crash point leaves either the old data (possibly
+    under the parked name, restored on the next compact_data call
+    because the manifest still references the pre-compact state) or
+    the complete new data, never neither. Compaction is offline
+    maintenance, same contract as the reference's PRAGMA."""
+    data_dir = os.path.join(index.path, subdir)
+    parked = data_dir.rstrip("/") + ".__old__"
+    if not os.path.isdir(data_dir) and os.path.isdir(parked):
+        # a previous compaction crashed between parking the old dir and
+        # renaming the stage in — the manifest was never updated, so the
+        # PARKED (old) copy is the consistent state: restore it
+        os.rename(parked, data_dir)
     # sweep orphans from previously-crashed compactions of THIS artifact
+    # (the restore above runs FIRST — a stage dir is only garbage once
+    # the live data dir is accounted for)
     for nm in os.listdir(index.path):
         if nm.startswith(".compact-"):
             shutil.rmtree(os.path.join(index.path, nm), ignore_errors=True)
-    data_dir = os.path.join(index.path, subdir)
+    shutil.rmtree(parked, ignore_errors=True)  # crash after rename-in
     # no-op guard (review r13): with zero tombstones and an already
     # right-sized layout there is no state change to buy, so do not
     # pay the O(corpus) rewrite or enter its crash window at all
@@ -237,8 +250,10 @@ def compact_data(
         writer = out.write
     stage = os.path.join(index.path, f".compact-{uuid.uuid4().hex[:12]}")
     writer.parquet(stage)
-    shutil.rmtree(data_dir)
+    # park-then-swap (ADVICE r13): old data survives every crash point
+    os.rename(data_dir, parked)
     os.rename(stage, data_dir)
+    shutil.rmtree(parked, ignore_errors=True)
     return index.spark.read.parquet(data_dir)
 
 

@@ -145,13 +145,32 @@ def read_table(
     return spark.read.parquet(path)
 
 
+def _parquet_files(path: str) -> set[str]:
+    return {
+        os.path.join(dp, f)
+        for dp, _dn, fn in os.walk(path)
+        for f in fn
+        if f.endswith(".parquet")
+    }
+
+
 def insert_into(df: DataFrame, path: str) -> None:
     """INSERT INTO ... SELECT: append files to the table directory.
     Bound indexes receive the batch via ``add_batch`` (the reference's
-    Insert hook, hnsw_index.cpp:391-449) — O(batch) each."""
+    Insert hook, hnsw_index.cpp:391-449) — O(batch) each. The index
+    hook reads the JUST-WRITTEN files, not ``df`` (ADVICE r13: a lazy
+    ``df`` that reads from the same table — INSERT INTO t SELECT ...
+    FROM t — or is non-deterministic would re-execute AFTER the append
+    and hand the index different rows than the table received)."""
+    hooked = bound_indexes(path)
+    before = _parquet_files(path) if hooked else None
     df.write.mode("append").parquet(path)
-    for ix in bound_indexes(path):
-        ix.add_batch(df)
+    if hooked:
+        new = sorted(_parquet_files(path) - before)
+        if new:
+            batch = df.sparkSession.read.parquet(*new)
+            for ix in hooked:
+                ix.add_batch(batch)
 
 
 def delete_where(spark: SparkSession, path: str, predicate: Column) -> int:
@@ -242,7 +261,7 @@ def merge_upsert(
     merged.write.mode("overwrite").parquet(tmp)
     n_after = spark.read.parquet(tmp).count()
     hooked = bound_indexes(path)
-    staged_keys = None
+    staged_keys = staged_old = None
     if hooked:
         # the caller's ``updates`` may derive from the target itself,
         # so its keys are STAGED before the swap deletes the old files
@@ -250,6 +269,16 @@ def merge_upsert(
         updates.select(*key_cols).distinct().write.mode("overwrite").parquet(
             staged_keys
         )
+        # ... and so are the OLD rows' index ids for the matched keys
+        # (ADVICE r13: when an update changes the id column's value,
+        # tombstoning the post-merge ids would leave the old id live)
+        id_cols = sorted({ix.manifest["id_col"] for ix in hooked})
+        staged_old = path.rstrip("/") + ".__upsert_old_ids__"
+        target.join(
+            F.broadcast(updates.select(*key_cols).distinct()),
+            key_cols,
+            "left_semi",
+        ).select(*id_cols).write.mode("overwrite").parquet(staged_old)
     import shutil
 
     # keep a recovery copy through the swap (review r13: a crash
@@ -274,13 +303,17 @@ def merge_upsert(
     if hooked:
         fresh = spark.read.parquet(path)
         keys = spark.read.parquet(staged_keys)
+        old_ids = spark.read.parquet(staged_old)
         for ix in hooked:
             id_col = ix.manifest["id_col"]
             up = fresh.join(F.broadcast(keys), key_cols, "left_semi")
-            ix.delete_batch(up.select(id_col))
+            # delete the PRE-swap rows' ids (an id-changing update must
+            # kill the old id, not the new one — ADVICE r13)
+            ix.delete_batch(old_ids.select(id_col))
             _index_compact(ix)
             ix.add_batch(up)
         shutil.rmtree(staged_keys, ignore_errors=True)
+        shutil.rmtree(staged_old, ignore_errors=True)
     return {"updated": n_updates - inserted, "inserted": inserted}
 
 
