@@ -48,7 +48,7 @@ from duckdb_vss_spark.index.bq import (  # noqa: F401
 )
 
 
-def load_any_index(spark, path: str):
+def load_any_index(spark, path: str, allow_pending: bool = False):
     """Load an artifact of ANY family by sniffing its manifest (r13):
     the maintenance surfaces (streaming_index_delete, operational
     tooling) shouldn't need the caller to repeat which family lives at
@@ -61,12 +61,29 @@ def load_any_index(spark, path: str):
       codebooks              -> PQ
       centroids              -> IVF
       cal_fraction           -> BQ     (persisted calibration)
+
+    An artifact carrying a ``pending_dml`` intent record (r14 — a
+    crash between a table DML and its index hook) REFUSES to load
+    unless ``allow_pending`` (the resolver's own entrance): serving a
+    possibly-divergent index silently is the failure mode the journal
+    exists to prevent.
     """
     import json
     import os
 
     with open(os.path.join(path, "manifest.json")) as f:
         man = json.load(f)
+    if man.get("pending_dml") and not allow_pending:
+        from duckdb_vss_spark.index.manifest import PendingDmlError
+
+        rec = man["pending_dml"]
+        raise PendingDmlError(
+            f"index at {path!r} has an unconfirmed {rec.get('op')!r} DML "
+            f"(token {rec.get('token')}) — the table changed but the index "
+            "update never confirmed. Run "
+            "sources.sinks.resolve_pending_dml(spark, path) to replay it, "
+            "or rebuild() from the table snapshot."
+        )
     if "partitions" in man:
         return HnswIndex(spark, path, man)
     if "sq_mins" in man:

@@ -760,9 +760,12 @@ class HnswIndex:
                 # compaction must not drop a co-resident delete
                 # stream's replay stamp, or a replayed delete epoch
                 # re-kills an id the add stream revived)
-                keys = ("last_epochs", "last_del_epochs") + (
-                    tuple(manifest_extra) if manifest_extra else ()
-                )
+                keys = (
+                    "last_epochs",
+                    "last_del_epochs",
+                    "pending_dml",
+                    "last_dml_token",
+                ) + (tuple(manifest_extra) if manifest_extra else ())
                 return self.compact_from_shards(preserve=keys)
         return self
 
@@ -900,7 +903,13 @@ class HnswIndex:
         )
 
     def compact_from_shards(
-        self, preserve: tuple[str, ...] = ("last_epochs", "last_del_epochs")
+        self,
+        preserve: tuple[str, ...] = (
+            "last_epochs",
+            "last_del_epochs",
+            "pending_dml",
+            "last_dml_token",
+        ),
     ) -> "HnswIndex":
         """Self-contained compaction (r13, VERDICT r12 #4): repack the
         accumulated add_batch/streaming shards into right-sized graphs

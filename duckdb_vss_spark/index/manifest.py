@@ -13,7 +13,41 @@ import os
 import shutil
 import uuid
 
-__all__ = ["write_manifest", "staged_append"]
+__all__ = [
+    "write_manifest",
+    "staged_append",
+    "PendingDmlError",
+    "set_pending",
+    "clear_pending",
+]
+
+
+class PendingDmlError(RuntimeError):
+    """The artifact carries a ``pending_dml`` intent record (r14,
+    VERDICT r13 #2): a table DML committed (or was about to) while the
+    index update never confirmed — a crash in the window the
+    reference's single transaction (hnsw_index.cpp:391-500) closes.
+    Loading is refused so the divergence is DETECTED instead of
+    silently serving stale rows; call
+    ``sources.sinks.resolve_pending_dml(spark, path)`` to replay the
+    recorded intent, or ``rebuild()`` from the table snapshot."""
+
+
+def set_pending(path: str, manifest: dict, record: dict) -> dict:
+    """Write a ``pending_dml`` intent record into the manifest
+    (atomic). Returns the new manifest dict for the caller to adopt."""
+    merged = dict(manifest)
+    merged["pending_dml"] = record
+    write_manifest(path, merged)
+    return merged
+
+
+def clear_pending(path: str, manifest: dict) -> dict:
+    """Remove the ``pending_dml`` record (atomic)."""
+    merged = dict(manifest)
+    merged.pop("pending_dml", None)
+    write_manifest(path, merged)
+    return merged
 
 
 def write_manifest(path: str, manifest: dict, indent: int | None = None) -> None:

@@ -462,6 +462,7 @@ class VssPlanner:
         self.spark = spark
         self._indexes: dict[tuple[str, str], object] = {}
         self._named: dict[str, dict] = {}  # SQL-DDL-created indexes by name
+        self._tables: dict[str, dict] = {}  # DML-able path tables by name
         self._ddl_dir: str | None = None
         self.last_plan: str = ""
         # ``catalog``: a DIRECTORY that makes the SQL-DDL surface
@@ -509,6 +510,32 @@ class VssPlanner:
         matcher picks the one whose metric fits the query's distance
         function."""
         self._indexes.setdefault((table.lower(), vec_col.lower()), []).append(index)
+
+    def register_table(self, name: str, path: str) -> None:
+        """Register a parquet directory as a DML-able SQL table (r14):
+        SELECTs resolve it as a temp view over the path, and
+        ``INSERT INTO`` / ``DELETE FROM`` statements route through the
+        sink surface (sources/sinks.py) with bound-index propagation —
+        the table side of the reference's CRUD tests
+        (hnsw_crud.test:10-30, hnsw_insert.test:18-67). ``CREATE
+        TABLE`` statements through :meth:`sql` self-register under the
+        planner's managed directory."""
+        import os as _os
+
+        self._tables[name.lower()] = {"name": name, "path": _os.path.abspath(path)}
+        self._refresh_table(name)
+        self._save_catalog()
+
+    def _refresh_table(self, name: str) -> None:
+        """Re-resolve the view after DML: a temp view holds the
+        analyzed plan's file listing, which a sink's atomic dir swap
+        (delete_where) or append (insert_into) invalidates."""
+        rec = self._tables[name.lower()]
+        try:
+            self.spark.catalog.refreshByPath(rec["path"])
+        except Exception:  # noqa: BLE001 — cache refresh is best-effort
+            pass
+        self.spark.read.parquet(rec["path"]).createOrReplaceTempView(rec["name"])
 
     def _index_for(self, match: TopKMatch):
         # metric must agree and dims must match the literal, like the
@@ -633,7 +660,18 @@ class VssPlanner:
         from duckdb_vss_spark.index import load_any_index
 
         with open(f) as fh:
-            entries = _json.load(fh)
+            data = _json.load(fh)
+        # r14 layout: {"tables": {...}, "indexes": {...}}; a pre-r14
+        # catalog is a flat index map
+        if "tables" in data or "indexes" in data:
+            tables, entries = data.get("tables", {}), data.get("indexes", {})
+        else:
+            tables, entries = {}, data
+        for name, path in tables.items():
+            if not _os.path.isdir(path):
+                continue  # table dir gone — drop the dangling entry
+            self._tables[name.lower()] = {"name": name, "path": path}
+            self._refresh_table(name)
         for name, rec in entries.items():
             try:
                 idx = load_any_index(self.spark, rec["path"])
@@ -648,6 +686,13 @@ class VssPlanner:
                 "vec_col": rec["vec_col"],
                 "ef_search": rec.get("ef_search"),
             }
+            # restore the DML hook: indexes on path-registered tables
+            # keep receiving insert/delete propagation after a restart
+            t = rec["table"].lower()
+            if t in self._tables:
+                from duckdb_vss_spark.sources import sinks
+
+                sinks.bind_index(self._tables[t]["path"], idx)
 
     def _save_catalog(self) -> None:
         f = self._catalog_file()
@@ -657,13 +702,18 @@ class VssPlanner:
         import os as _os
 
         entries = {
-            name: {
-                "path": rec["index"].path,
-                "table": rec["table"],
-                "vec_col": rec["vec_col"],
-                "ef_search": rec.get("ef_search"),
-            }
-            for name, rec in self._named.items()
+            "tables": {
+                rec["name"]: rec["path"] for rec in self._tables.values()
+            },
+            "indexes": {
+                name: {
+                    "path": rec["index"].path,
+                    "table": rec["table"],
+                    "vec_col": rec["vec_col"],
+                    "ef_search": rec.get("ef_search"),
+                }
+                for name, rec in self._named.items()
+            },
         }
         tmp = f + ".tmp"
         with open(tmp, "w") as fh:
@@ -671,20 +721,66 @@ class VssPlanner:
         _os.replace(tmp, f)
 
     @staticmethod
+    def _split_top_level(text: str, sep: str = ",") -> list[str]:
+        """Split ``text`` on ``sep`` at paren/bracket depth 0, honoring
+        single-quoted strings with doubled-quote escapes — the
+        tokenizer behind the WITH(...) option clause and the CREATE
+        TABLE column list (VERDICT r13 #7: the greedy-regex split
+        mis-parsed quoted values containing ``)`` or ``,``)."""
+        parts: list[str] = []
+        cur: list[str] = []
+        depth = 0
+        in_q = False
+        i, n = 0, len(text)
+        while i < n:
+            ch = text[i]
+            if in_q:
+                cur.append(ch)
+                if ch == "'":
+                    if i + 1 < n and text[i + 1] == "'":  # '' escape
+                        cur.append("'")
+                        i += 1
+                    else:
+                        in_q = False
+            elif ch == "'":
+                in_q = True
+                cur.append(ch)
+            elif ch in "([":
+                depth += 1
+                cur.append(ch)
+            elif ch in ")]":
+                depth -= 1
+                cur.append(ch)
+            elif ch == sep and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+            i += 1
+        parts.append("".join(cur))
+        return parts
+
+    @staticmethod
     def _parse_with_options(raw: str | None) -> dict:
-        """key = value pairs; values are 'quoted' strings or numbers.
-        Integer options validate with the reference's Binder-error
-        wording (hnsw_options.test / hnsw_index_plan.cpp:33-80)."""
+        """key = value pairs; values are 'quoted' strings (doubled
+        quotes escape, parens/commas inside quotes survive — tokenized,
+        not regex-split) or numbers. Integer options validate with the
+        reference's Binder-error wording (hnsw_options.test /
+        hnsw_index_plan.cpp:33-80)."""
         opts: dict = {}
         if not raw:
             return opts
-        for part in raw.split(","):
+        for part in VssPlanner._split_top_level(raw):
             if not part.strip():
                 continue
-            k, _, v = part.partition("=")
+            k, eq, v = part.partition("=")
             key, val = k.strip().lower(), v.strip()
-            if val.startswith("'") and val.endswith("'"):
-                opts[key] = val[1:-1]
+            if not key or not eq or not val:
+                raise ValueError(
+                    f"malformed WITH option {part.strip()!r}: expected key = value"
+                )
+            if len(val) >= 2 and val.startswith("'") and val.endswith("'"):
+                opts[key] = val[1:-1].replace("''", "'")
             else:
                 opts[key] = val
         for key, floor in VssPlanner._INT_OPTS.items():
@@ -739,6 +835,259 @@ class VssPlanner:
     )
 
     _CHECKPOINT = re.compile(r"^\s*(?:FORCE\s+)?CHECKPOINT\s*;?\s*$", re.IGNORECASE)
+
+    # -- SQL DML surface (r14, VERDICT r13 #1): the reference's CRUD
+    # statements — CREATE TABLE / INSERT INTO / DELETE FROM / DROP
+    # TABLE (hnsw_crud.test:10-30, hnsw_insert.test:12-52) — run
+    # verbatim through the planner over path-registered parquet
+    # tables, driving the sink surface and therefore the bound-index
+    # DML hooks (insert_into -> add_batch, delete_where ->
+    # delete_batch). Statements naming an UNregistered table fall
+    # through to raw Spark (catalog tables keep native semantics).
+    _CREATE_TBL = re.compile(
+        r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s*"
+        r"\((.*)\)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _DROP_TBL = re.compile(
+        r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*;?\s*$",
+        re.IGNORECASE,
+    )
+    _INSERT_STMT = re.compile(
+        r"^\s*INSERT\s+INTO\s+([A-Za-z_]\w*)\s*(?:\(([^()]*)\)\s*)?"
+        r"(VALUES\b.*|SELECT\b.*?)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _DELETE_STMT = re.compile(
+        r"^\s*DELETE\s+FROM\s+([A-Za-z_]\w*)(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    # DuckDB type names -> Spark SQL type names for CREATE TABLE
+    _DUCK_TYPE_MAP = {
+        "integer": "int", "int": "int", "int4": "int", "signed": "int",
+        "bigint": "bigint", "int8": "bigint", "long": "bigint",
+        "hugeint": "bigint", "smallint": "smallint", "int2": "smallint",
+        "tinyint": "tinyint", "int1": "tinyint",
+        "varchar": "string", "text": "string", "string": "string",
+        "bpchar": "string", "char": "string",
+        "float": "float", "float4": "float", "real": "float",
+        "double": "double", "float8": "double",
+        "boolean": "boolean", "bool": "boolean", "logical": "boolean",
+        "date": "date", "timestamp": "timestamp", "datetime": "timestamp",
+        "blob": "binary", "bytea": "binary", "binary": "binary",
+    }
+
+    @classmethod
+    def _duck_type_to_spark(cls, t: str) -> str:
+        t = t.strip()
+        m = re.match(r"^(.*?)\s*\[\s*\d*\s*\]$", t)  # FLOAT[3] / FLOAT[]
+        if m:
+            return f"array<{cls._duck_type_to_spark(m.group(1))}>"
+        tl = t.lower()
+        if tl.startswith(("decimal", "numeric")):
+            return re.sub(r"^numeric", "decimal", tl)
+        if tl.startswith("varchar"):  # VARCHAR(n)
+            return "string"
+        return cls._DUCK_TYPE_MAP.get(tl, tl)
+
+    @staticmethod
+    def _translate_dml_exprs(text: str) -> str:
+        """DuckDB literal forms the reference's DML statements use ->
+        Spark SQL: ``array_value(...)`` / ``array[...]`` / bare
+        ``[...]`` list literals become ``array(...)``; operator aliases
+        and ``[..]::FLOAT[n]`` casts via rewrite_operators."""
+        out = re.sub(r"\barray_value\s*\(", "array(", text, flags=re.IGNORECASE)
+        out = re.sub(r"\barray\s*\[([^\[\]]*)\]", r"array(\1)", out, flags=re.IGNORECASE)
+        # bare list literal (not an index/slice: no identifier or ]
+        # before; not a typed cast: no :: after — rewrite_operators
+        # translates those with their type)
+        out = re.sub(r"(?<![\w\]])\[([^\[\]]*)\](?!\s*::)", r"array(\1)", out)
+        return rewrite_operators(out)
+
+    def _coerce_array_literals(self, text: str, schema) -> str:
+        """``col = array(...)`` (either operand order, =/==/!=/<>) ->
+        cast the literal to the column's exact array type. Spark has
+        no implicit coercion between array element types (an
+        array<float> column never compares to a decimal-literal
+        array), while the reference host coerces; the planner holds
+        the table schema, so it inserts the cast the verbatim
+        statement couldn't carry (hnsw_crud.test:26 ``WHERE vec =
+        array[1.0, 2.0, 3.0]``)."""
+        types = {
+            f.name.lower(): f.dataType.simpleString()
+            for f in schema.fields
+            if f.dataType.simpleString().startswith("array<")
+        }
+        for col, typ in types.items():
+            text = re.sub(
+                rf"(\b{re.escape(col)}\s*(?:==|=|!=|<>)\s*)(array\s*\([^()]*\))",
+                rf"\1CAST(\2 AS {typ})",
+                text,
+                flags=re.IGNORECASE,
+            )
+            text = re.sub(
+                rf"(array\s*\([^()]*\))(\s*(?:==|=|!=|<>)\s*{re.escape(col)}\b)",
+                rf"CAST(\1 AS {typ})\2",
+                text,
+                flags=re.IGNORECASE,
+            )
+        return text
+
+    def _try_dml(self, sql: str) -> DataFrame | None:
+        """CREATE/DROP TABLE + INSERT/DELETE over path-registered
+        tables. Returns None when the statement is not DML or names an
+        unregistered table (raw Spark handles those)."""
+        from duckdb_vss_spark.sources import sinks
+
+        m = self._CREATE_TBL.match(sql)
+        if m and not re.match(
+            r"^\s*CREATE\s+TABLE\s+\w+\s+AS\b", sql, re.IGNORECASE
+        ):
+            if_not_exists, name, colspec = m.groups()
+            if name.lower() in self._tables:
+                if if_not_exists:
+                    self.last_plan = "CREATE_TABLE"
+                    return self._empty_result()
+                raise ValueError(f"table {name!r} already exists")
+            fields = []
+            for part in self._split_top_level(colspec):
+                part = part.strip()
+                if not part:
+                    continue
+                mm = re.match(r"^([A-Za-z_]\w*)\s+(.+?)\s*$", part, re.DOTALL)
+                if not mm or mm.group(1).upper() in (
+                    "PRIMARY", "UNIQUE", "CHECK", "FOREIGN", "CONSTRAINT",
+                ):
+                    raise ValueError(
+                        f"unsupported CREATE TABLE element {part!r} "
+                        "(column constraints beyond NOT NULL/PRIMARY "
+                        "KEY/UNIQUE are out of scope)"
+                    )
+                cname, ctype = mm.group(1), mm.group(2)
+                while True:  # strip trailing single-column constraints
+                    stripped = re.sub(
+                        r"\s+(NOT\s+NULL|PRIMARY\s+KEY|UNIQUE)\s*$",
+                        "",
+                        ctype,
+                        flags=re.IGNORECASE,
+                    )
+                    if stripped == ctype:
+                        break
+                    ctype = stripped
+                fields.append(f"{cname} {self._duck_type_to_spark(ctype)}")
+            if not fields:
+                raise ValueError("CREATE TABLE needs at least one column")
+            if self._ddl_dir is None:
+                import tempfile
+
+                self._ddl_dir = tempfile.mkdtemp(prefix="vss_sql_indexes_")
+            import os as _os
+
+            path = _os.path.join(self._ddl_dir, "tables", name)
+            (
+                self.spark.createDataFrame([], ", ".join(fields))
+                .repartition(1)
+                .write.mode("overwrite")
+                .parquet(path)
+            )
+            self._tables[name.lower()] = {
+                "name": name, "path": _os.path.abspath(path),
+            }
+            self._refresh_table(name)
+            self._save_catalog()
+            self.last_plan = "CREATE_TABLE"
+            return self._empty_result()
+        m = self._DROP_TBL.match(sql)
+        if m:
+            if_exists, name = m.groups()
+            rec = self._tables.get(name.lower())
+            if rec is None:
+                if if_exists:
+                    self.last_plan = "DROP_TABLE"
+                    return self._empty_result()
+                return None  # unregistered: raw Spark semantics
+            self._tables.pop(name.lower())
+            sinks.unbind_indexes(rec["path"])
+            try:
+                self.spark.catalog.dropTempView(rec["name"])
+            except Exception:  # noqa: BLE001 — view already gone
+                pass
+            import os as _os
+            import shutil as _shutil
+
+            # only delete data the planner created; a user-registered
+            # path is unregistered, never removed
+            if self._ddl_dir and rec["path"].startswith(
+                _os.path.abspath(self._ddl_dir)
+            ):
+                _shutil.rmtree(rec["path"], ignore_errors=True)
+            self._save_catalog()
+            self.last_plan = "DROP_TABLE"
+            return self._empty_result()
+        m = self._INSERT_STMT.match(sql)
+        if m:
+            tname, collist, rest = m.groups()
+            rec = self._tables.get(tname.lower())
+            if rec is None:
+                return None
+            target = self.spark.read.parquet(rec["path"])
+            rest = self._translate_dml_exprs(rest).strip().rstrip(";").strip()
+            cols = (
+                [c.strip() for c in collist.split(",")]
+                if collist
+                else list(target.columns)
+            )
+            have = {f.name.lower() for f in target.schema.fields}
+            missing = [c for c in cols if c.lower() not in have]
+            if missing:
+                raise ValueError(
+                    f"INSERT column(s) {missing} not in table {tname!r}"
+                )
+            if re.match(r"^VALUES\b", rest, re.IGNORECASE):
+                batch = self._raw_sql(
+                    f"SELECT * FROM ({rest}) AS __vss_ins({', '.join(cols)})"
+                )
+            else:
+                batch = self._raw_sql(rest)
+                if len(batch.columns) != len(cols):
+                    raise ValueError(
+                        f"INSERT has {len(cols)} target column(s) but the "
+                        f"query produces {len(batch.columns)}"
+                    )
+                batch = batch.toDF(*cols)
+            by_name = {c.lower(): c for c in batch.columns}
+            aligned = batch.select(
+                *[
+                    F.col(by_name[f.name.lower()]).cast(f.dataType).alias(f.name)
+                    if f.name.lower() in by_name
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in target.schema.fields
+                ]
+            )
+            sinks.insert_into(aligned, rec["path"])
+            self._refresh_table(rec["name"])
+            self.last_plan = "INSERT"
+            return self._empty_result()
+        m = self._DELETE_STMT.match(sql)
+        if m:
+            tname, pred = m.groups()
+            rec = self._tables.get(tname.lower())
+            if rec is None:
+                return None
+            if pred:
+                text = self._translate_dml_exprs(pred).strip().rstrip(";").strip()
+                text = self._coerce_array_literals(
+                    text, self.spark.read.parquet(rec["path"]).schema
+                )
+                predicate = F.expr(text)
+            else:
+                predicate = F.lit(True)
+            n = sinks.delete_where(self.spark, rec["path"], predicate)
+            self._refresh_table(rec["name"])
+            self.last_plan = "DELETE"
+            return self.spark.createDataFrame([(int(n),)], "Count bigint")
+        return None
 
     def _try_ddl(self, sql: str) -> DataFrame | None:
         if self._CHECKPOINT.match(sql):
@@ -877,6 +1226,14 @@ class VssPlanner:
                 "vec_col": vec_col,
                 "ef_search": opts.get("ef_search"),
             }
+            trec = self._tables.get(table.lower())
+            if trec is not None:
+                # an index created on a DML-able table receives table
+                # DML through the sink hooks — the reference's
+                # in-engine index maintenance (hnsw_index.cpp:391-500)
+                from duckdb_vss_spark.sources import sinks
+
+                sinks.bind_index(trec["path"], idx)
             self._save_catalog()
             self.last_plan = f"CREATE_{family}_INDEX"
             return self._empty_result()
@@ -894,6 +1251,11 @@ class VssPlanner:
             key = (rec["table"].lower(), rec["vec_col"].lower())
             lst = self._indexes.get(key, [])
             self._indexes[key] = [i for i in lst if i is not rec["index"]]
+            trec = self._tables.get(rec["table"].lower())
+            if trec is not None:
+                from duckdb_vss_spark.sources import sinks
+
+                sinks.unbind_index(trec["path"], rec["index"])
             drop_index(rec["index"].path)
             self._save_catalog()
             self.last_plan = "DROP_INDEX"
@@ -919,6 +1281,12 @@ class VssPlanner:
                 self._indexes[key] = [
                     new_ix if i is ix else i for i in self._indexes.get(key, [])
                 ]
+                trec = self._tables.get(rec["table"].lower())
+                if trec is not None:
+                    from duckdb_vss_spark.sources import sinks
+
+                    sinks.unbind_index(trec["path"], ix)
+                    sinks.bind_index(trec["path"], new_ix)
                 rec["index"] = new_ix
             self._save_catalog()
             self.last_plan = "COMPACT_INDEX"
@@ -951,6 +1319,9 @@ class VssPlanner:
         ddl = self._try_ddl(sql)
         if ddl is not None:
             return ddl
+        dml = self._try_dml(sql)
+        if dml is not None:
+            return dml
         match = match_topk(sql)
         idx = self._index_for(match) if match else None
         if match and idx is not None:

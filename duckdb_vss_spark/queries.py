@@ -2121,6 +2121,90 @@ def q_sql_ddl_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "q_sql_dml_cycle",
+    f"""
+    SELECT vec_id,
+           list_distance(CAST(embedding AS DOUBLE[]), {_ORACLE_QVEC.format(vid=31)}) AS dist,
+           (SELECT count(*) FROM embeddings WHERE embedding IS NOT NULL) AS n_live
+    FROM embeddings
+    WHERE embedding IS NOT NULL
+    ORDER BY dist, vec_id
+    LIMIT 8
+    """,
+)
+def q_sql_dml_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's CRUD statements VERBATIM through the planner
+    (r14, VERDICT r13 #1 — hnsw_crud.test:10-30 / hnsw_insert.test
+    end-to-end): copy embeddings to a DML-able path table, ``CREATE
+    INDEX`` binds the artifact to it, a verbatim ``INSERT INTO ...
+    VALUES`` drives the sink's add_batch hook (pinned: the very next
+    routed search SEES the inserted row at distance 0), a verbatim
+    ``DELETE FROM ... WHERE`` drives delete_batch (pinned: the row
+    vanishes from the routed search AND pragma_hnsw_index_info()'s
+    live count re-agrees with ``SELECT count(*)``), and the final
+    routed top-8 equals brute force over the ORIGINAL corpus — the
+    strict DuckDB oracle — because insert-then-delete is the identity
+    on the data. ef ≫ k keeps the ANN path exact at oracle scale."""
+    import tempfile as _tempfile
+
+    from duckdb_vss_spark.plans import VssPlanner
+    from duckdb_vss_spark.sources import sinks as _sinks
+    from duckdb_vss_spark.sources.sinks import save_table
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    ).select("vec_id", "embedding")
+    n_orig = emb.count()
+    new_id = emb.agg(F.max("vec_id")).first()[0] + 1
+    path = _os.path.join(_tempfile.mkdtemp(prefix="vss_sqldml_"), "t")
+    save_table(emb, path)
+    spark.conf.set("spark.vss.ef_search", "400")
+    try:
+        planner = VssPlanner(spark)
+        planner.register_table("emb_dml", path)
+        planner.sql(
+            "CREATE INDEX dml_idx ON emb_dml USING HNSW (embedding) "
+            "WITH (metric = 'l2sq', id = 'vec_id')"
+        )
+        qv = _query_vec(spark, sf_dir, 31)
+        lit = ",".join(repr(x) for x in qv)
+        d = len(qv)
+        planner.sql(
+            f"INSERT INTO emb_dml VALUES ({new_id}, [{lit}]::FLOAT[{d}]);"
+        )
+        assert planner.last_plan == "INSERT", planner.last_plan
+        seen = planner.sql(
+            f"SELECT vec_id FROM emb_dml "
+            f"ORDER BY embedding <-> [{lit}]::FLOAT[{d}] LIMIT 2"
+        )
+        assert planner.last_plan == "HNSW_INDEX_SCAN", planner.last_plan
+        ids = {int(r["vec_id"]) for r in seen.collect()}
+        assert new_id in ids, f"insert not visible to the routed scan: {ids}"
+        deleted = planner.sql(
+            f"DELETE FROM emb_dml WHERE vec_id = {new_id};"
+        ).first()["Count"]
+        assert deleted == 1, deleted
+        n_info = planner.sql(
+            "SELECT count FROM pragma_hnsw_index_info()"
+        ).first()["count"]
+        n_tbl = planner.sql("SELECT count(*) AS c FROM emb_dml").first()["c"]
+        assert n_info == n_tbl == n_orig, (n_info, n_tbl, n_orig)
+        df = planner.sql(
+            f"SELECT vec_id, dist FROM emb_dml "
+            f"ORDER BY embedding <-> [{lit}]::FLOAT[{d}] LIMIT 8"
+        )
+        assert planner.last_plan == "HNSW_INDEX_SCAN", planner.last_plan
+        rows = [(int(r["vec_id"]), float(r["dist"])) for r in df.collect()]
+        assert all(i != new_id for i, _ in rows), rows
+        return spark.createDataFrame(
+            rows, "vec_id long, dist double"
+        ).withColumn("n_live", F.lit(int(n_tbl)).cast("long"))
+    finally:
+        spark.conf.unset("spark.vss.ef_search")
+        _sinks.unbind_indexes(path)
+
+
+@register_extra(
     "q_sql_ext_topk",
     f"""
     SELECT vec_id,

@@ -61,10 +61,35 @@ def rows_of(pdf, tol):
     return sorted(out, key=repr)
 
 
+def plan_signature(df) -> str:
+    """Normalized physical-plan hash: the tree of operator NAMES only
+    (expression ids, paths, partition counts and stats stripped), so
+    two rounds' plans compare equal unless the plan SHAPE changed —
+    the signal tools/compare_bench.py separates from container noise
+    (VERDICT r13 #6). Taken after execution, so under AQE this is the
+    final adaptive plan."""
+    import hashlib
+    import re as _re
+
+    s = df._jdf.queryExecution().executedPlan().toString()
+    ops = []
+    for line in s.splitlines():
+        m = _re.match(r"^[\s:+\-*()\d]*([A-Za-z]\w*)", line)
+        if m:
+            ops.append(m.group(1))
+    return hashlib.md5("|".join(ops).encode()).hexdigest()[:12]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--tol", type=float, default=0.0)
+    ap.add_argument(
+        "--plan-hashes",
+        default=None,
+        help="write {query: normalized-plan-hash} JSON here for "
+        "tools/compare_bench.py --plans",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -87,10 +112,14 @@ def main():
     oracles = {**entrymod.oracle_sql(), **_qmod.extra_oracle_sql()}
     names = args.names or list(qs)
     n_pass = n_fail = 0
+    plan_hashes: dict[str, str] = {}
     for name in names:
         t0 = time.time()
         try:
-            spdf = qs[name](spark, args.sf).toPandas()
+            spq = qs[name](spark, args.sf)
+            spdf = spq.toPandas()
+            if args.plan_hashes:
+                plan_hashes[name] = plan_signature(spq)
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
@@ -128,6 +157,12 @@ def main():
             n_pass += 1
             print(f"PASS {name} ({len(spdf)} rows, {time.time()-t0:.1f}s)")
     print(f"\n{n_pass} passed, {n_fail} failed, {len(names)} total")
+    if args.plan_hashes:
+        import json
+
+        with open(args.plan_hashes, "w") as f:
+            json.dump(plan_hashes, f, indent=1, sort_keys=True)
+        print(f"plan hashes for {len(plan_hashes)} queries -> {args.plan_hashes}")
     spark.stop()
     return 1 if n_fail else 0
 
