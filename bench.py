@@ -58,7 +58,7 @@ def scale_curves(
     import duckdb
 
     out: dict[str, float] = {}
-    all_shapes = {"minhash", "contamination", "spans", "semdedup", "hnsw", "kmeans", "q01", "asof", "q03", "q18"}
+    all_shapes = {"minhash", "contamination", "spans", "semdedup", "hnsw", "kmeans", "q01", "asof", "q03", "q18", "maintenance"}
     shapes = all_shapes if shapes is None else shapes & all_shapes
     sx = f"_x{reps}"
     threads = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -173,7 +173,7 @@ def scale_curves(
 
     # ---- embedding unions (semdedup / hnsw build)
     emb = None
-    if shapes & {"semdedup", "hnsw", "kmeans"}:
+    if shapes & {"semdedup", "hnsw", "kmeans", "maintenance"}:
         try:
             emb = load_table(spark, sf_dir, "embeddings")
         except Exception:  # noqa: BLE001 — table absent at this sf
@@ -317,12 +317,94 @@ def scale_curves(
         )
         out[f"hnsw_build_spark{sx}"] = round(time.time() - t0, 3)
 
+    def _maintenance():
+        """r14 (VERDICT r13 #8): the index-maintenance family at
+        reps× — bulk build half, add_batch the other half, mark-delete
+        10%, auto-compact, search at every state. Mutating steps time
+        one-shot (they're jobs, not repeated queries); searches get the
+        steady-state convention. Shard counts, tombstone counts and
+        the per-state search times make any superlinear row visible."""
+        from duckdb_vss_spark.index import create_hnsw_index as _mk
+        from duckdb_vss_spark.index.pq import create_pq_index as _mk_pq
+
+        embN = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                emb.select(
+                    (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
+                    "embedding",
+                )
+                for i in range(reps)
+            ],
+        )
+        half_a = embN.where(F.col("vec_id") % 2 == 0)
+        half_b = embN.where(F.col("vec_id") % 2 == 1)
+        path = f"/tmp/bench_maint_idx{reps}"
+        qv = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+        ]
+        t0 = time.time()
+        ix = _mk(spark, half_a, "embedding", "vec_id", path, overwrite=True)
+        out[f"maint_build{sx}"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        ix = ix.add_batch(half_b, auto_compact_shards=8)
+        out[f"maint_add_batch{sx}"] = round(time.time() - t0, 3)
+        out[f"maint_shards{sx}"] = len(ix.manifest["partitions"])
+        timed8(
+            f"maint_search_clean{sx}",
+            lambda: ix.knn_search(embN, qv, 10).collect(),
+        )
+        t0 = time.time()
+        ix = ix.delete_batch(
+            embN.where(F.col("vec_id") % 10 == 3).select("vec_id")
+        )
+        out[f"maint_delete{sx}"] = round(time.time() - t0, 3)
+        out[f"maint_tombstones{sx}"] = int(
+            ix.manifest.get("deleted_count", 0)
+        )
+        timed8(
+            f"maint_search_tombstoned{sx}",
+            lambda: ix.knn_search(embN, qv, 10).collect(),
+        )
+        t0 = time.time()
+        ix = ix.compact_from_shards()
+        out[f"maint_compact{sx}"] = round(time.time() - t0, 3)
+        out[f"maint_shards_compacted{sx}"] = len(ix.manifest["partitions"])
+        timed8(
+            f"maint_search_compacted{sx}",
+            lambda: ix.knn_search(embN, qv, 10).collect(),
+        )
+        # the quantized face: PQ build + O(batch) versioned upsert of
+        # 1% of the corpus (the r14 merge-hook recipe) + stream join
+        pq_path = f"/tmp/bench_maint_pq{reps}"
+        t0 = time.time()
+        pqx = _mk_pq(spark, embN, "embedding", "vec_id", pq_path, overwrite=True)
+        out[f"maint_pq_build{sx}"] = round(time.time() - t0, 3)
+        up = embN.where(F.col("vec_id") % 100 == 7).select(
+            "vec_id", "embedding"
+        )
+        t0 = time.time()
+        nxt = int(pqx.manifest.get("append_epoch", 0)) + 1
+        pqx = pqx.delete_batch(up.select("vec_id"), epoch_lt=nxt)
+        pqx = pqx.add_batch(up)
+        out[f"maint_pq_upsert{sx}"] = round(time.time() - t0, 3)
+        qdfN = embN.where(F.col("vec_id") % 1000 == 0).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        timed8(
+            f"maint_pq_join_versioned{sx}",
+            lambda: pqx.knn_join(qdfN, "qvec", 10, "qid", rerank=0).count(),
+        )
+
     if "semdedup" in shapes and emb is not None:
         guarded("semdedup", _semdedup)
     if "kmeans" in shapes and emb is not None:
         guarded("kmeans", _kmeans)
     if "hnsw" in shapes and emb is not None:
         guarded("hnsw", _hnsw)
+    if "maintenance" in shapes and emb is not None:
+        guarded("maintenance", _maintenance)
 
     # ---- DuckDB single-node on the identical text union
     def _duck_text():
@@ -869,6 +951,36 @@ def main() -> None:
             .knn_search(qv, 10, rerank=max(250, n_emb // 4), source=emb)
             .collect(),
         )
+        # r14 (VERDICT r13 #3): the multi-query ADC stream's tombstone
+        # mask now ships as a broadcast variable — pair a clean join
+        # with a 30%-tombstoned one to price the mask per query batch
+        pqd = {}
+        section(
+            "pq_tombstoned_setup",
+            lambda: pqd.__setitem__(
+                "i",
+                create_pq_index(
+                    spark, emb, "embedding", "vec_id",
+                    "/tmp/bench_pq_tomb_idx",
+                    m=32, ksub=min(64, max(4, n_emb // 4)), overwrite=True,
+                ),
+            ),
+        )
+        if "i" in pqd:
+            timed(
+                "pq_knn_join_adc",
+                lambda: pqd["i"].knn_join(qdf, "qvec", 10, "qid", rerank=0).count(),
+            )
+            section(
+                "pq_tombstone_30pct",
+                lambda: pqd["i"].delete_batch(
+                    emb.where(F.col("vec_id") % 10 < 3).select("vec_id")
+                ),
+            )
+            timed(
+                "pq_knn_join_tombstoned30",
+                lambda: pqd["i"].knn_join(qdf, "qvec", 10, "qid", rerank=0).count(),
+            )
 
     # vector: persisted BQ artifact (r12 — 1 bit/dim, signatures written
     # once, manifest-calibrated default rescore)

@@ -494,13 +494,18 @@ class HnswIndex:
         ef = get_ef_search(self.spark, ef_search)
         kk = int(k)
         # mark-deletes (r13): the merge happens IN-TASK, so the
-        # tombstones ride into the workers as a (bounded) array; each
-        # graph over-fetches by the tombstone count
-        dead = self._tombstone_ids()
-        dead_arr = np.asarray(sorted(dead), dtype=np.int64) if dead else None
-        fetch = kk + len(dead)
+        # tombstones ride into the workers — as a BROADCAST variable
+        # (r14, VERDICT r13 #3: one ship per executor, not per task);
+        # each graph over-fetches by the tombstone count
+        from duckdb_vss_spark.index import tombstones as _tomb
+
+        dead_bc = _tomb.dead_id_broadcast(self)
+        fetch = kk + int(self.manifest.get("deleted_count", 0))
 
         def serve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # HNSW never writes versioned kills, so the payload
+            # resolves file-independently
+            dead_arr = _tomb.applicable_dead(_tomb.unwrap_dead(dead_bc))
             for pdf in batches:
                 vecs = pdf[query_vec_col]
                 mask = vecs.notna().to_numpy()

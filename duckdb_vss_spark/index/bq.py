@@ -580,6 +580,10 @@ class BqIndex:
     the same plan-shape-gated, fingerprint-validated machinery as PQ's
     (pq._source_manifest_fields / pq._manifest_source)."""
 
+    # the upsert hook may version-kill (id, epoch<bound) instead of
+    # delete+compact+re-append (r14, VERDICT r13 #4)
+    supports_versioned_delete = True
+
     def __init__(self, spark, path: str, manifest: dict):
         self.spark = spark
         self.path = path
@@ -739,7 +743,8 @@ class BqIndex:
         id_col = man["id_col"]
         take = self.default_rescore(k) if rescore is None else max(int(rescore), int(k))
         files = _list_parquet_files(os.path.join(self.path, "sigs"))
-        dead = _tomb.dead_id_array(self)
+        # one mask ship per EXECUTOR, not per task (VERDICT r13 #3)
+        dead = _tomb.dead_id_broadcast(self)
         chunk = max(1, int(queries_per_batch))
         manifest = dict(man)
 
@@ -841,8 +846,11 @@ class BqIndex:
             batch_cols = src.select(
                 id_col, binary_signature(vec_col, dims).alias("sig")
             )
-        staged_append(batch_cols, os.path.join(self.path, "sigs"))
+        moved = staged_append(batch_cols, os.path.join(self.path, "sigs"))
+        from duckdb_vss_spark.index.manifest import record_epoch
+
         merged = dict(man)
+        record_epoch(merged, moved)
         merged["count"] = int(man["count"] + n)
         merged.pop("source_fingerprint", None)
         merged.update(_merge_source_fields(man, df, "BqIndex"))
@@ -862,7 +870,8 @@ class BqIndex:
         return self
 
     def delete_batch(
-        self, ids, manifest_extra: dict | None = None
+        self, ids, manifest_extra: dict | None = None,
+        epoch_lt: int | None = None,
     ) -> "BqIndex":
         """Offline mark-delete (r13 — the BQ face of the delete_batch
         family; see index/tombstones.py for the shared contract,
@@ -875,7 +884,9 @@ class BqIndex:
         conservative (never smaller than the live-count target)."""
         from duckdb_vss_spark.index import tombstones as _tomb
 
-        return _tomb.mark_delete(self, ids, self._sigs_df(), manifest_extra)
+        return _tomb.mark_delete(
+            self, ids, self._sigs_df(), manifest_extra, epoch_lt=epoch_lt
+        )
 
     def compact(self) -> "BqIndex":
         """Physically drop tombstoned signatures and re-pack the
@@ -960,7 +971,9 @@ def _bq_query_stream(
     (hamming, id) ordering. No driver relay, no shuffle on the
     no-rescore path."""
     from duckdb_vss_spark.index.pq import _buffered_query_stream, _merge_topk
+    from duckdb_vss_spark.index.tombstones import applicable_dead, unwrap_dead
 
+    dead = unwrap_dead(dead)  # broadcast mask -> payload, worker-side
     dims = int(manifest["dimensions"])
     metric = manifest["metric"]
     asym = manifest.get("scoring", "hamming") == "asym"
@@ -976,8 +989,9 @@ def _bq_query_stream(
         qsigns = np.where(qmat > 0, 1.0, -1.0) if not asym else None
         for file in files:
             ids, signs, vn, vf = _load_sigs(file, id_col, dims, asym)
-            if dead is not None and len(dead):
-                keep = ~np.isin(ids, dead)
+            d = applicable_dead(dead, file)  # per-file epoch-bounded kills
+            if d is not None:
+                keep = ~np.isin(ids, d)
                 ids, signs = ids[keep], signs[keep]
                 vn = vn[keep] if vn is not None else None
                 vf = vf[keep] if vf is not None else None

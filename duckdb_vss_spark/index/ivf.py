@@ -226,6 +226,10 @@ def _fits_broadcast(queries: DataFrame, nprobe: int, budget_bytes: int) -> bool:
 class IvfIndex:
     """Handle over a built IVF artifact."""
 
+    # the upsert hook may version-kill (id, epoch<bound) instead of
+    # delete+compact+re-append (r14, VERDICT r13 #4)
+    supports_versioned_delete = True
+
     def __init__(self, spark: SparkSession, path: str, manifest: dict):
         self.spark = spark
         self.path = path
@@ -437,7 +441,10 @@ class IvfIndex:
         bad = [lid for lid in hist if lid < 0 or lid >= man["nlist"]]
         if bad:  # pragma: no cover — assign argmins over nlist by design
             raise ValueError(f"assignment produced out-of-range list ids: {bad}")
+        from duckdb_vss_spark.index.manifest import record_epoch
+
         merged = dict(man)
+        record_epoch(merged, new_files)
         merged["count"] = int(man["count"] + sum(hist.values()))
         merged["lists"] = [
             {
@@ -460,7 +467,8 @@ class IvfIndex:
         return self
 
     def delete_batch(
-        self, ids, manifest_extra: dict | None = None
+        self, ids, manifest_extra: dict | None = None,
+        epoch_lt: int | None = None,
     ) -> "IvfIndex":
         """Offline mark-delete (r13 — the IVF face of the delete_batch
         family; see index/tombstones.py for the shared contract,
@@ -474,7 +482,9 @@ class IvfIndex:
         this O(|ids|) path avoids)."""
         from duckdb_vss_spark.index import tombstones as _tomb
 
-        return _tomb.mark_delete(self, ids, self._lists_df(), manifest_extra)
+        return _tomb.mark_delete(
+            self, ids, self._lists_df(), manifest_extra, epoch_lt=epoch_lt
+        )
 
     def compact(self) -> "IvfIndex":
         """Physically drop tombstoned rows and re-pack each inverted

@@ -130,6 +130,9 @@ def _ivfadc_query_stream(
     preserved: a list no flush-query probes is never read. Peak memory
     is one (|probers|, m, ksub) LUT block + one (|probers| × slab)
     float64 block, independent of corpus size."""
+    from duckdb_vss_spark.index.tombstones import unwrap_dead
+
+    dead = unwrap_dead(dead)  # broadcast mask -> array, worker-side
     m, ksub, dsub = books.shape
 
     def score(qids: np.ndarray, qmat: np.ndarray):
@@ -160,12 +163,13 @@ def _ivfadc_query_stream(
                 )
             for file in files:
                 ids, codes = _load_codes(file, id_col, m)
-                if dead is not None and len(dead):
-                    # tombstone mask (r13 delete_batch) — after the
-                    # LRU fetch so the cached arrays stay unmasked
+                if dead is not None:
+                    # tombstone mask (r13 delete_batch; r14 versioned)
+                    # — after the LRU fetch so the cached arrays stay
+                    # unmasked; resolved per file (epoch-bounded kills)
                     from duckdb_vss_spark.index.tombstones import mask_dead
 
-                    ids, codes = mask_dead(ids, codes, dead)
+                    ids, codes = mask_dead(ids, codes, dead, file)
                 for lo in range(0, len(ids), slab):
                     arr = codes[lo : lo + slab]
                     d = np.zeros((len(qs), len(arr)), dtype=np.float64)
@@ -196,6 +200,10 @@ def _codes_files_by_list(codes_dir: str) -> dict[int, list[str]]:
 
 class IvfPqIndex:
     """Handle over a built IVFADC artifact."""
+
+    # the upsert hook may version-kill (id, epoch<bound) instead of
+    # delete+compact+re-append (r14, VERDICT r13 #4)
+    supports_versioned_delete = True
 
     def __init__(self, spark: SparkSession, path: str, manifest: dict):
         self.spark = spark
@@ -353,7 +361,8 @@ class IvfPqIndex:
         chunk = max(1, int(queries_per_batch))
         from duckdb_vss_spark.index import tombstones as _tomb
 
-        dead = _tomb.dead_id_array(self)
+        # one mask ship per EXECUTOR, not per task (VERDICT r13 #3)
+        dead = _tomb.dead_id_broadcast(self)
 
         def stream(batches):
             return _ivfadc_query_stream(
@@ -429,7 +438,7 @@ class IvfPqIndex:
         enc = _assign_encode_udf(self._centroids, self._books, self.metric)(
             F.col(vec_col)
         )
-        staged_append(
+        moved = staged_append(
             src.withColumn("_e", enc).select(
                 id_col,
                 F.col("_e.list_id").alias("list_id"),
@@ -438,7 +447,10 @@ class IvfPqIndex:
             codes_dir,
             partition_by="list_id",
         )
+        from duckdb_vss_spark.index.manifest import record_epoch
+
         merged = dict(man)
+        record_epoch(merged, moved)
         merged["count"] = int(man["count"] + n)
         merged.pop("source_fingerprint", None)
         merged.update(_merge_source_fields(man, df, "IvfPqIndex"))
@@ -456,7 +468,8 @@ class IvfPqIndex:
         return self
 
     def delete_batch(
-        self, ids, manifest_extra: dict | None = None
+        self, ids, manifest_extra: dict | None = None,
+        epoch_lt: int | None = None,
     ) -> "IvfPqIndex":
         """Offline mark-delete (r13 — the IVFADC face of the
         delete_batch family; see index/tombstones.py for the shared
@@ -468,7 +481,9 @@ class IvfPqIndex:
         reclaims physically."""
         from duckdb_vss_spark.index import tombstones as _tomb
 
-        return _tomb.mark_delete(self, ids, self._codes_df(), manifest_extra)
+        return _tomb.mark_delete(
+            self, ids, self._codes_df(), manifest_extra, epoch_lt=epoch_lt
+        )
 
     def compact(self) -> "IvfPqIndex":
         """Physically drop tombstoned codes and re-pack each list's

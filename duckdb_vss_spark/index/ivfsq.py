@@ -46,6 +46,10 @@ _LOG = logging.getLogger(__name__)
 class IvfSqIndex:
     """Handle over a built IVF×SQ artifact."""
 
+    # the upsert hook may version-kill (id, epoch<bound) instead of
+    # delete+compact+re-append (r14, VERDICT r13 #4)
+    supports_versioned_delete = True
+
     def __init__(self, spark: SparkSession, path: str, manifest: dict):
         self.spark = spark
         self.path = path
@@ -272,12 +276,15 @@ class IvfSqIndex:
         encoded = sq_encode(src, vec_col, self._mins, self._maxs).withColumn(
             "list_id", assign(F.col(vec_col))
         )
-        staged_append(
+        moved = staged_append(
             encoded.select(id_col, "codes", "list_id"),
             os.path.join(self.path, "lists"),
             partition_by="list_id",
         )
+        from duckdb_vss_spark.index.manifest import record_epoch
+
         merged = dict(man)
+        record_epoch(merged, moved)
         merged["count"] = int(man["count"] + n)
         merged["updated_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
         if manifest_extra:
@@ -293,7 +300,8 @@ class IvfSqIndex:
         return self
 
     def delete_batch(
-        self, ids, manifest_extra: dict | None = None
+        self, ids, manifest_extra: dict | None = None,
+        epoch_lt: int | None = None,
     ) -> "IvfSqIndex":
         """Offline mark-delete (r13 — the IVF×SQ face of the
         delete_batch family; see index/tombstones.py for the shared
@@ -304,7 +312,9 @@ class IvfSqIndex:
         ``compact()`` reclaims physically."""
         from duckdb_vss_spark.index import tombstones as _tomb
 
-        return _tomb.mark_delete(self, ids, self._lists_df(), manifest_extra)
+        return _tomb.mark_delete(
+            self, ids, self._lists_df(), manifest_extra, epoch_lt=epoch_lt
+        )
 
     def compact(self) -> "IvfSqIndex":
         """Physically drop tombstoned rows and re-pack each list's

@@ -16,10 +16,30 @@ import uuid
 __all__ = [
     "write_manifest",
     "staged_append",
+    "record_epoch",
     "PendingDmlError",
     "set_pending",
     "clear_pending",
 ]
+
+
+def record_epoch(merged: dict, moved: list[str]) -> int:
+    """Assign the next append epoch to the just-moved data files (r14
+    versioned tombstones, VERDICT r13 #4): bumps
+    ``merged["append_epoch"]`` and maps each file's BASENAME to it in
+    ``merged["file_epochs"]`` — basenames are unique across write jobs
+    (per-job UUID in the part name), and within one job duplicates
+    across hive dirs share this epoch anyway. Bulk-built files are
+    absent from the map = epoch 0. No data file carries an epoch
+    column; the map is how scans and query streams resolve a row's
+    version for ``(id, epoch < bound)`` tombstones."""
+    epoch = int(merged.get("append_epoch", 0)) + 1
+    fe = dict(merged.get("file_epochs") or {})
+    for f in moved:
+        fe[os.path.basename(f)] = epoch
+    merged["append_epoch"] = epoch
+    merged["file_epochs"] = fe
+    return epoch
 
 
 class PendingDmlError(RuntimeError):

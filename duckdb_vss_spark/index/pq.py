@@ -612,6 +612,9 @@ def _adc_query_stream(
     independent of corpus size. Emits exact global per-query ADC
     top-``take`` rows with their (dist, id) rank — the no-rerank join
     needs NO window shuffle at all."""
+    from duckdb_vss_spark.index.tombstones import unwrap_dead
+
+    dead = unwrap_dead(dead)  # broadcast mask -> array, worker-side
     m = books.shape[0]
 
     def score(qids: np.ndarray, qmat: np.ndarray):
@@ -621,12 +624,13 @@ def _adc_query_stream(
         best_i = np.full((nq, take), -1, dtype=np.int64)
         for file in files:
             ids, codes = _load_codes(file, id_col, m)
-            if dead is not None and len(dead):
-                # tombstone mask (r13 delete_batch) — after the LRU
-                # fetch so the cached arrays stay unmasked
+            if dead is not None:
+                # tombstone mask (r13 delete_batch; r14 versioned) —
+                # after the LRU fetch so the cached arrays stay
+                # unmasked; resolved per file (epoch-bounded kills)
                 from duckdb_vss_spark.index.tombstones import mask_dead
 
-                ids, codes = mask_dead(ids, codes, dead)
+                ids, codes = mask_dead(ids, codes, dead, file)
             for lo in range(0, len(ids), slab):
                 arr = codes[lo : lo + slab]
                 d = np.zeros((nq, len(arr)), dtype=np.float64)
@@ -644,6 +648,10 @@ def _adc_query_stream(
 
 class PqIndex:
     """Handle over a built PQ artifact (manifest + codes parquet)."""
+
+    # the upsert hook may version-kill (id, epoch<bound) instead of
+    # delete+compact+re-append (r14, VERDICT r13 #4)
+    supports_versioned_delete = True
 
     def __init__(self, spark: SparkSession, path: str, manifest: dict):
         self.spark = spark
@@ -726,14 +734,17 @@ class PqIndex:
                 f"(batch has FLOAT[{dims}])"
             )
         codes_dir = os.path.join(self.path, "codes")
-        staged_append(
+        moved = staged_append(
             src.withColumn(
                 "pq_code", _encode_udf(self._books, self.metric)(F.col(vec_col))
             ).select(id_col, "pq_code"),
             codes_dir,
         )
 
+        from duckdb_vss_spark.index.manifest import record_epoch
+
         merged = dict(man)
+        record_epoch(merged, moved)
         merged["count"] = int(man["count"] + n)
         merged.pop("source_fingerprint", None)
         merged.update(_merge_source_fields(man, df, "PqIndex"))
@@ -751,7 +762,8 @@ class PqIndex:
         return self
 
     def delete_batch(
-        self, ids, manifest_extra: dict | None = None
+        self, ids, manifest_extra: dict | None = None,
+        epoch_lt: int | None = None,
     ) -> "PqIndex":
         """Offline mark-delete (r13 — the PQ face of the delete_batch
         family; see index/tombstones.py for the shared contract,
@@ -759,10 +771,14 @@ class PqIndex:
         O(|ids|), no code rewrite. The ADC scan, the executor-side
         query stream and the SQL planner route all filter the
         tombstones; ``count`` reports live rows; ``add_batch`` of a
-        tombstoned id revives it; ``compact()`` reclaims physically."""
+        tombstoned id revives it; ``compact()`` reclaims physically.
+        ``epoch_lt`` bounds the kill to rows appended before that
+        epoch (r14 — the upsert hook's O(batch) version replacement)."""
         from duckdb_vss_spark.index import tombstones as _tomb
 
-        return _tomb.mark_delete(self, ids, self._codes_df(), manifest_extra)
+        return _tomb.mark_delete(
+            self, ids, self._codes_df(), manifest_extra, epoch_lt=epoch_lt
+        )
 
     def compact(self) -> "PqIndex":
         """Physically drop tombstoned codes and re-pack the accumulated
@@ -869,7 +885,8 @@ class PqIndex:
         files = _list_parquet_files(os.path.join(self.path, "codes"))
         take = int(rerank) if rerank else int(k)
         chunk = max(1, int(queries_per_batch))
-        dead = _tomb.dead_id_array(self)
+        # one mask ship per EXECUTOR, not per task (VERDICT r13 #3)
+        dead = _tomb.dead_id_broadcast(self)
 
         def stream(batches):
             return _adc_query_stream(

@@ -159,60 +159,79 @@ _EXTRA_ORACLES: dict[str, str] = {}
 # tests), q_pq_knn / q_ivfpq_knn / q_hnsw_knn (legacy-manifest refusal
 # only fires on pre-v5 artifacts, impossible under the bumped
 # _ARTIFACT_VERSION paths).
+# Round-14 composition (VERDICT r13 #5 — seat the two displaced
+# r11-evidence rows first, plus q_simhash_pairs (also r11), then the
+# r12-evidence boundary rows; keep the r13-touched seats' evidence for
+# one round by rotating them out — all driver-green 50/50 in r13):
+#   1. Eight priority seats: q_sql_dml_cycle (NEW r14 — verbatim
+#      INSERT/DELETE through the planner driving the bound-index
+#      hooks), the three r11-evidence displaced rows
+#      (q_sql_maxby_topk, q_knn_inner_product, q_simhash_pairs — the
+#      q_pca_power precedent, first in line since r13), and the four
+#      r13 features that shipped CI-only (q_sql_ddl_cycle,
+#      q_bq_knn_join, q_ivfsq_knn_join, q_stream_index_delete).
+#   2. 42 of the 50 rows whose last driver evidence is r12 — eight
+#      TPC-H shapes deferred to r15 (q04/q07/q10/q14/q15/q17/q19/q22:
+#      pure native-SQL paths massively covered by the seated
+#      q03/q05/q16 and the CI gate; they keep r12 evidence, inside
+#      the freshness boundary). The seated q_pq_knn / q_ivfpq_knn /
+#      q_hnsw_knn family also re-evidences the r14 versioned-tombstone
+#      scan changes on their default signatures.
+# Rotated out: the full r13 window (fresh r13 evidence, driver-green
+# 50/50).
 _DECLARED: list[str] = [
-    # 1. r13-touched paths first (the driver checks in order)
-    "q_sql_quantized_topk",
-    "q_sql_bq_route_topk",
-    "q_sql_ivfpq_route_topk",
-    "q_sql_quantized_lateral_fallback",
-    "q_sql_quantized_minby",
-    "q_stream_index_add",
-    "q_hnsw_delete_batch",
-    "q_pq_delete_batch",
-    # 2. the r11-evidence rows (minus the three displaced:
-    #    q_sql_maxby_topk, q_knn_inner_product, q_simhash_pairs)
-    "q02_min_cost_supplier",
-    "q06_forecast_revenue",
-    "q08_market_share",
-    "q12_late_priority",
-    "q21_waiting_suppliers",
-    "q_asof_join",
-    "q_bm25_topk",
-    "q_bq_knn",
-    "q_corpus_diff",
-    "q_curation_e2e",
-    "q_dedup_keep_best",
-    "q_df_api_topk",
-    "q_embedding_neardup_lsh",
-    "q_fingerprint",
-    "q_hnsw_index_info",
-    "q_hnsw_self_consistency",
-    "q_hybrid_rrf",
-    "q_incremental_dedup_keep",
-    "q_ivf_knn_join",
-    "q_knn_classify",
-    "q_knn_cosine",
-    "q_knn_join_grouped",
-    "q_lang_id",
-    "q_media_audio_energy",
-    "q_media_jpeg_pipeline",
-    "q_minhash_signature",
-    "q_mmr_rerank",
-    "q_perplexity_filter",
-    "q_pq_knn_join",
-    "q_quality_score",
-    "q_semantic_doc_search",
-    "q_sessionize_events",
-    "q_simhash",
-    "q_sq_knn",
-    "q_sql_ext_topk",
-    "q_sql_minby_topk",
-    "q_stream_curation",
-    "q_stream_dedup_store",
-    "q_stream_knn_serve",
-    "q_stream_session_windows",
-    "q_vss_match_stats",
-    "q_weighted_sample",
+    # 1. r14-touched + displaced + CI-only-feature seats first
+    "q_sql_dml_cycle",
+    "q_sql_maxby_topk",
+    "q_knn_inner_product",
+    "q_simhash_pairs",
+    "q_sql_ddl_cycle",
+    "q_bq_knn_join",
+    "q_ivfsq_knn_join",
+    "q_stream_index_delete",
+    # 2. the r12-evidence rows (minus the eight deferred TPC-H shapes)
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q16_parts_supplier",
+    "q_chunk_docs",
+    "q_contamination",
+    "q_dedup_clusters",
+    "q_doc_oov_rate",
+    "q_embedding_neardup",
+    "q_event_percentiles",
+    "q_hash_sample",
+    "q_hnsw_add_batch",
+    "q_hnsw_knn",
+    "q_hnsw_knn_filtered_empty",
+    "q_hnsw_knn_join",
+    "q_image_phash_dedup",
+    "q_incremental_dedup",
+    "q_interval_join",
+    "q_ivfpq_knn",
+    "q_ivfpq_knn_join",
+    "q_ivfsq_knn",
+    "q_kmeans",
+    "q_kmv_distinct",
+    "q_lang_quality",
+    "q_media_frame_sample",
+    "q_media_resize",
+    "q_mix_budget",
+    "q_moving_window_sum",
+    "q_normalize_text",
+    "q_pca_power",
+    "q_pii_scrub",
+    "q_pivot_events",
+    "q_pq_knn",
+    "q_random_projection",
+    "q_repetition_stats",
+    "q_rollup_revenue",
+    "q_shuffle_shards",
+    "q_source_cap",
+    "q_stratified_sample",
+    "q_stream_interval_join",
+    "q_stream_static_join",
+    "q_text_stats",
+    "q_vocab_topk",
 ]
 
 

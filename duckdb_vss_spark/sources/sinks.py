@@ -392,8 +392,20 @@ def merge_upsert(
             up = fresh.join(F.broadcast(keys), key_cols, "left_semi")
             # delete the PRE-swap rows' ids (an id-changing update must
             # kill the old id, not the new one — ADVICE r13)
-            ix.delete_batch(old_ids.select(id_col))
-            _index_compact(ix)
+            if getattr(ix, "supports_versioned_delete", False):
+                # O(batch) upsert propagation (r14, VERDICT r13 #4):
+                # version-kill the old rows — (id, epoch < next) — and
+                # append the new versions AT epoch next; no physical
+                # compact, no O(corpus) step anywhere in the hook
+                nxt = int(ix.manifest.get("append_epoch", 0)) + 1
+                ix.delete_batch(old_ids.select(id_col), epoch_lt=nxt)
+            else:
+                # HNSW: graph shards carry no row versions — id-level
+                # tombstones cannot coexist with a re-added id, so the
+                # old versions must be physically dropped (O(corpus),
+                # proportionate to MERGE's own table rewrite)
+                ix.delete_batch(old_ids.select(id_col))
+                _index_compact(ix)
             # the token commits with the FINAL step — the earlier
             # delete/compact steps are replay-idempotent
             ix.add_batch(up, manifest_extra={"last_dml_token": toks[id(ix)]})
@@ -465,9 +477,17 @@ def resolve_pending_dml(spark: SparkSession, index_path: str) -> str:
             raise PendingDmlError(f"table {table!r} missing — rebuild()")
         key_cols = rec.get("key_cols") or []
         old_p, keys_p = rec.get("old_ids"), rec.get("keys")
+        versioned = getattr(ix, "supports_versioned_delete", False)
         if old_p and os.path.isdir(old_p):
-            ix.delete_batch(spark.read.parquet(old_p).select(id_col))
-        _index_compact(ix)
+            if versioned:
+                nxt = int(ix.manifest.get("append_epoch", 0)) + 1
+                ix.delete_batch(
+                    spark.read.parquet(old_p).select(id_col), epoch_lt=nxt
+                )
+            else:
+                ix.delete_batch(spark.read.parquet(old_p).select(id_col))
+        if not versioned:
+            _index_compact(ix)
         if keys_p and os.path.isdir(keys_p) and key_cols:
             fresh = spark.read.parquet(table)
             up = fresh.join(

@@ -271,3 +271,40 @@ def test_pq_dml_lifecycle_matches_model(spark, tmp_path):
             d = np.array([[sum((a - b) ** 2 for a, b in zip(vecs[i], qv))] for i in live])
             want = [live[j] for j in np.lexsort((np.array(live), d[:, 0]))[:5]]
             assert got == want, (kind, subset)
+
+
+def test_stream_mask_rides_as_broadcast_and_warns(spark, emb, tmp_path):
+    """r14 (VERDICT r13 #3): the executor-side query-stream masks ship
+    as Spark broadcast variables (one ship per executor, not a pickled
+    per-task closure), and a mask past the streaming face's
+    dead-fraction threshold warns that compact() is due."""
+    import warnings
+
+    import numpy as np
+    from pyspark import Broadcast
+
+    from duckdb_vss_spark.index import tombstones as _tomb
+
+    ix = create_pq_index(spark, emb, "embedding", "vec_id", str(tmp_path / "pqb"))
+    # ~33% tombstoned: past the 25% warning threshold
+    ix = ix.delete_batch(emb.where(F.col("vec_id") % 3 == 0).select("vec_id"))
+    with pytest.warns(UserWarning, match="compact"):
+        bc = _tomb.dead_id_broadcast(ix)
+    assert isinstance(bc, Broadcast)
+    # un-versioned masks resolve file-independently to the full id set
+    assert np.array_equal(
+        _tomb.applicable_dead(_tomb.unwrap_dead(bc)), _tomb.dead_id_array(ix)
+    )
+    assert _tomb.unwrap_dead(None) is None
+    assert _tomb.applicable_dead(None) is None
+
+    # below the threshold: a broadcast, silently
+    ix2 = create_pq_index(spark, emb, "embedding", "vec_id", str(tmp_path / "pqc"))
+    ix2 = ix2.delete_batch(emb.where(F.col("vec_id") == 3).select("vec_id"))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        bc2 = _tomb.dead_id_broadcast(ix2)
+    assert isinstance(bc2, Broadcast)
+    # clean artifact: no mask at all
+    ix3 = create_pq_index(spark, emb, "embedding", "vec_id", str(tmp_path / "pqd"))
+    assert _tomb.dead_id_broadcast(ix3) is None

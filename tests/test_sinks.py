@@ -292,7 +292,10 @@ def test_dml_index_hooks(spark, tmp_path):
     assert res == {"updated": 1, "inserted": 1}
     assert hnsw.count == 199 and pq.count == 199  # 198 - 1 replaced + 2
     assert not int(hnsw.manifest.get("deleted_count", 0))  # compacted
-    assert not int(pq.manifest.get("deleted_count", 0))
+    # PQ takes the r14 O(batch) versioned path instead: the old
+    # version is killed by (id, epoch < next) with NO physical compact
+    assert int(pq.manifest.get("versioned_dead", 0)) == 1
+    assert pq.manifest.get("versioned_tombstones") is True
     table = read_table(spark, p)
     qv3 = moved[1]  # the updated vector: its own id must be the top hit
     top_h = hnsw.knn_search(table, qv3, 1, ef_search=400).first()["vid"]
@@ -304,3 +307,91 @@ def test_dml_index_hooks(spark, tmp_path):
 
     unbind_indexes(p)
     assert bound_indexes(p) == []
+
+
+def test_merge_upsert_quantized_is_o_batch(spark, tmp_path):
+    """r14 (VERDICT r13 #4): the quantized upsert hook must not touch
+    the existing data files — the old version dies by a versioned
+    tombstone (id, epoch < next) and the new one appends at ``next``.
+    Structural O(batch) proof: every pre-merge codes file survives
+    byte-identical (no compact, no rewrite), only new files append.
+    Search and counts follow the new version exactly, including a
+    SECOND upsert of the same id (the accumulator case)."""
+    import os as _os
+
+    import numpy as np
+
+    from duckdb_vss_spark.index.pq import create_pq_index
+    from duckdb_vss_spark.operators.topk import knn_search
+    from duckdb_vss_spark.sources.sinks import bind_index, merge_upsert, unbind_indexes
+
+    rng = np.random.RandomState(11)
+
+    def rows(ids):
+        return [(int(i), [float(x) for x in rng.randn(8)]) for i in ids]
+
+    p = str(tmp_path / "vecs")
+    save_table(
+        spark.createDataFrame(rows(range(150)), "vid long, v array<float>"), p
+    )
+    pq = create_pq_index(
+        spark, read_table(spark, p), "v", "vid", str(tmp_path / "px")
+    )
+    bind_index(p, pq)
+    try:
+        codes_dir = _os.path.join(pq.path, "codes")
+
+        def listing():
+            return {
+                _os.path.join(dp, f): _os.path.getsize(_os.path.join(dp, f))
+                for dp, _dn, fn in _os.walk(codes_dir)
+                for f in fn
+                if f.endswith(".parquet")
+            }
+
+        before = listing()
+        v1 = rows([7])[0]
+        merge_upsert(
+            spark, p,
+            spark.createDataFrame([v1], "vid long, v array<float>"),
+            ["vid"],
+        )
+        after = listing()
+        # O(batch): every original file intact, only additions
+        assert set(before) <= set(after)
+        assert all(after[f] == sz for f, sz in before.items())
+        assert pq.count == 150  # 150 - 1 killed version + 1 new
+        table = read_table(spark, p)
+        assert (
+            pq.knn_search(v1[1], 1, rerank=pq.count, source=table).first()["vid"]
+            == 7
+        )
+        # second upsert of the SAME id: the versioned_dead accumulator
+        # keeps live counts exact where record-counting could not
+        v2 = rows([7])[0]
+        merge_upsert(
+            spark, p,
+            spark.createDataFrame([v2], "vid long, v array<float>"),
+            ["vid"],
+        )
+        assert int(pq.manifest.get("versioned_dead", 0)) == 2
+        assert pq.count == 150
+        table = read_table(spark, p)
+        assert (
+            pq.knn_search(v2[1], 1, rerank=pq.count, source=table).first()["vid"]
+            == 7
+        )
+        # the exact top-5 matches brute force over the CURRENT table
+        want = [r["vid"] for r in knn_search(table, "v", v2[1], 5).collect()]
+        got = [
+            r["vid"]
+            for r in pq.knn_search(v2[1], 5, rerank=pq.count, source=table).collect()
+        ]
+        assert got == want
+        # compact() physically reclaims both killed versions exactly
+        pq.compact()
+        assert pq.count == 150
+        assert not pq.manifest.get("versioned_tombstones")
+        assert not int(pq.manifest.get("deleted_count", 0))
+    finally:
+        unbind_indexes(p)
