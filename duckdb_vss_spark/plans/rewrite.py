@@ -667,13 +667,31 @@ class VssPlanner:
             tables, entries = data.get("tables", {}), data.get("indexes", {})
         else:
             tables, entries = {}, data
-        for name, path in tables.items():
+        for name, trec in tables.items():
+            # r14 layout: {"path": ..., "dims": {...}}; earliest-r14
+            # snapshots stored a bare path string
+            path = trec["path"] if isinstance(trec, dict) else trec
+            dims = trec.get("dims", {}) if isinstance(trec, dict) else {}
             if not _os.path.isdir(path):
                 continue  # table dir gone — drop the dangling entry
-            self._tables[name.lower()] = {"name": name, "path": path}
+            self._tables[name.lower()] = {
+                "name": name, "path": path, "dims": dims,
+            }
             self._refresh_table(name)
+        from duckdb_vss_spark.index.manifest import PendingDmlError
+
         for name, rec in entries.items():
             try:
+                idx = load_any_index(self.spark, rec["path"])
+            except PendingDmlError:
+                # the process died between a table DML and this index's
+                # update (r14 intent journal) — replay the journaled
+                # intent and load clean: the engine's analogue of the
+                # reference's WAL playback on restart
+                # (hnsw_insert_wal.test)
+                from duckdb_vss_spark.sources.sinks import resolve_pending_dml
+
+                resolve_pending_dml(self.spark, rec["path"])
                 idx = load_any_index(self.spark, rec["path"])
             except (OSError, ValueError):
                 continue  # artifact dir gone — drop the dangling entry
@@ -703,7 +721,10 @@ class VssPlanner:
 
         entries = {
             "tables": {
-                rec["name"]: rec["path"] for rec in self._tables.values()
+                rec["name"]: {
+                    "path": rec["path"], "dims": rec.get("dims") or {}
+                }
+                for rec in self._tables.values()
             },
             "indexes": {
                 name: {
@@ -862,6 +883,10 @@ class VssPlanner:
         r"^\s*DELETE\s+FROM\s+([A-Za-z_]\w*)(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
         re.IGNORECASE | re.DOTALL,
     )
+    _UPDATE_STMT = re.compile(
+        r"^\s*UPDATE\s+([A-Za-z_]\w*)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
 
     # DuckDB type names -> Spark SQL type names for CREATE TABLE
     _DUCK_TYPE_MAP = {
@@ -951,6 +976,11 @@ class VssPlanner:
                     return self._empty_result()
                 raise ValueError(f"table {name!r} already exists")
             fields = []
+            # declared array lengths (FLOAT[3]) survive here even though
+            # Spark array types are unsized — CREATE INDEX over an
+            # EMPTY table needs them (the reference's
+            # hnsw_insert_wal.test creates the index before any row)
+            col_dims: dict[str, int] = {}
             for part in self._split_top_level(colspec):
                 part = part.strip()
                 if not part:
@@ -975,6 +1005,9 @@ class VssPlanner:
                     if stripped == ctype:
                         break
                     ctype = stripped
+                dm = re.match(r"^[A-Za-z_0-9]+\s*\[\s*(\d+)\s*\]$", ctype.strip())
+                if dm:
+                    col_dims[cname] = int(dm.group(1))
                 fields.append(f"{cname} {self._duck_type_to_spark(ctype)}")
             if not fields:
                 raise ValueError("CREATE TABLE needs at least one column")
@@ -993,6 +1026,7 @@ class VssPlanner:
             )
             self._tables[name.lower()] = {
                 "name": name, "path": _os.path.abspath(path),
+                "dims": col_dims,
             }
             self._refresh_table(name)
             self._save_catalog()
@@ -1087,6 +1121,36 @@ class VssPlanner:
             self._refresh_table(rec["name"])
             self.last_plan = "DELETE"
             return self.spark.createDataFrame([(int(n),)], "Count bigint")
+        m = self._UPDATE_STMT.match(sql)
+        if m:
+            tname, set_clause, pred = m.groups()
+            rec = self._tables.get(tname.lower())
+            if rec is None:
+                return None
+            schema = self.spark.read.parquet(rec["path"]).schema
+            assignments: dict = {}
+            for part in self._split_top_level(set_clause):
+                if not part.strip():
+                    continue
+                k, eq, v = part.partition("=")
+                if not eq or not k.strip() or not v.strip():
+                    raise ValueError(
+                        f"malformed SET assignment {part.strip()!r}"
+                    )
+                expr = self._translate_dml_exprs(v.strip())
+                assignments[k.strip()] = F.expr(expr)
+            if pred:
+                text = self._translate_dml_exprs(pred).strip().rstrip(";").strip()
+                text = self._coerce_array_literals(text, schema)
+                predicate = F.expr(text)
+            else:
+                predicate = F.lit(True)
+            n = sinks.update_where(
+                self.spark, rec["path"], assignments, predicate
+            )
+            self._refresh_table(rec["name"])
+            self.last_plan = "UPDATE"
+            return self.spark.createDataFrame([(int(n),)], "Count bigint")
         return None
 
     def _try_ddl(self, sql: str) -> DataFrame | None:
@@ -1157,6 +1221,22 @@ class VssPlanner:
                     return self._empty_result()
                 raise ValueError(f"an index with the name {name!r} already exists")
             opts = self._parse_with_options(raw_opts)
+            allowed = {"metric", "id", "id_col", "ef_search"} | {
+                "HNSW": {"m", "m0", "ef_construction"},
+                "IVF": {"nlist", "default_nprobe"},
+                "PQ": {"m", "ksub"},
+                "IVFPQ": {"m", "nlist", "ksub", "default_nprobe"},
+                "IVFSQ": {"nlist", "default_nprobe"},
+                "BQ": {"scoring", "target_recall"},
+            }[family]
+            unknown = sorted(set(opts) - allowed)
+            if unknown:
+                # the reference's Binder wording
+                # (hnsw_index_plan.cpp:78: "Unknown option for HNSW
+                # index: '%s'"), generalized per family
+                raise ValueError(
+                    f"Unknown option for {family} index: '{unknown[0]}'"
+                )
             df = self.spark.table(table)
             id_col = self._infer_id_col(df, opts)
             if self._ddl_dir is None:
@@ -1173,6 +1253,13 @@ class VssPlanner:
                 for k in ("m", "m0", "ef_construction"):
                     if k in opts:
                         kwargs[k] = opts[k]
+                # a CREATE TABLE-declared FLOAT[n] length lets the index
+                # build over an EMPTY table (hnsw_insert_wal.test:26-28)
+                declared = (self._tables.get(table.lower()) or {}).get(
+                    "dims", {}
+                ).get(vec_col)
+                if declared:
+                    kwargs["dims"] = int(declared)
             elif family == "IVF":
                 from duckdb_vss_spark.index.ivf import create_ivf_index as _create
 

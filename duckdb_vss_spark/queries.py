@@ -2224,6 +2224,84 @@ def q_sql_dml_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "q_sql_update_cycle",
+    f"""
+    SELECT vec_id,
+           list_distance(CAST(embedding AS DOUBLE[]), {_ORACLE_QVEC.format(vid=37)}) AS dist
+    FROM embeddings
+    WHERE embedding IS NOT NULL
+    ORDER BY dist, vec_id
+    LIMIT 8
+    """,
+)
+def q_sql_update_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ``UPDATE t SET vec = ... WHERE id = ...`` through the
+    planner (r14 — completes the CRUD quartet; the bound index receives
+    the update as an O(batch) version replacement): update row 41's
+    embedding to a known vector (pinned: the routed search now returns
+    41 at distance 0 for that vector), then update it BACK — the final
+    routed top-8 equals brute force over the ORIGINAL corpus, which the
+    strict DuckDB oracle replays. ef ≫ k keeps the ANN path exact."""
+    import tempfile as _tempfile
+
+    from duckdb_vss_spark.plans import VssPlanner
+    from duckdb_vss_spark.sources import sinks as _sinks
+    from duckdb_vss_spark.sources.sinks import save_table
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    ).select("vec_id", "embedding")
+    path = _os.path.join(_tempfile.mkdtemp(prefix="vss_sqlupd_"), "t")
+    save_table(emb, path)
+    spark.conf.set("spark.vss.ef_search", "400")
+    try:
+        planner = VssPlanner(spark)
+        planner.register_table("emb_upd", path)
+        planner.sql(
+            "CREATE INDEX upd_idx ON emb_upd USING HNSW (embedding) "
+            "WITH (metric = 'l2sq', id = 'vec_id')"
+        )
+        import numpy as _np
+
+        orig = _query_vec(spark, sf_dir, 41)
+        # float32-exact probe values: the stored column is float32, so
+        # the distance-0 pin needs the literal to round-trip exactly
+        probe = [
+            float(_np.float32(x + 10.0)) for x in _query_vec(spark, sf_dir, 37)
+        ]
+        d = len(orig)
+        plit = ",".join(repr(x) for x in probe)
+        n = planner.sql(
+            f"UPDATE emb_upd SET embedding = [{plit}]::FLOAT[{d}] "
+            f"WHERE vec_id = 41;"
+        ).first()["Count"]
+        assert n == 1 and planner.last_plan == "UPDATE", (n, planner.last_plan)
+        hit = planner.sql(
+            f"SELECT vec_id, dist FROM emb_upd "
+            f"ORDER BY embedding <-> [{plit}]::FLOAT[{d}] LIMIT 1"
+        ).first()
+        assert planner.last_plan == "HNSW_INDEX_SCAN", planner.last_plan
+        assert hit["vec_id"] == 41 and hit["dist"] == 0.0, tuple(hit)
+        olit = ",".join(repr(x) for x in orig)
+        planner.sql(
+            f"UPDATE emb_upd SET embedding = [{olit}]::FLOAT[{d}] "
+            f"WHERE vec_id = 41;"
+        )
+        qv = _query_vec(spark, sf_dir, 37)
+        qlit = ",".join(repr(x) for x in qv)
+        df = planner.sql(
+            f"SELECT vec_id, dist FROM emb_upd "
+            f"ORDER BY embedding <-> [{qlit}]::FLOAT[{d}] LIMIT 8"
+        )
+        assert planner.last_plan == "HNSW_INDEX_SCAN", planner.last_plan
+        rows = [(int(r["vec_id"]), float(r["dist"])) for r in df.collect()]
+        return spark.createDataFrame(rows, "vec_id long, dist double")
+    finally:
+        spark.conf.unset("spark.vss.ef_search")
+        _sinks.unbind_indexes(path)
+
+
+@register_extra(
     "q_sql_ext_topk",
     f"""
     SELECT vec_id,

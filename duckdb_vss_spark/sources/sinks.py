@@ -28,6 +28,7 @@ __all__ = [
     "save_table",
     "insert_into",
     "delete_where",
+    "update_where",
     "merge_upsert",
     "overwrite_where",
     "read_table",
@@ -289,6 +290,102 @@ def delete_where(spark: SparkSession, path: str, predicate: Column) -> int:
             ix.manifest = clear_pending(ix.path, ix.manifest)
         shutil.rmtree(staged, ignore_errors=True)
     return total - kept
+
+
+def update_where(
+    spark: SparkSession,
+    path: str,
+    assignments: dict[str, Column],
+    predicate: Column,
+) -> int:
+    """UPDATE t SET c = expr[, ...] WHERE p: rewrite with the
+    assignments applied to matching rows (three-valued logic — NULL
+    predicates keep the old value, like DELETE keeps the row), same
+    parked atomic swap as delete_where. Returns the updated-row count.
+
+    Bound indexes receive the update as a version replacement: the
+    matched ids are staged pre-swap, version-killed (quantized
+    families — O(batch), r14) or delete+compact'd (HNSW), and the
+    post-swap rows re-append — journaled as a ``merge`` intent so
+    resolve_pending_dml replays a crash identically. Updating a bound
+    index's id column is refused (the staged-old-id recovery could
+    not find the new rows)."""
+    df = spark.read.parquet(path)
+    fields = {f.name: f for f in df.schema.fields}
+    for c in assignments:
+        if c not in fields:
+            raise ValueError(f"UPDATE column {c!r} not in table")
+    hooked = bound_indexes(path)
+    matched = df.where(predicate)
+    n_updated = matched.count()
+    staged = None
+    toks: dict[int, str] = {}
+    if hooked:
+        id_cols = sorted({ix.manifest["id_col"] for ix in hooked})
+        clash = sorted(set(id_cols) & set(assignments))
+        if clash:
+            raise ValueError(
+                f"UPDATE may not modify bound-index id column(s) {clash} — "
+                "use merge_upsert (or unbind the index) for id rewrites"
+            )
+        staged = path.rstrip("/") + ".__updated_ids__"
+        matched.select(*id_cols).distinct().write.mode("overwrite").parquet(
+            staged
+        )
+        # journaled as a merge intent: resolve_pending_dml's merge
+        # branch (version-kill staged ids -> re-append the post-swap
+        # rows for those ids) is exactly UPDATE's recovery
+        toks = _journal_pending(
+            hooked,
+            {
+                "op": "merge",
+                "table": os.path.abspath(path),
+                "keys": staged,
+                "old_ids": staged,
+                "key_cols": id_cols,
+            },
+        )
+    new = df.select(
+        *[
+            (
+                F.when(
+                    predicate, assignments[name].cast(f.dataType)
+                ).otherwise(F.col(name)).alias(name)
+                if name in assignments
+                else F.col(name)
+            )
+            for name, f in fields.items()
+        ]
+    )
+    tmp = path.rstrip("/") + ".__rewrite__"
+    new.write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    old_dir = path.rstrip("/") + ".__old__"
+    shutil.rmtree(old_dir, ignore_errors=True)
+    os.rename(path, old_dir)
+    os.rename(tmp, path)
+    shutil.rmtree(old_dir, ignore_errors=True)
+    if hooked:
+        from duckdb_vss_spark.index.manifest import clear_pending
+
+        fresh = spark.read.parquet(path)
+        ids = spark.read.parquet(staged)
+        for ix in hooked:
+            id_col = ix.manifest["id_col"]
+            up = fresh.join(
+                F.broadcast(ids.select(id_col)), id_col, "left_semi"
+            )
+            if getattr(ix, "supports_versioned_delete", False):
+                nxt = int(ix.manifest.get("append_epoch", 0)) + 1
+                ix.delete_batch(ids.select(id_col), epoch_lt=nxt)
+            else:
+                ix.delete_batch(ids.select(id_col))
+                _index_compact(ix)
+            ix.add_batch(up, manifest_extra={"last_dml_token": toks[id(ix)]})
+            ix.manifest = clear_pending(ix.path, ix.manifest)
+        shutil.rmtree(staged, ignore_errors=True)
+    return n_updated
 
 
 def overwrite_where(df: DataFrame, path: str, partition_by: list[str]) -> None:

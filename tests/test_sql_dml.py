@@ -193,3 +193,201 @@ def test_drop_table_unregisters_but_keeps_user_paths(spark, tmp_path):
     p.sql("DROP TABLE mine")
     assert os.path.isdir(path)  # data intact
     assert "mine" not in p._tables
+
+
+def test_create_index_error_shapes_reference_parity(spark):
+    """The reference's remaining Binder error shapes
+    (hnsw_options.test / hnsw_index_plan.cpp:33-80): unknown option,
+    bad metric, duplicate index name — wording parity pinned."""
+    p = VssPlanner(spark)
+    p.sql("CREATE TABLE errt (id BIGINT, vec FLOAT[3]);")
+    p.sql("INSERT INTO errt VALUES (1, array[1.0,2.0,3.0]), (2, array[2.0,3.0,4.0]);")
+    try:
+        with pytest.raises(ValueError, match="Unknown option for HNSW index: 'bogus'"):
+            p.sql("CREATE INDEX e1 ON errt USING HNSW (vec) WITH (bogus = 3)")
+        with pytest.raises(ValueError, match="must be one of: 'cosine', 'ip', 'l2sq'"):
+            p.sql("CREATE INDEX e2 ON errt USING HNSW (vec) WITH (metric = 'hammmm', id='id')")
+        with pytest.raises(ValueError, match="Unknown option for BQ index: 'm'"):
+            p.sql("CREATE INDEX e3 ON errt USING BQ (vec) WITH (m = 8)")
+        p.sql("CREATE INDEX edup ON errt USING HNSW (vec) WITH (id='id')")
+        with pytest.raises(ValueError, match="already exists"):
+            p.sql("CREATE INDEX edup ON errt USING HNSW (vec) WITH (id='id')")
+        p.sql("DROP INDEX edup")
+        with pytest.raises(ValueError, match="does not exist"):
+            p.sql("DROP INDEX edup")
+        with pytest.raises(ValueError, match="does not exist"):
+            p.sql("PRAGMA hnsw_compact_index('edup')")
+    finally:
+        p.sql("DROP INDEX IF EXISTS edup")
+        p.sql("DROP TABLE errt")
+
+
+def test_with_options_fuzz_roundtrip(spark):
+    """Fuzz over WITH(...) option strings (VERDICT r13 #7): any
+    key = 'value' set — values containing parens, commas, equals and
+    escaped quotes — must tokenize back exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    int_opts = set(VssPlanner._INT_OPTS)
+    key_st = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=10
+    ).filter(lambda k: k not in int_opts)
+    val_st = st.one_of(
+        st.integers(-1000, 1000),
+        st.text(
+            alphabet="abcXYZ 019_()[],=;'\"-.", min_size=0, max_size=20
+        ),
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.dictionaries(key_st, val_st, min_size=1, max_size=6))
+    def check(opts):
+        raw = ", ".join(
+            f"{k} = "
+            + (
+                str(v)
+                if isinstance(v, int)
+                else "'" + v.replace("'", "''") + "'"
+            )
+            for k, v in opts.items()
+        )
+        parsed = VssPlanner._parse_with_options(raw)
+        assert set(parsed) == set(opts)
+        for k, v in opts.items():
+            assert parsed[k] == (str(v) if isinstance(v, int) else v)
+
+    check()
+
+    # the integer options keep their Binder validation under fuzzing too
+    for k in sorted(int_opts):
+        with pytest.raises(ValueError, match="must be an integer"):
+            VssPlanner._parse_with_options(f"{k} = 'x,y(z'")
+
+
+def test_update_statement_verbatim(spark):
+    """UPDATE t SET ... WHERE ... (DuckDB-host CRUD surface): verbatim
+    through the planner over a registered table, with bound-index
+    propagation via the O(batch) versioned path."""
+    from duckdb_vss_spark.index.pq import create_pq_index
+
+    p = VssPlanner(spark)
+    p.sql("CREATE TABLE upd (id BIGINT, vec FLOAT[3], tag VARCHAR);")
+    p.sql(
+        "INSERT INTO upd VALUES (1, array[1.0,0.0,0.0], 'a'), "
+        "(2, array[0.0,1.0,0.0], 'b'), (3, array[0.0,0.0,1.0], 'c');"
+    )
+    out = p.sql("UPDATE upd SET tag = 'B' WHERE id = 2;")
+    assert p.last_plan == "UPDATE" and out.first()["Count"] == 1
+    got = {r["id"]: r["tag"] for r in p.sql("SELECT id, tag FROM upd").collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    # vector update propagates to a bound quantized index (versioned)
+    path = p._tables["upd"]["path"]
+    ix = create_pq_index(
+        spark, spark.read.parquet(path), "vec", "id",
+        p._ddl_dir + "/upd_pq", m=3, ksub=2,
+    )
+    sinks.bind_index(path, ix)
+    try:
+        p.sql("UPDATE upd SET vec = array[9.0, 9.0, 9.0] WHERE id = 1;")
+        assert ix.count == 3
+        assert int(ix.manifest.get("versioned_dead", 0)) == 1
+        table = spark.read.parquet(path)
+        top = ix.knn_search(
+            [9.0, 9.0, 9.0], 1, rerank=ix.count, source=table
+        ).first()
+        assert top["id"] == 1 and top["dist"] == 0.0
+        # updating the bound id column is refused with guidance
+        with pytest.raises(ValueError, match="may not modify"):
+            p.sql("UPDATE upd SET id = id + 10 WHERE id = 3")
+    finally:
+        sinks.unbind_indexes(path)
+    p.sql("DROP TABLE upd")
+
+
+def test_hnsw_insert_wal_replay_verbatim(spark, tmp_path):
+    """hnsw_insert_wal.test statement-for-statement: CREATE INDEX over
+    an empty table, count 0, restart, INSERT, count grows, restart,
+    counts survive — the durable catalog + table persistence play the
+    role of the reference's WAL/checkpoint storage."""
+    cat = str(tmp_path / "waldb")
+
+    def restart():
+        return VssPlanner(spark, catalog=cat)
+
+    p = restart()
+    p.sql("SET hnsw_enable_experimental_persistence = true;")
+    try:
+        p.sql("CREATE TABLE t1 (id BIGINT, vec FLOAT[3]);")
+        p.sql("CREATE INDEX my_idx ON t1 USING HNSW (vec) WITH (id='id');")
+        assert p.sql(
+            "SELECT count FROM pragma_hnsw_index_info()"
+        ).first()["count"] == 0
+        p.sql("CHECKPOINT;")
+        p = restart()
+        p.sql("INSERT INTO t1 VALUES (1, array_value(1.0, 2.0, 3.0));")
+        p.sql("INSERT INTO t1 VALUES (2, array_value(4.0, 5.0, 6.0));")
+        assert p.sql(
+            "SELECT count FROM pragma_hnsw_index_info()"
+        ).first()["count"] == 2
+        p = restart()
+        assert p.sql(
+            "SELECT count FROM pragma_hnsw_index_info()"
+        ).first()["count"] == 2
+        p.sql("INSERT INTO t1 VALUES (3, array_value(7.0, 8.0, 9.0));")
+        assert p.sql(
+            "SELECT count FROM pragma_hnsw_index_info()"
+        ).first()["count"] == 3
+        p = restart()
+        assert p.sql(
+            "SELECT count FROM pragma_hnsw_index_info()"
+        ).first()["count"] == 3
+        p.sql("DROP TABLE t1")
+    finally:
+        p.sql("RESET hnsw_enable_experimental_persistence")
+
+
+def test_catalog_restart_auto_resolves_pending_dml(spark, tmp_path):
+    """A process that dies between table commit and index update leaves
+    a pending_dml journal; the NEXT planner over the catalog replays it
+    on load — the reference's WAL playback on restart."""
+    from duckdb_vss_spark.index.manifest import set_pending
+
+    cat = str(tmp_path / "healdb")
+    p1 = VssPlanner(spark, catalog=cat)
+    p1.sql("CREATE TABLE h (id BIGINT, vec FLOAT[3]);")
+    p1.sql(
+        "INSERT INTO h VALUES (1, array[1.0,0.0,0.0]), (2, array[0.0,1.0,0.0]);"
+    )
+    p1.sql("CREATE INDEX h_idx ON h USING HNSW (vec) WITH (id='id');")
+    ix = p1._named["h_idx"]["index"]
+    table_path = p1._tables["h"]["path"]
+    # simulate the crash: the table lost row 1, the index never heard
+    staged = str(tmp_path / "dead_ids")
+    spark.createDataFrame([(1,)], "id long").write.parquet(staged)
+    import shutil as _sh
+
+    import pyspark.sql.functions as _F
+
+    kept = spark.read.parquet(table_path).where(_F.col("id") != 1)
+    tmp = table_path + ".__x__"
+    kept.write.parquet(tmp)
+    _sh.rmtree(table_path)
+    import os as _os
+
+    _os.rename(tmp, table_path)
+    ix.manifest = set_pending(
+        ix.path, ix.manifest,
+        {"op": "delete_where", "table": table_path, "ids": staged,
+         "token": "crash1"},
+    )
+    sinks.unbind_indexes(table_path)
+
+    p2 = VssPlanner(spark, catalog=cat)  # auto-heals on load
+    fresh = p2._named["h_idx"]["index"]
+    assert fresh.count == 1
+    assert not fresh.manifest.get("pending_dml")
+    df = p2.sql("SELECT id FROM h ORDER BY vec <-> [1,0,0]::FLOAT[3] LIMIT 1")
+    assert p2.last_plan == "HNSW_INDEX_SCAN"
+    assert df.first()["id"] == 2  # row 1 gone from table AND index
+    p2.sql("DROP TABLE h")
