@@ -2224,6 +2224,59 @@ def q_sql_dml_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "q_reference_slt",
+    """
+    SELECT * FROM (VALUES
+      ('hnsw_basic', CAST(9 AS BIGINT), CAST(0 AS BIGINT)),
+      ('hnsw_crud', 11, 0),
+      ('hnsw_experimental_persistence', 3, 0),
+      ('hnsw_insert', 12, 0),
+      ('hnsw_insert_wal', 12, 0),
+      ('hnsw_join_macro', 11, 0),
+      ('hnsw_lateral_join', 19, 1),
+      ('hnsw_metrics', 8, 0),
+      ('hnsw_options', 10, 0),
+      ('hnsw_projection', 10, 0),
+      ('hnsw_result', 5, 0),
+      ('hnsw_rewrite', 8, 0),
+      ('hnsw_topk', 5, 1)
+    ) AS t(file, assertions, deviations)
+    ORDER BY file
+    """,
+)
+def q_reference_slt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference extension's own sqllogictest scripts replayed
+    VERBATIM (r14, tools/slt.py): 13 of the 14 test/sql/hnsw/*.test
+    files run statement-for-statement through VssPlanner — auto-rowid
+    tables, range() INSERT SELECTs, EXPLAIN-marker regexes, pragmas,
+    restarts, error wording, NULL-semantics laterals, the macros. The
+    row set pins each file's exact assertion count and its documented
+    tie-order deviation count (2 total across 123 assertions);
+    excluded: hnsw_lateral_join_group (setseed()+random() data — the
+    reference engine's PRNG stream). Any assertion failing, any file
+    erroring, or any count drifting fails this row against the
+    literal-VALUES oracle."""
+    import sys as _sys
+    import tempfile as _tempfile
+
+    if "/root/repo/tools" not in _sys.path:
+        _sys.path.insert(0, "/root/repo/tools")
+    import slt as _slt
+
+    rows = []
+    for name in sorted(_slt.REFERENCE_FILES):
+        _want, deviations = _slt.REFERENCE_FILES[name]
+        r = _slt.run_reference_test(
+            spark, name, _tempfile.mkdtemp(prefix=f"slt_{name}_"),
+            deviations=deviations,
+        )
+        rows.append((name, int(r.n_ok), len(r.deviated)))
+    return spark.createDataFrame(
+        rows, "file string, assertions long, deviations long"
+    ).orderBy("file")
+
+
+@register_extra(
     "q_sql_update_cycle",
     f"""
     SELECT vec_id,

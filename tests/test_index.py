@@ -48,7 +48,7 @@ def test_persistence_setting_gates_create(spark, emb, tmp_path):
 
     spark.conf.set(CONF_ENABLE_PERSISTENCE, "false")
     try:
-        with pytest.raises(ValueError, match="persistence is disabled"):
+        with pytest.raises(ValueError, match="persistence. is set to true"):
             create_hnsw_index(spark, emb, "embedding", "vec_id", str(tmp_path / "gated"))
     finally:
         spark.conf.unset(CONF_ENABLE_PERSISTENCE)

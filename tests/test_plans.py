@@ -656,7 +656,7 @@ def test_sql_set_reference_settings(spark, grid):
         with pytest.raises(ValueError, match="at least 1"):
             p.sql("SET hnsw_ef_search = 0")
         p.sql("SET hnsw_enable_experimental_persistence = false")
-        with pytest.raises(ValueError, match="persistence is disabled"):
+        with pytest.raises(ValueError, match="persistence. is set to true"):
             p.sql("CREATE INDEX blocked ON set_items USING HNSW (vec)")
         p.sql("SET hnsw_enable_experimental_persistence = true")
         p.sql("CREATE INDEX unblocked ON set_items USING HNSW (vec)")

@@ -1,0 +1,331 @@
+"""Minimal DuckDB-sqllogictest runner over ``VssPlanner`` (r14).
+
+Replays the REFERENCE EXTENSION'S OWN TEST SCRIPTS
+(/root/reference/test/sql/hnsw/*.test) statement-for-statement through
+the planner — the strongest behavioral-parity evidence there is: the
+scripts were written against duckdb_vss, and this engine runs them
+unmodified. Supported directives (the subset those files use):
+
+  require <token>       tokens in SUPPORTED_REQUIRES pass; others skip
+  load <path>           open a "disk database": a fresh VssPlanner over
+                        a durable catalog derived from the path. Like
+                        the reference's disk DBs, index persistence
+                        starts DISABLED (the scripts SET it on).
+  restart               new VssPlanner over the same catalog
+  statement ok          execute, expect success
+  statement error       execute, expect failure; an expected block
+                        after ``----`` substring-matches the message
+                        (the reference's "Binder Error:"-style CLASS
+                        prefixes map to Python exception types and are
+                        stripped before matching)
+  query <types> [rowsort] [label]
+                        execute; compare tab-joined DuckDB-formatted
+                        rows against the ``----`` block (``<REGEX>:``
+                        cells match as regexes), rowsort sorts rows
+                        lexicographically, a label with no block
+                        stores/compares results across statements
+  EXPLAIN <q>           (inside query) one (physical_plan, text) row:
+                        the plan marker + serving index name
+                        (``planner.last_plan_detail``) plus the
+                        rewritten statement text — this engine's
+                        EXPLAIN surface (markers are the contract the
+                        reference's tests regex against)
+
+Unsupported constructs raise SltUnsupported so the caller can record a
+documented skip instead of a false pass.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+SUPPORTED_REQUIRES = {"vss", "noforcestorage", "vector_size"}
+
+_ERROR_PREFIX = re.compile(
+    r"^(Binder Error|Catalog Error|Invalid Input Error|Parser Error|"
+    r"Constraint Error|Not implemented Error):\s*"
+)
+
+
+class SltFailure(AssertionError):
+    pass
+
+
+class SltUnsupported(RuntimeError):
+    pass
+
+
+def _fmt(v) -> str:
+    import numpy as np
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, (bool, np.bool_)):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return str(v)
+    if isinstance(v, np.floating):
+        return str(float(v))
+    if isinstance(v, np.integer):
+        return str(int(v))
+    if isinstance(v, np.ndarray):
+        return "[" + ", ".join(_fmt(x) for x in v.tolist()) + "]"
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(_fmt(x) for x in v) + "]"
+    return str(v)
+
+
+def _rows_text(df) -> list[str]:
+    return ["\t".join(_fmt(v) for v in row) for row in df.collect()]
+
+
+def _match_cell(expected: str, actual: str) -> bool:
+    if expected.startswith("<REGEX>:"):
+        return re.fullmatch(expected[len("<REGEX>:") :], actual, re.DOTALL) is not None
+    return expected == actual
+
+
+def _compare(expected: list[str], actual: list[str], ctx: str) -> None:
+    if len(expected) != len(actual):
+        raise SltFailure(
+            f"{ctx}: expected {len(expected)} row(s), got {len(actual)}:\n"
+            f"  expected: {expected}\n  actual:   {actual}"
+        )
+    for want, got in zip(expected, actual):
+        wcells, gcells = want.split("\t"), got.split("\t")
+        if len(wcells) != len(gcells) or not all(
+            _match_cell(w, g) for w, g in zip(wcells, gcells)
+        ):
+            raise SltFailure(
+                f"{ctx}: row mismatch\n  expected: {want!r}\n  actual:   {got!r}"
+            )
+
+
+class SltRunner:
+    def __init__(self, spark, test_dir: str, deviations=None):
+        self.spark = spark
+        self.test_dir = test_dir
+        self.planner = None
+        self.catalog: str | None = None
+        self.labels: dict[str, list[str]] = {}
+        self.n_ok = 0
+        # (stmt-substring, reason) pairs: query assertions whose
+        # expected values encode the REFERENCE ENGINE's tie/NULL
+        # ordering coincidences (usearch heap order, DuckDB scan order
+        # on tied keys) rather than specified semantics. Matching query
+        # statements are skipped and RECORDED so the caller asserts the
+        # exact expected count — no silent drift.
+        self.deviations = list(deviations or [])
+        self.deviated: list[tuple[str, str]] = []
+
+    def _mk_planner(self):
+        from duckdb_vss_spark.plans import VssPlanner
+
+        return VssPlanner(self.spark, catalog=self.catalog)
+
+    def _ensure_planner(self):
+        if self.planner is None:
+            self.planner = self._mk_planner()
+        return self.planner
+
+    def _explain(self, stmt: str):
+        from duckdb_vss_spark.plans.rewrite import (
+            canonicalize_cosine,
+            rewrite_operators,
+            translate_duckdb_functions,
+        )
+
+        p = self._ensure_planner()
+        inner = re.sub(r"^\s*EXPLAIN\s+", "", stmt, flags=re.IGNORECASE)
+        p.sql(inner)  # plan + marker; SELECT-only under EXPLAIN
+        text = rewrite_operators(inner)
+        if p._optimizer_enabled:
+            text = canonicalize_cosine(text)
+        text = translate_duckdb_functions(text)
+        marker = p.last_plan_detail or p.last_plan
+        return [f"physical_plan\t{marker} :: {' '.join(text.split())}"]
+
+    def run_file(self, path: str) -> int:
+        """Execute one .test script; returns the number of assertions
+        that ran. Raises SltFailure on a mismatch, SltUnsupported on a
+        directive outside the supported subset."""
+        from duckdb_vss_spark.session import CONF_ENABLE_PERSISTENCE
+
+        # file-scoped session state: in-memory default (gate open)
+        try:
+            self.spark.conf.unset(CONF_ENABLE_PERSISTENCE)
+        except Exception:  # noqa: BLE001 — already unset
+            pass
+        lines = open(path).read().splitlines()
+        i, n = 0, len(lines)
+
+        def take_block(j):
+            """Statement lines until blank/'----'; returns (text, next, saw_sep)."""
+            buf = []
+            while j < n and lines[j].strip() and lines[j].strip() != "----":
+                buf.append(lines[j])
+                j += 1
+            sep = j < n and lines[j].strip() == "----"
+            return "\n".join(buf), j + (1 if sep else 0), sep
+
+        def take_expected(j):
+            buf = []
+            while j < n and lines[j].strip():
+                buf.append(lines[j])
+                j += 1
+            return buf, j
+
+        while i < n:
+            line = lines[i].strip()
+            if not line or line.startswith("#"):
+                i += 1
+                continue
+            if line.startswith("require "):
+                token = line.split()[1]
+                if token not in SUPPORTED_REQUIRES:
+                    raise SltUnsupported(f"require {token}")
+                i += 1
+                continue
+            if line.startswith("load "):
+                db = line.split(None, 1)[1].replace("__TEST_DIR__", self.test_dir)
+                self.catalog = os.path.join(
+                    self.test_dir, "cat_" + os.path.basename(db)
+                )
+                # the reference's disk databases refuse HNSW persistence
+                # until the session opts in — model the same default
+                self.spark.conf.set(CONF_ENABLE_PERSISTENCE, "false")
+                self.planner = self._mk_planner()
+                i += 1
+                continue
+            if line == "restart":
+                if self.catalog is None:
+                    raise SltUnsupported("restart without load")
+                self.planner = self._mk_planner()
+                i += 1
+                continue
+            if line in ("statement ok", "statement maybe"):
+                stmt, i, _sep = take_block(i + 1)
+                try:
+                    self._ensure_planner().sql(stmt)
+                except Exception as e:  # noqa: BLE001
+                    if line == "statement maybe":
+                        pass
+                    else:
+                        raise SltFailure(
+                            f"{path}: statement ok failed:\n{stmt}\n-> {e}"
+                        ) from e
+                self.n_ok += 1
+                continue
+            if line == "statement error":
+                stmt, i, sep = take_block(i + 1)
+                expected = []
+                if sep:
+                    expected, i = take_expected(i)
+                try:
+                    # errors must surface at statement time like the
+                    # reference's — force execution of lazy SELECTs
+                    df = self._ensure_planner().sql(stmt)
+                    df.limit(1).collect()
+                except Exception as e:  # noqa: BLE001
+                    msg = str(e)
+                    for want in expected:
+                        want = _ERROR_PREFIX.sub("", want.strip())
+                        if want and want not in msg:
+                            raise SltFailure(
+                                f"{path}: error text mismatch:\n"
+                                f"  expected substring: {want!r}\n"
+                                f"  actual: {msg!r}"
+                            ) from e
+                    self.n_ok += 1
+                    continue
+                raise SltFailure(f"{path}: expected an error:\n{stmt}")
+            qm = re.match(
+                r"^query\s+([IRTB]+)(?:\s+(rowsort|valuesort|nosort))?"
+                r"(?:\s+([A-Za-z_]\w*))?$",
+                line,
+            )
+            if qm:
+                types, sortmode, label = qm.groups()
+                stmt, i, sep = take_block(i + 1)
+                expected = None
+                if sep:
+                    expected, i = take_expected(i)
+                dev = next(
+                    (
+                        (sub, why)
+                        for sub, why in self.deviations
+                        if sub in stmt
+                    ),
+                    None,
+                )
+                if dev is not None:
+                    self.deviated.append(dev)
+                    continue
+                if re.match(r"^\s*EXPLAIN\b", stmt, re.IGNORECASE):
+                    actual = self._explain(stmt)
+                else:
+                    # the declared type string is NOT arity-enforced:
+                    # the reference's own files carry mismatches their
+                    # runner tolerates (hnsw_lateral_join.test:37
+                    # declares IIIIII over a 5-column select); the
+                    # expected-block compare is the real check
+                    df = self._ensure_planner().sql(stmt)
+                    actual = _rows_text(df)
+                if sortmode == "rowsort":
+                    actual = sorted(actual)
+                elif sortmode == "valuesort":
+                    actual = sorted(
+                        v for row in actual for v in row.split("\t")
+                    )
+                if expected is not None:
+                    _compare(expected, actual, f"{path}:\n{stmt}")
+                elif label is not None:
+                    if label in self.labels:
+                        _compare(
+                            self.labels[label], actual,
+                            f"{path} (label {label}):\n{stmt}",
+                        )
+                    else:
+                        self.labels[label] = actual
+                self.n_ok += 1
+                continue
+            raise SltUnsupported(f"directive {line!r}")
+        return self.n_ok
+
+
+# the replayable reference scripts: file -> (expected assertion count,
+# [(stmt substring, documented tie-order deviation reason)]).
+# hnsw_lateral_join_group.test is excluded: its data generation is
+# setseed() + DuckDB's seeded random() — the expected values are that
+# engine's PRNG stream, unreproducible by specification.
+REFERENCE_FILES = {
+    "hnsw_basic": (9, []),
+    "hnsw_crud": (11, []),
+    "hnsw_insert": (12, []),
+    "hnsw_insert_wal": (12, []),
+    "hnsw_options": (10, []),
+    "hnsw_experimental_persistence": (3, []),
+    "hnsw_projection": (10, []),
+    "hnsw_result": (5, []),
+    "hnsw_metrics": (8, []),
+    "hnsw_rewrite": (8, []),
+    "hnsw_topk": (
+        5,
+        [("BETWEEN 45 AND 50", "tie order among equal distances")],
+    ),
+    "hnsw_lateral_join": (
+        19,
+        [("GROUP BY a_id", "list() order over tied/NULL distances")],
+    ),
+    "hnsw_join_macro": (11, []),
+}
+
+
+def run_reference_test(spark, name: str, test_dir: str, deviations=None):
+    """Run one reference script by name; returns the runner (assertion
+    count in ``.n_ok``, recorded deviations in ``.deviated``)."""
+    path = os.path.join("/root/reference/test/sql/hnsw", name + ".test")
+    r = SltRunner(spark, test_dir, deviations=deviations)
+    r.run_file(path)
+    return r
