@@ -2234,6 +2234,7 @@ def q_sql_dml_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
       ('hnsw_insert_wal', 12, 0),
       ('hnsw_join_macro', 11, 0),
       ('hnsw_lateral_join', 19, 1),
+      ('hnsw_lateral_join_group_large', 13, 0),
       ('hnsw_metrics', 8, 0),
       ('hnsw_options', 10, 0),
       ('hnsw_projection', 10, 0),
@@ -2246,15 +2247,17 @@ def q_sql_dml_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_reference_slt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference extension's own sqllogictest scripts replayed
-    VERBATIM (r14, tools/slt.py): 13 of the 14 test/sql/hnsw/*.test
-    files run statement-for-statement through VssPlanner — auto-rowid
+    VERBATIM (r14, tools/slt.py): 14 of the 15 test/sql/**.test files
+    run statement-for-statement through VssPlanner — auto-rowid
     tables, range() INSERT SELECTs, EXPLAIN-marker regexes, pragmas,
-    restarts, error wording, NULL-semantics laterals, the macros. The
+    restarts, error wording, NULL-semantics laterals (incl. the slow
+    suite's enclosing-aggregate/GROUP BY shapes over setseed()+random()
+    data, whose assertions are PRNG-independent), the macros. The
     row set pins each file's exact assertion count and its documented
-    tie-order deviation count (2 total across 123 assertions);
-    excluded: hnsw_lateral_join_group (setseed()+random() data — the
-    reference engine's PRNG stream). Any assertion failing, any file
-    erroring, or any count drifting fails this row against the
+    tie-order deviation count (2 total across 136 assertions);
+    excluded: hnsw_lateral_join_group (its expected values ARE the
+    reference engine's PRNG neighbor ids). Any assertion failing, any
+    file erroring, or any count drifting fails this row against the
     literal-VALUES oracle."""
     import sys as _sys
     import tempfile as _tempfile

@@ -251,6 +251,10 @@ class SltRunner:
                 expected = None
                 if sep:
                     expected, i = take_expected(i)
+                if label and not expected:
+                    # a labeled query's bare ``----`` means store/compare
+                    # by label (duckdb sqllogictest), not expect-empty
+                    expected = None
                 dev = next(
                     (
                         (sub, why)
@@ -319,13 +323,20 @@ REFERENCE_FILES = {
         [("GROUP BY a_id", "list() order over tied/NULL distances")],
     ),
     "hnsw_join_macro": (11, []),
+    # the slow suite: data comes from setseed()+random(), but every
+    # assertion is PRNG-independent (one literal cardinality + labels
+    # comparing the brute and indexed paths against each other)
+    "hnsw_lateral_join_group_large": (13, []),
 }
 
 
 def run_reference_test(spark, name: str, test_dir: str, deviations=None):
     """Run one reference script by name; returns the runner (assertion
     count in ``.n_ok``, recorded deviations in ``.deviated``)."""
-    path = os.path.join("/root/reference/test/sql/hnsw", name + ".test")
+    for sub in ("hnsw", "slow"):
+        path = os.path.join("/root/reference/test/sql", sub, name + ".test")
+        if os.path.exists(path):
+            break
     r = SltRunner(spark, test_dir, deviations=deviations)
     r.run_file(path)
     return r
