@@ -944,10 +944,72 @@ class VssPlanner:
         re.IGNORECASE,
     )
     _INFO_FN = re.compile(r"\bpragma_hnsw_index_info\s*\(\s*\)", re.IGNORECASE)
+    _DBSIZE_FN = re.compile(r"\bpragma_database_size\s*\(\s*\)", re.IGNORECASE)
     _INT_OPTS = {"m": 2, "m0": 2, "ef_construction": 1, "ef_search": 1}
 
     def _empty_result(self) -> DataFrame:
         return self.spark.createDataFrame([], "result string")
+
+    def _storage_roots(self) -> list[str]:
+        """The directories whose on-disk bytes ARE this planner's
+        database: the managed dir (declared/CTAS tables, DDL-created
+        index artifacts, catalog.json) plus any user-registered table
+        paths and API-registered index artifacts living outside it.
+        Nested roots dedupe so nothing double-counts."""
+        import os as _os
+
+        roots: list[str] = []
+        if self._ddl_dir:
+            roots.append(_os.path.abspath(self._ddl_dir))
+        for rec in self._tables.values():
+            roots.append(_os.path.abspath(rec["path"]))
+        for rec in self._named.values():
+            roots.append(_os.path.abspath(rec["index"].path))
+        roots = sorted(set(roots))
+        out: list[str] = []
+        for r in roots:
+            if not any(r == p or r.startswith(p + _os.sep) for p in out):
+                out.append(r)
+        return out
+
+    def _database_size_row(self) -> tuple:
+        """One ``pragma_database_size()`` row (DuckDB's 9-column
+        schema: storage/pragma_database_size). The storage unit is a
+        DuckDB-sized 256 KiB block over the planner's real parquet
+        footprint — total==used and free==0 because parquet dirs hold
+        no preallocated free list, and wal_size is 0 because every
+        commit here is an atomic rename, not a WAL. What the
+        reclaim-storage test actually pins — DROP INDEX releases the
+        artifact's blocks, repeated create/drop does not leak — holds
+        against these semantics exactly
+        (hnsw_reclaim_storage.test_slow:20-96)."""
+        import os as _os
+
+        total = 0
+        for root in self._storage_roots():
+            for dirpath, _dirs, files in _os.walk(root):
+                for fn in files:
+                    try:
+                        total += _os.path.getsize(_os.path.join(dirpath, fn))
+                    except OSError:  # racing a concurrent swap
+                        pass
+        block = 262144  # DuckDB's default block size
+        blocks = -(-total // block)
+        name = (
+            _os.path.basename(_os.path.abspath(self._catalog))
+            if self._catalog
+            else "memory"
+        )
+        for unit in ("bytes", "KiB", "MiB", "GiB", "TiB"):
+            if total < 1024 or unit == "TiB":
+                human = (
+                    f"{total} bytes"
+                    if unit == "bytes"
+                    else f"{total:.1f} {unit}"
+                )
+                break
+            total /= 1024.0
+        return (name, human, block, blocks, blocks, 0, "0 bytes", "0 bytes", "-1")
 
     def _catalog_file(self):
         import os as _os
@@ -1180,6 +1242,17 @@ class VssPlanner:
         r"\((.*)\)\s*;?\s*$",
         re.IGNORECASE | re.DOTALL,
     )
+    # CREATE TABLE t AS SELECT ... (hnsw_reclaim_storage.test_slow:8):
+    # the select runs through the planner's OWN sql() — operator
+    # aliases, DuckDB fn translation, and the pragma table functions
+    # (pragma_database_size()) all resolve — and the result lands as a
+    # path-registered table under the managed directory, so later
+    # CREATE INDEX / DML statements see it like a declared table.
+    _CTAS_STMT = re.compile(
+        r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s+AS\s+"
+        r"(SELECT\b.*)$",
+        re.IGNORECASE | re.DOTALL,
+    )
     _DROP_TBL = re.compile(
         r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*;?\s*$",
         re.IGNORECASE,
@@ -1233,6 +1306,16 @@ class VssPlanner:
         ``[...]`` list literals become ``array(...)``; operator aliases
         and ``[..]::FLOAT[n]`` casts via rewrite_operators."""
         out = re.sub(r"\barray_value\s*\(", "array(", text, flags=re.IGNORECASE)
+        # array(...)::FLOAT[n] — the call form of the bracket-literal
+        # cast (hnsw_reclaim_storage.test_slow:8 ``array_value(i, i,
+        # i)::FLOAT[3]``); rewrite_operators only handles the bracket
+        # spelling
+        out = re.sub(
+            r"(\barray\s*\([^()]*\))\s*::\s*FLOAT\s*\[\s*\d*\s*\]",
+            r"cast(\1 as array<float>)",
+            out,
+            flags=re.IGNORECASE,
+        )
         out = re.sub(r"\barray\s*\[([^\[\]]*)\]", r"array(\1)", out, flags=re.IGNORECASE)
         # bare list literal (not an index/slice: no identifier or ]
         # before; not a typed cast: no :: after — rewrite_operators
@@ -1275,6 +1358,44 @@ class VssPlanner:
         unregistered table (raw Spark handles those)."""
         from duckdb_vss_spark.sources import sinks
 
+        m = self._CTAS_STMT.match(sql)
+        if m:
+            if_not_exists, name, select = m.groups()
+            if name.lower() in self._tables:
+                if if_not_exists:
+                    self.last_plan = "CREATE_TABLE_AS"
+                    return self._empty_result()
+                raise ValueError(f"table {name!r} already exists")
+            # full planner power for the select: DuckDB literal forms
+            # first (array_value / call-casts), then sql() for operator
+            # aliases, fn translation, and the pragma table functions
+            df = self.sql(self._translate_dml_exprs(select.rstrip("; \n\t")))
+            integral = {"tinyint", "smallint", "int", "bigint"}
+            auto_rowid = not any(
+                f.dataType.simpleString() in integral for f in df.schema.fields
+            )
+            if auto_rowid:
+                from pyspark.sql import functions as _F
+
+                df = df.withColumn(
+                    "__rowid", _F.monotonically_increasing_id()
+                )
+            if self._ddl_dir is None:
+                import tempfile
+
+                self._ddl_dir = tempfile.mkdtemp(prefix="vss_sql_indexes_")
+            import os as _os
+
+            path = _os.path.join(self._ddl_dir, "tables", name)
+            df.write.mode("overwrite").parquet(path)
+            self._tables[name.lower()] = {
+                "name": name, "path": _os.path.abspath(path),
+                "dims": {}, "auto_rowid": auto_rowid,
+            }
+            self._refresh_table(name)
+            self._save_catalog()
+            self.last_plan = "CREATE_TABLE_AS"
+            return self._empty_result()
         m = self._CREATE_TBL.match(sql)
         if m and not re.match(
             r"^\s*CREATE\s+TABLE\s+\w+\s+AS\b", sql, re.IGNORECASE
@@ -1780,7 +1901,24 @@ class VssPlanner:
             self._save_catalog()
             self.last_plan = "COMPACT_INDEX"
             return self._empty_result()
-        if self._INFO_FN.search(sql):
+        # the pragma table functions compose into arbitrary SELECTs; a
+        # CREATE TABLE ... AS wrapping one must land in the CTAS
+        # handler (which re-enters sql() for the select) so the result
+        # becomes a planner table, not a raw-Spark catalog table
+        is_create = re.match(r"^\s*CREATE\b", sql, re.IGNORECASE) is not None
+        if self._DBSIZE_FN.search(sql) and not is_create:
+            df = self.spark.createDataFrame(
+                [self._database_size_row()],
+                "database_name string, database_size string, "
+                "block_size bigint, total_blocks bigint, "
+                "used_blocks bigint, free_blocks bigint, "
+                "wal_size string, memory_usage string, "
+                "memory_limit string",
+            )
+            df.createOrReplaceTempView("__db_size__")
+            self.last_plan = "DATABASE_SIZE"
+            return self._raw_sql(self._DBSIZE_FN.sub("__db_size__", sql))
+        if self._INFO_FN.search(sql) and not is_create:
             from functools import reduce
 
             from duckdb_vss_spark.index.artifact import index_info

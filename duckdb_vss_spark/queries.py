@@ -2238,6 +2238,7 @@ def q_sql_dml_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
       ('hnsw_metrics', 8, 0),
       ('hnsw_options', 10, 0),
       ('hnsw_projection', 10, 0),
+      ('hnsw_reclaim_storage', 42, 0),
       ('hnsw_result', 5, 0),
       ('hnsw_rewrite', 8, 0),
       ('hnsw_topk', 5, 1)
@@ -2247,18 +2248,24 @@ def q_sql_dml_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_reference_slt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference extension's own sqllogictest scripts replayed
-    VERBATIM (r14, tools/slt.py): 14 of the 15 test/sql/**.test files
+    VERBATIM (r14, tools/slt.py): 15 of the 16 test/sql/**.test files
     run statement-for-statement through VssPlanner — auto-rowid
     tables, range() INSERT SELECTs, EXPLAIN-marker regexes, pragmas,
     restarts, error wording, NULL-semantics laterals (incl. the slow
     suite's enclosing-aggregate/GROUP BY shapes over setseed()+random()
-    data, whose assertions are PRNG-independent), the macros. The
-    row set pins each file's exact assertion count and its documented
-    tie-order deviation count (2 total across 136 assertions);
-    excluded: hnsw_lateral_join_group (its expected values ARE the
-    reference engine's PRNG neighbor ids). Any assertion failing, any
-    file erroring, or any count drifting fails this row against the
-    literal-VALUES oracle."""
+    data, whose assertions are PRNG-independent), the macros, and the
+    slow suite's storage-reclaim loop (CTAS + pragma_database_size()
+    + loop/endloop — DROP INDEX releases the artifact's blocks, five
+    drop/create cycles do not leak; replayed at the ONE recorded scale
+    substitution slt.RECLAIM_SCALE_SUBS, 1M -> 10k rows, whose
+    assertions are baseline-relative and scale-independent; the
+    verbatim 1M-row run is gated behind VSS_SLT_SLOW=1 and recorded in
+    PLANS_r14.md). The row set pins each file's exact assertion count
+    and its documented tie-order deviation count (2 total across 178
+    assertions); excluded: hnsw_lateral_join_group (its expected
+    values ARE the reference engine's PRNG neighbor ids). Any
+    assertion failing, any file erroring, or any count drifting fails
+    this row against the literal-VALUES oracle."""
     import sys as _sys
     import tempfile as _tempfile
 
@@ -2266,12 +2273,18 @@ def q_reference_slt(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sys.path.insert(0, "/root/repo/tools")
     import slt as _slt
 
+    runs = [
+        (name, _slt.REFERENCE_FILES[name][1], None)
+        for name in sorted(_slt.REFERENCE_FILES)
+    ]
+    runs.append(
+        (_slt.RECLAIM_FILE[0], _slt.RECLAIM_FILE[2], _slt.RECLAIM_SCALE_SUBS)
+    )
     rows = []
-    for name in sorted(_slt.REFERENCE_FILES):
-        _want, deviations = _slt.REFERENCE_FILES[name]
+    for name, deviations, subs in sorted(runs):
         r = _slt.run_reference_test(
             spark, name, _tempfile.mkdtemp(prefix=f"slt_{name}_"),
-            deviations=deviations,
+            deviations=deviations, subs=subs,
         )
         rows.append((name, int(r.n_ok), len(r.deviated)))
     return spark.createDataFrame(

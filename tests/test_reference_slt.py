@@ -1,10 +1,11 @@
 """The reference extension's OWN sqllogictest scripts, replayed
-verbatim through VssPlanner (r14, tools/slt.py): 13 of the 14
-test/sql/hnsw/*.test files run statement-for-statement — CREATE TABLE
+verbatim through VssPlanner (r14, tools/slt.py): 15 of the 16
+test/sql/**.test files run statement-for-statement — CREATE TABLE
 without id columns (auto-rowid), INSERT ... SELECT over range() cross
 products, CREATE INDEX / EXPLAIN-marker asserts / pragmas / SET /
 restarts / error-wording asserts, lateral joins with NULL semantics,
-and the vss_join/vss_match macros.
+the vss_join/vss_match macros, and the slow suite's storage-reclaim
+loop (CTAS + pragma_database_size() + loop/endloop).
 
 Excluded: hnsw_lateral_join_group.test (its data generation is
 ``setseed()`` + DuckDB's seeded ``random()`` — the expected values are
@@ -16,6 +17,7 @@ distances (usearch heap order / DuckDB scan order) rather than
 specified semantics — any tie-break is a correct k-NN answer there.
 """
 
+import os
 import sys
 
 import pytest
@@ -33,5 +35,24 @@ def test_reference_script_verbatim(spark, tmp_path, name):
     r = slt.run_reference_test(spark, name, str(tmp_path), deviations=deviations)
     # exact counts: a silently-skipped assertion (or an extra deviation)
     # must fail the replay, not shrink it
+    assert r.n_ok == want_n, (name, r.n_ok)
+    assert len(r.deviated) == len(deviations), (name, r.deviated)
+
+
+def test_reclaim_storage_script(spark, tmp_path):
+    """test/sql/slow/hnsw_reclaim_storage.test_slow: DROP INDEX
+    physically releases the artifact's blocks and five drop/create
+    cycles return to the script's own recorded baselines — storage
+    does not leak. Default replay applies the ONE recorded scale
+    substitution (slt.RECLAIM_SCALE_SUBS: 1M -> 10k rows + the
+    matching probe id) — every assertion keeps its semantics because
+    the reclaim checks are relative to baselines the script itself
+    records via CTAS over pragma_database_size(). VSS_SLT_SLOW=1 runs
+    the file verbatim at 1M rows (~35 min)."""
+    name, want_n, deviations = slt.RECLAIM_FILE
+    subs = None if os.environ.get("VSS_SLT_SLOW") else slt.RECLAIM_SCALE_SUBS
+    r = slt.run_reference_test(
+        spark, name, str(tmp_path), deviations=deviations, subs=subs
+    )
     assert r.n_ok == want_n, (name, r.n_ok)
     assert len(r.deviated) == len(deviations), (name, r.deviated)

@@ -391,3 +391,47 @@ def test_catalog_restart_auto_resolves_pending_dml(spark, tmp_path):
     assert p2.last_plan == "HNSW_INDEX_SCAN"
     assert df.first()["id"] == 2  # row 1 gone from table AND index
     p2.sql("DROP TABLE h")
+
+
+def test_ctas_registers_table_and_database_size(spark):
+    """CREATE TABLE ... AS SELECT lands as a planner table (DML-able,
+    indexable), and pragma_database_size() tracks the real footprint:
+    it grows on CREATE INDEX and returns on DROP INDEX — the
+    storage-reclaim property hnsw_reclaim_storage.test_slow pins."""
+    p = VssPlanner(spark)
+    p.sql(
+        "CREATE TABLE ctas AS SELECT i as i, "
+        "array_value(i, i, i)::FLOAT[3] as vec FROM range(100) tbl(i)"
+    )
+    assert p.last_plan == "CREATE_TABLE_AS"
+    assert "ctas" in p._tables and not p._tables["ctas"]["auto_rowid"]
+    assert p.sql("SELECT count(*) AS n FROM ctas").first()["n"] == 100
+    # DML works on the CTAS table
+    p.sql("DELETE FROM ctas WHERE i >= 90")
+    assert p.sql("SELECT count(*) AS n FROM ctas").first()["n"] == 90
+
+    base = p.sql("SELECT total_blocks FROM pragma_database_size()").first()[
+        "total_blocks"
+    ]
+    p.sql("CREATE INDEX ctas_idx ON ctas USING HNSW (vec)")
+    with_idx = p.sql(
+        "SELECT total_blocks, used_blocks, block_size "
+        "FROM pragma_database_size()"
+    ).first()
+    assert with_idx["block_size"] == 262144
+    assert with_idx["total_blocks"] >= base
+    p.sql("DROP INDEX ctas_idx")
+    after = p.sql(
+        "SELECT total_blocks FROM pragma_database_size()"
+    ).first()["total_blocks"]
+    assert after <= with_idx["total_blocks"]
+    # CTAS wrapping the pragma TVF stays a planner table
+    p.sql("CREATE TABLE sizes AS SELECT total_blocks FROM pragma_database_size()")
+    assert "sizes" in p._tables
+    assert p.sql("SELECT count(*) AS n FROM sizes").first()["n"] == 1
+    # no integral column -> hidden auto rowid, excluded from the view
+    p.sql("CREATE TABLE names AS SELECT 'a' AS s")
+    assert p._tables["names"]["auto_rowid"]
+    assert p.sql("SELECT * FROM names").columns == ["s"]
+    for t in ("ctas", "sizes", "names"):
+        p.sql(f"DROP TABLE {t}")
