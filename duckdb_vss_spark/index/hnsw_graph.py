@@ -188,10 +188,27 @@ class HNSWGraph:
         q_sq = w_sq[s:e] if w_sq is not None else None
         b = e - s
         c = min(c, e - 1)
-        tile = max(4096, 64_000_000 // max(b, 1))
+        # tile budget 8M floats (32 MB per D tile): a 64M budget made
+        # each tile 256 MB, and with every build task on an executor
+        # streaming such tiles concurrently the shared LLC/membw is the
+        # bottleneck, not FLOPs (measured: the same shard builds ~5x
+        # slower inside a 16-task Spark stage than alone). Smaller
+        # tiles cost almost nothing once the bootstrap threshold exists
+        # — later tiles are one compare + a sparse merge.
+        tile = max(4096, 8_000_000 // max(b, 1))
+        # bootstrap tile: the first tile is the only one that pays a
+        # FULL introselect (rows x tile elements — it was ~60% of build
+        # time at 62k nodes/shard); a narrow first tile establishes the
+        # c-th-best threshold almost for free and every wide tile after
+        # it takes the threshold-filter path, whose survivors are
+        # exponentially sparse. Exactness is unchanged: the filter only
+        # drops entries provably outside the running top-c.
+        bt = min(e, max(2 * c + 1, 1024))
+        bounds = [0, bt]
+        while bounds[-1] < e:
+            bounds.append(min(bounds[-1] + tile, e))
         best_d = best_i = None
-        for t0 in range(0, e, tile):
-            t1 = min(t0 + tile, e)
+        for t0, t1 in zip(bounds[:-1], bounds[1:]):
             G = Q @ W[t0:t1].T
             D = self._rank_from_gram(
                 G, q_sq, w_sq[t0:t1] if w_sq is not None else None
@@ -245,12 +262,15 @@ class HNSWGraph:
 
     def _batch_gram(self, W, w_sq, idx):
         """Rank distances among each row's candidates: (A, L, L) grams
-        over gathered vectors. Per-slice 2-D gemms in a loop — numpy's
-        batched ``matmul`` path is ~50× slower than BLAS gemm per slice
-        for these shapes (measured: 0.5 s vs 0.02 s at A=500, L=128) —
-        and the metric conversion runs in place: broadcast temporaries
-        over (A, L, L) would triple the memory traffic."""
-        Cv = W[idx]  # (A, L, d)
+        over gathered vectors. Per-slice 2-D gemms in a loop: the
+        batched ``matmul`` path measures marginally faster alone
+        (27 ms vs 44 ms at A=4096/L=64/d=3) but REGRESSES the real
+        16-task Spark build ~2x — its strided-B kernels multiply
+        memory traffic exactly where the executor is bandwidth-bound,
+        while small contiguous gemms stay in cache. The metric
+        conversion runs in place: broadcast temporaries over (A, L, L)
+        would triple the memory traffic."""
+        Cv = np.ascontiguousarray(W[idx])  # (A, L, d)
         A, L, _ = Cv.shape
         G = np.empty((A, L, L), dtype=Cv.dtype)
         for a in range(A):
@@ -271,8 +291,16 @@ class HNSWGraph:
     def _batch_select(dq, P, m_max, counts=None):
         """Vectorized diversity select for a batch of nodes. ``dq``
         (A, L) candidate distances ascending (pad +inf), ``P``
-        (A, L, L) candidate-pair distances. Returns kept index-arrays
-        into the L axis.
+        (A, L, L) candidate-pair distances. Returns ``(sel, keep_n)``:
+        ``sel`` is an (A, min(m_max, L)) column-index matrix into the
+        L axis of which row ``a``'s first ``keep_n[a]`` entries are the
+        kept candidates — non-dominated ones in distance order first,
+        then the distance-order backfill. Fully vectorized: the keep
+        set is one stable argsort over a 3-class key (non-dominated
+        valid / dominated valid / pad), which preserves the distance
+        order inside each class because rows arrive distance-sorted —
+        exactly the nd-then-backfill order the per-row construction
+        produced, without the per-row Python pass.
 
         Deliberately a STRICTER variant of the paper's Alg. 4 /
         ``_select_neighbors``: a candidate is occluded if ANY
@@ -286,18 +314,20 @@ class HNSWGraph:
         measured recall matches the sequential path on the test
         corpora (test_index.py recall pins). The incremental insert
         path (``_select_neighbors``) keeps exact Alg. 4 semantics."""
+        A, L = dq.shape
         dom = ((P <= dq[:, :, None]) & (dq[:, None, :] < dq[:, :, None])).any(axis=2)
-        out = []
-        for a in range(len(dq)):
-            cnt = dq.shape[1] if counts is None else int(counts[a])
-            da = dom[a, :cnt]
-            nd = np.flatnonzero(~da)
-            if len(nd) >= m_max:
-                out.append(nd[:m_max])
-            else:
-                fill = np.flatnonzero(da)[: m_max - len(nd)]
-                out.append(np.concatenate([nd, fill]))
-        return out
+        if counts is None:
+            key = dom.astype(np.int8)
+            cnt = np.full(A, L, dtype=np.int64)
+        else:
+            cnt = np.asarray(counts, dtype=np.int64)
+            key = np.where(
+                np.arange(L)[None, :] < cnt[:, None],
+                dom.astype(np.int8),
+                np.int8(2),
+            )
+        order = np.argsort(key, axis=1, kind="stable")
+        return order[:, : min(m_max, L)], np.minimum(cnt, m_max)
 
     # sub-batch cap for gathered candidate tensors (rows × L × dim floats)
     _GATHER_BUDGET = 48_000_000
@@ -330,11 +360,13 @@ class HNSWGraph:
             for r0 in range(0, e - s, sub):
                 r1 = min(r0 + sub, e - s)
                 P = self._batch_gram(W, w_sq, i_c[r0:r1])
-                kept = self._batch_select(d_c[r0:r1], P, m_max)
-                for rr, kp in enumerate(kept):
-                    j = s + r0 + rr
-                    kept_ids[j, : len(kp)] = i_c[r0 + rr][kp]
-                    kept_d[j, : len(kp)] = d_c[r0 + rr][kp]
+                sel, keep_n = self._batch_select(d_c[r0:r1], P, m_max)
+                ids_sel = np.take_along_axis(i_c[r0:r1], sel, axis=1)
+                d_sel = np.take_along_axis(d_c[r0:r1], sel, axis=1)
+                k = sel.shape[1]
+                posm = np.arange(k)[None, :] < keep_n[:, None]
+                kept_ids[s + r0 : s + r1, :k] = np.where(posm, ids_sel, -1)
+                kept_d[s + r0 : s + r1, :k] = np.where(posm, d_sel, np.inf)
         # reverse edges, vectorized transpose: every kept edge (j → p, d)
         # contributes a reverse candidate (p ← j, d). Hub nodes can draw
         # O(n) reverse edges; keep only the closest 2·m_max per node (the
@@ -351,23 +383,30 @@ class HNSWGraph:
         rank = np.arange(len(dst_s)) - np.repeat(starts, counts)
         sel = rank < 2 * m_max
         dst_s, src_s = dst_s[sel], src_s[sel]
-        starts = np.flatnonzero(np.r_[True, dst_s[1:] != dst_s[:-1]])
-        bounds = np.r_[starts, len(dst_s)]
-        rev_of = {int(dst_s[b]): src_s[b:e_] for b, e_ in zip(bounds[:-1], bounds[1:])}
+        # union of forward and capped reverse edges, deduped per node in
+        # ONE composite-key unique (the per-node np.unique loop was a
+        # Python pass over every node): unique sorts by (src, dst), so
+        # each node's slice comes out id-sorted like np.unique produced
+        # — adjacency order is immaterial to search (best-first
+        # expansion visits all neighbors of a popped node) and the
+        # prune re-sorts by distance anyway.
+        e_src = np.concatenate([src, dst_s])
+        e_dst = np.concatenate([dst, src_s])
+        ns = e_src != e_dst
+        comp = np.unique(e_src[ns] * np.int64(n) + e_dst[ns])
+        u_src, u_dst = comp // n, comp % n
+        deg = np.bincount(u_src, minlength=n)
+        bounds = np.r_[0, np.cumsum(deg)]
         adj: list[np.ndarray] = [None] * n
         over_ids: list[int] = []
         over_nbrs: list[np.ndarray] = []
         for j in range(n):
-            fwd = kept_ids[j]
-            fwd = fwd[fwd >= 0]
-            rv = rev_of.get(j)
-            merged = fwd if rv is None else np.unique(np.concatenate([fwd, rv]))
-            merged = merged[merged != j]
-            if len(merged) <= m_max:
-                adj[j] = merged
+            nb = u_dst[bounds[j] : bounds[j + 1]]
+            if len(nb) <= m_max:
+                adj[j] = nb
             else:
                 over_ids.append(j)
-                over_nbrs.append(merged)
+                over_nbrs.append(nb)
         if over_ids:
             self._prune_nodes(W, w_sq, adj, over_ids, over_nbrs, m_max)
         for j in range(n):
@@ -379,21 +418,26 @@ class HNSWGraph:
     def _prune_nodes(self, W, w_sq, adj, node_ids, nbr_lists, m_max):
         """Diversity-prune overflowing neighborhoods in batches: one
         gathered matmul for node→neighbor distances, one for the
-        neighbor-pair matrix, then the vectorized occlusion select."""
+        neighbor-pair matrix, then the vectorized occlusion select.
+        The ragged neighbor lists pad to (A, L) in one flat gather
+        (rows pad with their own first neighbor, masked out by
+        ``counts``) — no per-node Python on the prune path."""
         L = max(len(x) for x in nbr_lists)
         sub = max(1, self._GATHER_BUDGET // max(L * self.dim, 1))
+        node_ids = np.asarray(node_ids, dtype=np.int64)
+        cnts_all = np.fromiter(
+            (len(x) for x in nbr_lists), dtype=np.int64, count=len(nbr_lists)
+        )
+        flat = np.concatenate(nbr_lists)
+        starts_all = np.r_[np.int64(0), np.cumsum(cnts_all)][:-1]
+        pos = np.arange(L)[None, :]
         for a0 in range(0, len(node_ids), sub):
-            ids_b = node_ids[a0 : a0 + sub]
-            nbrs_b = nbr_lists[a0 : a0 + sub]
-            A = len(ids_b)
-            idx = np.zeros((A, L), dtype=np.int64)
-            counts = np.empty(A, dtype=np.int64)
-            for a, nb in enumerate(nbrs_b):
-                idx[a, : len(nb)] = nb
-                idx[a, len(nb) :] = nb[0] if len(nb) else 0
-                counts[a] = len(nb)
-            # node→neighbor distances, batched (multiply-sum, no einsum —
-            # see _batch_gram on numpy's slow batched-matmul path)
+            a1 = min(a0 + sub, len(node_ids))
+            ids_b = node_ids[a0:a1]
+            counts = cnts_all[a0:a1]
+            validm = pos < counts[:, None]
+            offs = starts_all[a0:a1][:, None] + np.where(validm, pos, 0)
+            idx = flat[offs]
             Nv = W[idx]  # (A, L, d)
             G = (Nv * W[ids_b][:, None, :]).sum(axis=2)
             if self.metric == "l2sq":
@@ -408,9 +452,10 @@ class HNSWGraph:
             dq_s = np.take_along_axis(dq, order, axis=1)
             idx_s = np.take_along_axis(idx, order, axis=1)
             P = self._batch_gram(W, w_sq, idx_s)
-            kept = self._batch_select(dq_s, P, m_max, counts)
-            for a, kp in enumerate(kept):
-                adj[ids_b[a]] = idx_s[a][kp]
+            sel, keep_n = self._batch_select(dq_s, P, m_max, counts)
+            picked = np.take_along_axis(idx_s, sel, axis=1)
+            for a in range(a1 - a0):
+                adj[ids_b[a]] = picked[a, : keep_n[a]]
 
     def _dist_to(self, q: np.ndarray, idxs) -> np.ndarray:
         return _rank_dist(self.metric, q, self.vectors[idxs])

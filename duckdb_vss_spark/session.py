@@ -54,6 +54,14 @@ def get_spark(app_name: str = "duckdb_vss_spark", cpus: int | None = None) -> Sp
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # one BLAS thread per python worker: the scheduler already runs
+        # one task per core, so letting OpenBLAS spawn ncores threads
+        # inside EACH of 32 concurrent workers oversubscribes the box
+        # ~32x on every executor-side numpy matmul (index builds, PQ
+        # encodes, dedup grams). Measured on the 1M-row HNSW build:
+        # ~15% faster capped. Driver-side numpy is unaffected.
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
