@@ -435,3 +435,23 @@ def test_ctas_registers_table_and_database_size(spark):
     assert p.sql("SELECT * FROM names").columns == ["s"]
     for t in ("ctas", "sizes", "names"):
         p.sql(f"DROP TABLE {t}")
+
+
+def test_ctas_survives_catalog_restart(spark, tmp_path):
+    """A CTAS table rides the durable catalog like a declared one:
+    a fresh planner over the same catalog serves it, routes its index,
+    and accepts further DML."""
+    cat = str(tmp_path / "cat")
+    p1 = VssPlanner(spark, catalog=cat)
+    p1.sql(
+        "CREATE TABLE ct AS SELECT i as i, "
+        "array_value(i, i, i)::FLOAT[3] as vec FROM range(50) tbl(i)"
+    )
+    p1.sql("CREATE INDEX ct_idx ON ct USING HNSW (vec)")
+    p2 = VssPlanner(spark, catalog=cat)
+    assert p2.sql("SELECT count(*) AS n FROM ct").first()["n"] == 50
+    df = p2.sql("SELECT i FROM ct ORDER BY vec <-> [7.0,7.0,7.0]::FLOAT[3] LIMIT 1")
+    assert p2.last_plan == "HNSW_INDEX_SCAN"
+    assert df.first()["i"] == 7
+    p2.sql("INSERT INTO ct VALUES (99, array[99.0, 99.0, 99.0])")
+    assert p2.sql("SELECT count(*) AS n FROM ct").first()["n"] == 51
