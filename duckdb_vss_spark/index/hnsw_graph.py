@@ -270,7 +270,7 @@ class HNSWGraph:
         while small contiguous gemms stay in cache. The metric
         conversion runs in place: broadcast temporaries over (A, L, L)
         would triple the memory traffic."""
-        Cv = np.ascontiguousarray(W[idx])  # (A, L, d)
+        Cv = W[idx]  # (A, L, d) — advanced indexing yields C-contiguous
         A, L, _ = Cv.shape
         G = np.empty((A, L, L), dtype=Cv.dtype)
         for a in range(A):

@@ -1248,9 +1248,12 @@ class VssPlanner:
     # (pragma_database_size()) all resolve — and the result lands as a
     # path-registered table under the managed directory, so later
     # CREATE INDEX / DML statements see it like a declared table.
+    # the query may be a bare SELECT, a parenthesized (SELECT ...), or
+    # a WITH ... SELECT CTE — all DuckDB-valid CTAS bodies; all three
+    # parse as a query through sql() unchanged
     _CTAS_STMT = re.compile(
         r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s+AS\s+"
-        r"(SELECT\b.*)$",
+        r"((?:SELECT|WITH|\(\s*SELECT)\b.*)$",
         re.IGNORECASE | re.DOTALL,
     )
     _DROP_TBL = re.compile(

@@ -56,3 +56,20 @@ def test_reclaim_storage_script(spark, tmp_path):
     )
     assert r.n_ok == want_n, (name, r.n_ok)
     assert len(r.deviated) == len(deviations), (name, r.deviated)
+
+
+def test_expand_loops_nested_and_unsupported():
+    """Loop expansion: substitution happens before the recursive
+    expansion (an inner loop may use the outer variable as a bound),
+    and an unsupported block directive fails loudly at its own line
+    instead of stealing the outer endloop."""
+    out = slt._expand_loops(
+        ["loop i 1 3", "loop j 0 ${i}", "s ${i}.${j}", "endloop", "endloop"]
+    )
+    assert out == ["s 1.0", "s 2.0", "s 2.1"]
+    with pytest.raises(slt.SltUnsupported, match="foreach"):
+        slt._expand_loops(["loop i 0 2", "foreach x a b", "s", "endloop", "endloop"])
+    with pytest.raises(slt.SltUnsupported, match="unterminated"):
+        slt._expand_loops(["loop i 0 2", "s"])
+    with pytest.raises(FileNotFoundError, match="unknown reference script"):
+        slt.run_reference_test(None, "no_such_script", "/tmp")

@@ -399,16 +399,19 @@ def test_ctas_registers_table_and_database_size(spark):
     it grows on CREATE INDEX and returns on DROP INDEX — the
     storage-reclaim property hnsw_reclaim_storage.test_slow pins."""
     p = VssPlanner(spark)
+    # 6000 rows so the index artifact occupies MULTIPLE 256 KiB blocks
+    # — the reclaim assertions below then actually bind (at toy sizes
+    # table and index round to the same single block)
     p.sql(
         "CREATE TABLE ctas AS SELECT i as i, "
-        "array_value(i, i, i)::FLOAT[3] as vec FROM range(100) tbl(i)"
+        "array_value(i, i, i)::FLOAT[3] as vec FROM range(6000) tbl(i)"
     )
     assert p.last_plan == "CREATE_TABLE_AS"
     assert "ctas" in p._tables and not p._tables["ctas"]["auto_rowid"]
-    assert p.sql("SELECT count(*) AS n FROM ctas").first()["n"] == 100
+    assert p.sql("SELECT count(*) AS n FROM ctas").first()["n"] == 6000
     # DML works on the CTAS table
-    p.sql("DELETE FROM ctas WHERE i >= 90")
-    assert p.sql("SELECT count(*) AS n FROM ctas").first()["n"] == 90
+    p.sql("DELETE FROM ctas WHERE i >= 5900")
+    assert p.sql("SELECT count(*) AS n FROM ctas").first()["n"] == 5900
 
     base = p.sql("SELECT total_blocks FROM pragma_database_size()").first()[
         "total_blocks"
@@ -419,12 +422,13 @@ def test_ctas_registers_table_and_database_size(spark):
         "FROM pragma_database_size()"
     ).first()
     assert with_idx["block_size"] == 262144
-    assert with_idx["total_blocks"] >= base
+    assert with_idx["total_blocks"] > base  # the index occupies blocks
     p.sql("DROP INDEX ctas_idx")
     after = p.sql(
         "SELECT total_blocks FROM pragma_database_size()"
     ).first()["total_blocks"]
-    assert after <= with_idx["total_blocks"]
+    assert after < with_idx["total_blocks"]  # DROP released them
+    assert after <= base + 1  # back to (within a block of) baseline
     # CTAS wrapping the pragma TVF stays a planner table
     p.sql("CREATE TABLE sizes AS SELECT total_blocks FROM pragma_database_size()")
     assert "sizes" in p._tables
@@ -455,3 +459,17 @@ def test_ctas_survives_catalog_restart(spark, tmp_path):
     assert df.first()["i"] == 7
     p2.sql("INSERT INTO ct VALUES (99, array[99.0, 99.0, 99.0])")
     assert p2.sql("SELECT count(*) AS n FROM ct").first()["n"] == 51
+
+
+def test_ctas_parenthesized_and_cte_forms(spark):
+    """DuckDB-valid CTAS bodies beyond a bare SELECT — parenthesized
+    and WITH-CTE — must land as planner tables, not fall through to a
+    raw-Spark catalog table with divergent semantics."""
+    p = VssPlanner(spark)
+    p.sql("CREATE TABLE paren AS (SELECT 1 AS i, 'a' AS s)")
+    assert "paren" in p._tables
+    p.sql("CREATE TABLE cte AS WITH c AS (SELECT 2 AS i) SELECT i FROM c")
+    assert "cte" in p._tables
+    assert p.sql("SELECT i FROM cte").first()["i"] == 2
+    p.sql("DROP TABLE paren")
+    p.sql("DROP TABLE cte")

@@ -80,19 +80,26 @@ def _rows_text(df) -> list[str]:
     return ["\t".join(_fmt(v) for v in row) for row in df.collect()]
 
 
-def _match_cell(expected: str, actual: str) -> bool:
+def _match_cell(expected: str, actual: str, typ: str | None = None) -> bool:
     if expected.startswith("<REGEX>:"):
         return re.fullmatch(expected[len("<REGEX>:") :], actual, re.DOTALL) is not None
-    if expected in ("1", "0") and actual in ("true", "false"):
-        # DuckDB's runner coerces booleans to the declared column type:
-        # its own files spell the same boolean as ``true``
-        # (hnsw_basic.test:29) and as ``1``
-        # (hnsw_reclaim_storage.test_slow:70)
+    if (
+        typ == "I"
+        and expected in ("1", "0")
+        and actual in ("true", "false")
+    ):
+        # DuckDB's runner CASTS results to the declared column types:
+        # its own files spell the same boolean as ``true`` under a
+        # loosely-declared column (hnsw_basic.test:29) and as ``1``
+        # under ``query I`` (hnsw_reclaim_storage.test_slow:70). Scoped
+        # to declared-I so a genuine type divergence still fails.
         return (expected == "1") == (actual == "true")
     return expected == actual
 
 
-def _compare(expected: list[str], actual: list[str], ctx: str) -> None:
+def _compare(
+    expected: list[str], actual: list[str], ctx: str, types: str | None = None
+) -> None:
     if len(expected) != len(actual):
         raise SltFailure(
             f"{ctx}: expected {len(expected)} row(s), got {len(actual)}:\n"
@@ -101,7 +108,8 @@ def _compare(expected: list[str], actual: list[str], ctx: str) -> None:
     for want, got in zip(expected, actual):
         wcells, gcells = want.split("\t"), got.split("\t")
         if len(wcells) != len(gcells) or not all(
-            _match_cell(w, g) for w, g in zip(wcells, gcells)
+            _match_cell(w, g, types[i] if types and i < len(types) else None)
+            for i, (w, g) in enumerate(zip(wcells, gcells))
         ):
             raise SltFailure(
                 f"{ctx}: row mismatch\n  expected: {want!r}\n  actual:   {got!r}"
@@ -111,16 +119,27 @@ def _compare(expected: list[str], actual: list[str], ctx: str) -> None:
 def _expand_loops(lines: list[str]) -> list[str]:
     """``loop <var> <start> <end>`` .. ``endloop`` (DuckDB slt,
     end-exclusive): expand iterations inline, substituting ``${var}``.
-    Nesting recurses; an unterminated loop raises."""
+    Substitution happens BEFORE the recursive expansion of each
+    iteration's body, so an inner loop may use the outer variable as a
+    bound (``loop j 0 ${i}``). Depth tracking counts EVERY
+    block-opening directive (loop/foreach/concurrentloop, literal
+    bounds or not) so a nested unsupported block truncates loudly at
+    its own line instead of stealing the outer endloop; an
+    unterminated loop raises."""
+    opener = re.compile(r"^\s*(loop|foreach|concurrentloop)\b")
     out: list[str] = []
     i = 0
     while i < len(lines):
-        m = re.match(r"^\s*loop\s+(\w+)\s+(-?\d+)\s+(-?\d+)\s*$", lines[i])
-        if m:
+        if opener.match(lines[i]):
+            m = re.match(r"^\s*loop\s+(\w+)\s+(-?\d+)\s+(-?\d+)\s*$", lines[i])
+            if m is None:
+                # a foreach / non-literal-bound loop at THIS level is
+                # outside the supported subset — fail here, loudly
+                raise SltUnsupported(f"directive {lines[i].strip()!r}")
             var, start, end = m.group(1), int(m.group(2)), int(m.group(3))
             depth, j = 1, i + 1
             while j < len(lines):
-                if re.match(r"^\s*loop\s+\w+\s+-?\d+\s+-?\d+\s*$", lines[j]):
+                if opener.match(lines[j]):
                     depth += 1
                 elif lines[j].strip() == "endloop":
                     depth -= 1
@@ -129,9 +148,13 @@ def _expand_loops(lines: list[str]) -> list[str]:
                 j += 1
             if depth != 0:
                 raise SltUnsupported("unterminated loop")
-            body = _expand_loops(lines[i + 1 : j])
+            body = lines[i + 1 : j]
             for it in range(start, end):
-                out.extend(l.replace("${" + var + "}", str(it)) for l in body)
+                out.extend(
+                    _expand_loops(
+                        [l.replace("${" + var + "}", str(it)) for l in body]
+                    )
+                )
             i = j + 1
         else:
             out.append(lines[i])
@@ -327,12 +350,12 @@ class SltRunner:
                         v for row in actual for v in row.split("\t")
                     )
                 if expected is not None:
-                    _compare(expected, actual, f"{path}:\n{stmt}")
+                    _compare(expected, actual, f"{path}:\n{stmt}", types)
                 elif label is not None:
                     if label in self.labels:
                         _compare(
                             self.labels[label], actual,
-                            f"{path} (label {label}):\n{stmt}",
+                            f"{path} (label {label}):\n{stmt}", types,
                         )
                     else:
                         self.labels[label] = actual
@@ -392,14 +415,16 @@ RECLAIM_SCALE_SUBS = [("range(1000000)", "range(10000)"), ("500000", "5000")]
 def run_reference_test(spark, name: str, test_dir: str, deviations=None, subs=None):
     """Run one reference script by name; returns the runner (assertion
     count in ``.n_ok``, recorded deviations in ``.deviated``)."""
-    for sub in ("hnsw", "slow"):
-        for ext in (".test", ".test_slow"):
-            path = os.path.join("/root/reference/test/sql", sub, name + ext)
-            if os.path.exists(path):
-                break
-        else:
-            continue
-        break
+    candidates = [
+        os.path.join("/root/reference/test/sql", sub, name + ext)
+        for sub in ("hnsw", "slow")
+        for ext in (".test", ".test_slow")
+    ]
+    path = next((p for p in candidates if os.path.exists(p)), None)
+    if path is None:
+        raise FileNotFoundError(
+            f"unknown reference script {name!r}: none of {candidates} exist"
+        )
     r = SltRunner(spark, test_dir, deviations=deviations)
     r.run_file(path, subs=subs)
     return r
