@@ -264,6 +264,46 @@ _BETWEEN_LHS = re.compile(rf"^\s*{_IDENT}\s+(?:NOT\s+)?BETWEEN\s+{_CONST}\s*$", 
 _CONST_ONLY = re.compile(rf"^\s*{_CONST}\s*$", re.IGNORECASE)
 
 
+_ARRAY_CALL = re.compile(r"\barray\s*\(", re.IGNORECASE)
+_FLOAT_CAST_TAIL = re.compile(r"\s*::\s*FLOAT\s*\[\s*\d*\s*\]", re.IGNORECASE)
+
+
+def _rewrite_array_call_casts(text: str) -> str:
+    """``array(...)::FLOAT[n]`` -> ``cast(array(...) as array<float>)``
+    with BALANCED paren matching (ADVICE r14: the old ``[^()]*`` regex
+    skipped nested calls like ``array(cast(i as float))::FLOAT[3]``).
+    Parens inside string literals are not tracked — no reference DML
+    form puts parens in strings; an unbalanced tail is left verbatim
+    for Spark's parser to report."""
+    out: list[str] = []
+    i = 0
+    while True:
+        m = _ARRAY_CALL.search(text, i)
+        if m is None:
+            out.append(text[i:])
+            return "".join(out)
+        depth, j = 1, m.end()
+        while j < len(text) and depth:
+            if text[j] == "(":
+                depth += 1
+            elif text[j] == ")":
+                depth -= 1
+            j += 1
+        if depth:  # unbalanced — leave the rest untouched
+            out.append(text[i:])
+            return "".join(out)
+        tail = _FLOAT_CAST_TAIL.match(text, j)
+        if tail:
+            out.append(text[i : m.start()])
+            out.append(f"cast({text[m.start():j]} as array<float>)")
+            i = tail.end()
+        else:
+            # keep scanning INSIDE the call: an inner array()::FLOAT[n]
+            # must still translate
+            out.append(text[i : m.end()])
+            i = m.end()
+
+
 def pushable_where(where: str) -> bool:
     """True iff ``where`` is a conjunction of scan-pushable filters:
     column-vs-constant comparison, IS [NOT] NULL, [NOT] IN(consts),
@@ -730,6 +770,9 @@ class VssPlanner:
         self._named: dict[str, dict] = {}  # SQL-DDL-created indexes by name
         self._tables: dict[str, dict] = {}  # DML-able path tables by name
         self._ddl_dir: str | None = None
+        # pragma_database_size(): external-root walk cache,
+        # root path -> (root st_mtime_ns, total bytes)
+        self._ext_size_cache: dict[str, tuple[int, int]] = {}
         self.last_plan: str = ""
         # ``catalog``: a DIRECTORY that makes the SQL-DDL surface
         # durable, the reference's index-persistence behavior
@@ -815,6 +858,28 @@ class VssPlanner:
         if rec.get("auto_rowid"):
             df = df.drop("__rowid")
         df.createOrReplaceTempView(rec["name"])
+
+    def _drop_table_entry(self, rec: dict) -> None:
+        """Unregister a path table and delete its managed data (shared
+        by DROP TABLE and CREATE OR REPLACE TABLE). Caller persists
+        the catalog afterwards."""
+        import os as _os
+        import shutil as _shutil
+
+        from duckdb_vss_spark.sources import sinks
+
+        self._tables.pop(rec["name"].lower(), None)
+        sinks.unbind_indexes(rec["path"])
+        try:
+            self.spark.catalog.dropTempView(rec["name"])
+        except Exception:  # noqa: BLE001 — view already gone
+            pass
+        # only delete data the planner created; a user-registered
+        # path is unregistered, never removed
+        if self._ddl_dir and rec["path"].startswith(
+            _os.path.abspath(self._ddl_dir)
+        ):
+            _shutil.rmtree(rec["path"], ignore_errors=True)
 
     def _table_frame(self, table: str) -> DataFrame:
         """The FULL frame behind a table name — for a path-registered
@@ -982,17 +1047,52 @@ class VssPlanner:
         reclaim-storage test actually pins — DROP INDEX releases the
         artifact's blocks, repeated create/drop does not leak — holds
         against these semantics exactly
-        (hnsw_reclaim_storage.test_slow:20-96)."""
+        (hnsw_reclaim_storage.test_slow:20-96).
+
+        User-registered EXTERNAL table roots (outside the managed DDL
+        dir and not an index artifact) can be multi-GB read-only
+        datasets; their walked size is cached keyed on the root dir's
+        mtime_ns (ADVICE r14 — no per-query re-walk of static data).
+        Every mutation this engine performs goes through managed paths
+        (appends/swaps bump the root's mtime), so the cache only goes
+        stale on out-of-band edits deeper than the root — acceptable
+        for a size pragma. Managed + artifact roots are always walked
+        fresh: the reclaim test pins their live DROP-INDEX behavior."""
         import os as _os
 
-        total = 0
-        for root in self._storage_roots():
+        fresh_roots = set()
+        if self._ddl_dir:
+            fresh_roots.add(_os.path.abspath(self._ddl_dir))
+        for rec in self._named.values():
+            fresh_roots.add(_os.path.abspath(rec["index"].path))
+
+        def walk_bytes(root: str) -> int:
+            b = 0
             for dirpath, _dirs, files in _os.walk(root):
                 for fn in files:
                     try:
-                        total += _os.path.getsize(_os.path.join(dirpath, fn))
+                        b += _os.path.getsize(_os.path.join(dirpath, fn))
                     except OSError:  # racing a concurrent swap
                         pass
+            return b
+
+        total = 0
+        for root in self._storage_roots():
+            managed = any(
+                root == p or root.startswith(p + _os.sep) for p in fresh_roots
+            )
+            if managed:
+                total += walk_bytes(root)
+                continue
+            try:
+                key = _os.stat(root).st_mtime_ns
+            except OSError:
+                continue
+            hit = self._ext_size_cache.get(root)
+            if hit is None or hit[0] != key:
+                hit = (key, walk_bytes(root))
+                self._ext_size_cache[root] = hit
+            total += hit[1]
         block = 262144  # DuckDB's default block size
         blocks = -(-total // block)
         name = (
@@ -1238,7 +1338,8 @@ class VssPlanner:
     # delete_batch). Statements naming an UNregistered table fall
     # through to raw Spark (catalog tables keep native semantics).
     _CREATE_TBL = re.compile(
-        r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s*"
+        r"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+        r"([A-Za-z_]\w*)\s*"
         r"\((.*)\)\s*;?\s*$",
         re.IGNORECASE | re.DOTALL,
     )
@@ -1248,12 +1349,15 @@ class VssPlanner:
     # (pragma_database_size()) all resolve — and the result lands as a
     # path-registered table under the managed directory, so later
     # CREATE INDEX / DML statements see it like a declared table.
-    # the query may be a bare SELECT, a parenthesized (SELECT ...), or
-    # a WITH ... SELECT CTE — all DuckDB-valid CTAS bodies; all three
-    # parse as a query through sql() unchanged
+    # the query may be a bare SELECT, a parenthesized (SELECT ...), a
+    # WITH ... SELECT CTE, or DuckDB's FROM-first form (``AS FROM t
+    # [WHERE ...]`` — rewritten to SELECT *). ADVICE r14: the
+    # statement shape (CREATE [OR REPLACE] TABLE ... AS <anything>)
+    # matches here so NO DuckDB-valid CTAS can silently fall through
+    # to a raw Spark catalog table — an unsupported body raises.
     _CTAS_STMT = re.compile(
-        r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s+AS\s+"
-        r"((?:SELECT|WITH|\(\s*SELECT)\b.*)$",
+        r"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+        r"([A-Za-z_]\w*)\s+AS\s+(.+)$",
         re.IGNORECASE | re.DOTALL,
     )
     _DROP_TBL = re.compile(
@@ -1312,13 +1416,12 @@ class VssPlanner:
         # array(...)::FLOAT[n] — the call form of the bracket-literal
         # cast (hnsw_reclaim_storage.test_slow:8 ``array_value(i, i,
         # i)::FLOAT[3]``); rewrite_operators only handles the bracket
-        # spelling
-        out = re.sub(
-            r"(\barray\s*\([^()]*\))\s*::\s*FLOAT\s*\[\s*\d*\s*\]",
-            r"cast(\1 as array<float>)",
-            out,
-            flags=re.IGNORECASE,
-        )
+        # spelling. Balanced-paren scan (ADVICE r14): nested calls
+        # like ``array(cast(i as float), ...)::FLOAT[3]`` translate
+        # too — the old ``[^()]*`` regex left them behind. Parens
+        # inside string literals are not tracked (none of the
+        # reference's DML forms put parens in strings).
+        out = _rewrite_array_call_casts(out)
         out = re.sub(r"\barray\s*\[([^\[\]]*)\]", r"array(\1)", out, flags=re.IGNORECASE)
         # bare list literal (not an index/slice: no identifier or ]
         # before; not a typed cast: no :: after — rewrite_operators
@@ -1363,12 +1466,37 @@ class VssPlanner:
 
         m = self._CTAS_STMT.match(sql)
         if m:
-            if_not_exists, name, select = m.groups()
+            or_replace, if_not_exists, name, select = m.groups()
+            if or_replace and if_not_exists:
+                raise ValueError(
+                    "CREATE OR REPLACE TABLE cannot carry IF NOT EXISTS"
+                )
+            select = select.rstrip("; \n\t").strip()
+            if re.match(r"^FROM\b", select, re.IGNORECASE):
+                # DuckDB FROM-first CTAS: bare FROM means SELECT *
+                if re.search(r"\bSELECT\b", select, re.IGNORECASE):
+                    raise ValueError(
+                        "FROM-first CTAS with a trailing SELECT clause is "
+                        f"not supported: {select[:80]!r} — write the "
+                        "SELECT-first form"
+                    )
+                select = "SELECT * " + select
+            elif not re.match(
+                r"^(?:SELECT|WITH|\(\s*SELECT)\b", select, re.IGNORECASE
+            ):
+                # loud, not a silent fall-through to a raw Spark
+                # catalog table with divergent semantics (ADVICE r14)
+                raise ValueError(
+                    f"unsupported CTAS body: {select[:80]!r} — expected "
+                    "SELECT / WITH / (SELECT / FROM-first"
+                )
             if name.lower() in self._tables:
                 if if_not_exists:
                     self.last_plan = "CREATE_TABLE_AS"
                     return self._empty_result()
-                raise ValueError(f"table {name!r} already exists")
+                if not or_replace:
+                    raise ValueError(f"table {name!r} already exists")
+                self._drop_table_entry(self._tables[name.lower()])
             # full planner power for the select: DuckDB literal forms
             # first (array_value / call-casts), then sql() for operator
             # aliases, fn translation, and the pragma table functions
@@ -1400,15 +1528,19 @@ class VssPlanner:
             self.last_plan = "CREATE_TABLE_AS"
             return self._empty_result()
         m = self._CREATE_TBL.match(sql)
-        if m and not re.match(
-            r"^\s*CREATE\s+TABLE\s+\w+\s+AS\b", sql, re.IGNORECASE
-        ):
-            if_not_exists, name, colspec = m.groups()
+        if m:
+            or_replace, if_not_exists, name, colspec = m.groups()
+            if or_replace and if_not_exists:
+                raise ValueError(
+                    "CREATE OR REPLACE TABLE cannot carry IF NOT EXISTS"
+                )
             if name.lower() in self._tables:
                 if if_not_exists:
                     self.last_plan = "CREATE_TABLE"
                     return self._empty_result()
-                raise ValueError(f"table {name!r} already exists")
+                if not or_replace:
+                    raise ValueError(f"table {name!r} already exists")
+                self._drop_table_entry(self._tables[name.lower()])
             fields = []
             # declared array lengths (FLOAT[3]) survive here even though
             # Spark array types are unsized — CREATE INDEX over an
@@ -1487,21 +1619,7 @@ class VssPlanner:
                     self.last_plan = "DROP_TABLE"
                     return self._empty_result()
                 return None  # unregistered: raw Spark semantics
-            self._tables.pop(name.lower())
-            sinks.unbind_indexes(rec["path"])
-            try:
-                self.spark.catalog.dropTempView(rec["name"])
-            except Exception:  # noqa: BLE001 — view already gone
-                pass
-            import os as _os
-            import shutil as _shutil
-
-            # only delete data the planner created; a user-registered
-            # path is unregistered, never removed
-            if self._ddl_dir and rec["path"].startswith(
-                _os.path.abspath(self._ddl_dir)
-            ):
-                _shutil.rmtree(rec["path"], ignore_errors=True)
+            self._drop_table_entry(rec)
             self._save_catalog()
             self.last_plan = "DROP_TABLE"
             return self._empty_result()
@@ -1546,21 +1664,30 @@ class VssPlanner:
                 ]
             )
             if rec.get("auto_rowid"):
-                # assign fresh rowids past the current max — unique ids
-                # are the contract (the reference's rowids); the batch
-                # is one partition's worth of INSERT data, so the
-                # single-partition window is bounded
-                from pyspark.sql import Window as _W
-
+                # assign fresh rowids past the current max — UNIQUE ids
+                # are the whole contract (the reference's rowids).
+                # VALUES batches (a bounded literal) keep DENSE
+                # sequential ids via a single-partition window; a
+                # SELECT-shaped INSERT (the reference's own bulk idiom,
+                # hnsw_basic.test:13) assigns DISTRIBUTEDLY —
+                # monotonically_increasing_id() is unique per row
+                # (partition_id << 33 | offset), no shuffle, no
+                # single-task funnel (VERDICT r14 #2; ids are sparse
+                # across partitions, which the contract permits)
                 base_max = target.agg(F.max("__rowid")).first()[0] or 0
+                if re.match(r"^VALUES\b", rest, re.IGNORECASE):
+                    from pyspark.sql import Window as _W
+
+                    new_id = F.lit(int(base_max)) + F.row_number().over(
+                        _W.orderBy(F.monotonically_increasing_id())
+                    )
+                else:
+                    new_id = (
+                        F.lit(int(base_max) + 1)
+                        + F.monotonically_increasing_id()
+                    )
                 aligned = aligned.withColumn(
-                    "__rowid",
-                    (
-                        F.lit(int(base_max))
-                        + F.row_number().over(
-                            _W.orderBy(F.monotonically_increasing_id())
-                        )
-                    ).cast("long"),
+                    "__rowid", new_id.cast("long")
                 )
             sinks.insert_into(aligned, rec["path"])
             self._refresh_table(rec["name"])

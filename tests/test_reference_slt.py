@@ -73,3 +73,53 @@ def test_expand_loops_nested_and_unsupported():
         slt._expand_loops(["loop i 0 2", "s"])
     with pytest.raises(FileNotFoundError, match="unknown reference script"):
         slt.run_reference_test(None, "no_such_script", "/tmp")
+
+
+def test_expand_loops_ignores_expected_block_rows():
+    """ADVICE r14: lines inside a ``----``-delimited expected block are
+    data — an expected cell starting with ``loop``/``foreach`` or an
+    ``endloop`` row must not parse as a directive."""
+    lines = [
+        "query T",
+        "SELECT s FROM t",
+        "----",
+        "foreach is just a string here",
+        "endloop",
+        "loop the loop",
+        "",
+        "statement ok",
+        "SELECT 1",
+    ]
+    assert slt._expand_loops(lines) == lines
+    # and a real loop AROUND an expected block still expands its body
+    out = slt._expand_loops(
+        [
+            "loop i 0 2",
+            "query T",
+            "SELECT ${i}",
+            "----",
+            "endloop",
+            "",
+            "endloop",
+        ]
+    )
+    assert out == [
+        "query T", "SELECT 0", "----", "endloop", "",
+        "query T", "SELECT 1", "----", "endloop", "",
+    ]
+
+
+def test_scale_subs_counts_audited(spark, tmp_path):
+    """ADVICE r14: a recorded substitution pair carries its audited
+    occurrence count; upstream drift fails loudly instead of silently
+    corrupting the replay."""
+    p = tmp_path / "toy.test"
+    p.write_text("statement ok\nSELECT 500000\n")
+    r = slt.SltRunner(spark, str(tmp_path))
+    with pytest.raises(slt.SltUnsupported, match="recorded for 15"):
+        r.run_file(str(p), subs=[("500000", "5000", 15)])
+    # the audited counts still hold against the upstream file
+    f = "/root/reference/test/sql/slow/hnsw_reclaim_storage.test_slow"
+    text = open(f).read()
+    for old, _new, n in slt.RECLAIM_SCALE_SUBS:
+        assert text.count(old) == n, (old, n)

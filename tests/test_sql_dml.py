@@ -473,3 +473,98 @@ def test_ctas_parenthesized_and_cte_forms(spark):
     assert p.sql("SELECT i FROM cte").first()["i"] == 2
     p.sql("DROP TABLE paren")
     p.sql("DROP TABLE cte")
+
+
+def test_create_or_replace_table_forms(spark):
+    """CREATE OR REPLACE TABLE (ADVICE r14): both the CTAS and the
+    column-spec spellings replace an existing planner table instead of
+    silently falling through to a raw Spark catalog table."""
+    p = VssPlanner(spark)
+    p.sql("CREATE TABLE orp AS SELECT 1 AS i")
+    p.sql("CREATE OR REPLACE TABLE orp AS SELECT i AS i FROM range(5) t(i)")
+    assert p.last_plan == "CREATE_TABLE_AS"
+    assert p.sql("SELECT count(*) AS n FROM orp").first()["n"] == 5
+    # column-spec replace: fresh empty table with the new schema
+    p.sql("CREATE OR REPLACE TABLE orp (id BIGINT, s VARCHAR)")
+    assert p.last_plan == "CREATE_TABLE"
+    assert p.sql("SELECT count(*) AS n FROM orp").first()["n"] == 0
+    assert p.sql("SELECT * FROM orp").columns == ["id", "s"]
+    # OR REPLACE on a NEW name is a plain create
+    p.sql("CREATE OR REPLACE TABLE orp2 AS SELECT 7 AS i")
+    assert p.sql("SELECT i FROM orp2").first()["i"] == 7
+    with pytest.raises(ValueError, match="IF NOT EXISTS"):
+        p.sql("CREATE OR REPLACE TABLE IF NOT EXISTS orp AS SELECT 1 AS i")
+    p.sql("DROP TABLE orp")
+    p.sql("DROP TABLE orp2")
+
+
+def test_ctas_from_first_and_loud_fallthrough(spark):
+    """DuckDB's FROM-first CTAS body rewrites to SELECT *; any other
+    non-SELECT body raises instead of silently creating a raw Spark
+    catalog table (ADVICE r14)."""
+    p = VssPlanner(spark)
+    p.sql("CREATE TABLE src AS SELECT i AS i FROM range(10) t(i)")
+    p.sql("CREATE TABLE ff AS FROM src WHERE i < 4")
+    assert "ff" in p._tables
+    assert p.sql("SELECT count(*) AS n FROM ff").first()["n"] == 4
+    with pytest.raises(ValueError, match="FROM-first CTAS with a trailing"):
+        p.sql("CREATE TABLE ff2 AS FROM src SELECT i")
+    with pytest.raises(ValueError, match="unsupported CTAS body"):
+        p.sql("CREATE TABLE ff3 AS TABLE src")
+    p.sql("DROP TABLE ff")
+    p.sql("DROP TABLE src")
+
+
+def test_array_call_cast_nested_parens(spark):
+    """array(...)::FLOAT[n] with NESTED parens in the element list
+    (ADVICE r14: the old regex left the ::FLOAT[n] untranslated and
+    Spark's parser rejected it downstream)."""
+    p = VssPlanner(spark)
+    p.sql(
+        "CREATE TABLE nest AS SELECT i AS i, "
+        "array_value(cast(i as float), cast(i as float), 0)::FLOAT[3] AS vec "
+        "FROM range(4) t(i)"
+    )
+    rows = p.sql("SELECT vec FROM nest WHERE i = 2").collect()
+    assert [list(r["vec"]) for r in rows] == [[2.0, 2.0, 0.0]]
+    # inner call inside an UNCAST outer expression still translates
+    p.sql("INSERT INTO nest VALUES (9, array_value(9, 9, 9)::FLOAT[3])")
+    assert p.sql("SELECT count(*) AS n FROM nest").first()["n"] == 5
+    p.sql("DROP TABLE nest")
+
+
+def test_insert_select_rowid_assignment_distributed(spark, tmp_path):
+    """VERDICT r14 #1: a SELECT-shaped INSERT INTO an auto-rowid table
+    must assign ids DISTRIBUTEDLY — no global single-partition window
+    funneling the whole batch through one task. Pinned observably: the
+    append preserves the source's partitioning (multiple parquet files
+    land), and ids stay unique past the previous max. VALUES batches
+    keep dense sequential ids (bounded literals)."""
+    p = VssPlanner(spark)
+    p.sql("CREATE TABLE rdist AS SELECT 'seed' AS s, cast(0.5 AS DOUBLE) AS x")
+    assert p._tables["rdist"]["auto_rowid"]
+    path = p._tables["rdist"]["path"]
+    files_before = {
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    }
+    p.sql(
+        "INSERT INTO rdist SELECT concat('r', i) AS s, i * 1.0 AS x "
+        "FROM range(0, 100000, 1, 8) t(i)"
+    )
+    files_after = {
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    }
+    appended = files_after - files_before
+    assert len(appended) > 1, (
+        "SELECT-shaped INSERT collapsed to one task/file — the rowid "
+        f"assignment is not distributed (appended: {sorted(appended)})"
+    )
+    ids = spark.read.parquet(path).select("__rowid")
+    n = ids.count()
+    assert n == 100001
+    assert ids.distinct().count() == n  # uniqueness is the contract
+    # a later VALUES insert still lands past the new max
+    p.sql("INSERT INTO rdist VALUES ('v', 9.0)")
+    ids2 = spark.read.parquet(path).select("__rowid")
+    assert ids2.distinct().count() == 100002
+    p.sql("DROP TABLE rdist")

@@ -125,12 +125,25 @@ def _expand_loops(lines: list[str]) -> list[str]:
     block-opening directive (loop/foreach/concurrentloop, literal
     bounds or not) so a nested unsupported block truncates loudly at
     its own line instead of stealing the outer endloop; an
-    unterminated loop raises."""
+    unterminated loop raises. Lines inside a ``----``-delimited
+    expected block are DATA, not directives (ADVICE r14: an expected
+    cell that happens to start with ``loop``/``foreach`` — or an
+    ``endloop`` row — must not be parsed as one), so both the opener
+    scan and the depth scan track expected-block state: ``----``
+    enters the block, the next blank line leaves it."""
     opener = re.compile(r"^\s*(loop|foreach|concurrentloop)\b")
+
+    def step_expected(in_expected: bool, line: str) -> bool:
+        s = line.strip()
+        if in_expected:
+            return bool(s)  # blank line closes the expected block
+        return s == "----"
+
     out: list[str] = []
     i = 0
+    in_exp = False
     while i < len(lines):
-        if opener.match(lines[i]):
+        if not in_exp and opener.match(lines[i]):
             m = re.match(r"^\s*loop\s+(\w+)\s+(-?\d+)\s+(-?\d+)\s*$", lines[i])
             if m is None:
                 # a foreach / non-literal-bound loop at THIS level is
@@ -138,13 +151,15 @@ def _expand_loops(lines: list[str]) -> list[str]:
                 raise SltUnsupported(f"directive {lines[i].strip()!r}")
             var, start, end = m.group(1), int(m.group(2)), int(m.group(3))
             depth, j = 1, i + 1
+            body_exp = False
             while j < len(lines):
-                if opener.match(lines[j]):
+                if not body_exp and opener.match(lines[j]):
                     depth += 1
-                elif lines[j].strip() == "endloop":
+                elif not body_exp and lines[j].strip() == "endloop":
                     depth -= 1
                     if depth == 0:
                         break
+                body_exp = step_expected(body_exp, lines[j])
                 j += 1
             if depth != 0:
                 raise SltUnsupported("unterminated loop")
@@ -157,6 +172,7 @@ def _expand_loops(lines: list[str]) -> list[str]:
                 )
             i = j + 1
         else:
+            in_exp = step_expected(in_exp, lines[i])
             out.append(lines[i])
             i += 1
     return out
@@ -210,7 +226,7 @@ class SltRunner:
         """Execute one .test script; returns the number of assertions
         that ran. Raises SltFailure on a mismatch, SltUnsupported on a
         directive outside the supported subset. ``subs``: recorded
-        (old, new) textual substitutions applied to the whole file
+        (old, new[, count]) textual substitutions applied to the whole file
         before parsing — the scale knob for the slow suite (statements
         AND expected blocks substitute together, so assertions stay
         internally consistent). Never silent: callers document them."""
@@ -222,7 +238,20 @@ class SltRunner:
         except Exception:  # noqa: BLE001 — already unset
             pass
         text = open(path).read()
-        for old, new in subs or []:
+        for sub in subs or []:
+            old, new = sub[0], sub[1]
+            if len(sub) > 2:
+                # recorded occurrence count (ADVICE r14): blind
+                # whole-file replacement is only safe while the
+                # upstream file matches the count the substitution was
+                # recorded against — drift fails loudly, not silently
+                got = text.count(old)
+                if got != sub[2]:
+                    raise SltUnsupported(
+                        f"substitution {old!r} -> {new!r} recorded for "
+                        f"{sub[2]} occurrence(s) but {path} has {got} — "
+                        "re-audit the pair against the upstream file"
+                    )
             text = text.replace(old, new)
         lines = _expand_loops(text.splitlines())
         i, n = 0, len(lines)
@@ -409,7 +438,12 @@ REFERENCE_FILES = {
 # SEMANTICS intact (the reclaim checks are relative to baselines the
 # script itself records). VSS_SLT_SLOW=1 runs it unsubstituted.
 RECLAIM_FILE = ("hnsw_reclaim_storage", 42, [])
-RECLAIM_SCALE_SUBS = [("range(1000000)", "range(10000)"), ("500000", "5000")]
+# each pair carries its audited occurrence count in the upstream file
+# (ADVICE r14) — run_file re-counts and fails loudly on drift
+RECLAIM_SCALE_SUBS = [
+    ("range(1000000)", "range(10000)", 1),
+    ("500000", "5000", 15),
+]
 
 
 def run_reference_test(spark, name: str, test_dir: str, deviations=None, subs=None):
