@@ -179,59 +179,91 @@ _EXTRA_ORACLES: dict[str, str] = {}
 #      scan changes on their default signatures.
 # Rotated out: the full r13 window (fresh r13 evidence, driver-green
 # 50/50).
+# Round-15 composition (VERDICT r14 #1 — retire the OLDEST driver
+# evidence; an audit of CORRECTNESS_r01..r14 this round measured the
+# true per-row ages: 48 rows' last green driver row is r8, 3 are r9,
+# the 8 deferred TPC-H shapes are r12, and SIX registry rows have
+# never held a seat at all — q_reference_slt, q_sql_update_cycle,
+# q_bq_asym_knn, q_bq_index_knn, q_ivf_add_batch, q_pq_add_batch.
+# Errata vs earlier comments here: "after this window no row's
+# evidence is older than rX" claims were drawn from rotation
+# BOOKKEEPING, not the CORRECTNESS files; the r15 audit supersedes
+# them — full ages in PLANS_r15.md):
+#   1. Ten judge-named seats: the eight r12-evidence TPC-H shapes
+#      (q04/q07/q10/q14/q15/q17/q19/q22) plus q_sql_update_cycle and
+#      q_reference_slt (the strongest parity artifact — 15 reference
+#      scripts' assertion counts pinned as a VALUES oracle).
+#   2. Four more never-seated rows: q_bq_asym_knn, q_bq_index_knn,
+#      q_ivf_add_batch, q_pq_add_batch.
+#   3. 36 of the 48 r8-evidence rows. Deferred to r16 (all
+#      CI-enforced; each has a SEATED sibling on the same code path):
+#      q_stream_matview_restart (q_stream_matview), q_dup_coverage
+#      (q_dup_spans), q_dedup_keep (q_exact_dedup), q_sql_metric_rewrite
+#      (q_cosine_rewrite/q_sql_topk_rewrite), q_knn_l2
+#      (q_knn_join_lateral), q_ngram_jaccard (q_minhash_lsh),
+#      q_cube_events (q_ntile_value_buckets + r14 rollup/pivot),
+#      q_funnel (q_cohort_retention), q_string_agg (q_distinct_on),
+#      q_unpivot_events (r14 q_pivot_events), q_hash_embed
+#      (r14 q_random_projection), q_zorder_key (r14 q_shuffle_shards),
+#      plus the three r9-evidence rows q_knn_grid /
+#      q_media_features_shape / q_media_video_probe (youngest of the
+#      stale set) — all 15 first in line for r16.
+# Rotated out: the full r14 window (fresh r14 evidence, driver-green
+# 50/50).
 _DECLARED: list[str] = [
-    # 1. r14-touched + displaced + CI-only-feature seats first
-    "q_sql_dml_cycle",
-    "q_sql_maxby_topk",
-    "q_knn_inner_product",
-    "q_simhash_pairs",
-    "q_sql_ddl_cycle",
-    "q_bq_knn_join",
-    "q_ivfsq_knn_join",
-    "q_stream_index_delete",
-    # 2. the r12-evidence rows (minus the eight deferred TPC-H shapes)
-    "q03_shipping_priority",
-    "q05_local_supplier_volume",
-    "q16_parts_supplier",
-    "q_chunk_docs",
-    "q_contamination",
-    "q_dedup_clusters",
-    "q_doc_oov_rate",
-    "q_embedding_neardup",
-    "q_event_percentiles",
-    "q_hash_sample",
-    "q_hnsw_add_batch",
-    "q_hnsw_knn",
-    "q_hnsw_knn_filtered_empty",
-    "q_hnsw_knn_join",
-    "q_image_phash_dedup",
-    "q_incremental_dedup",
-    "q_interval_join",
-    "q_ivfpq_knn",
-    "q_ivfpq_knn_join",
-    "q_ivfsq_knn",
-    "q_kmeans",
-    "q_kmv_distinct",
-    "q_lang_quality",
-    "q_media_frame_sample",
-    "q_media_resize",
-    "q_mix_budget",
-    "q_moving_window_sum",
-    "q_normalize_text",
-    "q_pca_power",
-    "q_pii_scrub",
-    "q_pivot_events",
-    "q_pq_knn",
-    "q_random_projection",
-    "q_repetition_stats",
-    "q_rollup_revenue",
-    "q_shuffle_shards",
-    "q_source_cap",
-    "q_stratified_sample",
-    "q_stream_interval_join",
-    "q_stream_static_join",
-    "q_text_stats",
-    "q_vocab_topk",
+    # 1. judge-named seats (VERDICT r14 #1)
+    "q04_priority_semi",
+    "q07_volume_shipping",
+    "q10_returned_items",
+    "q14_type_revenue_share",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q22_inactive_customers",
+    "q_sql_update_cycle",
+    "q_reference_slt",
+    # 2. the remaining never-seated rows
+    "q_bq_asym_knn",
+    "q_bq_index_knn",
+    "q_ivf_add_batch",
+    "q_pq_add_batch",
+    # 3. the r8-evidence rows (oldest driver evidence in the registry)
+    "q01_pricing_summary",
+    "q09_profit_by_nation",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q18_large_orders",
+    "q20_promotion_suppliers",
+    "q_cohort_retention",
+    "q_cosine_rewrite",
+    "q_distinct_on",
+    "q_dup_spans",
+    "q_exact_dedup",
+    "q_hnsw_compact",
+    "q_hnsw_knn_filtered",
+    "q_ivf_knn",
+    "q_json_event_stats",
+    "q_knn_join_lateral",
+    "q_media_mjpeg_frames",
+    "q_min_by_topk",
+    "q_minhash_lsh",
+    "q_ntile_value_buckets",
+    "q_pack_sequences",
+    "q_profile_lineitem",
+    "q_salted_join",
+    "q_semdedup",
+    "q_sql_lateral_rewrite",
+    "q_sql_topk_rewrite",
+    "q_stream_dedup_state",
+    "q_stream_join_window",
+    "q_stream_matview",
+    "q_stream_window_counts",
+    "q_temperature_mix",
+    "q_time_gapfill",
+    "q_vec_normalize",
+    "q_video_neardup",
+    "q_vss_join",
+    "q_window_top_events",
 ]
 
 
