@@ -773,6 +773,10 @@ class VssPlanner:
         # pragma_database_size(): external-root walk cache,
         # root path -> (root st_mtime_ns, total bytes)
         self._ext_size_cache: dict[str, tuple[int, int]] = {}
+        # SELECT setseed(x): the DuckDB-compatible connection PRNG the
+        # seeded random() stream draws from (None = unseeded; random()
+        # keeps Spark's nondeterministic rand() translation)
+        self._rand_conn = None
         self.last_plan: str = ""
         # ``catalog``: a DIRECTORY that makes the SQL-DDL surface
         # durable, the reference's index-persistence behavior
@@ -858,6 +862,43 @@ class VssPlanner:
         if rec.get("auto_rowid"):
             df = df.drop("__rowid")
         df.createOrReplaceTempView(rec["name"])
+
+    def _seeded_random_rewrite(self, text: str) -> str:
+        """After ``SELECT setseed(x)``, each textual ``random()`` in a
+        generator statement is one DuckDB expression instance: it
+        draws its local seed from the connection engine left-to-right
+        (DuckDB's function-local-state init order, pinned empirically
+        against the duckdb oracle) and becomes a deterministic
+        ``vss_duck_random(seed, ordinal)`` call — Arrow-batched
+        jump-ahead, partition-independent, no driver loop
+        (functions/duckrandom.py). Only the reference scripts'
+        generator shape is supported — a single ``range(a, b) AS
+        t(col)`` source whose column supplies the row ordinal
+        (hnsw_lateral_join_group.test:16); anything else raises loud
+        rather than silently emitting a diverging nondeterministic
+        stream."""
+        if self._rand_conn is None or not self._RANDOM_CALL.search(text):
+            return text
+        srcs = self._RANGE_SRC.findall(text)
+        if len(srcs) != 1:
+            raise ValueError(
+                "seeded random() is supported only over a single "
+                "'FROM range(a, b) AS t(col)' source (the reference "
+                f"scripts' generator shape); statement has {len(srcs)} "
+                f"such sources: {text[:80]!r}"
+            )
+        start, _end, col = srcs[0]
+        from duckdb_vss_spark.functions.duckrandom import (
+            ensure_duck_random_udf,
+        )
+
+        fname = ensure_duck_random_udf(self.spark)
+
+        def repl(_m) -> str:
+            seed = self._rand_conn.next_u32()
+            return f"{fname}({seed}, {col} - ({start}))"
+
+        return self._RANDOM_CALL.sub(repl, text)
 
     def _drop_table_entry(self, rec: dict) -> None:
         """Unregister a path table and delete its managed data (shared
@@ -1328,6 +1369,19 @@ class VssPlanner:
     )
 
     _CHECKPOINT = re.compile(r"^\s*(?:FORCE\s+)?CHECKPOINT\s*;?\s*$", re.IGNORECASE)
+    # SELECT setseed(x) — DuckDB's PRNG reseed as its own statement
+    # (hnsw_lateral_join_group.test:4); the seeded random() stream is
+    # reproduced bit-exactly (functions/duckrandom.py)
+    _SETSEED_STMT = re.compile(
+        r"^\s*SELECT\s+setseed\s*\(\s*(-?(?:\d+\.?\d*|\.\d+))\s*\)\s*;?\s*$",
+        re.IGNORECASE,
+    )
+    _RANDOM_CALL = re.compile(r"\brandom\s*\(\s*\)", re.IGNORECASE)
+    _RANGE_SRC = re.compile(
+        r"\brange\s*\(\s*(-?\d+)\s*,\s*(-?\d+)\s*\)\s*"
+        r"(?:as\s+)?[A-Za-z_]\w*\s*\(\s*([A-Za-z_]\w*)\s*\)",
+        re.IGNORECASE,
+    )
 
     # -- SQL DML surface (r14, VERDICT r13 #1): the reference's CRUD
     # statements — CREATE TABLE / INSERT INTO / DELETE FROM / DROP
@@ -1500,7 +1554,11 @@ class VssPlanner:
             # full planner power for the select: DuckDB literal forms
             # first (array_value / call-casts), then sql() for operator
             # aliases, fn translation, and the pragma table functions
-            df = self.sql(self._translate_dml_exprs(select.rstrip("; \n\t")))
+            df = self.sql(
+                self._translate_dml_exprs(
+                    self._seeded_random_rewrite(select.rstrip("; \n\t"))
+                )
+            )
             integral = {"tinyint", "smallint", "int", "bigint"}
             auto_rowid = not any(
                 f.dataType.simpleString() in integral for f in df.schema.fields
@@ -1630,6 +1688,9 @@ class VssPlanner:
             if rec is None:
                 return None
             target = self.spark.read.parquet(rec["path"])
+            # seeded random() resolves BEFORE the generic translation
+            # maps random() -> rand()
+            rest = self._seeded_random_rewrite(rest)
             rest = self._translate_dml_exprs(rest).strip().rstrip(";").strip()
             cols = (
                 [c.strip() for c in collist.split(",")]
@@ -1804,6 +1865,15 @@ class VssPlanner:
             self.last_plan = (
                 "ENABLE_OPTIMIZER" if self._optimizer_enabled else "DISABLE_OPTIMIZER"
             )
+            return self._empty_result()
+        m = self._SETSEED_STMT.match(sql)
+        if m:
+            from duckdb_vss_spark.functions.duckrandom import (
+                DuckRandomConnection,
+            )
+
+            self._rand_conn = DuckRandomConnection(float(m.group(1)))
+            self.last_plan = "SETSEED"
             return self._empty_result()
         if self._CHECKPOINT.match(sql):
             # the reference's CHECKPOINT flushes the WAL so the index
@@ -2393,11 +2463,36 @@ class VssPlanner:
                 ml, inner_cols, ren
             )
             return out.selectExpr(*exprs)
-        exprs = [
-            c.strip().split(".", 1)[-1]
-            for c in self._split_top_level(ml.cols)
-            if c.strip()
-        ]
+        # the outer select list may reference the SUBQUERY's own
+        # aliases (hnsw_lateral_join_group.test:22 ``SELECT queries.id
+        # as id, nbr`` over ``items.id as nbr``) — resolve them through
+        # the inner list the same way the * expansion does (r15)
+        amap: dict[str, str] = {}
+        for e in self._lateral_inner_exprs(ml, inner_cols, ren):
+            mm = re.match(
+                r"^(.*\S)\s+AS\s+`?([A-Za-z_]\w*)`?\s*$",
+                e,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if mm:
+                amap[mm.group(2).lower()] = mm.group(1)
+        exprs = []
+        for c in self._split_top_level(ml.cols):
+            t = c.strip()
+            if not t:
+                continue
+            t = t.split(".", 1)[-1]
+            for al, rexpr in amap.items():
+                if t.lower() == al:
+                    t = f"{rexpr} AS {al}"
+                    break
+                t = re.sub(
+                    rf"(?<![\w.`]){al}(?![\w(`])",
+                    f"({rexpr})",
+                    t,
+                    flags=re.IGNORECASE,
+                )
+            exprs.append(t)
         return out.selectExpr(*exprs)
 
     def _run_lateral_brute(self, ml: LateralMatch) -> DataFrame:

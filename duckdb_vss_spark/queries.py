@@ -2266,6 +2266,7 @@ def q_sql_dml_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
       ('hnsw_insert_wal', 12, 0),
       ('hnsw_join_macro', 11, 0),
       ('hnsw_lateral_join', 19, 1),
+      ('hnsw_lateral_join_group', 10, 0),
       ('hnsw_lateral_join_group_large', 13, 0),
       ('hnsw_metrics', 8, 0),
       ('hnsw_options', 10, 0),
@@ -2280,8 +2281,8 @@ def q_sql_dml_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_reference_slt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference extension's own sqllogictest scripts replayed
-    VERBATIM (r14, tools/slt.py): 15 of the 16 test/sql/**.test files
-    run statement-for-statement through VssPlanner — auto-rowid
+    VERBATIM (r14, tools/slt.py; r15: ALL 16 of the 16 test/sql/**
+    files) statement-for-statement through VssPlanner — auto-rowid
     tables, range() INSERT SELECTs, EXPLAIN-marker regexes, pragmas,
     restarts, error wording, NULL-semantics laterals (incl. the slow
     suite's enclosing-aggregate/GROUP BY shapes over setseed()+random()
@@ -2292,10 +2293,14 @@ def q_reference_slt(spark: SparkSession, sf_dir: str) -> DataFrame:
     substitution slt.RECLAIM_SCALE_SUBS, 1M -> 10k rows, whose
     assertions are baseline-relative and scale-independent; the
     verbatim 1M-row run is gated behind VSS_SLT_SLOW=1 and recorded in
-    PLANS_r14.md). The row set pins each file's exact assertion count
-    and its documented tie-order deviation count (2 total across 178
-    assertions); excluded: hnsw_lateral_join_group (its expected
-    values ARE the reference engine's PRNG neighbor ids). Any
+    PLANS_r14.md). r15 closes the last exclusion:
+    hnsw_lateral_join_group's expected values are DuckDB's SEEDED
+    PCG32 neighbor ids, and the engine now reproduces that exact
+    stream (functions/duckrandom.py — setseed()/random() bit-parity,
+    pinned against the duckdb oracle in tests/test_duckrandom.py), so
+    its brute-vs-indexed label blocks replay verbatim too. The row set
+    pins each file's exact assertion count and its documented
+    tie-order deviation count (2 total across 188 assertions). Any
     assertion failing, any file erroring, or any count drifting fails
     this row against the literal-VALUES oracle."""
     import sys as _sys

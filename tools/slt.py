@@ -380,6 +380,13 @@ class SltRunner:
                     )
                 if expected is not None:
                     _compare(expected, actual, f"{path}:\n{stmt}", types)
+                    if label is not None and label not in self.labels:
+                        # a labeled query WITH a block still records
+                        # the label (duckdb slt: all same-label queries
+                        # must agree) — hnsw_lateral_join_group.test
+                        # pins its indexed paths against the brute
+                        # blocks exactly this way (r15)
+                        self.labels[label] = actual
                 elif label is not None:
                     if label in self.labels:
                         _compare(
@@ -396,9 +403,11 @@ class SltRunner:
 
 # the replayable reference scripts: file -> (expected assertion count,
 # [(stmt substring, documented tie-order deviation reason)]).
-# hnsw_lateral_join_group.test is excluded: its data generation is
-# setseed() + DuckDB's seeded random() — the expected values are that
-# engine's PRNG stream, unreproducible by specification.
+# r15: ALL 16 files replay. hnsw_lateral_join_group.test (excluded
+# r14 as "unreproducible PRNG stream") now replays verbatim — DuckDB's
+# setseed()/random() is PCG32, a public algorithm, and the engine
+# reproduces the exact stream (functions/duckrandom.py, pinned against
+# the duckdb oracle in tests/test_duckrandom.py).
 REFERENCE_FILES = {
     "hnsw_basic": (9, []),
     "hnsw_crud": (11, []),
@@ -418,6 +427,7 @@ REFERENCE_FILES = {
         19,
         [("GROUP BY a_id", "list() order over tied/NULL distances")],
     ),
+    "hnsw_lateral_join_group": (10, []),
     "hnsw_join_macro": (11, []),
     # the slow suite: data comes from setseed()+random(), but every
     # assertion is PRNG-independent (one literal cardinality + labels
