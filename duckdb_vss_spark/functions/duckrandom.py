@@ -94,17 +94,14 @@ def stream_values(local_seed: int, ordinals: np.ndarray) -> np.ndarray:
     return _xsh_rr(state_k).astype(np.float64) / float(1 << 32)
 
 
-_UDF_REGISTERED: set[int] = set()
-
-
 def ensure_duck_random_udf(spark) -> str:
     """Register ``vss_duck_random(local_seed bigint, ordinal bigint)``
-    (idempotent per session) and return its name. Arrow-batched —
-    the jump-ahead runs vectorized per batch on executors."""
-    key = id(spark)
+    and return its name. Registration is unconditional — it is
+    idempotent and one py4j call per seeded statement, and caching on
+    ``id(spark)`` would both leak dead ids and skip a FRESH session
+    allocated at a recycled address (review r15). Arrow-batched — the
+    jump-ahead runs vectorized per batch on executors."""
     name = "vss_duck_random"
-    if key in _UDF_REGISTERED:
-        return name
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -121,5 +118,4 @@ def ensure_duck_random_udf(spark) -> str:
         return pd.Series(out)
 
     spark.udf.register(name, _duck_random)
-    _UDF_REGISTERED.add(key)
     return name

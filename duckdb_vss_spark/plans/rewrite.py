@@ -888,6 +888,22 @@ class VssPlanner:
                 f"such sources: {text[:80]!r}"
             )
         start, _end, col = srcs[0]
+        clause = re.search(
+            r"\b(WHERE|JOIN|GROUP\s+BY|HAVING|QUALIFY|LIMIT|ORDER\s+BY)\b",
+            text,
+            re.IGNORECASE,
+        )
+        if clause:
+            # a filter/join/limit/sort between the generator and the
+            # projection changes WHICH rows draw from the stream (or
+            # the draw order) — the ordinal mapping below would
+            # silently diverge from DuckDB's scan-order draws
+            # (review r15)
+            raise ValueError(
+                "seeded random() supports only an unfiltered projection "
+                f"over the range source; found {clause.group(1)!r}: "
+                f"{text[:80]!r}"
+            )
         from duckdb_vss_spark.functions.duckrandom import (
             ensure_duck_random_udf,
         )
@@ -903,14 +919,37 @@ class VssPlanner:
     def _drop_table_entry(self, rec: dict) -> None:
         """Unregister a path table and delete its managed data (shared
         by DROP TABLE and CREATE OR REPLACE TABLE). Caller persists
-        the catalog afterwards."""
+        the catalog afterwards.
+
+        Dependent indexes go WITH the table, like DuckDB's implicit
+        cascade (review r15: leaving them in ``_named``/``_indexes``
+        would silently route KNN queries on a recreated table through
+        an index built over the OLD data): SQL-DDL-created artifacts
+        are deleted; programmatically-registered indexes are only
+        unregistered — the user owns those artifacts."""
         import os as _os
         import shutil as _shutil
 
         from duckdb_vss_spark.sources import sinks
 
-        self._tables.pop(rec["name"].lower(), None)
+        tname = rec["name"].lower()
+        self._tables.pop(tname, None)
         sinks.unbind_indexes(rec["path"])
+        doomed = [
+            n for n, r in self._named.items()
+            if r["table"].lower() == tname
+        ]
+        if doomed:
+            from duckdb_vss_spark.index import drop_index
+
+            for n in doomed:
+                irec = self._named.pop(n)
+                try:
+                    drop_index(irec["index"].path)
+                except Exception:  # noqa: BLE001 — artifact already gone
+                    pass
+        for key in [k for k in self._indexes if k[0] == tname]:
+            self._indexes.pop(key, None)
         try:
             self.spark.catalog.dropTempView(rec["name"])
         except Exception:  # noqa: BLE001 — view already gone
@@ -1544,13 +1583,14 @@ class VssPlanner:
                     f"unsupported CTAS body: {select[:80]!r} — expected "
                     "SELECT / WITH / (SELECT / FROM-first"
                 )
+            replacing = None
             if name.lower() in self._tables:
                 if if_not_exists:
                     self.last_plan = "CREATE_TABLE_AS"
                     return self._empty_result()
                 if not or_replace:
                     raise ValueError(f"table {name!r} already exists")
-                self._drop_table_entry(self._tables[name.lower()])
+                replacing = self._tables[name.lower()]
             # full planner power for the select: DuckDB literal forms
             # first (array_value / call-casts), then sql() for operator
             # aliases, fn translation, and the pragma table functions
@@ -1576,7 +1616,25 @@ class VssPlanner:
             import os as _os
 
             path = _os.path.join(self._ddl_dir, "tables", name)
-            df.write.mode("overwrite").parquet(path)
+            if replacing is not None:
+                # MATERIALIZE the replacement before touching the old
+                # table (review r15): DuckDB keeps the old table when a
+                # replace fails, and CREATE OR REPLACE TABLE t AS
+                # SELECT ... FROM t must read the OLD t — so the select
+                # executes into a sibling dir while the old view and
+                # files are still live, and only a finished write
+                # displaces them
+                import shutil as _shutil
+
+                tmp = path + ".__replace__"
+                _shutil.rmtree(tmp, ignore_errors=True)  # crashed prior
+                df.write.mode("overwrite").parquet(tmp)
+                self._drop_table_entry(replacing)
+                _shutil.rmtree(path, ignore_errors=True)
+                _os.makedirs(_os.path.dirname(path), exist_ok=True)
+                _os.rename(tmp, path)
+            else:
+                df.write.mode("overwrite").parquet(path)
             self._tables[name.lower()] = {
                 "name": name, "path": _os.path.abspath(path),
                 "dims": {}, "auto_rowid": auto_rowid,
@@ -1592,13 +1650,16 @@ class VssPlanner:
                 raise ValueError(
                     "CREATE OR REPLACE TABLE cannot carry IF NOT EXISTS"
                 )
+            replacing = None
             if name.lower() in self._tables:
                 if if_not_exists:
                     self.last_plan = "CREATE_TABLE"
                     return self._empty_result()
                 if not or_replace:
                     raise ValueError(f"table {name!r} already exists")
-                self._drop_table_entry(self._tables[name.lower()])
+                # dropped only after the column spec VALIDATES (review
+                # r15: DuckDB keeps the old table when a replace fails)
+                replacing = self._tables[name.lower()]
             fields = []
             # declared array lengths (FLOAT[3]) survive here even though
             # Spark array types are unsized — CREATE INDEX over an
@@ -1647,6 +1708,11 @@ class VssPlanner:
             )
             if auto_rowid:
                 fields.append("__rowid bigint")
+            # schema parsing happens eagerly here — any bad column type
+            # raises BEFORE the old table is dropped (review r15)
+            empty = self.spark.createDataFrame([], ", ".join(fields))
+            if replacing is not None:
+                self._drop_table_entry(replacing)
             if self._ddl_dir is None:
                 import tempfile
 
@@ -1655,7 +1721,7 @@ class VssPlanner:
 
             path = _os.path.join(self._ddl_dir, "tables", name)
             (
-                self.spark.createDataFrame([], ", ".join(fields))
+                empty
                 .repartition(1)
                 .write.mode("overwrite")
                 .parquet(path)
@@ -2153,6 +2219,12 @@ class VssPlanner:
         macro = self._try_macro(sql)
         if macro is not None:
             return macro
+        if self._rand_conn is not None and self._RANDOM_CALL.search(sql):
+            # after SELECT setseed(x), a bare-SELECT random() must not
+            # fall through to nondeterministic rand() (review r15) —
+            # rewrite to the deterministic stream, or raise loudly on
+            # shapes whose draw order the ordinal mapping can't pin
+            sql = self._seeded_random_rewrite(sql)
         if not self._optimizer_enabled:
             # PRAGMA disable_optimizer: execute UN-rewritten. Operator
             # aliases / DuckDB fn names still translate (parsing —
@@ -2476,21 +2548,35 @@ class VssPlanner:
             )
             if mm:
                 amap[mm.group(2).lower()] = mm.group(1)
+        def _sub_q(pattern: str, repl: str, text: str) -> str:
+            # substitute only OUTSIDE single-quoted SQL literals
+            # (review r15: a 'nbr=' literal must not have its alias
+            # token rewritten) — split keeps the quoted spans at odd
+            # indices, '' is the SQL escape for a literal quote
+            parts = re.split(r"('(?:[^']|'')*')", text)
+            return "".join(
+                p if i % 2 else re.sub(pattern, repl, p, flags=re.IGNORECASE)
+                for i, p in enumerate(parts)
+            )
+
         exprs = []
         for c in self._split_top_level(ml.cols):
             t = c.strip()
             if not t:
                 continue
-            t = t.split(".", 1)[-1]
+            # strip table qualifiers token-wise (the joined frame is
+            # unqualified) — NOT a blind split('.'), which mangled any
+            # dotted reference inside a call like abs(queries.id)
+            # (review r15)
+            t = _sub_q(r"(?<![\w.`'])[A-Za-z_]\w*\.(?=[A-Za-z_])", "", t)
             for al, rexpr in amap.items():
                 if t.lower() == al:
                     t = f"{rexpr} AS {al}"
                     break
-                t = re.sub(
-                    rf"(?<![\w.`]){al}(?![\w(`])",
+                t = _sub_q(
+                    rf"(?<![\w.`]){re.escape(al)}(?![\w(`])",
                     f"({rexpr})",
                     t,
-                    flags=re.IGNORECASE,
                 )
             exprs.append(t)
         return out.selectExpr(*exprs)

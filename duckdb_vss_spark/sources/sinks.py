@@ -260,10 +260,16 @@ def insert_into(df: DataFrame, path: str) -> None:
             {
                 "op": "insert",
                 "table": os.path.abspath(path),
+                # the watermark (one os.stat per file) is only worth
+                # paying for when the listing is too big to journal —
+                # the resolver prefers files_before whenever present
+                # (review r15)
                 "files_before": sorted(before)
                 if len(before) <= _JOURNAL_LIST_CAP
                 else None,
-                "files_watermark": _files_watermark(before),
+                "files_watermark": _files_watermark(before)
+                if len(before) > _JOURNAL_LIST_CAP
+                else None,
             },
         )
         if hooked
@@ -642,9 +648,18 @@ def resolve_pending_dml(spark: SparkSession, index_path: str) -> str:
             # that breaks the derivation (a pre-existing file with a
             # future mtime would hide appended files behind it)
             now = _parquet_files(table)
-            new = sorted(
-                f for f in now if os.stat(f).st_mtime_ns > wm["max_mtime_ns"]
-            )
+
+            def _newer(f: str) -> bool:
+                # a file vanishing between the listing and the stat
+                # (concurrent compaction/swap) must fall to the loud
+                # count check below, not crash recovery with a raw
+                # OSError (review r15)
+                try:
+                    return os.stat(f).st_mtime_ns > wm["max_mtime_ns"]
+                except OSError:
+                    return False
+
+            new = sorted(f for f in now if _newer(f))
             if len(now) - len(new) != wm["count"]:
                 raise PendingDmlError(
                     f"insert journal watermark at {index_path!r} does not "

@@ -104,3 +104,23 @@ def test_planner_seeded_random_shapes(spark):
     with pytest.raises(ValueError, match="single"):
         p.sql("INSERT INTO sr VALUES (99, [random(), random()]::FLOAT[2]);")
     p.sql("DROP TABLE sr")
+
+
+def test_planner_seeded_random_plain_select(spark):
+    """Review r15: after setseed, a bare SELECT random() over a range
+    generator must follow the deterministic stream through the GENERIC
+    sql() path (not fall through to nondeterministic rand()), and a
+    filtered shape raises loudly instead of silently diverging."""
+    from duckdb_vss_spark.plans import VssPlanner
+
+    p = VssPlanner(spark)
+    p.sql("SELECT setseed(0.25);")
+    df = p.sql("SELECT i AS i, random() AS r FROM range(1, 5) t(i)")
+    got = {r["i"]: r["r"] for r in df.collect()}
+    oracle = _duckdb_stream(0.25, 4, 1)
+    for i in range(4):
+        assert got[i + 1] == oracle[i][0]
+    with pytest.raises(ValueError, match="unfiltered"):
+        p.sql("SELECT random() AS r FROM range(1, 10) t(i) WHERE i % 2 = 0")
+    with pytest.raises(ValueError, match="single"):
+        p.sql("SELECT random() AS r")

@@ -669,3 +669,22 @@ def test_sql_set_reference_settings(spark, grid):
                 spark.conf.unset(c)
             except Exception:
                 pass
+
+
+def test_planner_lateral_select_list_robust(spark, grid, planner_with_index):
+    """Review r15: the explicit outer select list must survive (a) a
+    subquery alias used inside a larger expression, (b) alias tokens
+    inside string literals, and (c) dotted references inside calls."""
+    p = planner_with_index
+    queries = grid.where(F.col("id").isin([0, 400])).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qv")
+    )
+    queries.createOrReplaceTempView("grid_queries")
+    df = p.sql(
+        "SELECT abs(a.qid) AS aq, 'nbr=' || nbr AS tag, nbr + 1 AS nplus "
+        "FROM grid_queries a, LATERAL (SELECT b.id as nbr FROM grid_items b "
+        "ORDER BY array_distance(a.qv, b.vec) LIMIT 1) nn"
+    )
+    rows = {r["aq"]: r for r in df.collect()}
+    assert rows[0]["tag"] == "nbr=0" and rows[0]["nplus"] == 1
+    assert rows[400]["tag"] == "nbr=400" and rows[400]["nplus"] == 401

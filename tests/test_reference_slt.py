@@ -123,3 +123,26 @@ def test_scale_subs_counts_audited(spark, tmp_path):
     text = open(f).read()
     for old, _new, n in slt.RECLAIM_SCALE_SUBS:
         assert text.count(old) == n, (old, n)
+
+
+def test_same_label_with_blocks_must_agree(spark, tmp_path):
+    """Review r15 (duckdb slt semantics): a labeled query that carries
+    its OWN expected block is still cross-compared against the stored
+    label result — two same-label queries with differing blocks fail
+    like they do under duckdb's runner."""
+    p = tmp_path / "lbl.test"
+    p.write_text(
+        "query I lbl\nSELECT 1\n----\n1\n\n"
+        "query I lbl\nSELECT 2\n----\n2\n"
+    )
+    r = slt.SltRunner(spark, str(tmp_path))
+    with pytest.raises(slt.SltFailure, match="label lbl"):
+        r.run_file(str(p))
+    # agreeing blocks still pass
+    p2 = tmp_path / "lbl_ok.test"
+    p2.write_text(
+        "query I lbl\nSELECT 1\n----\n1\n\n"
+        "query I lbl\nSELECT 1\n----\n1\n"
+    )
+    r2 = slt.SltRunner(spark, str(tmp_path))
+    assert r2.run_file(str(p2)) >= 2

@@ -568,3 +568,96 @@ def test_insert_select_rowid_assignment_distributed(spark, tmp_path):
     ids2 = spark.read.parquet(path).select("__rowid")
     assert ids2.distinct().count() == 100002
     p.sql("DROP TABLE rdist")
+
+
+def test_failed_replace_keeps_old_table(spark):
+    """Review r15: DuckDB keeps the old table when CREATE OR REPLACE
+    fails — the replacement must validate AND materialize before the
+    old table is touched, in both the CTAS and column-spec forms."""
+    p = VssPlanner(spark)
+    p.sql("CREATE TABLE keepme (x FLOAT[2])")
+    p.sql("INSERT INTO keepme VALUES ([1.0, 2.0]::FLOAT[2])")
+    with pytest.raises(Exception):
+        p.sql("CREATE OR REPLACE TABLE keepme AS SELECT no_such_col FROM keepme")
+    rows = p.sql("SELECT * FROM keepme").collect()
+    assert [list(r["x"]) for r in rows] == [[1.0, 2.0]]
+    with pytest.raises(ValueError, match="unsupported CREATE TABLE"):
+        p.sql("CREATE OR REPLACE TABLE keepme (PRIMARY KEY (y), y INT)")
+    assert p.sql("SELECT count(*) AS n FROM keepme").first()["n"] == 1
+    # a column type the schema parser rejects also keeps the old table
+    with pytest.raises(Exception):
+        p.sql("CREATE OR REPLACE TABLE keepme (y SOME_BOGUS_TYPE<...>)")
+    assert p.sql("SELECT count(*) AS n FROM keepme").first()["n"] == 1
+    p.sql("DROP TABLE keepme")
+
+
+def test_self_referential_replace(spark):
+    """CREATE OR REPLACE TABLE t AS SELECT ... FROM t reads the OLD t
+    (review r15: the old entry must stay live until the new data is
+    materialized)."""
+    p = VssPlanner(spark)
+    p.sql("CREATE TABLE selfrep AS SELECT i AS i FROM range(1, 4) t(i)")
+    p.sql("CREATE OR REPLACE TABLE selfrep AS SELECT i * 10 AS i FROM selfrep")
+    got = sorted(r["i"] for r in p.sql("SELECT i FROM selfrep").collect())
+    assert got == [10, 20, 30]
+    p.sql("DROP TABLE selfrep")
+
+
+def test_replace_drops_dependent_index(spark):
+    """Dependent indexes go WITH the table (review r15, DuckDB's
+    implicit cascade): after CREATE OR REPLACE, a KNN query must NOT
+    route through the stale index over the OLD vectors, DROP INDEX
+    reports the index gone, and the name is free for re-CREATE."""
+    p = VssPlanner(spark)
+    p.sql("SET hnsw_enable_experimental_persistence = true")
+    try:
+        p.sql("CREATE TABLE swapt (vec FLOAT[2])")
+        p.sql(
+            "INSERT INTO swapt SELECT [cast(i as float), cast(i as float)]"
+            "::FLOAT[2] FROM range(0, 20) r(i)"
+        )
+        p.sql("CREATE INDEX swix ON swapt USING HNSW (vec)")
+        assert "swix" in p._named
+        p.sql(
+            "CREATE OR REPLACE TABLE swapt AS "
+            "SELECT [cast(i + 100 as float), cast(i + 100 as float)]"
+            "::FLOAT[2] AS vec FROM range(0, 20) r(i)"
+        )
+        assert "swix" not in p._named
+        assert not any(k[0] == "swapt" for k in p._indexes)
+        df = p.sql(
+            "SELECT vec FROM swapt "
+            "ORDER BY array_distance(vec, [0.0, 0.0]::FLOAT[2]) LIMIT 1"
+        )
+        assert p.last_plan != "HNSW_INDEX_SCAN"  # no stale route
+        assert list(df.first()["vec"]) == [100.0, 100.0]  # NEW data
+        with pytest.raises(ValueError, match="does not exist"):
+            p.sql("DROP INDEX swix")
+        # the name is free again, and the fresh index serves NEW data
+        p.sql("CREATE INDEX swix ON swapt USING HNSW (vec)")
+        df2 = p.sql(
+            "SELECT vec FROM swapt "
+            "ORDER BY array_distance(vec, [0.0, 0.0]::FLOAT[2]) LIMIT 1"
+        )
+        assert p.last_plan == "HNSW_INDEX_SCAN"
+        assert list(df2.first()["vec"]) == [100.0, 100.0]
+        p.sql("DROP INDEX swix")
+        p.sql("DROP TABLE swapt")
+    finally:
+        p.sql("RESET hnsw_enable_experimental_persistence")
+
+
+def test_drop_table_drops_dependent_index(spark):
+    """DROP TABLE removes dependent indexes too (review r15)."""
+    p = VssPlanner(spark)
+    p.sql("SET hnsw_enable_experimental_persistence = true")
+    try:
+        p.sql("CREATE TABLE dropt (vec FLOAT[2])")
+        p.sql("INSERT INTO dropt VALUES ([1.0, 1.0]::FLOAT[2])")
+        p.sql("CREATE INDEX drix ON dropt USING HNSW (vec)")
+        p.sql("DROP TABLE dropt")
+        assert "drix" not in p._named
+        with pytest.raises(ValueError, match="does not exist"):
+            p.sql("DROP INDEX drix")
+    finally:
+        p.sql("RESET hnsw_enable_experimental_persistence")

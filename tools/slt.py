@@ -380,14 +380,14 @@ class SltRunner:
                     )
                 if expected is not None:
                     _compare(expected, actual, f"{path}:\n{stmt}", types)
-                    if label is not None and label not in self.labels:
-                        # a labeled query WITH a block still records
-                        # the label (duckdb slt: all same-label queries
-                        # must agree) — hnsw_lateral_join_group.test
-                        # pins its indexed paths against the brute
-                        # blocks exactly this way (r15)
-                        self.labels[label] = actual
-                elif label is not None:
+                if label is not None:
+                    # duckdb slt: ALL same-label queries must agree —
+                    # a labeled query with its own block is compared
+                    # against the stored label result too (review r15:
+                    # two same-label queries with differing blocks must
+                    # fail here like they do under duckdb's runner).
+                    # hnsw_lateral_join_group.test pins its indexed
+                    # paths against the brute blocks exactly this way.
                     if label in self.labels:
                         _compare(
                             self.labels[label], actual,
