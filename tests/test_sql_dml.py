@@ -661,3 +661,25 @@ def test_drop_table_drops_dependent_index(spark):
             p.sql("DROP INDEX drix")
     finally:
         p.sql("RESET hnsw_enable_experimental_persistence")
+
+
+def test_replace_cascade_survives_restart(spark, tmp_path):
+    """Review r15 follow-through: the index dropped by CREATE OR
+    REPLACE's implicit cascade must not resurrect from the durable
+    catalog on restart."""
+    cat = str(tmp_path / "cat")
+    p1 = VssPlanner(spark, catalog=cat)
+    p1.sql("CREATE TABLE cascades (id BIGINT, vec FLOAT[2]);")
+    p1.sql("INSERT INTO cascades VALUES (1, [1.0, 1.0]::FLOAT[2]);")
+    p1.sql("CREATE INDEX cas_idx ON cascades USING HNSW (vec) WITH (id='id');")
+    p1.sql(
+        "CREATE OR REPLACE TABLE cascades AS "
+        "SELECT [9.0, 9.0]::FLOAT[2] AS vec"
+    )
+    assert "cas_idx" not in p1._named
+    p2 = VssPlanner(spark, catalog=cat)
+    assert "cas_idx" not in p2._named
+    assert not any(k[0] == "cascades" for k in p2._indexes)
+    rows = p2.sql("SELECT vec FROM cascades").collect()
+    assert [list(r["vec"]) for r in rows] == [[9.0, 9.0]]
+    p2.sql("DROP TABLE cascades")
