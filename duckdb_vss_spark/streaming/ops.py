@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -54,10 +55,63 @@ def _stage_symlink(prefix: str, sf_dir: str, filename: str) -> str:
         os.unlink(link)
     if not os.path.lexists(link):
         try:
-            os.symlink(os.path.join(sf_dir, filename), link)
+            # absolutized: a relative sf_dir would otherwise resolve
+            # relative to the /tmp staging dir and dangle forever
+            # (review r15)
+            os.symlink(
+                os.path.abspath(os.path.join(sf_dir, filename)), link
+            )
         except FileExistsError:
             pass
     return stage
+
+
+@contextmanager
+def _artifact_mutate_lock(index_path: str):
+    """Serialize load→modify→commit manifest cycles across CONCURRENT
+    streaming queries (review r15: an add stream and a delete stream
+    on one artifact — the documented usage — each load the manifest,
+    mutate, and write it back; without mutual exclusion one commit
+    silently erases the other's partitions or tombstones, orphaning
+    data files). An advisory ``flock`` on a SIBLING lock file (a
+    sibling so create/overwrite paths that rebuild the artifact dir
+    cannot delete the lock out from under a holder) — covers every
+    mutator on one host, which is where Spark runs foreachBatch
+    callbacks; on object stores, serialize the two streams externally
+    (or give each its own artifact), as with any non-transactional
+    multi-writer."""
+    import fcntl
+
+    lock_path = index_path.rstrip("/") + ".lock"
+    os.makedirs(os.path.dirname(lock_path) or ".", exist_ok=True)
+    with open(lock_path, "w") as fh:
+        fcntl.flock(fh, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(fh, fcntl.LOCK_UN)
+
+
+def _resolve_if_pending(spark, index_path: str) -> None:
+    """A micro-batch must not mutate an artifact carrying a
+    ``pending_dml`` intent record (review r15): family loaders skip
+    the pending check entirely (silent divergence), while
+    ``load_any_index`` raises and would kill the streaming query on a
+    benign race with a bound-table DML's journal window. Replaying the
+    journal first — the same auto-heal the durable catalog performs on
+    restart — closes both: idempotent if the DML's index update in
+    fact landed, and a genuinely unrecoverable journal still raises
+    loudly (PendingDmlError names rebuild())."""
+    man_path = os.path.join(index_path, "manifest.json")
+    try:
+        with open(man_path) as fh:
+            pending = "pending_dml" in json.load(fh)
+    except (OSError, ValueError):
+        return
+    if pending:
+        from duckdb_vss_spark.sources.sinks import resolve_pending_dml
+
+        resolve_pending_dml(spark, index_path)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -398,49 +452,60 @@ def streaming_index_add(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        man_path = os.path.join(index_path, "manifest.json")
-        if not os.path.exists(man_path):
-            ix = create_index(
-                spark,
-                batch_df,
-                vec_col=vec_col,
-                id_col=id_col,
-                path=index_path,
-                overwrite=True,  # a replayed epoch-0 recreate is idempotent
-                **index_opts,
-            )
-            ix.manifest["last_epochs"] = {stream_key: int(epoch_id)}
-            from duckdb_vss_spark.index.manifest import write_manifest
+        with _artifact_mutate_lock(index_path):
+            man_path = os.path.join(index_path, "manifest.json")
+            if not os.path.exists(man_path):
+                ix = create_index(
+                    spark,
+                    batch_df,
+                    vec_col=vec_col,
+                    id_col=id_col,
+                    path=index_path,
+                    overwrite=True,  # replayed epoch-0 recreate: idempotent
+                    **index_opts,
+                )
+                ix.manifest["last_epochs"] = {stream_key: int(epoch_id)}
+                from duckdb_vss_spark.index.manifest import write_manifest
 
-            write_manifest(index_path, ix.manifest, indent=1)
-            return
-        ix = load_index_fn(spark, index_path)
-        stamps = dict(ix.manifest.get("last_epochs") or {})
-        if not stamps and "last_epoch" in ix.manifest:
-            # pre-r13 manifest: the bare stamp can only have come from
-            # a same-stream run (the scoped schema ships with this fix)
-            stamps = {stream_key: int(ix.manifest["last_epoch"])}
-        if int(stamps.get(stream_key, -1)) >= int(epoch_id):
-            return  # replayed micro-batch after restart — already merged
-        stamps[stream_key] = int(epoch_id)
-        if data_subdir is None:  # HNSW: shard trigger rides add_batch
-            ix.add_batch(
-                batch_df,
-                manifest_extra={"last_epochs": stamps},
-                auto_compact_shards=auto_compact_shards,
+                write_manifest(index_path, ix.manifest, indent=1)
+                return
+            _resolve_if_pending(spark, index_path)
+            ix = load_index_fn(spark, index_path)
+            stamps = dict(ix.manifest.get("last_epochs") or {})
+            if not stamps and "last_epoch" in ix.manifest:
+                # pre-r13 manifest: adopt the bare stamp ONLY when this
+                # stream's epoch counter is already past it — a
+                # same-checkpoint resume replays at epoch >= stamp,
+                # while a FRESH checkpoint restarts at 0 and adopting
+                # would silently drop every batch up to the stamp
+                # (review r15)
+                bare = int(ix.manifest["last_epoch"])
+                if int(epoch_id) >= bare:
+                    stamps = {stream_key: bare}
+            if int(stamps.get(stream_key, -1)) >= int(epoch_id):
+                return  # replayed micro-batch after restart — merged
+            stamps[stream_key] = int(epoch_id)
+            if data_subdir is None:  # HNSW: shard trigger rides add_batch
+                ix.add_batch(
+                    batch_df,
+                    manifest_extra={"last_epochs": stamps},
+                    auto_compact_shards=auto_compact_shards,
+                )
+                return
+            ix.add_batch(batch_df, manifest_extra={"last_epochs": stamps})
+            if auto_compact_shards is None:
+                return  # manual cadence (review r15: int(None) raised)
+            # hive-layout families legitimately hold ~one file PER LIST
+            # after a compact — the trigger must not refire on that
+            # floor
+            right_sized = max(
+                1,
+                (int(ix.manifest["count"]) + 65_535) // 65_536,
+                int(ix.manifest.get("nlist", 1)),
             )
-            return
-        ix.add_batch(batch_df, manifest_extra={"last_epochs": stamps})
-        # hive-layout families legitimately hold ~one file PER LIST
-        # after a compact — the trigger must not refire on that floor
-        right_sized = max(
-            1,
-            (int(ix.manifest["count"]) + 65_535) // 65_536,
-            int(ix.manifest.get("nlist", 1)),
-        )
-        n_files = _data_file_count(index_path, data_subdir)
-        if n_files > int(auto_compact_shards) and n_files > right_sized:
-            ix.compact()
+            n_files = _data_file_count(index_path, data_subdir)
+            if n_files > int(auto_compact_shards) and n_files > right_sized:
+                ix.compact()
 
     return (
         vectors.writeStream.outputMode("append")
@@ -510,29 +575,36 @@ def streaming_index_delete(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        if not os.path.exists(os.path.join(index_path, "manifest.json")):
-            return  # nothing to delete from (yet)
-        if index_kind is not None:
-            _c, load_index_fn, _s = _index_fns(index_kind)
-            ix = load_index_fn(spark, index_path)
-        else:
-            ix = load_any_index(spark, index_path)
-        stamps = dict(ix.manifest.get("last_del_epochs") or {})
-        if int(stamps.get(stream_key, -1)) >= int(epoch_id):
-            return  # replayed micro-batch after restart — already applied
-        stamps[stream_key] = int(epoch_id)
-        ix.delete_batch(batch_df, manifest_extra={"last_del_epochs": stamps})
-        if auto_compact_dead_fraction is None:
-            return
-        dead = int(ix.manifest.get("deleted_count", 0))
-        total = int(ix.manifest.get("count", 0))
-        if total and dead / total > float(auto_compact_dead_fraction):
-            if hasattr(ix, "compact_from_shards"):  # HNSW: own-vector repack
-                ix.compact_from_shards(
-                    preserve=("last_epochs", "last_del_epochs")
-                )
-            else:  # quantized: self-contained data-dir rewrite
-                ix.compact()
+        with _artifact_mutate_lock(index_path):
+            if not os.path.exists(os.path.join(index_path, "manifest.json")):
+                return  # nothing to delete from (yet)
+            _resolve_if_pending(spark, index_path)
+            if index_kind is not None:
+                _c, load_index_fn, _s = _index_fns(index_kind)
+                ix = load_index_fn(spark, index_path)
+            else:
+                ix = load_any_index(spark, index_path)
+            stamps = dict(ix.manifest.get("last_del_epochs") or {})
+            if int(stamps.get(stream_key, -1)) >= int(epoch_id):
+                return  # replayed micro-batch after restart — applied
+            stamps[stream_key] = int(epoch_id)
+            ix.delete_batch(
+                batch_df, manifest_extra={"last_del_epochs": stamps}
+            )
+            if auto_compact_dead_fraction is None:
+                return
+            dead = int(ix.manifest.get("deleted_count", 0))
+            total = int(ix.manifest.get("count", 0))
+            if total and dead / total > float(auto_compact_dead_fraction):
+                if hasattr(ix, "compact_from_shards"):  # HNSW repack
+                    # DEFAULT preserve — it keeps pending_dml and
+                    # last_dml_token beside the replay stamps (review
+                    # r15: the narrowed tuple destroyed an in-flight
+                    # DML journal record, exactly the divergence the
+                    # journal exists to detect)
+                    ix.compact_from_shards()
+                else:  # quantized: self-contained data-dir rewrite
+                    ix.compact()
 
     return (
         ids.writeStream.outputMode("append")

@@ -782,3 +782,184 @@ def test_streaming_index_delete_quantized(spark, tmp_path):
     live = emb.where(F.col("vec_id") % 3 != 0)
     want = {r["vec_id"] for r in knn_search(live, "embedding", qv, 10).collect()}
     assert got == want
+
+
+def test_streaming_add_quantized_no_autocompact(spark, tmp_path):
+    """Review r15: auto_compact_shards=None (manual cadence) must not
+    crash the quantized path's trigger arithmetic on the second
+    batch."""
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark.index.pq import load_pq_index
+    from duckdb_vss_spark.streaming.ops import streaming_index_add
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+    )
+    h1 = emb.where(F.col("vec_id") % 2 == 0)
+    h2 = emb.where(F.col("vec_id") % 2 == 1)
+    src = str(tmp_path / "srcn")
+    h1.coalesce(1).write.parquet(src)
+    idx_path = str(tmp_path / "nc_pq")
+    ckpt = str(tmp_path / "ckptn")
+
+    def run_once():
+        q = streaming_index_add(
+            spark.readStream.schema(
+                "vec_id long, embedding array<float>"
+            ).parquet(src),
+            index_path=idx_path,
+            vec_col="embedding",
+            id_col="vec_id",
+            checkpoint_dir=ckpt,
+            index_kind="pq",
+            auto_compact_shards=None,
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    h2.coalesce(1).write.mode("append").parquet(src)
+    run_once()  # pre-fix: TypeError(int(None)) killed this batch
+    assert load_pq_index(spark, idx_path).count == emb.count()
+
+
+def test_streaming_add_bare_stamp_fresh_checkpoint(spark, tmp_path):
+    """Review r15: a pre-r13 bare last_epoch stamp is adopted only when
+    this stream's epoch counter is already past it — a FRESH checkpoint
+    restarts epochs at 0, and adopting a stamp of 500 would silently
+    drop every batch."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark.index import load_index
+    from duckdb_vss_spark.index.manifest import write_manifest
+    from duckdb_vss_spark.streaming.ops import streaming_index_add
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+    )
+    h1 = emb.where(F.col("vec_id") % 2 == 0)
+    h2 = emb.where(F.col("vec_id") % 2 == 1)
+    src = str(tmp_path / "srcb")
+    h1.coalesce(1).write.parquet(src)
+    idx_path = str(tmp_path / "bare_idx")
+
+    q = streaming_index_add(
+        spark.readStream.schema(
+            "vec_id long, embedding array<float>"
+        ).parquet(src),
+        index_path=idx_path,
+        vec_col="embedding",
+        id_col="vec_id",
+        checkpoint_dir=str(tmp_path / "ckpt_old"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    # rewrite the manifest into the pre-r13 shape: bare stamp FAR
+    # ahead of any fresh checkpoint's epoch counter
+    man = json.load(open(os.path.join(idx_path, "manifest.json")))
+    man.pop("last_epochs", None)
+    man["last_epoch"] = 500
+    write_manifest(idx_path, man)
+
+    src2 = str(tmp_path / "srcb2")  # fresh SOURCE too — a fresh
+    # checkpoint re-reads its source from scratch
+    h2.coalesce(1).write.parquet(src2)
+    q = streaming_index_add(
+        spark.readStream.schema(
+            "vec_id long, embedding array<float>"
+        ).parquet(src2),
+        index_path=idx_path,
+        vec_col="embedding",
+        id_col="vec_id",
+        checkpoint_dir=str(tmp_path / "ckpt_new"),  # FRESH scope
+    )
+    q.processAllAvailable()
+    q.stop()
+    # pre-fix: the fresh-checkpoint batch (epoch 0 <= 500) was
+    # silently dropped; the second half never reached the index
+    assert load_index(spark, idx_path).count == emb.count()
+
+
+def test_streaming_delete_resolves_pending_journal(spark, tmp_path):
+    """Review r15: a delete-stream micro-batch landing inside a bound
+    DML's pending_dml window REPLAYS the journal first (the catalog
+    restart auto-heal) instead of dying on PendingDmlError — and then
+    applies its own batch."""
+    from pyspark.sql import functions as F
+
+    from duckdb_vss_spark.index import create_hnsw_index, load_any_index
+    from duckdb_vss_spark.index.manifest import set_pending
+    from duckdb_vss_spark.streaming.ops import streaming_index_delete
+
+    rows = [(i, [float(i), float(i % 5), 1.0, 0.0]) for i in range(24)]
+    df = spark.createDataFrame(rows, "rid long, vec array<float>")
+    table = str(tmp_path / "t")
+    df.write.parquet(table)
+    ix = create_hnsw_index(
+        spark, df, vec_col="vec", id_col="rid",
+        path=str(tmp_path / "ixp"), name="pendstream", metric="l2sq",
+        overwrite=True,
+    )
+    # an insert journal whose files_before covers the whole table:
+    # replay derives zero appended files and clears — the benign
+    # "crash after clear was lost" shape
+    files = sorted(
+        str(p) for p in (tmp_path / "t").rglob("*.parquet")
+    )
+    ix.manifest = set_pending(
+        ix.path,
+        ix.manifest,
+        {"op": "insert", "table": table, "files_before": files,
+         "files_watermark": None, "token": "tok-r15"},
+    )
+
+    src = str(tmp_path / "del_src")
+    spark.createDataFrame(
+        [(i,) for i in range(4)], "rid long"
+    ).coalesce(1).write.parquet(src)
+    q = streaming_index_delete(
+        spark.readStream.schema("rid long").parquet(src),
+        index_path=ix.path,
+        checkpoint_dir=str(tmp_path / "ckpt_del"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    fresh = load_any_index(spark, ix.path)  # loads clean: journal gone
+    assert "pending_dml" not in fresh.manifest
+    assert int(fresh.manifest.get("deleted_count", 0)) == 4
+
+
+def test_artifact_mutate_lock_serializes(tmp_path):
+    """Review r15: the sibling-file advisory lock makes concurrent
+    load→modify→commit cycles mutually exclusive — 2 threads × 25
+    read-increment-write rounds lose no update."""
+    import json
+    import os
+    import threading
+
+    from duckdb_vss_spark.streaming.ops import _artifact_mutate_lock
+
+    art = str(tmp_path / "art")
+    os.makedirs(art)
+    man = os.path.join(art, "counter.json")
+    json.dump({"n": 0}, open(man, "w"))
+
+    def bump():
+        for _ in range(25):
+            with _artifact_mutate_lock(art):
+                d = json.load(open(man))
+                d["n"] += 1
+                json.dump(d, open(man, "w"))
+
+    ts = [threading.Thread(target=bump) for _ in range(2)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert json.load(open(man))["n"] == 50
