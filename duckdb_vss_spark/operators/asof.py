@@ -100,6 +100,14 @@ def asof_join(
     payload = F.struct(
         F.col(on).alias("__on"), *[F.col(c).alias(c) for c in carried]
     )
+    # SQL ASOF semantics: the inequality is FALSE for NULL ordering
+    # values on either side (review r15) — a NULL-on right row must
+    # never match (under Spark's nulls-first ASC it sorted to the
+    # partition head and became a universal backward fallback), and a
+    # NULL-on left row keeps its row with no match (guarded after the
+    # window below; under DESC nulls-last it inherited the smallest-on
+    # right row in forward mode)
+    right = right.where(F.col(on).isNotNull())
     r2 = right.select(
         *by_list,
         F.col(on).alias("__ord"),
@@ -127,6 +135,10 @@ def asof_join(
         "__match", F.last("__match", ignorenulls=True).over(w)
     )
     u = u.where(F.col("__side") == 1)
+    # NULL-on left rows: comparison is false → row kept, match nulled
+    u = u.withColumn(
+        "__match", F.when(F.col("__ord").isNotNull(), F.col("__match"))
+    )
 
     if tolerance is not None:
         gap = F.abs(_gap_expr(F.col("__ord"), F.col("__match.__on"), on_dtype))

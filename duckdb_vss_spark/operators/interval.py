@@ -85,14 +85,20 @@ def interval_join(
         l_num.alias("__lv"),
         F.explode(
             F.sequence(
-                F.floor((l_num + F.lit(int(lower))) / F.lit(width)),
-                F.floor((l_num + F.lit(int(upper))) / F.lit(width)),
+                # the signature admits float offsets — int() truncation
+                # here silently dropped every fractional-gap match and
+                # shrank negative look-back windows toward zero
+                # (review r15); any integer bucket width still COVERS
+                # a float range, so only the exact filter needs the
+                # true bounds
+                F.floor((l_num + F.lit(lower)) / F.lit(width)),
+                F.floor((l_num + F.lit(upper)) / F.lit(width)),
             )
         ).alias("__bucket"),
     )
     j = l2.join(r2, [*by_list, "__bucket"]).where(
         F.col("__rv").between(
-            F.col("__lv") + F.lit(int(lower)), F.col("__lv") + F.lit(int(upper))
+            F.col("__lv") + F.lit(lower), F.col("__lv") + F.lit(upper)
         )
     )
     keep = [

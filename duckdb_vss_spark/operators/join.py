@@ -54,6 +54,10 @@ from duckdb_vss_spark.functions.distance import (
 
 __all__ = ["knn_join", "knn_classify", "vss_join", "vss_match"]
 
+# finite "worse than any real distance" marker for pairs whose metric
+# is undefined (zero-vector cosine) — surfaced as NULL dist at the end
+_DEAD_DIST = 1e300
+
 # vss_* macro scoring: metric → (score function, keep-largest?)
 _MACRO_SCORES = {
     "l2sq": (array_distance, False),
@@ -171,7 +175,11 @@ def _knn_join_broadcast(
     import pandas as pd
 
     sc = items.sparkSession.sparkContext
-    out_schema = f"{qid} long, {iid} long, {dist_col} double"
+    # internal kernel names — the user's id columns may collide with
+    # each other (a self-join kNN graph: query_id_col == item_id_col)
+    # or with other columns; the real names come back at the
+    # late-materialization joins below (review r15)
+    out_schema = "__bq long, __bi long, __bd double"
 
     def chunk_candidates(ids_c: np.ndarray, mat_c: np.ndarray) -> DataFrame:
         bq = sc.broadcast((ids_c, mat_c))
@@ -226,7 +234,7 @@ def _knn_join_broadcast(
             if valid.sum():
                 qrep = np.repeat(ids_, valid.sum(axis=1))
                 yield pd.DataFrame(
-                    {qid: qrep, iid: best_i[valid], dist_col: best_d[valid]}
+                    {"__bq": qrep, "__bi": best_i[valid], "__bd": best_d[valid]}
                 )
 
         return items.select(iid, iv).mapInPandas(search_partition, schema=out_schema)
@@ -237,23 +245,66 @@ def _knn_join_broadcast(
     for ids_c, mat_c in iter_query_chunks(queries, qid, qv, queries_per_batch):
         part = chunk_candidates(ids_c, mat_c)
         candidates = part if candidates is None else candidates.unionByName(part)
+    items_d = _dedup_names(queries, items)
+    iid_d = f"item_{iid}" if iid in queries.columns else iid
+    # NULL-vector query rows still get k (arbitrary, here: lowest-id)
+    # matches with NULL dist — crossjoin/reference-lateral parity
+    # (review r15: the kernel filters them, so they vanished under
+    # this strategy while hnsw_lateral_join.test pins that they stay)
+    null_q = queries.where(F.col(qv).isNull())
     if candidates is None:
-        raise ValueError("no non-NULL query vectors")
-    w = Window.partitionBy(qid).orderBy(F.col(dist_col).asc(), F.col(iid))
-    topk = candidates.withColumn(rn_col, F.row_number().over(w)).where(F.col(rn_col) <= k)
-    # late materialization: fetch payload columns by id after selection
-    return (
-        topk.join(queries.drop(qv) if qv != qid else queries, on=qid, how="inner")
-        .join(_dedup_names(queries, items), on=iid, how="inner")
+        topk = None
+    else:
+        w = Window.partitionBy("__bq").orderBy(
+            F.col("__bd").asc(), F.col("__bi")
+        )
+        topk = (
+            candidates.withColumn(rn_col, F.row_number().over(w))
+            .where(F.col(rn_col) <= k)
+        )
+        if metric == "cosine":
+            # zero-norm pairs come back as the DEAD sentinel from the
+            # kernel (losing to every real distance but filling the
+            # limit); surface them as NULL — the value the crossjoin
+            # strategy's JVM expression produces (review r15)
+            topk = topk.withColumn(
+                "__bd",
+                F.when(F.col("__bd") < F.lit(_DEAD_DIST), F.col("__bd")),
+            )
+        # late materialization: fetch payload columns by id after
+        # selection — every query column (including the vector) and
+        # every (dedup-renamed) item column, the crossjoin contract
+        topk = (
+            topk.join(queries, topk["__bq"] == queries[qid], "inner")
+            .join(items_d, F.col("__bi") == items_d[iid_d], "inner")
+            .withColumnRenamed("__bd", dist_col)
+            .drop("__bq", "__bi")
+        )
+    arb = (
+        items_d.orderBy(F.col(iid_d))
+        .limit(k)
+        .withColumn(dist_col, F.lit(None).cast("double"))
     )
+    null_part = null_q.crossJoin(arb).withColumn(
+        rn_col,
+        F.row_number().over(
+            Window.partitionBy(qid).orderBy(F.col(iid_d))
+        ),
+    )
+    if topk is None:
+        return null_part
+    return topk.unionByName(null_part)
 
 
 def _pairwise_dist(x, q, metric):
     """(batch, d) × (nq, d) → (batch, nq) distances, float64.
 
     l2 uses the norm expansion for the matmul fast path; selected
-    distances are rank-exact for top-k purposes and recomputable
-    downstream if bit-exact values are needed.
+    distances are rank-exact for top-k at embedding-normalized
+    magnitudes, but the expansion cancels catastrophically for
+    components around 1e8 — at such magnitudes near-ties can flip vs
+    the crossjoin strategy's direct fold and the emitted dist loses
+    precision (recompute downstream if bit-exact values are needed).
     """
     import numpy as np
 
@@ -261,12 +312,22 @@ def _pairwise_dist(x, q, metric):
         d2 = (x * x).sum(1)[:, None] + (q * q).sum(1)[None, :] - 2.0 * (x @ q.T)
         return np.sqrt(np.maximum(d2, 0.0))
     if metric == "cosine":
-        # floor the norms so a zero vector yields distance 1.0, not NaN
-        # (NaN would feed argpartition with unspecified ordering) — same
-        # floor as the graph side (hnsw_graph._rank_dist)
-        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
-        qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
-        return 1.0 - xn @ qn.T
+        # an exactly-zero vector gets the DEAD sentinel — a finite
+        # "worse than every real distance" that still fills the limit
+        # (NaN would lose to the merge's +inf initial fill and the row
+        # would vanish); the caller surfaces sentinel distances as
+        # NULL, matching the crossjoin strategy's JVM 0/0 → NULL
+        # (review r15). Near-zero norms keep the 1e-30 floor so they
+        # stay finite (same floor as hnsw_graph._rank_dist).
+        xnorm = np.linalg.norm(x, axis=1, keepdims=True)
+        qnorm = np.linalg.norm(q, axis=1, keepdims=True)
+        xn = x / np.maximum(xnorm, 1e-30)
+        qn = q / np.maximum(qnorm, 1e-30)
+        d = 1.0 - xn @ qn.T
+        dead = (xnorm == 0.0) | (qnorm == 0.0).T
+        if dead.any():
+            d = np.where(dead, _DEAD_DIST, d)
+        return d
     if metric == "ip":
         return -(x @ q.T)
     raise ValueError(f"unknown metric {metric!r}")
@@ -328,13 +389,22 @@ def vss_match(
     )
     sort_key = -F.col("score") if keep_largest else F.col("score")
     pairs = F.collect_list(F.struct(sort_key.alias("__s"), F.col("score"), F.col("row")))
-    agg = j.groupBy("__lrow", "__left").agg(
+    agg = j.groupBy("__lrow").agg(
         F.transform(
             F.slice(F.array_sort(pairs), 1, k),
             lambda p: F.struct(p["score"].alias("score"), p["row"].alias("row")),
         ).alias("matches")
     )
-    return agg.select("__left.*", "matches")
+    # the macro is an UNGROUPED aggregate correlated per left row
+    # (min_by/max_by over the right table) — it yields exactly one row
+    # per left row even when no pair scores (empty right table, all-NULL
+    # vectors), with a NULL matches value, DuckDB's aggregate-over-empty
+    # convention. The inner-join shape dropped those left rows entirely
+    # (review r15).
+    return (
+        l.join(agg, "__lrow", "left")
+        .select("__left.*", "matches")
+    )
 
 
 def knn_classify(

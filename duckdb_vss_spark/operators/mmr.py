@@ -22,11 +22,15 @@ scan that already did the sublinear work. Execution is one
 pairwise-distance matrix is (n²) floats, and queries parallelize
 across the cluster. Nothing is collected to the driver.
 
-Float discipline (oracle parity): distances use the metric's
-SQL-visible form via sequential 64-dim folds — numpy sums ≤128
-elements sequentially (pairwise-summation blocksize), matching
-DuckDB's sequential kernel and the JVM fold bit-for-bit — and the
-emitted ``dist`` column is passed through from the (JVM-computed)
+Float discipline (oracle parity): the l2/l2sq pair distances reduce
+via numpy's ≤128-element sequential path (pairwise-summation
+blocksize), matching DuckDB's sequential kernel and the JVM fold
+bit-for-bit; the cosine/ip kernels go through BLAS matvec, whose
+multi-accumulator dot can differ from a sequential fold by a few ulps
+— a greedy argmax between candidates tied within ulps can therefore
+diverge from the unrolled-greedy SQL oracle on those metrics (review
+r15: parity there is exact-in-practice, not guaranteed bit-for-bit).
+The emitted ``dist`` column is passed through from the (JVM-computed)
 input, never recomputed. With λ a dyadic rational (e.g. 0.5) the
 score arithmetic is exact in both engines.
 """
@@ -53,7 +57,11 @@ def _pair_dists(mat: np.ndarray, metric: str) -> np.ndarray:
             d2 = ((mat - mat[i]) ** 2).sum(axis=1)
             out[i] = np.sqrt(d2) if metric == "l2" else d2
     elif metric == "cosine":
-        norms = np.sqrt((mat**2).sum(axis=1))
+        # 1e-30 floor (the join.py kernels' shared convention): a zero
+        # vector in the shortlist must not emit NaN/inf pair distances
+        # that poison every remaining candidate's diversity term and
+        # degrade selection to id order (review r15)
+        norms = np.maximum(np.sqrt((mat**2).sum(axis=1)), 1e-30)
         for i in range(n):
             out[i] = 1.0 - (mat @ mat[i]) / (norms * norms[i])
     elif metric == "ip":

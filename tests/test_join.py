@@ -213,3 +213,89 @@ def test_broadcast_kernel_all_ties_duplicate_corpus(spark):
         got.setdefault(r["qid"], []).append((r["rn"], r["vec_id"]))
     for q in range(3):
         assert sorted(got[q]) == [(rn, rn - 1) for rn in range(1, 6)]
+
+
+def test_vss_match_keeps_left_rows_without_matches(spark):
+    """Review r15: the reference macro is an ungrouped aggregate
+    correlated per left row — one output row per left row even when no
+    pair scores (empty right / all-NULL vectors), with NULL matches."""
+    from duckdb_vss_spark.operators.join import vss_match
+
+    left = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 1.0])], "id int, vec array<float>"
+    )
+    empty_right = spark.createDataFrame([], "id int, vec array<float>")
+    out = vss_match(left, empty_right, "vec", "vec", k=2).collect()
+    assert len(out) == 2
+    assert all(r["matches"] is None for r in out)
+    null_right = spark.createDataFrame(
+        [(9, None)], "id int, vec array<float>"
+    )
+    out2 = vss_match(left, null_right, "vec", "vec", k=2).collect()
+    assert len(out2) == 2 and all(r["matches"] is None for r in out2)
+    # real matches still come back sorted
+    real = spark.createDataFrame(
+        [(7, [0.0, 0.1]), (8, [5.0, 5.0])], "id int, vec array<float>"
+    )
+    out3 = {
+        r["id"]: [m["row"]["id"] for m in r["matches"]]
+        for r in vss_match(left, real, "vec", "vec", k=1).collect()
+    }
+    assert out3 == {1: [7], 2: [7]}
+
+
+def test_knn_join_broadcast_self_join_same_id_col(spark):
+    """Review r15: query_id_col == item_id_col (a kNN-graph self-join)
+    must work under the broadcast strategy, matching crossjoin."""
+    from duckdb_vss_spark.operators.join import knn_join
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(6)],
+        "vec_id long, vec array<float>",
+    )
+    b = knn_join(
+        df, df, "vec", "vec", 2,
+        query_id_col="vec_id", item_id_col="vec_id", strategy="broadcast",
+    )
+    got = {(r["vec_id"], r["item_vec_id"], r["rn"]) for r in b.collect()}
+    a = knn_join(df, df, "vec", "vec", 2)
+    want = {(r["vec_id"], r["item_vec_id"], r["rn"]) for r in a.collect()}
+    assert got == want
+
+
+def test_knn_join_broadcast_null_query_and_zero_vector_parity(spark):
+    """Review r15: under the broadcast strategy (a) a NULL-vector query
+    row still gets k matches with NULL dist (crossjoin/reference
+    lateral parity — it used to vanish), (b) the query vector column
+    survives to the output, and (c) a zero vector under cosine gets
+    NULL dist (the JVM 0/0 → NULL), not 1.0."""
+    from duckdb_vss_spark.operators.join import knn_join
+
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 0.0])],
+        "qid long, qv array<float>",
+    )
+    items = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [-1.0, 0.0]), (12, [0.5, 0.5])],
+        "iid long, iv array<float>",
+    )
+    out = knn_join(
+        queries, items, "qv", "iv", 2, metric="cosine",
+        query_id_col="qid", item_id_col="iid", strategy="broadcast",
+    )
+    assert "qv" in out.columns  # (b)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    assert set(by_q) == {1, 2, 3}
+    assert len(by_q[2]) == 2  # (a) NULL query keeps k rows
+    assert all(r["dist"] is None for r in by_q[2])
+    assert all(r["dist"] is None for r in by_q[3])  # (c) zero vector
+    # the real query's results match crossjoin exactly
+    cj = knn_join(
+        queries.where("qid = 1"), items, "qv", "iv", 2, metric="cosine"
+    )
+    want = {(r["iid"], r["rn"]) for r in cj.collect()}
+    got = {(r["iid"], r["rn"]) for r in by_q[1]}
+    assert got == want

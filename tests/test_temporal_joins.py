@@ -235,3 +235,64 @@ class TestRandomizedCrossCheck:
             if lk == rk and lt + lo <= rt <= lt + hi
         )
         assert got == want
+
+
+class TestNullAndFloatSemantics:
+    def test_asof_null_on_values_match_duckdb(self, spark):
+        """Review r15: SQL ASOF inequality is FALSE for NULL ordering
+        values — a NULL-t right row never matches (it was a universal
+        backward fallback) and a NULL-t left row keeps its row with no
+        match (it inherited the smallest-t right row in forward mode).
+        Differential against DuckDB's native ASOF JOIN."""
+        import duckdb
+
+        lrows = [(1, 5.0), (2, None), (3, 100.0)]
+        rrows = [(1, 10.0, "r10"), (1, None, "rnull"), (3, 50.0, "r50")]
+        left = spark.createDataFrame(lrows, "k int, t double")
+        right = spark.createDataFrame(rrows, "k int, t double, tag string")
+        for direction, op in (("backward", ">="), ("forward", "<=")):
+            got = {
+                (r["k"], r["t"], r["tag"])
+                for r in asof_join(
+                    left, right, on="t", by="k", direction=direction
+                ).collect()
+            }
+            con = duckdb.connect()
+            con.execute("CREATE TABLE l (k int, t double)")
+            con.execute("CREATE TABLE r (k int, t double, tag varchar)")
+            con.executemany("INSERT INTO l VALUES (?, ?)", lrows)
+            con.executemany("INSERT INTO r VALUES (?, ?, ?)", rrows)
+            want = {
+                tuple(row)
+                for row in con.execute(
+                    f"SELECT l.k, l.t, r.tag FROM l ASOF LEFT JOIN r "
+                    f"ON l.k = r.k AND l.t {op} r.t"
+                ).fetchall()
+            }
+            con.close()
+            assert got == want, (direction, got, want)
+
+    def test_interval_float_bounds(self, spark):
+        """Review r15: float lower/upper offsets were silently
+        truncated with int() — fractional-gap matches vanished and
+        negative look-backs shrank toward zero."""
+        left = spark.createDataFrame([(1, 10.0)], "k int, t double")
+        right = spark.createDataFrame(
+            [(1, 9.6, "a"), (1, 10.4, "b"), (1, 11.2, "c"), (1, 8.9, "d")],
+            "k int, t double, tag string",
+        )
+        got = {
+            r["tag"]
+            for r in interval_join(
+                left, right, on="t", by="k", lower=-0.5, upper=0.5
+            ).collect()
+        }
+        assert got == {"a", "b"}  # pre-fix: between(t+0, t+0) → only exact
+        got2 = {
+            r["tag"]
+            for r in interval_join(
+                left, right, on="t", by="k", lower=-2.5, upper=1.5
+            ).collect()
+        }
+        # pre-fix truncation gave [t-2, t+1] = [8, 11], dropping c@11.2
+        assert got2 == {"a", "b", "c", "d"}
