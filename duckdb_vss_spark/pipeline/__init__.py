@@ -1,11 +1,16 @@
 from duckdb_vss_spark.pipeline.dedup import (  # noqa: F401
     dedup_clusters,
+    dedup_keep,
+    dedup_keep_best,
     embedding_neardup_lsh,
     embedding_neardup_pairs,
     exact_dedup,
     jaccard_pairs,
+    minhash_incremental_keep,
     minhash_lsh_pairs,
+    minhash_match_store,
     minhash_signature,
+    minhash_store,
     shingle_table,
     simhash,
     simhash_pairs,
@@ -14,6 +19,7 @@ from duckdb_vss_spark.pipeline.sample import (  # noqa: F401
     hash60,
     hash_sample,
     shuffle_shards,
+    weighted_sample,
 )
 from duckdb_vss_spark.pipeline.multimodal import (  # noqa: F401
     MEDIA_SCHEMA,

@@ -45,6 +45,7 @@ __all__ = [
     "embedding_neardup_pairs",
     "embedding_neardup_lsh",
     "dedup_clusters",
+    "dedup_keep",
     "dedup_keep_best",
 ]
 
@@ -188,13 +189,24 @@ def doc_shingles(
             flat: list = []
             lens: list = []
             for doc_id, text in zip(pdf["id"], pdf["txt"]):
-                if text is None:
+                # a NULL id has no identity to dedup under — and Arrow
+                # hands it over as NaN, which the int64 output column
+                # cannot hold (review r15: it crashed the whole job)
+                if text is None or pd.isna(doc_id):
                     continue
                 words = text.split(" ")
                 if len(words) < n:
                     continue
-                doc_ids.append(doc_id)
                 sh = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+                if n == 1:
+                    # the relational form filters length(sh) > 0 — a
+                    # run of spaces must not mint '' shingles at n=1
+                    # (review r15: sz and Jaccard diverged from the
+                    # oracle on double-spaced text)
+                    sh = [s for s in sh if s]
+                    if not sh:
+                        continue
+                doc_ids.append(doc_id)
                 flat.extend(sh)
                 lens.append(len(sh))
             if not doc_ids:
@@ -269,7 +281,9 @@ def shingle_table(
 ) -> DataFrame:
     """Distinct (id, shingle) pairs; optionally drop shingles appearing in
     more than ``max_df`` docs (stop-shingle cap — bounds self-join fan-out
-    at scale; dropped shingles slightly *underestimate* Jaccard)."""
+    at scale; a declared approximation that *overestimates* Jaccard when a
+    dropped stop-shingle sat on only one side of a pair — see the bias
+    note in jaccard_pairs, review r15)."""
     sh = (
         _spread(df)
         .select(F.col(id_col).alias("id"), F.explode(word_ngrams(text_col, n)).alias("sh"))
@@ -305,9 +319,14 @@ def jaccard_pairs(
     distinct shuffle, no per-doc size aggregate."""
     base = _materialize(doc_shingles(df, text_col, id_col, n))
     if max_df is not None:
-        # stop-shingle cap (bounds join fan-out at scale; dropped
-        # shingles slightly underestimate Jaccard) — sizes must then be
-        # recounted over the surviving shingles
+        # stop-shingle cap (bounds join fan-out at scale). NOTE the
+        # bias direction (review r15): with sizes recounted over the
+        # SURVIVING shingles, a dropped stop-shingle present on only
+        # one side of a pair shrinks the union while leaving the
+        # intersection intact — capped Jaccard OVERestimates (A={x,s},
+        # B={x}: true 0.5, capped 1.0), so borderline non-duplicates
+        # can cross the threshold; it is a declared approximation for
+        # fan-out control, not an exactness-preserving filter.
         sh0 = base.select("id", F.explode("shs").alias("shh"))
         freq = sh0.groupBy("shh").agg(F.count(F.lit(1)).alias("df"))
         sh0 = sh0.join(freq.where(F.col("df") <= max_df).select("shh"), "shh", "inner")
@@ -362,6 +381,16 @@ def _band_buckets(base: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     bucket = '<b>:' || md5(h[b·r] || '|' || … ) — one row per (doc,
     band). The LSH candidate join is an equi-join on this 35-byte
     bucket string only; signatures and shingle arrays never enter it."""
+    if not 1 <= bands <= num_hashes or num_hashes % bands:
+        # bands > num_hashes would make every band md5('') — ONE bucket
+        # for the whole corpus, degenerating the candidate join to the
+        # O(n²) cross product LSH exists to avoid; a non-divisor would
+        # silently drop trailing hashes (review r15; simhash_pairs
+        # validates its analogous bits/blocks constraint)
+        raise ValueError(
+            f"bands must divide num_hashes (got bands={bands}, "
+            f"num_hashes={num_hashes})"
+        )
     rows_per_band = num_hashes // bands
     band_cols = [
         F.md5(
@@ -554,7 +583,9 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
         for pdf in batches:
             ids, sigs = [], []
             for doc_id, text in zip(pdf["id"], pdf["txt"]):
-                if text is None:
+                # NULL ids arrive as NaN and cannot land in the int64
+                # output column (review r15, same guard as doc_shingles)
+                if text is None or pd.isna(doc_id):
                     continue
                 toks = [w for w in text.split(" ") if w]
                 if not toks:
@@ -745,6 +776,11 @@ def embedding_neardup_lsh(
         return pd.Series(out)
 
     bucket_udf = pandas_udf(_buckets, ArrayType(StringType()))
+    # NULL embeddings never pair on the exact path (SQL null
+    # propagation through the similarity); filtering them BEFORE the
+    # kernel keeps that semantic here — np.stack over a batch holding
+    # a None crashed the whole job otherwise (review r15)
+    df = df.where(F.col(vec_col).isNotNull())
     stacked = (
         df.select(F.col(id_col).alias("id"), bucket_udf(F.col(vec_col)).alias("bk"))
         .select("id", F.explode("bk").alias("bucket"))
@@ -829,6 +865,15 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # review r15: silently returning truncated labels would make
+        # dedup_keep under-delete with zero signal — a component of
+        # diameter > max_iters is a real corpus property the caller
+        # must size the guard for
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iters} rounds "
+            f"({changed} labels still changing) — raise max_iters"
+        )
     return labels.select("id", F.col("lab").alias(cluster_col))
 
 

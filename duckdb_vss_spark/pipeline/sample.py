@@ -18,7 +18,7 @@ Two operations every large-scale training pipeline needs and
   assignments: shard = h % num_shards, within-shard order = h. Training
   wants i.i.d.-looking input order; sorting by a keyed hash is a
   deterministic global permutation, and writing
-  ``partitionBy(shard) ... sortWithinPartitions(pos)`` streams it out
+  ``partitionBy(shard) ... sortWithinPartitions(shard, pos)`` streams it out
   with ONE shuffle at any scale (no global sort of the payload — the
   sort key is 8 bytes and rides the shuffle).
 
@@ -38,8 +38,16 @@ __all__ = ["hash_sample", "stratified_hash_sample", "shuffle_shards", "source_ca
 def hash60(id_col: Column | str, seed: int) -> Column:
     """60-bit uniform hash of (seed, id): first 15 hex digits of
     md5('<seed>_<id>') as a BIGINT — the same value any SQL engine
-    derives via CAST('0x' || substr(md5(...), 1, 15) AS BIGINT)."""
-    key = F.concat_ws("_", F.lit(str(int(seed))), F.col(id_col).cast("string") if isinstance(id_col, str) else id_col.cast("string"))
+    derives via CAST('0x' || substr(md5(...), 1, 15) AS BIGINT).
+
+    NULL-propagating (``concat``, not ``concat_ws`` — review r15): a
+    NULL id hashes to NULL, so NULL < bound is NULL and the row drops
+    from every hash-gated sample, exactly like the SQL form ('42_' ||
+    CAST(NULL AS VARCHAR) IS NULL in DuckDB); concat_ws would have
+    hashed every NULL id to the same md5('<seed>') value, keeping or
+    dropping them as one block and diverging from the oracle."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    key = F.concat(F.lit(f"{int(seed)}_"), c.cast("string"))
     return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
 
 
@@ -91,11 +99,18 @@ def shuffle_shards(
 ) -> DataFrame:
     """Seeded global shuffle for training-data export: adds ``shard``
     (h mod num_shards) and ``pos`` (h) columns. Writing with
-    ``.repartition("shard").sortWithinPartitions("pos")`` (or
-    ``partitionBy("shard")``) yields a deterministic global permutation
-    in ONE shuffle — the payload is never globally sorted, only routed
-    by an 8-byte key. Deterministic given (seed, ids): re-running on
-    re-partitioned input produces byte-identical shards."""
+    ``.repartition("shard").sortWithinPartitions("shard", "pos")``
+    yields a deterministic global permutation in ONE shuffle — the
+    payload is never globally sorted, only routed by an 8-byte key.
+    The within-partition sort MUST lead with ``shard`` (review r15):
+    hash repartitioning routes several shard values into one task when
+    shuffle partitions < num_shards, and a ``partitionBy("shard")``
+    writer re-sorts incoming rows by shard alone — sorting by bare
+    ``pos`` would interleave shards and let that (unstable) writer
+    sort scramble within-shard order; with (shard, pos) the writer
+    sort is a stable prefix no-op. Deterministic given (seed, ids):
+    re-running on re-partitioned input produces byte-identical
+    shards."""
     if num_shards < 1:
         raise ValueError("num_shards must be >= 1")
     h = hash60(id_col, seed)
@@ -127,7 +142,12 @@ def weighted_sample(
     tasks·k rows per group, never the population. The key is rounded
     to 12 decimals before ranking (ties → min id) so the ordering
     never hinges on sub-ULP differences between the engines' libm
-    ``ln`` — the one non-IEEE-exact operation in the key."""
+    ``ln`` — the one non-IEEE-exact operation in the key. Scope of
+    that guarantee (review r15): the 1e-12 quantum exceeds the
+    double's ULP only while |key| ≲ 4096, i.e. weights ≳ ~0.01; with
+    far smaller weights (|ln(u)/w| beyond ~2⁵²·1e-12) a 1-ulp libm
+    difference can still land two keys in different quanta and swap
+    rows at the rank-k boundary across engines."""
     if k < 1:
         raise ValueError("k must be >= 1")
     u = (hash60(id_col, seed) + F.lit(1)).cast("double") / F.lit(float(2**60))

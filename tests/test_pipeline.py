@@ -937,3 +937,57 @@ def test_normalize_text_casefold_mode(spark):
     assert out[1]["lo"].endswith(" café") and len(out[1]["lo"].split()) == 2
     assert out[1]["cf"].endswith(" café")
     assert out[2]["lo"] is None and out[2]["cf"] is None
+
+
+def test_review_r15_dedup_sample_guards(spark):
+    """Review r15 guard battery: LSH band validation, NULL-id/NULL-text
+    tolerance in the Arrow shingle/simhash kernels, n=1 empty-shingle
+    parity, NULL-embedding tolerance in embedding LSH, NULL-id hash
+    sampling parity, and public exports."""
+    import pytest as _pytest
+
+    from duckdb_vss_spark.pipeline import (
+        dedup_keep,  # noqa: F401 — export exists (review r15)
+        weighted_sample,  # noqa: F401
+    )
+    from duckdb_vss_spark.pipeline.dedup import (
+        doc_shingles,
+        embedding_neardup_lsh,
+        jaccard_pairs,
+        minhash_lsh_pairs,
+        simhash,
+    )
+    from duckdb_vss_spark.pipeline.sample import hash_sample
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (None, "alpha beta gamma delta"),  # NULL id: skipped, not a crash
+            (3, None),
+            (4, "a  b"),  # double space: no '' shingle at n=1
+        ],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(ValueError, match="bands must divide"):
+        minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=8, bands=16)
+    with _pytest.raises(ValueError, match="bands must divide"):
+        minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=8, bands=3)
+    base = doc_shingles(docs, "text", "doc_id", n=1).collect()
+    by_id = {r["id"]: r["sz"] for r in base}
+    assert None not in by_id and 3 not in by_id
+    assert by_id[4] == 2  # {'a','b'}, no '' shingle
+    assert jaccard_pairs(docs, "text", "doc_id", n=1).count() == 0
+    assert simhash(docs, "text", "doc_id").count() == 2  # ids 1 and 4
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.99, 0.01]), (3, None)],
+        "vec_id long, vec array<float>",
+    )
+    pairs = embedding_neardup_lsh(
+        emb, "vec", "vec_id", threshold=0.9, num_planes=8, bands=4
+    ).collect()  # pre-fix: np.stack crashed on the NULL row
+    assert {(r["id_a"], r["id_b"]) for r in pairs} <= {(1, 2)}
+    # NULL ids hash to NULL and drop from every hash-gated sample,
+    # matching the SQL oracle's NULL propagation
+    ids = spark.createDataFrame([(1,), (None,), (2,)], "doc_id long")
+    kept = hash_sample(ids, "doc_id", 1.0).collect()
+    assert all(r["doc_id"] is not None for r in kept) and len(kept) == 2
