@@ -136,7 +136,18 @@ def array_cosine_similarity(a, b) -> Column:
     dot = _fold_sum(F.zip_with(ac, bc, lambda x, y: x * y))
     na = F.sqrt(_fold_sum(F.transform(ac, lambda x: x * x)))
     nb = F.sqrt(_fold_sum(F.transform(bc, lambda x: x * x)))
-    return _pair_guard(ac, bc, dot / (na * nb), "array_cosine_similarity")
+    denom = na * nb
+    # DuckDB pins zero-norm (and NaN-poisoned) pairs to -1.0 — verified
+    # against the oracle: array_cosine_similarity([0,0], v) = -1.0, and
+    # so is the all-NaN case. The bare division CRASHED here instead
+    # (review r15: Spark 4 defaults to ANSI mode, which this session
+    # keeps, so 0/0 is DIVIDE_BY_ZERO, not NULL) — one zero vector in a
+    # corpus killed every cosine query. CASE WHEN evaluates lazily per
+    # row, so the guarded branch never divides by zero under ANSI.
+    sim = F.when(
+        F.isnan(denom) | (denom == F.lit(0.0)), F.lit(-1.0)
+    ).otherwise(dot / denom)
+    return _pair_guard(ac, bc, sim, "array_cosine_similarity")
 
 
 def array_normalize(a) -> Column:
@@ -219,7 +230,11 @@ def register_sql_functions(spark: SparkSession) -> None:
         dot = np.einsum("ij,ij->i", A, B)
         na = np.sqrt(np.einsum("ij,ij->i", A, A))
         nb = np.sqrt(np.einsum("ij,ij->i", B, B))
-        cos_sim = dot / (na * nb)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos_sim = dot / (na * nb)
+        # zero-norm / NaN-poisoned pairs pin to -1.0 like DuckDB and
+        # the native Column path above (review r15)
+        cos_sim = np.where(np.isfinite(cos_sim), cos_sim, -1.0)
         return {
             "array_distance": np.sqrt(l2sq),
             "array_distance_sq": l2sq,

@@ -54,10 +54,6 @@ from duckdb_vss_spark.functions.distance import (
 
 __all__ = ["knn_join", "knn_classify", "vss_join", "vss_match"]
 
-# finite "worse than any real distance" marker for pairs whose metric
-# is undefined (zero-vector cosine) — surfaced as NULL dist at the end
-_DEAD_DIST = 1e300
-
 # vss_* macro scoring: metric → (score function, keep-largest?)
 _MACRO_SCORES = {
     "l2sq": (array_distance, False),
@@ -262,15 +258,6 @@ def _knn_join_broadcast(
             candidates.withColumn(rn_col, F.row_number().over(w))
             .where(F.col(rn_col) <= k)
         )
-        if metric == "cosine":
-            # zero-norm pairs come back as the DEAD sentinel from the
-            # kernel (losing to every real distance but filling the
-            # limit); surface them as NULL — the value the crossjoin
-            # strategy's JVM expression produces (review r15)
-            topk = topk.withColumn(
-                "__bd",
-                F.when(F.col("__bd") < F.lit(_DEAD_DIST), F.col("__bd")),
-            )
         # late materialization: fetch payload columns by id after
         # selection — every query column (including the vector) and
         # every (dedup-renamed) item column, the crossjoin contract
@@ -312,13 +299,13 @@ def _pairwise_dist(x, q, metric):
         d2 = (x * x).sum(1)[:, None] + (q * q).sum(1)[None, :] - 2.0 * (x @ q.T)
         return np.sqrt(np.maximum(d2, 0.0))
     if metric == "cosine":
-        # an exactly-zero vector gets the DEAD sentinel — a finite
-        # "worse than every real distance" that still fills the limit
-        # (NaN would lose to the merge's +inf initial fill and the row
-        # would vanish); the caller surfaces sentinel distances as
-        # NULL, matching the crossjoin strategy's JVM 0/0 → NULL
-        # (review r15). Near-zero norms keep the 1e-30 floor so they
-        # stay finite (same floor as hnsw_graph._rank_dist).
+        # an exactly-zero vector pins its pairs to distance 2.0 —
+        # DuckDB's convention (array_cosine_similarity with a zero or
+        # NaN norm returns -1.0, so 1 - sim = 2.0), which the native
+        # Column path now mirrors too (review r15); a maximally-far
+        # real value, so it loses to every genuine distance but still
+        # fills the limit. Near-zero norms keep the 1e-30 floor so
+        # they stay finite (same floor as hnsw_graph._rank_dist).
         xnorm = np.linalg.norm(x, axis=1, keepdims=True)
         qnorm = np.linalg.norm(q, axis=1, keepdims=True)
         xn = x / np.maximum(xnorm, 1e-30)
@@ -326,7 +313,7 @@ def _pairwise_dist(x, q, metric):
         d = 1.0 - xn @ qn.T
         dead = (xnorm == 0.0) | (qnorm == 0.0).T
         if dead.any():
-            d = np.where(dead, _DEAD_DIST, d)
+            d = np.where(dead, 2.0, d)
         return d
     if metric == "ip":
         return -(x @ q.T)

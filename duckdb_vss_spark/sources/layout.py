@@ -117,7 +117,11 @@ def input_bytes(df: DataFrame) -> int:
         leaves = df._jdf.queryExecution().analyzed().collectLeaves().size()
     except Exception:  # noqa: BLE001 — py4j surface moved
         leaves = 1
-    return total * max(1, leaves // max(1, len(files)))
+    # ceil, not floor (review r15): union(A, A, B) has 3 file-scan
+    # leaves over 2 distinct paths; flooring to 1x let collect gates
+    # admit a scan that actually reads some files twice — for a GATE,
+    # overestimating is the safe direction
+    return total * max(1, -(-leaves // max(1, len(files))))
 
 
 def input_uncompressed_bytes(df: DataFrame) -> int:
@@ -164,7 +168,11 @@ def input_uncompressed_bytes(df: DataFrame) -> int:
         leaves = df._jdf.queryExecution().analyzed().collectLeaves().size()
     except Exception:  # noqa: BLE001 — py4j surface moved
         leaves = 1
-    return total * max(1, leaves // max(1, len(files)))
+    # ceil, not floor (review r15): union(A, A, B) has 3 file-scan
+    # leaves over 2 distinct paths; flooring to 1x let collect gates
+    # admit a scan that actually reads some files twice — for a GATE,
+    # overestimating is the safe direction
+    return total * max(1, -(-leaves // max(1, len(files))))
 
 
 # Conservative decompression ratio applied when the on-disk size is

@@ -219,3 +219,55 @@ def test_ragged_but_matched_batch(spark):
     for got in (nat, sql):
         assert got[-1] is None
         np.testing.assert_allclose(got[:-1], expect[:-1], rtol=1e-12)
+
+
+def test_cosine_zero_and_nan_vectors_match_duckdb(spark):
+    """Review r15: DuckDB pins zero-norm and NaN-poisoned cosine
+    similarity to -1.0 (distance 2.0). The bare dot/(na*nb) CRASHED
+    under Spark 4's default ANSI mode instead (one zero vector killed
+    every cosine query). Both entry paths — native Column and the
+    SQL-registered kernel — now match the oracle."""
+    import math
+
+    import duckdb
+
+    from duckdb_vss_spark.functions.distance import (
+        array_cosine_distance,
+        array_cosine_similarity,
+    )
+    from duckdb_vss_spark.functions import register_sql_functions
+
+    cases = [
+        ([0.0, 0.0], [1.0, 2.0]),
+        ([0.0, 0.0], [0.0, 0.0]),
+        ([1.0, 0.0], [0.0, 0.0]),
+        ([float("nan"), 1.0], [1.0, 2.0]),
+        ([3.0, 4.0], [6.0, 8.0]),
+    ]
+    df = spark.createDataFrame(cases, "a array<float>, b array<float>")
+    got = [
+        (r["s"], r["d"])
+        for r in df.select(
+            array_cosine_similarity("a", "b").alias("s"),
+            array_cosine_distance("a", "b").alias("d"),
+        ).collect()
+    ]
+    con = duckdb.connect()
+    for (a, b), (s, d) in zip(cases, got):
+        aa = [0.0 if math.isnan(x) else x for x in a]
+        sql_a = f"{aa}::FLOAT[2]" if not any(math.isnan(x) for x in a) else (
+            "['nan'::FLOAT, 1.0]::FLOAT[2]"
+        )
+        want = con.execute(
+            f"SELECT array_cosine_similarity({sql_a}, {b}::FLOAT[2])"
+        ).fetchone()[0]
+        assert s == want, (a, b, s, want)
+        assert d == 1.0 - want
+    con.close()
+    # the SQL-registered kernel path agrees
+    register_sql_functions(spark)
+    df.createOrReplaceTempView("czv")
+    rows = spark.sql(
+        "SELECT array_cosine_similarity(a, b) AS s FROM czv"
+    ).collect()
+    assert [r["s"] for r in rows] == [g[0] for g in got]

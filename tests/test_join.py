@@ -268,7 +268,9 @@ def test_knn_join_broadcast_null_query_and_zero_vector_parity(spark):
     row still gets k matches with NULL dist (crossjoin/reference
     lateral parity — it used to vanish), (b) the query vector column
     survives to the output, and (c) a zero vector under cosine gets
-    NULL dist (the JVM 0/0 → NULL), not 1.0."""
+    dist 2.0 — DuckDB's -1.0 similarity convention — identically on
+    both strategies (the native path used to CRASH under ANSI and the
+    kernel fabricated 1.0)."""
     from duckdb_vss_spark.operators.join import knn_join
 
     queries = spark.createDataFrame(
@@ -291,11 +293,15 @@ def test_knn_join_broadcast_null_query_and_zero_vector_parity(spark):
     assert set(by_q) == {1, 2, 3}
     assert len(by_q[2]) == 2  # (a) NULL query keeps k rows
     assert all(r["dist"] is None for r in by_q[2])
-    assert all(r["dist"] is None for r in by_q[3])  # (c) zero vector
-    # the real query's results match crossjoin exactly
-    cj = knn_join(
-        queries.where("qid = 1"), items, "qv", "iv", 2, metric="cosine"
-    )
-    want = {(r["iid"], r["rn"]) for r in cj.collect()}
-    got = {(r["iid"], r["rn"]) for r in by_q[1]}
-    assert got == want
+    assert all(r["dist"] == 2.0 for r in by_q[3])  # (c) zero vector
+    # both real queries' results match crossjoin exactly — including
+    # the zero-vector one, which the crossjoin path can now serve
+    # without an ANSI DIVIDE_BY_ZERO
+    for q in (1, 3):
+        cj = knn_join(
+            queries.where(f"qid = {q}"), items, "qv", "iv", 2,
+            metric="cosine",
+        )
+        want = {(r["iid"], r["rn"], r["dist"]) for r in cj.collect()}
+        got = {(r["iid"], r["rn"], r["dist"]) for r in by_q[q]}
+        assert got == want, q
