@@ -247,7 +247,14 @@ def _knn_join_broadcast(
     # matches with NULL dist — crossjoin/reference-lateral parity
     # (review r15: the kernel filters them, so they vanished under
     # this strategy while hnsw_lateral_join.test pins that they stay)
-    null_q = queries.where(F.col(qv).isNull())
+    # partitioned by a synthetic per-row key, like __qrow in the
+    # crossjoin strategy (ADVICE r15: partitioning by the USER qid let
+    # duplicate — or NULL — query ids share one window partition, so rn
+    # ran 1..2k and rows past k leaked out); the rn <= k filter guards
+    # the same invariant from the other side
+    null_q = queries.where(F.col(qv).isNull()).withColumn(
+        "__nqrow", F.monotonically_increasing_id()
+    )
     if candidates is None:
         topk = None
     else:
@@ -272,11 +279,16 @@ def _knn_join_broadcast(
         .limit(k)
         .withColumn(dist_col, F.lit(None).cast("double"))
     )
-    null_part = null_q.crossJoin(arb).withColumn(
-        rn_col,
-        F.row_number().over(
-            Window.partitionBy(qid).orderBy(F.col(iid_d))
-        ),
+    null_part = (
+        null_q.crossJoin(arb)
+        .withColumn(
+            rn_col,
+            F.row_number().over(
+                Window.partitionBy("__nqrow").orderBy(F.col(iid_d))
+            ),
+        )
+        .where(F.col(rn_col) <= k)
+        .drop("__nqrow")
     )
     if topk is None:
         return null_part
@@ -369,14 +381,28 @@ def vss_match(
     score_fn, keep_largest = _macro_score(metric)
     l = _as_struct(left, "__left").withColumn("__lrow", F.monotonically_increasing_id())
     r = _as_struct(right, "row")
-    j = (
-        l.crossJoin(r)
-        .withColumn("score", score_fn(F.col(f"__left.{left_col}"), F.col(f"row.{right_col}")))
-        .where(F.col("score").isNotNull())
+    # Single-pass shape (ADVICE r15 medium): the previous version joined
+    # ``l`` back against an aggregate derived from ``l`` — the same
+    # subtree evaluated twice, so a nondeterministic input (round-robin
+    # repartition, sample) could assign DIFFERENT __lrow values on the
+    # two sides and silently pair left rows with the wrong match list.
+    # Here ``l`` appears exactly once: a condition-TRUE left outer join
+    # keeps every left row even against an EMPTY right table (the NULL
+    # right row scores NULL and collect_list skips it), and the left
+    # struct rides through the aggregation as a group key, so no second
+    # evaluation ever happens. __lrow stays in the key purely to keep
+    # duplicate left rows distinct.
+    j = l.join(r, F.lit(True), "left").withColumn(
+        "score", score_fn(F.col(f"__left.{left_col}"), F.col(f"row.{right_col}"))
     )
     sort_key = -F.col("score") if keep_largest else F.col("score")
-    pairs = F.collect_list(F.struct(sort_key.alias("__s"), F.col("score"), F.col("row")))
-    agg = j.groupBy("__lrow").agg(
+    pairs = F.collect_list(
+        F.when(
+            F.col("score").isNotNull(),
+            F.struct(sort_key.alias("__s"), F.col("score"), F.col("row")),
+        )
+    )
+    agg = j.groupBy("__lrow", "__left").agg(
         F.transform(
             F.slice(F.array_sort(pairs), 1, k),
             lambda p: F.struct(p["score"].alias("score"), p["row"].alias("row")),
@@ -386,11 +412,11 @@ def vss_match(
     # (min_by/max_by over the right table) — it yields exactly one row
     # per left row even when no pair scores (empty right table, all-NULL
     # vectors), with a NULL matches value, DuckDB's aggregate-over-empty
-    # convention. The inner-join shape dropped those left rows entirely
-    # (review r15).
-    return (
-        l.join(agg, "__lrow", "left")
-        .select("__left.*", "matches")
+    # convention (review r15; collect_list over only-skipped rows gives
+    # [], mapped back to NULL here).
+    return agg.select(
+        "__left.*",
+        F.when(F.size("matches") > 0, F.col("matches")).alias("matches"),
     )
 
 

@@ -836,6 +836,11 @@ def dedup_clusters(
 
     Returns (id, ``cluster_col``).
     """
+    if max_iters < 1:
+        # ADVICE r15: range(0) runs no iterations but the for/else's
+        # non-convergence raise still fires — referencing the unbound
+        # loop variable ``changed`` (NameError instead of the message)
+        raise ValueError("max_iters must be >= 1")
     edges = _materialize(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))

@@ -305,3 +305,61 @@ def test_knn_join_broadcast_null_query_and_zero_vector_parity(spark):
         want = {(r["iid"], r["rn"], r["dist"]) for r in cj.collect()}
         got = {(r["iid"], r["rn"], r["dist"]) for r in by_q[q]}
         assert got == want, q
+
+
+def test_vss_match_single_pass_after_nondeterministic_repartition(spark):
+    """ADVICE r15 (medium): vss_match used to evaluate the left subtree
+    twice (once under the aggregate, once in the final self-join on
+    __lrow); after a nondeterministic round-robin repartition the two
+    evaluations could assign different __lrow values and pair left rows
+    with the wrong match list. The single-pass shape evaluates the left
+    side exactly once, so a repartitioned (and duplicate-bearing) input
+    still yields one correct row per left row."""
+    left = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [4.0, 4.0]), (2, [4.0, 4.0]), (3, None)],
+        "id int, vec array<float>",
+    ).repartition(5)  # round-robin: partition assignment is order-dependent
+    right = spark.createDataFrame(
+        [(7, [0.0, 0.1]), (8, [5.0, 5.0])], "id int, vec array<float>"
+    )
+    out = vss_match(left, right, "vec", "vec", k=1).collect()
+    assert len(out) == 4  # both duplicate id=2 rows survive distinctly
+    got = sorted(
+        (r["id"], None if r["matches"] is None else r["matches"][0]["row"]["id"])
+        for r in out
+    )
+    assert got == [(1, 7), (2, 8), (2, 8), (3, None)]
+    # the left subtree appears exactly once in the optimized plan
+    plan = out_plan = vss_match(left, right, "vec", "vec", k=1)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("monotonically_increasing_id") == 1
+
+
+def test_knn_join_broadcast_duplicate_null_query_ids(spark):
+    """ADVICE r15: duplicate (or NULL) user query ids among NULL-vector
+    query rows shared one window partition, so rn ran 1..2k and rows
+    past k leaked. Each NULL-vector row must get exactly k matches."""
+    queries = spark.createDataFrame(
+        [(1, None), (1, None), (None, None)],
+        "qid long, qv array<float>",
+    )
+    items = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [-1.0, 0.0]), (12, [0.5, 0.5])],
+        "iid long, iv array<float>",
+    )
+    out = knn_join(
+        queries, items, "qv", "iv", 2,
+        query_id_col="qid", item_id_col="iid", strategy="broadcast",
+    ).collect()
+    assert len(out) == 6  # 3 null-vector query rows x k=2, no leakage
+    assert all(r["dist"] is None and r["rn"] in (1, 2) for r in out)
+    assert all(r["iid"] in (10, 11) for r in out)  # lowest-id arbitrary matches
+
+
+def test_dedup_clusters_rejects_nonpositive_max_iters(spark):
+    """ADVICE r15: max_iters < 1 ran zero rounds and the for/else raise
+    then referenced the unbound loop variable (NameError)."""
+    from duckdb_vss_spark.pipeline.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="max_iters"):
+        dedup_clusters(pairs, max_iters=0)
