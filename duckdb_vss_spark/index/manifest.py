@@ -12,15 +12,63 @@ import json
 import os
 import shutil
 import uuid
+from contextlib import contextmanager
 
 __all__ = [
     "write_manifest",
+    "reload_manifest",
     "staged_append",
     "record_epoch",
     "PendingDmlError",
     "set_pending",
     "clear_pending",
+    "artifact_mutate_lock",
 ]
+
+
+@contextmanager
+def artifact_mutate_lock(index_path: str):
+    """Serialize load→modify→commit manifest cycles across CONCURRENT
+    mutators of one artifact (review r15: an add stream and a delete
+    stream each load the manifest, mutate, and write it back; without
+    mutual exclusion one commit silently erases the other's partitions
+    or tombstones, orphaning data files). An advisory ``flock`` on a
+    SIBLING lock file (a sibling so create/overwrite paths that rebuild
+    the artifact dir cannot delete the lock out from under a holder).
+
+    Holders (ADVICE r15 — the lock moved here from streaming/ops.py so
+    BOTH mutator families share it): the two streaming foreachBatch
+    mutators (index_add_stream / index_delete_stream) and the
+    bound-table DML hook windows in sources/sinks.py (journal write +
+    delete_batch/add_batch + journal clear). ``resolve_pending_dml`` is
+    deliberately NOT a holder — streaming micro-batches call it INSIDE
+    their locked region (flock is not re-entrant across fds), so direct
+    callers of the resolver serialize it themselves.
+
+    Scope is one HOST (where Spark runs foreachBatch callbacks and the
+    driver-side DML hooks); multi-driver deployments on object stores
+    must serialize writers externally (or give each its own artifact),
+    as with any non-transactional multi-writer."""
+    import fcntl
+
+    lock_path = index_path.rstrip("/") + ".lock"
+    os.makedirs(os.path.dirname(lock_path) or ".", exist_ok=True)
+    with open(lock_path, "w") as fh:
+        fcntl.flock(fh, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(fh, fcntl.LOCK_UN)
+
+
+def reload_manifest(path: str) -> dict:
+    """Re-read ``<path>/manifest.json`` from disk. Mutators holding
+    ``artifact_mutate_lock`` refresh their handle's manifest with this
+    before modifying: long-lived bound handles otherwise commit from a
+    stale in-memory copy and erase whatever a concurrent (serialized)
+    mutator committed since."""
+    with open(os.path.join(path, "manifest.json")) as f:
+        return json.load(f)
 
 
 def record_epoch(merged: dict, moved: list[str]) -> int:

@@ -35,6 +35,7 @@ changes.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -85,11 +86,29 @@ def bind_index(path: str, index) -> None:
     """Register ``index`` (any family handle with add_batch/
     delete_batch) as bound to the table at ``path``: subsequent
     insert_into / delete_where / merge_upsert calls on that path
-    propagate to it, the reference's index-DML-hook behavior."""
+    propagate to it, the reference's index-DML-hook behavior.
+
+    One binding per ARTIFACT: re-binding a handle for the same
+    ``index.path`` replaces the old handle instead of appending a
+    duplicate (r16 — a planner restart re-binds its persisted indexes
+    while the module-level registry still holds the previous session's
+    handle; two handles for one artifact ran every DML hook twice.
+    Before the hooks re-read the manifest under the mutate lock, the
+    second add_batch clobbered the first from its stale in-memory copy
+    — the double-hook was MASKED by the lost-update bug, and fixing
+    the latter exposed it as a doubled count)."""
     for fn in ("add_batch", "delete_batch"):
         if not hasattr(index, fn):
             raise ValueError(f"index {type(index).__name__} lacks {fn}()")
-    _BOUND_INDEXES.setdefault(os.path.abspath(path), []).append(index)
+    lst = _BOUND_INDEXES.setdefault(os.path.abspath(path), [])
+    ipath = os.path.abspath(getattr(index, "path", "")) or None
+    if ipath is not None:
+        lst[:] = [
+            ix
+            for ix in lst
+            if os.path.abspath(getattr(ix, "path", "")) != ipath
+        ]
+    lst.append(index)
 
 
 def unbind_indexes(path: str) -> None:
@@ -225,8 +244,37 @@ def _journal_pending(hooked: list, record: dict) -> dict[int, str]:
     for ix in hooked:
         tok = uuid.uuid4().hex[:16]
         toks[id(ix)] = tok
-        ix.manifest = set_pending(ix.path, ix.manifest, {**record, "token": tok})
+        with _locked_fresh(ix):
+            ix.manifest = set_pending(ix.path, ix.manifest, {**record, "token": tok})
     return toks
+
+
+@contextmanager
+def _locked_fresh(ix):
+    """One serialized load→modify→commit cycle on ``ix``'s artifact
+    (ADVICE r15: the streaming foreachBatch mutators take
+    ``artifact_mutate_lock``, but these bound-table DML hooks journaled
+    and add_batch'ed without it, so a table DML racing a streaming
+    micro-batch could interleave manifest cycles). The manifest is
+    re-read from disk under the lock: bound handles are long-lived, and
+    mutating from the stale in-memory copy would erase whatever a
+    concurrent (serialized) mutator committed since. The families'
+    cached training artifacts (PQ codebooks, IVF centroids) are
+    immutable across adds, so refreshing the manifest alone suffices.
+    ``resolve_pending_dml`` below must never enter this (streaming
+    batches call it INSIDE their own locked region; flock is not
+    re-entrant across fds)."""
+    from duckdb_vss_spark.index.manifest import (
+        artifact_mutate_lock,
+        reload_manifest,
+    )
+
+    with artifact_mutate_lock(ix.path):
+        try:
+            ix.manifest = reload_manifest(ix.path)
+        except FileNotFoundError:
+            pass  # no manifest on disk yet: keep the in-memory copy
+        yield ix
 
 
 def insert_into(df: DataFrame, path: str) -> None:
@@ -282,11 +330,12 @@ def insert_into(df: DataFrame, path: str) -> None:
         new = sorted(_parquet_files(path) - before)
         batch = df.sparkSession.read.parquet(*new) if new else None
         for ix in hooked:
-            if batch is not None:
-                ix.add_batch(
-                    batch, manifest_extra={"last_dml_token": toks[id(ix)]}
-                )
-            ix.manifest = clear_pending(ix.path, ix.manifest)
+            with _locked_fresh(ix):
+                if batch is not None:
+                    ix.add_batch(
+                        batch, manifest_extra={"last_dml_token": toks[id(ix)]}
+                    )
+                ix.manifest = clear_pending(ix.path, ix.manifest)
 
 
 def delete_where(spark: SparkSession, path: str, predicate: Column) -> int:
@@ -350,11 +399,12 @@ def delete_where(spark: SparkSession, path: str, predicate: Column) -> int:
 
         dead = spark.read.parquet(staged)
         for ix in hooked:
-            ix.delete_batch(
-                dead.select(ix.manifest["id_col"]),
-                manifest_extra={"last_dml_token": toks[id(ix)]},
-            )
-            ix.manifest = clear_pending(ix.path, ix.manifest)
+            with _locked_fresh(ix):
+                ix.delete_batch(
+                    dead.select(ix.manifest["id_col"]),
+                    manifest_extra={"last_dml_token": toks[id(ix)]},
+                )
+                ix.manifest = clear_pending(ix.path, ix.manifest)
         shutil.rmtree(staged, ignore_errors=True)
     return total - kept
 
@@ -445,18 +495,19 @@ def update_where(
         fresh = spark.read.parquet(path)
         ids = spark.read.parquet(staged)
         for ix in hooked:
-            id_col = ix.manifest["id_col"]
-            up = fresh.join(
-                F.broadcast(ids.select(id_col)), id_col, "left_semi"
-            )
-            if getattr(ix, "supports_versioned_delete", False):
-                nxt = int(ix.manifest.get("append_epoch", 0)) + 1
-                ix.delete_batch(ids.select(id_col), epoch_lt=nxt)
-            else:
-                ix.delete_batch(ids.select(id_col))
-                _index_compact(ix)
-            ix.add_batch(up, manifest_extra={"last_dml_token": toks[id(ix)]})
-            ix.manifest = clear_pending(ix.path, ix.manifest)
+            with _locked_fresh(ix):
+                id_col = ix.manifest["id_col"]
+                up = fresh.join(
+                    F.broadcast(ids.select(id_col)), id_col, "left_semi"
+                )
+                if getattr(ix, "supports_versioned_delete", False):
+                    nxt = int(ix.manifest.get("append_epoch", 0)) + 1
+                    ix.delete_batch(ids.select(id_col), epoch_lt=nxt)
+                else:
+                    ix.delete_batch(ids.select(id_col))
+                    _index_compact(ix)
+                ix.add_batch(up, manifest_extra={"last_dml_token": toks[id(ix)]})
+                ix.manifest = clear_pending(ix.path, ix.manifest)
         shutil.rmtree(staged, ignore_errors=True)
     return n_updated
 
@@ -565,28 +616,29 @@ def merge_upsert(
         keys = spark.read.parquet(staged_keys)
         old_ids = spark.read.parquet(staged_old)
         for ix in hooked:
-            id_col = ix.manifest["id_col"]
-            up = fresh.join(F.broadcast(keys), key_cols, "left_semi")
-            # delete the PRE-swap rows' ids (an id-changing update must
-            # kill the old id, not the new one — ADVICE r13)
-            if getattr(ix, "supports_versioned_delete", False):
-                # O(batch) upsert propagation (r14, VERDICT r13 #4):
-                # version-kill the old rows — (id, epoch < next) — and
-                # append the new versions AT epoch next; no physical
-                # compact, no O(corpus) step anywhere in the hook
-                nxt = int(ix.manifest.get("append_epoch", 0)) + 1
-                ix.delete_batch(old_ids.select(id_col), epoch_lt=nxt)
-            else:
-                # HNSW: graph shards carry no row versions — id-level
-                # tombstones cannot coexist with a re-added id, so the
-                # old versions must be physically dropped (O(corpus),
-                # proportionate to MERGE's own table rewrite)
-                ix.delete_batch(old_ids.select(id_col))
-                _index_compact(ix)
-            # the token commits with the FINAL step — the earlier
-            # delete/compact steps are replay-idempotent
-            ix.add_batch(up, manifest_extra={"last_dml_token": toks[id(ix)]})
-            ix.manifest = clear_pending(ix.path, ix.manifest)
+            with _locked_fresh(ix):
+                id_col = ix.manifest["id_col"]
+                up = fresh.join(F.broadcast(keys), key_cols, "left_semi")
+                # delete the PRE-swap rows' ids (an id-changing update
+                # must kill the old id, not the new one — ADVICE r13)
+                if getattr(ix, "supports_versioned_delete", False):
+                    # O(batch) upsert propagation (r14, VERDICT r13 #4):
+                    # version-kill the old rows — (id, epoch < next) —
+                    # and append the new versions AT epoch next; no
+                    # physical compact, no O(corpus) step in the hook
+                    nxt = int(ix.manifest.get("append_epoch", 0)) + 1
+                    ix.delete_batch(old_ids.select(id_col), epoch_lt=nxt)
+                else:
+                    # HNSW: graph shards carry no row versions —
+                    # id-level tombstones cannot coexist with a re-added
+                    # id, so the old versions must be physically dropped
+                    # (O(corpus), proportionate to MERGE's table rewrite)
+                    ix.delete_batch(old_ids.select(id_col))
+                    _index_compact(ix)
+                # the token commits with the FINAL step — the earlier
+                # delete/compact steps are replay-idempotent
+                ix.add_batch(up, manifest_extra={"last_dml_token": toks[id(ix)]})
+                ix.manifest = clear_pending(ix.path, ix.manifest)
         shutil.rmtree(staged_keys, ignore_errors=True)
         shutil.rmtree(staged_old, ignore_errors=True)
     return {"updated": n_updates - inserted, "inserted": inserted}

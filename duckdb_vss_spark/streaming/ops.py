@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import json
 import os
-from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -66,30 +65,13 @@ def _stage_symlink(prefix: str, sf_dir: str, filename: str) -> str:
     return stage
 
 
-@contextmanager
-def _artifact_mutate_lock(index_path: str):
-    """Serialize load→modify→commit manifest cycles across CONCURRENT
-    streaming queries (review r15: an add stream and a delete stream
-    on one artifact — the documented usage — each load the manifest,
-    mutate, and write it back; without mutual exclusion one commit
-    silently erases the other's partitions or tombstones, orphaning
-    data files). An advisory ``flock`` on a SIBLING lock file (a
-    sibling so create/overwrite paths that rebuild the artifact dir
-    cannot delete the lock out from under a holder) — covers every
-    mutator on one host, which is where Spark runs foreachBatch
-    callbacks; on object stores, serialize the two streams externally
-    (or give each its own artifact), as with any non-transactional
-    multi-writer."""
-    import fcntl
-
-    lock_path = index_path.rstrip("/") + ".lock"
-    os.makedirs(os.path.dirname(lock_path) or ".", exist_ok=True)
-    with open(lock_path, "w") as fh:
-        fcntl.flock(fh, fcntl.LOCK_EX)
-        try:
-            yield
-        finally:
-            fcntl.flock(fh, fcntl.LOCK_UN)
+# shared with the bound-table DML hooks in sources/sinks.py (ADVICE
+# r15: the hooks journaled and add_batch'ed WITHOUT it, so a table DML
+# racing a streaming micro-batch could still interleave manifest
+# load→modify→commit cycles) — one lock, one docstring, in manifest.py
+from duckdb_vss_spark.index.manifest import (  # noqa: E402
+    artifact_mutate_lock as _artifact_mutate_lock,
+)
 
 
 def _resolve_if_pending(spark, index_path: str) -> None:
@@ -478,7 +460,17 @@ def streaming_index_add(
                 # same-checkpoint resume replays at epoch >= stamp,
                 # while a FRESH checkpoint restarts at 0 and adopting
                 # would silently drop every batch up to the stamp
-                # (review r15)
+                # (review r15). Trade-off (ADVICE r15): under a fresh
+                # checkpoint that re-reads a source which STILL HOLDS
+                # the already-indexed batches, epochs 0..stamp now
+                # re-apply and re-add those rows as duplicates — the
+                # epoch counter alone cannot distinguish that from the
+                # fresh-checkpoint-new-data case the adoption guard
+                # protects (where skipping LOST data). Duplicates are
+                # recoverable (rebuild(), or dedup by id at query
+                # time); lost rows are not, so the guard errs this
+                # way. Migrating a pre-r13 artifact under a fresh
+                # checkpoint cleanly = rebuild() it first.
                 bare = int(ix.manifest["last_epoch"])
                 if int(epoch_id) >= bare:
                     stamps = {stream_key: bare}

@@ -395,3 +395,99 @@ def test_merge_upsert_quantized_is_o_batch(spark, tmp_path):
         assert not int(pq.manifest.get("deleted_count", 0))
     finally:
         unbind_indexes(p)
+
+
+def test_dml_hook_preserves_concurrent_manifest_commit(spark, tmp_path):
+    """ADVICE r15: the bound-table DML hooks now take the same
+    artifact_mutate_lock as the streaming mutators AND re-read the
+    manifest from disk before mutating. A commit landed by a concurrent
+    (serialized) mutator between bind time and the DML — simulated here
+    by editing the manifest on disk behind the long-lived handle's back
+    — must survive the hook's own manifest write instead of being
+    erased by the stale in-memory copy."""
+    import json
+    import os
+
+    import numpy as np
+
+    from duckdb_vss_spark.index import create_hnsw_index
+    from duckdb_vss_spark.index.manifest import reload_manifest, write_manifest
+    from duckdb_vss_spark.sources.sinks import bind_index, unbind_indexes
+
+    rng = np.random.RandomState(11)
+
+    def rows(ids):
+        return [(int(i), [float(x) for x in rng.randn(4)]) for i in ids]
+
+    p = str(tmp_path / "tbl")
+    save_table(
+        spark.createDataFrame(rows(range(50)), "vid long, v array<float>"), p
+    )
+    ix_path = str(tmp_path / "hx")
+    ix = create_hnsw_index(
+        spark, read_table(spark, p), "v", "vid", ix_path, overwrite=True
+    )
+    bind_index(p, ix)
+    try:
+        # a concurrent mutator's committed manifest change, invisible to
+        # the stale in-memory ix.manifest
+        man = reload_manifest(ix_path)
+        man["external_marker"] = "committed-by-other-writer"
+        write_manifest(ix_path, man)
+        assert "external_marker" not in ix.manifest  # handle is stale
+        insert_into(
+            spark.createDataFrame(rows(range(50, 60)), "vid long, v array<float>"),
+            p,
+        )
+        after = reload_manifest(ix_path)
+        assert after.get("external_marker") == "committed-by-other-writer"
+        assert "pending_dml" not in after  # the hook window still closed
+        # and the DML itself landed in the index
+        assert any(
+            pp["count"] for pp in after["partitions"]
+        ) and sum(pp["count"] for pp in after["partitions"]) == 60
+    finally:
+        unbind_indexes(p)
+
+
+def test_bind_index_dedupes_by_artifact_path(spark, tmp_path):
+    """r16: a planner restart re-binds its persisted indexes while the
+    module-level registry still holds the previous session's handle —
+    two handles for one artifact ran every DML hook twice (doubled
+    count, previously MASKED by the stale-manifest lost-update this
+    round's mutate-lock fix closed). Re-binding the same artifact path
+    replaces the old handle."""
+    import numpy as np
+
+    from duckdb_vss_spark.index import create_hnsw_index, load_index
+    from duckdb_vss_spark.sources.sinks import (
+        bind_index,
+        bound_indexes,
+        unbind_indexes,
+    )
+
+    rng = np.random.RandomState(3)
+
+    def rows(ids):
+        return [(int(i), [float(x) for x in rng.randn(4)]) for i in ids]
+
+    p = str(tmp_path / "tbl")
+    save_table(
+        spark.createDataFrame(rows(range(20)), "vid long, v array<float>"), p
+    )
+    ix_path = str(tmp_path / "hx")
+    ix1 = create_hnsw_index(
+        spark, read_table(spark, p), "v", "vid", ix_path, overwrite=True
+    )
+    bind_index(p, ix1)
+    ix2 = load_index(spark, ix_path)  # the restart's fresh handle
+    bind_index(p, ix2)
+    try:
+        assert len(bound_indexes(p)) == 1  # replaced, not appended
+        insert_into(
+            spark.createDataFrame(rows(range(20, 25)), "vid long, v array<float>"),
+            p,
+        )
+        assert load_index(spark, ix_path).count == 25  # hook ran ONCE
+    finally:
+        unbind_indexes(p)
