@@ -540,7 +540,7 @@ def create_ivfpq_index(
 
     # gate on max(compressed, footer-uncompressed) size: RLE-heavy
     # columns can decompress far past their on-disk bytes (ADVICE r10)
-    est = collect_gate_bytes(src)
+    est = collect_gate_bytes(src, bound=driver_build_max_bytes)
     local_rows = None
     if 0 <= est <= driver_build_max_bytes:
         local_rows = src.collect()

@@ -113,7 +113,7 @@ def ngram_contamination(
         # ~2.6x footer-uncompressed ratio, keeping the same flip point.
         from duckdb_vss_spark.sources.layout import collect_gate_bytes
 
-        tb = collect_gate_bytes(docs)
+        tb = collect_gate_bytes(docs, bound=broadcast_train_bytes)
         broadcast_eval = (tb < 0 or tb >= broadcast_train_bytes) and (
             docs.where(is_eval).limit(broadcast_eval_docs + 1).count()
             <= broadcast_eval_docs

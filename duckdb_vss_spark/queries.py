@@ -3789,13 +3789,21 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# declared domains for the z-order key below: a synthetic 2^31-wide
+# column (the VERDICT r15 #3 shape — its low 10 bits are constant, so
+# the OLD low-bits interleave produced one degenerate bucket) and the
+# 8-bit value bucket. Declared, not probed, so the oracle SQL bakes
+# the identical constants at every sf.
+_ZORDER_RANGES = [(0, 2**31), (0, 255)]
+
+
 def _zorder_oracle() -> str:
     from duckdb_vss_spark.sources.layout import zorder_oracle_expr
 
-    expr = zorder_oracle_expr(["user_id", "vbucket"], bits=8)
+    expr = zorder_oracle_expr(["wide", "vbucket"], bits=8, ranges=_ZORDER_RANGES)
     return f"""
     WITH e AS (
-      SELECT event_id, user_id,
+      SELECT event_id, event_id * 1024 AS wide,
              CAST(least(floor(value), 255) AS BIGINT) AS vbucket
       FROM events
     )
@@ -3809,17 +3817,25 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) layout key (sources/layout.py) — the
     multi-column clustering key behind OPTIMIZE ZORDER-style file
     skipping, as pure integer Column arithmetic (codegen, no UDF).
-    The oracle recomputes the identical interleave with portable SQL
-    bit operators."""
+    r16 (VERDICT r15 #3): the key now interleaves the TOP bits of each
+    column's declared [min, max] domain — exercised here on a
+    2^31-domain column whose low bits are degenerate — and the oracle
+    recomputes the identical offset/shift/clamp interleave with
+    portable SQL bit operators."""
     from duckdb_vss_spark.sources.layout import zorder_key
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
-        "user_id",
+        (F.col("event_id") * 1024).alias("wide"),
         F.least(F.floor(F.col("value")), F.lit(255)).cast("bigint").alias("vbucket"),
     )
     return (
-        ev.select("event_id", zorder_key(["user_id", "vbucket"], bits=8).alias("zkey"))
+        ev.select(
+            "event_id",
+            zorder_key(
+                ["wide", "vbucket"], bits=8, ranges=_ZORDER_RANGES
+            ).alias("zkey"),
+        )
         .orderBy("zkey", "event_id")
         .limit(100)
     )

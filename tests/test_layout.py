@@ -252,3 +252,145 @@ class TestCollectGateBytes:
             m=8, ksub=4, overwrite=True, driver_build_max_bytes=(disk + unc) // 2,
         )
         assert idx.manifest["count"] == 4000
+
+
+class TestZorderTopBits:
+    def test_wide_domain_clusters_and_prunes(self, spark, tmp_path):
+        """VERDICT r15 #3: a 2^32-domain column keyed on its LOW bits
+        got effectively random key order — no file skipping, silently.
+        With the probed-domain TOP-bits interleave, per-file min/max
+        stats on the wide column partition its domain, so a point/range
+        predicate prunes most files."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        n = 4096
+        df = spark.range(n).select(
+            (F.col("id") * (2**32 // n)).alias("a"),  # domain ~2^32
+            (F.col("id") % 64).alias("b"),
+        )
+        out = str(tmp_path / "zwide")
+        zorder_write(df, out, ["a", "b"], bits=8, num_files=8)
+        files = sorted(glob.glob(out + "/*.parquet"))
+        spans, total_min, total_max = [], None, None
+        ranges = []
+        for f in files:
+            t = pq.read_table(f, columns=["a"])
+            vals = t.column("a").to_pylist()
+            if vals:
+                ranges.append((min(vals), max(vals)))
+        assert len(ranges) >= 4
+        global_span = max(hi for _, hi in ranges) - min(lo for lo, _ in ranges)
+        avg_span = sum(hi - lo for lo, hi in ranges) / len(ranges)
+        # clustered: average per-file span is a small fraction of the domain
+        assert avg_span < global_span / 2, (avg_span, global_span)
+        # and min/max pruning would actually prune: a point predicate on
+        # the wide column intersects few files' [min, max] ranges
+        probe = ranges[0][0] + 1
+        hit = sum(1 for lo, hi in ranges if lo <= probe <= hi)
+        assert hit <= len(ranges) / 2, (hit, len(ranges))
+
+    def test_explicit_ranges_shift_matches_oracle_sql(self, spark):
+        """The ranges-bearing key and zorder_oracle_expr stay
+        bit-identical (the q_zorder_key contract), including the
+        offset, the top-bits shift, and the clamp of values past the
+        declared max."""
+        import duckdb
+
+        from duckdb_vss_spark.sources.layout import zorder_oracle_expr
+
+        ranges = [(100, 100 + 2**20), (0, 15)]
+        rows = [(100, 0), (2**20 + 100, 15), (50, 7), (2**21, 3), (None, None)]
+        df = spark.createDataFrame(rows, "a long, b long")
+        got = [
+            r["k"]
+            for r in df.select(
+                zorder_key(["a", "b"], bits=6, ranges=ranges).alias("k")
+            ).collect()
+        ]
+        expr = zorder_oracle_expr(["a", "b"], bits=6, ranges=ranges)
+        con = duckdb.connect()
+        want = [
+            con.execute(
+                "SELECT " + expr,
+                # duckdb binds NULLs via a VALUES row
+            ).fetchone()[0]
+            if False
+            else con.execute(
+                f"SELECT {expr} FROM (SELECT {'NULL' if a is None else a} AS a,"
+                f" {'NULL' if b is None else b} AS b)"
+            ).fetchone()[0]
+            for a, b in rows
+        ]
+        con.close()
+        assert got == want
+
+    def test_low_bits_default_unchanged(self, spark):
+        # without ranges the raw low-bits key is preserved (back-compat
+        # for in-domain columns); the docstring now says so honestly
+        df = spark.createDataFrame([(0b11, 0b01)], "a long, b long")
+        assert (
+            df.select(zorder_key(["a", "b"], 8).alias("k")).first().k == 0b0111
+        )
+
+
+def test_widen_narrow_scan_is_conf_aware(spark, tmp_path):
+    """VERDICT r15 #4: the width probe hardcoded 128 MB and ignored
+    Spark's maxSplitBytes formula — a session with a small
+    maxPartitionBytes had an already-wide scan re-shuffled (a
+    corpus-mixing round-robin). With the confs driving the estimate, a
+    scan Spark itself would split >= defaultParallelism ways must come
+    back untouched."""
+    p = str(tmp_path / "conf_wide")
+    spark.range(200_000).select(
+        F.col("id"), F.concat(F.lit("x" * 50), F.col("id").cast("string")).alias("pad")
+    ).coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p)
+    import glob
+    import os
+
+    size = sum(os.path.getsize(f) for f in glob.glob(p + "/*.parquet"))
+    par = spark.sparkContext.defaultParallelism
+    old_max = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        # small enough that Spark itself plans >= par splits for this file
+        tiny = max(1, size // (par * 2))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(tiny))
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        from duckdb_vss_spark.sources.layout import widen_narrow_scan
+
+        out = widen_narrow_scan(df)
+        assert out is df  # no repartition inserted: the scan is already wide
+        # sanity: Spark's own planning agrees (>= par scan partitions)
+        assert df.rdd.getNumPartitions() >= par
+        # and with default confs the same file IS narrow -> widened
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_max)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_open)
+        out2 = widen_narrow_scan(df)
+        assert out2 is not df
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_max)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_open)
+
+
+def test_collect_gate_bound_early_exit_still_gates(spark, tmp_path):
+    """VERDICT r15 #5: collect_gate_bytes walked inputFiles + footers
+    twice per call. The single-pass walk with a ``bound`` stops early
+    once the answer is decided; the partial total must still exceed
+    the bound (the gate's decision is unchanged), and the unbounded
+    call still returns the full estimate."""
+    from duckdb_vss_spark.sources.layout import collect_gate_bytes
+
+    p = str(tmp_path / "gate")
+    spark.range(50_000).select(
+        F.col("id"), F.col("id").cast("string").alias("s")
+    ).repartition(8).write.parquet(p)
+    df = spark.read.parquet(p)
+    full = collect_gate_bytes(df)
+    assert full > 1024
+    gated = collect_gate_bytes(df, bound=1024)
+    assert gated > 1024  # decision preserved
+    assert gated <= full  # partial walk never overshoots the true total
+    assert collect_gate_bytes(df, bound=full * 10) == full
