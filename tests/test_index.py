@@ -639,3 +639,83 @@ def test_delete_batch_marks_filters_and_compacts(spark, emb, tmp_path):
         ).collect()
     )
     assert got2 == want2
+
+
+def test_merge_small_shards_lsm_partial_compaction(spark, emb, tmp_path):
+    """r16 (VERDICT r15 #6): the auto-compact tier merges ONLY the
+    undersized shard tail — O(tail), not the O(corpus) full repack —
+    leaving right-sized shards untouched, preserving count, search
+    results, bookkeeping stamps, and the tombstone mask (dead rows stay
+    filtered; physical reclaim stays with compact_from_shards)."""
+    from duckdb_vss_spark.index.artifact import _plan_small_merge
+    from duckdb_vss_spark.operators.topk import knn_search
+
+    nn = emb.where(F.col("embedding").isNotNull())
+    ix = create_hnsw_index(
+        spark, nn.where(F.col("vec_id") < 300), "embedding", "vec_id",
+        str(tmp_path / "lsm"), overwrite=True,
+    )
+    for i, lo in enumerate((300, 340, 380, 420)):
+        ix = ix.add_batch(
+            nn.where((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 40)),
+            manifest_extra={"last_epochs": {"ckL": i}},
+        )
+    # tombstone a few ids from the BULK shard (untouched by the merge)
+    ix = ix.delete_batch([0, 1, 2])
+    parts_before = list(ix.manifest["partitions"])
+    small, n_new = _plan_small_merge(parts_before)
+    assert len(small) == len(parts_before) and n_new == 1  # all tiny here
+    raw_before, dead_before = ix.manifest["count"], ix.manifest["deleted_count"]
+    ix = ix.merge_small_shards()
+    assert len(ix.manifest["partitions"]) == 1
+    assert ix.manifest["count"] == raw_before  # same rows, new packing
+    assert ix.manifest["deleted_count"] == dead_before  # mask untouched
+    assert ix.manifest["last_epochs"] == {"ckL": 3}  # bookkeeping survives
+    # deleted ids stay invisible; survivors exact vs brute force
+    qv = [float(x) for x in nn.where(F.col("vec_id") == 7).first()["embedding"]]
+    got = {r["vec_id"] for r in ix.knn_search(nn, qv, 8, ef_search=400).collect()}
+    want = {
+        r["vec_id"]
+        for r in knn_search(
+            nn.where(~F.col("vec_id").isin(0, 1, 2)), "embedding", qv, 8
+        ).collect()
+    }
+    assert got == want and not ({0, 1, 2} & got)
+    # old shard files are gone; reload agrees with the live handle
+    import os as _o
+
+    assert not any(_o.path.exists(p["file"]) for p in small)
+    re = load_index(spark, ix.path)
+    assert re.count == ix.count
+    assert len(re.manifest["partitions"]) == 1
+
+
+def test_auto_compact_prefers_lsm_merge_below_dead_threshold(spark, emb, tmp_path):
+    """The trigger picks the partial merge when it restores the shard
+    bound and tombstone mass is low; the full repack (which RECLAIMS)
+    stays the path above the dead-fraction threshold."""
+    nn = emb.where(F.col("embedding").isNotNull())
+    ix = create_hnsw_index(
+        spark, nn.where(F.col("vec_id") < 200), "embedding", "vec_id",
+        str(tmp_path / "tier"), overwrite=True,
+    )
+    for lo in (200, 260):
+        ix = ix.add_batch(
+            nn.where((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 60))
+        )
+    # low dead mass -> LSM merge: deleted_count SURVIVES (no reclaim)
+    ix = ix.delete_batch([5])
+    ix = ix.add_batch(
+        nn.where((F.col("vec_id") >= 320) & (F.col("vec_id") < 380)),
+        auto_compact_shards=2,
+    )
+    assert len(ix.manifest["partitions"]) == 1
+    assert ix.manifest["deleted_count"] == 1  # merge path: mask kept
+    # high dead mass -> full repack: tombstones physically reclaimed
+    ix = ix.delete_batch(range(0, 150))
+    ix = ix.add_batch(
+        nn.where((F.col("vec_id") >= 380) & (F.col("vec_id") < 420)),
+        auto_compact_shards=1,
+    )
+    assert len(ix.manifest["partitions"]) == 1
+    assert ix.manifest.get("deleted_count", 0) == 0  # repack reclaimed
