@@ -145,16 +145,45 @@ def _build_parts_distributed(
 
 
 def _plan_small_merge(
-    parts: list[dict], max_rows: int = 65_536, min_fill: float = 0.5
+    parts: list[dict],
+    max_rows: int = 65_536,
+    min_fill: float = 0.5,
+    target_total: int | None = None,
 ) -> tuple[list[dict], int]:
     """(undersized shards, merged shard count) for an LSM-style partial
     compaction — shards below ``min_fill``·``max_rows`` rows are the
-    mergeable tail. Empty plan (fewer than 2 small shards) → ([], 0)."""
+    mergeable tail. The merged count follows the BULK builder's own
+    sizing over the tail (65k ceiling, up-to-8-way parallel split for
+    small totals): the first cut of this planner packed the tail into
+    ceil(total/65k) graphs, and the ×8 A/B showed that builds ONE giant
+    graph in one task — slower than the full parallel repack it was
+    meant to undercut, with lower merged-graph recall than rebuild's
+    own shard shape. ``target_total`` (the auto-compact trigger's shard
+    bound) caps the merged count at the bound's remaining allowance;
+    preferring MORE shards within the allowance keeps the merge
+    parallel and cheap. Empty plan — ([], 0) — when fewer than 2 shards
+    are undersized, when the allowance cannot fit the tail, or when the
+    merge would not reduce the shard count."""
     small = [p for p in parts if p["count"] < int(max_rows * min_fill)]
     if len(small) < 2:
         return [], 0
     total = sum(p["count"] for p in small)
-    return small, max(1, (total + max_rows - 1) // max_rows)
+    by_size = max(1, (total + max_rows - 1) // max_rows)
+    # mirror create_hnsw_index's small-table split (build parallelism
+    # without shredding into tiny graphs); by_size dominates at scale
+    want = (
+        max(by_size, min(8, total // 500)) if total > 1_000 else by_size
+    )
+    if target_total is None:
+        n_new = want
+    else:
+        allowance = int(target_total) - (len(parts) - len(small))
+        if allowance < by_size:
+            return [], 0  # bound unreachable by merging: full repack
+        n_new = max(by_size, min(want, allowance))
+    if n_new >= len(small):
+        return [], 0  # would not reduce the shard count
+    return small, n_new
 
 
 def _load_graph(path: str) -> HNSWGraph:
@@ -842,23 +871,21 @@ class HnswIndex:
                 # wasted work before the fall-back repack. The full
                 # repack remains the path when tombstone mass makes the
                 # O(corpus) reclaim worth paying anyway.
-                small, n_new = _plan_small_merge(merged["partitions"])
-                predicted = len(merged["partitions"]) - len(small) + n_new
+                target = max(int(auto_compact_shards), right_sized)
+                small, _ = _plan_small_merge(
+                    merged["partitions"], target_total=target
+                )
                 # manifest["count"] is the raw indexed total (dead rows
                 # included — see the count property), so the fraction
                 # is deleted/raw
                 dead_frac = merged.get("deleted_count", 0) / max(
                     1, merged["count"]
                 )
-                if (
-                    small
-                    and dead_frac < 0.2
-                    and predicted <= max(int(auto_compact_shards), right_sized)
-                ):
+                if small and dead_frac < 0.2:
                     # manifest_extra already committed on `merged`
                     # above; merge_small_shards copies the live
                     # manifest, so every bookkeeping key survives
-                    return self.merge_small_shards()
+                    return self.merge_small_shards(target_shards=target)
                 # preserve bookkeeping the caller just rode on this
                 # merge (streaming replay stamps) across the repack —
                 # ALWAYS both stamp families (ADVICE r13: an add-stream
@@ -1009,7 +1036,10 @@ class HnswIndex:
         )
 
     def merge_small_shards(
-        self, max_rows: int = 65_536, min_fill: float = 0.5
+        self,
+        max_rows: int = 65_536,
+        min_fill: float = 0.5,
+        target_shards: int | None = None,
     ) -> "HnswIndex":
         """LSM-style partial compaction (r16, VERDICT r15 #6): repack
         ONLY the undersized shards the add_batch/streaming tail
@@ -1027,10 +1057,16 @@ class HnswIndex:
         falls back to the full repack when the dead fraction makes the
         O(corpus) pass worth paying). ``count`` and the bookkeeping
         keys are untouched — same rows, different packing. No-op when
-        fewer than two shards are undersized."""
+        fewer than two shards are undersized. ``target_shards`` (the
+        auto-compact trigger passes its bound) caps the merged shard
+        count at the bound's remaining allowance — a no-op when the
+        bound is unreachable by merging, so the trigger's fall-back
+        repack never pays for a wasted merge first."""
         man = self.manifest
         parts = list(man["partitions"])
-        small, n_new = _plan_small_merge(parts, max_rows, min_fill)
+        small, n_new = _plan_small_merge(
+            parts, max_rows, min_fill, target_total=target_shards
+        )
         if not small:
             return self
         small_pids = {p["pid"] for p in small}

@@ -210,60 +210,84 @@ _EXTRA_ORACLES: dict[str, str] = {}
 #      stale set) — all 15 first in line for r16.
 # Rotated out: the full r14 window (fresh r14 evidence, driver-green
 # 50/50).
+# Round-16 composition (VERDICT r15 #1 — retire the LAST stale
+# evidence). The r16 audit re-measured every row's age from
+# CORRECTNESS_r01..r15 directly (the r15 method, not bookkeeping):
+# 12 rows at r8, 3 at r9 — exactly the judge's named 15 — then 50 each
+# at r13/r14/r15. This window seats all 15 stale rows plus 35 of the
+# 50 r13-evidence rows (r16-touched paths first), so after it NO
+# registry row's driver evidence is older than r13. The 15 r13 rows
+# left behind (first in line for r17, each with a seated same-code-path
+# sibling): q02_min_cost_supplier (q06/q08/q12/q21 seated),
+# q_knn_cosine (q_knn_l2/q_knn_classify), q_bm25_topk (q_hybrid_rrf),
+# q_minhash_signature (q_ngram_jaccard/q_simhash), q_dedup_keep_best +
+# q_incremental_dedup_keep (q_dedup_keep), q_sql_quantized_minby
+# (q_sql_quantized_topk/q_sql_minby_topk), q_sql_ivfpq_route_topk
+# (q_sql_bq_route_topk), q_ivf_knn_join (q_pq_knn_join), q_sq_knn
+# (q_bq_knn), q_media_audio_energy (q_media_jpeg_pipeline),
+# q_stream_dedup_store (q_stream_curation), q_stream_session_windows
+# (q_sessionize_events), q_corpus_diff (q_fingerprint),
+# q_weighted_sample (q_temperature_mix r15).
 _DECLARED: list[str] = [
-    # 1. judge-named seats (VERDICT r14 #1)
-    "q04_priority_semi",
-    "q07_volume_shipping",
-    "q10_returned_items",
-    "q14_type_revenue_share",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "q22_inactive_customers",
-    "q_sql_update_cycle",
-    "q_reference_slt",
-    # 2. the remaining never-seated rows
-    "q_bq_asym_knn",
-    "q_bq_index_knn",
-    "q_ivf_add_batch",
-    "q_pq_add_batch",
-    # 3. the r8-evidence rows (oldest driver evidence in the registry)
-    "q01_pricing_summary",
-    "q09_profit_by_nation",
-    "q11_important_parts",
-    "q13_customer_distribution",
-    "q18_large_orders",
-    "q20_promotion_suppliers",
-    "q_cohort_retention",
-    "q_cosine_rewrite",
-    "q_distinct_on",
-    "q_dup_spans",
-    "q_exact_dedup",
-    "q_hnsw_compact",
-    "q_hnsw_knn_filtered",
-    "q_ivf_knn",
-    "q_json_event_stats",
-    "q_knn_join_lateral",
-    "q_media_mjpeg_frames",
-    "q_min_by_topk",
-    "q_minhash_lsh",
-    "q_ntile_value_buckets",
-    "q_pack_sequences",
-    "q_profile_lineitem",
-    "q_salted_join",
-    "q_semdedup",
-    "q_sql_lateral_rewrite",
-    "q_sql_topk_rewrite",
-    "q_stream_dedup_state",
-    "q_stream_join_window",
-    "q_stream_matview",
-    "q_stream_window_counts",
-    "q_temperature_mix",
-    "q_time_gapfill",
-    "q_vec_normalize",
-    "q_video_neardup",
-    "q_vss_join",
-    "q_window_top_events",
+    # 1. the 15 judge-named stale rows (VERDICT r15 #1 — the LAST rows
+    #    whose driver evidence predates r13; my r16 audit of
+    #    CORRECTNESS_r01..r15 confirms exactly these: 12 at r8, 3 at r9)
+    "q_stream_matview_restart",
+    "q_dup_coverage",
+    "q_dedup_keep",
+    "q_sql_metric_rewrite",
+    "q_knn_l2",
+    "q_ngram_jaccard",
+    "q_cube_events",
+    "q_funnel",
+    "q_string_agg",
+    "q_unpivot_events",
+    "q_hash_embed",
+    "q_zorder_key",
+    "q_knn_grid",
+    "q_media_features_shape",
+    "q_media_video_probe",
+    # 2. r16-touched paths (all r13 evidence): q_zorder_key above also
+    #    carries the new top-bits domain interleave; these carry the
+    #    vss_match single-pass shape, the broadcast null-window fix,
+    #    the arrow_udf distance registration (every SQL-routed row),
+    #    and the shared-builder/LSM-trigger artifact changes
+    "q_vss_match_stats",
+    "q_knn_classify",
+    "q_knn_join_grouped",
+    "q_sql_ext_topk",
+    "q_sql_minby_topk",
+    "q_sql_quantized_topk",
+    "q_sql_quantized_lateral_fallback",
+    "q_sql_bq_route_topk",
+    "q_hnsw_delete_batch",
+    "q_pq_delete_batch",
+    "q_stream_index_add",
+    # 3. the rest of the r13-evidence tranche (oldest remaining)
+    "q06_forecast_revenue",
+    "q08_market_share",
+    "q12_late_priority",
+    "q21_waiting_suppliers",
+    "q_asof_join",
+    "q_bq_knn",
+    "q_curation_e2e",
+    "q_df_api_topk",
+    "q_embedding_neardup_lsh",
+    "q_fingerprint",
+    "q_hnsw_index_info",
+    "q_hnsw_self_consistency",
+    "q_hybrid_rrf",
+    "q_lang_id",
+    "q_media_jpeg_pipeline",
+    "q_mmr_rerank",
+    "q_perplexity_filter",
+    "q_pq_knn_join",
+    "q_quality_score",
+    "q_semantic_doc_search",
+    "q_sessionize_events",
+    "q_simhash",
+    "q_stream_curation",
+    "q_stream_knn_serve",
 ]
 
 
