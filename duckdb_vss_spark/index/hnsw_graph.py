@@ -313,18 +313,35 @@ class HNSWGraph:
         backfill then tops the degree back up to ``m_max``, and the
         measured recall matches the sequential path on the test
         corpora (test_index.py recall pins). The incremental insert
-        path (``_select_neighbors``) keeps exact Alg. 4 semantics."""
+        path (``_select_neighbors``) keeps exact Alg. 4 semantics.
+
+        Duplicate-saturation guard (r16): a candidate at pair-distance
+        EXACTLY 0 to an earlier (distance-ordered) candidate is a copy
+        of it — and the occlusion test's strict ``<`` never occludes
+        exact ties, so a corpus holding many copies of one vector used
+        to rank every copy "non-dominated" and fill the entire
+        neighbor list with them: once multiplicity reaches m0 the
+        level-0 graph fragments into per-vector cliques and navigation
+        cannot reach them at all (measured: a 2048-unique x 28-copy
+        corpus returned dist 9.59 for an exact-match query whose
+        answer is dist 0). Copies beyond the first now sort AFTER
+        every diverse candidate — kept only when nothing diverse is
+        left — which no-ops on unique corpora (P == 0 between distinct
+        real vectors essentially never) and keeps duplicate clusters
+        reachable through diverse bridge edges."""
         A, L = dq.shape
         dom = ((P <= dq[:, :, None]) & (dq[:, None, :] < dq[:, :, None])).any(axis=2)
+        earlier = np.tril(np.ones((L, L), dtype=bool), -1)  # j before i
+        dup = ((P == 0) & earlier[None, :, :]).any(axis=2)
+        base = np.where(dup, np.int8(2), dom.astype(np.int8))
+        base = np.where(np.isfinite(dq), base, np.int8(3))  # pads last
         if counts is None:
-            key = dom.astype(np.int8)
+            key = base
             cnt = np.full(A, L, dtype=np.int64)
         else:
             cnt = np.asarray(counts, dtype=np.int64)
             key = np.where(
-                np.arange(L)[None, :] < cnt[:, None],
-                dom.astype(np.int8),
-                np.int8(2),
+                np.arange(L)[None, :] < cnt[:, None], base, np.int8(3)
             )
         order = np.argsort(key, axis=1, kind="stable")
         return order[:, : min(m_max, L)], np.minimum(cnt, m_max)
@@ -489,7 +506,14 @@ class HNSWGraph:
                 kept.append(pos)
             else:
                 pruned.append(pos)
-        order = kept + pruned[: m_cap - len(kept)]
+        # duplicate-saturation guard (r16, same as _batch_select): a
+        # pruned candidate at pair-distance 0 to an earlier candidate
+        # is a copy — backfill diverse candidates first so duplicate
+        # clusters keep bridge edges instead of filling every slot
+        # (no-op on unique corpora: distinct vectors never pair at 0)
+        dup = [pos > 0 and P[pos, :pos].min() == 0 for pos in range(len(cands))]
+        backfill = [p for p in pruned if not dup[p]] + [p for p in pruned if dup[p]]
+        order = kept + backfill[: m_cap - len(kept)]
         return [cands[p] for p in order]
 
     def _insert(self, i: int) -> None:

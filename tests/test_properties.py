@@ -121,3 +121,39 @@ def test_incremental_path_matches_bulk_quality():
     g2 = HNSWGraph.from_bytes(g.to_bytes())
     got2, _ = g2.search(q, 10, ef_search=600)
     assert np.array_equal(got, got2)
+
+
+def test_duplicate_saturated_corpus_stays_navigable():
+    """r16: with many exact copies of each vector, the occlusion test's
+    strict < never occludes ties, so every copy ranked non-dominated
+    and SATURATED the neighbor lists — at multiplicity >= m0 the
+    level-0 graph fragmented into per-vector cliques and an exact-match
+    query could return a far vector (measured dist 9.59 for a true
+    dist-0 answer; hit rate 0/50). Copies beyond the first are now
+    deprioritized below every diverse candidate in both select paths,
+    keeping duplicate clusters bridged. Dedup-before-index remains the
+    prescribed pipeline; this pins graceful degradation, not exactness."""
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((256, 8)).astype(np.float32)
+    xs = np.tile(base, (40, 1))  # multiplicity 40 > m0
+    keys = np.arange(len(xs), dtype=np.int64)
+    g = HNSWGraph(8, "l2sq", m=16, ef_construction=128).build(keys, xs)
+    hits = sum(
+        int(g.search(base[q], 5, ef_search=256)[1][0] == 0.0)
+        for q in range(256)
+    )
+    # measured 213/256 (0.83) with the guard vs 0 without; the pin
+    # holds a margin below that — residual misses are the SEARCH-side
+    # analogue (the ef beam itself saturates with tied copies), which
+    # is why dedup-before-index stays the prescription
+    assert hits >= 179, hits
+    # and a unique corpus keeps brute-force-exact top-k (the guard is a
+    # no-op when no pair-distance is exactly 0)
+    uq = rng.standard_normal((400, 8)).astype(np.float32)
+    gu = HNSWGraph(8, "l2sq", m=8, ef_construction=64).build(
+        np.arange(400, dtype=np.int64), uq
+    )
+    q = uq[13]
+    got, _ = gu.search(q, 10, ef_search=500)
+    want = np.argsort(((uq.astype(np.float64) - q) ** 2).sum(axis=1), kind="stable")[:10]
+    assert set(got.tolist()) == set(want.tolist())
