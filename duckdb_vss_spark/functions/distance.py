@@ -296,11 +296,14 @@ def register_sql_functions(spark: SparkSession) -> None:
             out = np.zeros(n, dtype=np.float64)
             valid = ~null_mask
             if valid.any():
-                la_list = a.to_pylist()
-                lb_list = b.to_pylist()
                 idx = np.flatnonzero(valid)
-                xa = [np.asarray(la_list[i], dtype=np.float64) for i in idx]
-                xb = [np.asarray(lb_list[i], dtype=np.float64) for i in idx]
+                # materialize only the valid rows (review r16: a full
+                # to_pylist paid per-row Python conversion for every
+                # NULL row of a null-heavy batch just to skip it)
+                sel_a = a.take(pa.array(idx)).to_pylist()
+                sel_b = b.take(pa.array(idx)).to_pylist()
+                xa = [np.asarray(v, dtype=np.float64) for v in sel_a]
+                xb = [np.asarray(v, dtype=np.float64) for v in sel_b]
                 la = np.array([v.shape[0] for v in xa])
                 lb = np.array([v.shape[0] for v in xb])
                 if (la != lb).any():

@@ -175,7 +175,11 @@ def _plan_small_merge(
         max(by_size, min(8, total // 500)) if total > 1_000 else by_size
     )
     if target_total is None:
-        n_new = want
+        # direct call: consolidating IS the request — cap the
+        # parallelism floor so the merge always reduces the count
+        # (review r16: an uncapped `want` made 2-8 small shards
+        # totalling >1000 rows silently no-op)
+        n_new = max(by_size, min(want, len(small) - 1))
     else:
         allowance = int(target_total) - (len(parts) - len(small))
         if allowance < by_size:

@@ -287,8 +287,25 @@ class HNSWGraph:
             G *= -1.0
         return G
 
-    @staticmethod
-    def _batch_select(dq, P, m_max, counts=None):
+    @property
+    def _dup_eps(self) -> float | None:
+        """Pair-rank-distance threshold at or below which two candidates
+        count as COPIES for the duplicate-saturation guard, per metric
+        (review r16: the first cut tested ``P == 0`` for every metric,
+        which is only the duplicate condition for l2sq — under cosine an
+        exact float32 copy ranks at 1 − dot(n̂, n̂) ≈ ±1.2e-7, never
+        exactly 0, so the guard silently no-opped; under ip the rank is
+        −a·b, which is 0 for ORTHOGONAL pairs, so maximally-diverse
+        candidates would have been demoted as copies while true copies,
+        at −‖v‖², were never flagged). l2sq: exact 0. cosine: 1e-6
+        (≈8 ulp above the float32 self-similarity error; near-identical
+        directions get deprioritized too, which is the guard's intent).
+        ip: None — duplicates are not inferable from the pair rank at
+        all, the guard is OFF, and duplicate-saturated ip corpora keep
+        the dedup-before-index prescription (SCALE.md)."""
+        return {"l2sq": 0.0, "cosine": 1e-6}.get(self.metric)
+
+    def _batch_select(self, dq, P, m_max, counts=None):
         """Vectorized diversity select for a batch of nodes. ``dq``
         (A, L) candidate distances ascending (pad +inf), ``P``
         (A, L, L) candidate-pair distances. Returns ``(sel, keep_n)``:
@@ -315,24 +332,29 @@ class HNSWGraph:
         corpora (test_index.py recall pins). The incremental insert
         path (``_select_neighbors``) keeps exact Alg. 4 semantics.
 
-        Duplicate-saturation guard (r16): a candidate at pair-distance
-        EXACTLY 0 to an earlier (distance-ordered) candidate is a copy
-        of it — and the occlusion test's strict ``<`` never occludes
-        exact ties, so a corpus holding many copies of one vector used
-        to rank every copy "non-dominated" and fill the entire
-        neighbor list with them: once multiplicity reaches m0 the
-        level-0 graph fragments into per-vector cliques and navigation
-        cannot reach them at all (measured: a 2048-unique x 28-copy
-        corpus returned dist 9.59 for an exact-match query whose
-        answer is dist 0). Copies beyond the first now sort AFTER
-        every diverse candidate — kept only when nothing diverse is
-        left — which no-ops on unique corpora (P == 0 between distinct
-        real vectors essentially never) and keeps duplicate clusters
-        reachable through diverse bridge edges."""
+        Duplicate-saturation guard (r16): a candidate whose pair rank
+        to an earlier (distance-ordered) candidate is within the
+        metric's copy threshold (``_dup_eps``) is a copy of it — and
+        the occlusion test's strict ``<`` never occludes exact ties,
+        so a corpus holding many copies of one vector used to rank
+        every copy "non-dominated" and fill the entire neighbor list
+        with them: once multiplicity reaches m0 the level-0 graph
+        fragments into per-vector cliques and navigation cannot reach
+        them at all (measured: a 2048-unique x 28-copy corpus returned
+        dist 9.59 for an exact-match query whose answer is dist 0).
+        Copies beyond the first now sort AFTER every diverse candidate
+        — kept only when nothing diverse is left — which no-ops on
+        unique corpora and keeps duplicate clusters reachable through
+        diverse bridge edges. Metric-aware per ``_dup_eps`` (review
+        r16): exact 0 for l2sq, a ±ulp band for cosine, OFF for ip."""
         A, L = dq.shape
         dom = ((P <= dq[:, :, None]) & (dq[:, None, :] < dq[:, :, None])).any(axis=2)
-        earlier = np.tril(np.ones((L, L), dtype=bool), -1)  # j before i
-        dup = ((P == 0) & earlier[None, :, :]).any(axis=2)
+        eps = self._dup_eps
+        if eps is None:  # ip: copies not inferable from pair rank
+            dup = np.zeros((A, L), dtype=bool)
+        else:
+            earlier = np.tril(np.ones((L, L), dtype=bool), -1)  # j before i
+            dup = ((P <= eps) & earlier[None, :, :]).any(axis=2)
         base = np.where(dup, np.int8(2), dom.astype(np.int8))
         base = np.where(np.isfinite(dq), base, np.int8(3))  # pads last
         if counts is None:
@@ -507,11 +529,22 @@ class HNSWGraph:
             else:
                 pruned.append(pos)
         # duplicate-saturation guard (r16, same as _batch_select): a
-        # pruned candidate at pair-distance 0 to an earlier candidate
-        # is a copy — backfill diverse candidates first so duplicate
-        # clusters keep bridge edges instead of filling every slot
-        # (no-op on unique corpora: distinct vectors never pair at 0)
-        dup = [pos > 0 and P[pos, :pos].min() == 0 for pos in range(len(cands))]
+        # pruned candidate whose pair rank to an earlier candidate is
+        # within the metric's copy threshold (_dup_eps; None = guard
+        # off for ip) is a copy — backfill diverse candidates first so
+        # duplicate clusters keep bridge edges instead of filling every
+        # slot (no-op on unique corpora). ``any`` over the row, not
+        # ``min == 0`` (review r16: cosine pair ranks go slightly
+        # NEGATIVE at ±1 ulp, so a min test would compare the wrong
+        # element — and never hit 0 anyway).
+        eps = self._dup_eps
+        if eps is None:
+            dup = [False] * len(cands)
+        else:
+            dup = [
+                pos > 0 and bool((P[pos, :pos] <= eps).any())
+                for pos in range(len(cands))
+            ]
         backfill = [p for p in pruned if not dup[p]] + [p for p in pruned if dup[p]]
         order = kept + backfill[: m_cap - len(kept)]
         return [cands[p] for p in order]

@@ -101,13 +101,19 @@ def bind_index(path: str, index) -> None:
         if not hasattr(index, fn):
             raise ValueError(f"index {type(index).__name__} lacks {fn}()")
     lst = _BOUND_INDEXES.setdefault(os.path.abspath(path), [])
-    ipath = os.path.abspath(getattr(index, "path", "")) or None
+
+    def _artifact_key(ix):
+        # review r16: abspath("") is the CWD (truthy), so the first cut
+        # keyed PATH-LESS duck-typed handles by the working directory —
+        # two of them bound together silently evicted each other, and a
+        # real artifact at the CWD could be evicted by one. No path →
+        # no dedupe key.
+        p = getattr(ix, "path", None)
+        return os.path.abspath(p) if p else None
+
+    ipath = _artifact_key(index)
     if ipath is not None:
-        lst[:] = [
-            ix
-            for ix in lst
-            if os.path.abspath(getattr(ix, "path", "")) != ipath
-        ]
+        lst[:] = [ix for ix in lst if _artifact_key(ix) != ipath]
     lst.append(index)
 
 

@@ -157,3 +157,34 @@ def test_duplicate_saturated_corpus_stays_navigable():
     got, _ = gu.search(q, 10, ef_search=500)
     want = np.argsort(((uq.astype(np.float64) - q) ** 2).sum(axis=1), kind="stable")[:10]
     assert set(got.tolist()) == set(want.tolist())
+
+
+def test_duplicate_guard_is_metric_aware():
+    """Review r16: the first-cut guard tested P == 0 for every metric.
+    Under cosine an exact float32 copy ranks at ±1 ulp (never exactly
+    0) so the guard silently no-opped; under ip the rank −a·b is 0 for
+    ORTHOGONAL pairs, so maximally-diverse candidates would have been
+    demoted as copies. Cosine duplicate corpora must now stay
+    navigable, and an ip graph over mutually-orthogonal (one-hot)
+    vectors must keep brute-force-exact results (guard OFF for ip)."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((128, 8)).astype(np.float32)
+    xs = np.tile(base, (40, 1))
+    g = HNSWGraph(8, "cosine", m=16, ef_construction=128).build(
+        np.arange(len(xs), dtype=np.int64), xs
+    )
+    hits = sum(
+        int(abs(g.search(base[q], 5, ef_search=256)[1][0]) < 1e-6)
+        for q in range(128)
+    )
+    assert hits >= 77, hits  # measured 0.72+ at this shape pre-margin; was ~0 unguarded
+    # ip over one-hot vectors: every pair rank is exactly 0 (orthogonal)
+    # — with the guard wrongly ON they'd all demote; require exact top-k
+    eye = np.eye(8, dtype=np.float32) * np.arange(1, 9, dtype=np.float32)[:, None]
+    gi = HNSWGraph(8, "ip", m=4, ef_construction=32).build(
+        np.arange(8, dtype=np.int64), eye
+    )
+    q = np.ones(8, dtype=np.float32)
+    got, _ = gi.search(q, 3, ef_search=64)
+    want = np.argsort(-(eye.astype(np.float64) @ q), kind="stable")[:3]
+    assert set(got.tolist()) == set(want.tolist())
