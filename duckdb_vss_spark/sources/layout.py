@@ -185,7 +185,35 @@ def _probe_scan(df: DataFrame) -> tuple[list[str] | None, int]:
     file through k leaves, so every byte estimate scales by
     ceil(leaves / files) — and CEIL, not floor (review r15):
     union(A, A, B) has 3 leaves over 2 paths, and for a GATE
-    overestimating is the safe direction."""
+    overestimating is the safe direction.
+
+    Primary probe (r16): walk the ANALYZED plan's leaves and read each
+    ``HadoopFsRelation.inputFiles`` directly. ``Dataset.inputFiles()``
+    walks the OPTIMIZED plan, where cache substitution has already
+    replaced the file relation with InMemoryRelation — so once a
+    source is ``.cache()``d, ``inputFiles()`` returns [] for it and
+    for ANY other frame over the same file, and every size gate
+    silently degraded to "unknown" (the driver-local index builds,
+    the contamination broadcast gate and widen_narrow_scan's cheap
+    width probe all fell to their conservative slow paths whenever the
+    caller cached the table — as the bench does). The analyzed plan
+    predates cache substitution, so the walk sees the file relation
+    either way. It is STRICT: any leaf that is not a v1 file relation
+    fails the whole walk and we fall back to ``inputFiles()`` — a
+    mixed file+RDD plan must stay "unknown" rather than under-report
+    bytes. Walk paths are NOT deduped (one entry per leaf), so the
+    leaf scale is 1 by construction."""
+    try:
+        lvs = df._jdf.queryExecution().analyzed().collectLeaves()
+        files = []
+        for i in range(lvs.size()):
+            # LogicalRelation.relation() -> HadoopFsRelation.inputFiles;
+            # any other leaf type raises and voids the strict walk
+            files.extend(lvs.apply(i).relation().inputFiles())
+        if files:
+            return [_local_path(f) for f in files], len(files)
+    except Exception:  # noqa: BLE001 — non-file / non-v1 leaf: fall back
+        pass
     try:
         files = df.inputFiles()
     except Exception:  # noqa: BLE001 — non-file plan

@@ -224,6 +224,41 @@ class TestCollectGateBytes:
         assert input_uncompressed_bytes(spark.range(10)) == -1
         assert collect_gate_bytes(spark.range(10)) == -1
 
+    def test_cached_file_scan_is_probed(self, spark, tmp_path):
+        """r16 regression pin: ``Dataset.inputFiles()`` walks the
+        OPTIMIZED plan, where cache substitution has already replaced
+        the file relation with InMemoryRelation — so once a source is
+        ``.cache()``d, ``inputFiles()`` returns [] for it AND for any
+        other frame over the same file, and every size gate silently
+        read "unknown" (the bench caches the embeddings table, so the
+        driver-local index builds all fell to their cluster paths).
+        The probe must walk the ANALYZED plan, which still holds the
+        HadoopFsRelation."""
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        from duckdb_vss_spark.sources.layout import (
+            collect_gate_bytes,
+            input_bytes,
+        )
+
+        p = str(tmp_path / "single.parquet")
+        papq.write_table(pa.table({"id": list(range(1000))}), p)
+        df = spark.read.parquet(p)
+        # self-union through one file: bytes must scale with leaves
+        assert input_bytes(df) > 0
+        assert input_bytes(df.unionByName(df)) == 2 * input_bytes(df)
+        cached = df.cache()
+        try:
+            cached.count()
+            probed = collect_gate_bytes(cached.select("id"))
+            assert probed > 0
+            # same file through a FRESH read while the cache stands —
+            # cache substitution hits this plan too
+            assert collect_gate_bytes(spark.read.parquet(p)) == probed
+        finally:
+            cached.unpersist()
+
     def test_rle_heavy_build_takes_distributed_path(self, spark, tmp_path):
         """End-to-end: a PQ build over a small-on-disk but
         large-decompressed file must NOT take the driver-local collect
