@@ -99,6 +99,16 @@ def ahash_pairs(
         raise ValueError("blocks must divide 64")
     width = 64 // blocks
     mask = (1 << width) - 1
+    # materialize the skinny (id, hash) rows ONCE before the self-join
+    # (guide §4: the decode pipeline is opaque to Catalyst, so both
+    # join branches — and the build side is a BroadcastExchange, which
+    # ReuseExchange can never dedupe against a plain subtree — re-ran
+    # the full Python decode+hash pass; measured 2 ArrowEvalPython +
+    # 2 MapInPandas nodes in the q_image_phash_dedup plan, halved by
+    # this checkpoint; same fix as the text-LSH pipelines, r3/r4)
+    from duckdb_vss_spark.pipeline.dedup import _materialize
+
+    hashes = _materialize(hashes.select(F.col(id_col).alias(id_col), "ahash"))
     buckets = [
         F.concat_ws(
             ":",
@@ -206,6 +216,13 @@ def video_neardup_pairs(
         raise ValueError("blocks must divide 64")
     width = 64 // blocks
     mask = (1 << width) - 1
+    # same §4 duplicate-subtree fix as ahash_pairs: one decode pass
+    # feeds both sides of the candidate self-join
+    from duckdb_vss_spark.pipeline.dedup import _materialize
+
+    frame_hashes = _materialize(
+        frame_hashes.select(F.col(id_col).alias(id_col), "frame_idx", "ahash")
+    )
     buckets = [
         F.concat_ws(
             ":",
