@@ -955,16 +955,27 @@ class HnswIndex:
             ids_df = self.spark.createDataFrame(
                 [(int(x),) for x in ids], f"{id_col} long"
             )
-        ids_df = ids_df.where(F.col(id_col).isNotNull()).distinct()
-        # only mark ids the index actually holds (count semantics)
-        present = ids_df.join(self.keys_df().distinct(), id_col, "left_semi")
+        ids_df = ids_df.where(F.col(id_col).isNotNull())
+        # only mark ids the index actually holds (count semantics).
+        # r16 (guide §2.4): the semi join needs NO distinct on either
+        # side (set membership), and the one distinct that matters is
+        # the union-level dedup — the previous ids.distinct() +
+        # keys.distinct() + union.distinct() paid three shuffles for
+        # one dedup's worth of semantics
+        present = ids_df.join(self.keys_df(), id_col, "left_semi")
         old = self._tombstones_df()
-        merged_ids = present if old is None else old.select(id_col).unionByName(
-            present
+        merged_ids = (
+            present if old is None else old.select(id_col).unionByName(present)
         ).distinct()
         name = f"tombstones-{_uuid.uuid4().hex[:12]}"
         merged_ids.write.parquet(os.path.join(self.path, name))
-        n_dead = self.spark.read.parquet(os.path.join(self.path, name)).count()
+        # exact count from the written footers — saves the read-back
+        # count job (guide §1); non-local artifact paths fall back
+        from duckdb_vss_spark.sources.layout import parquet_dir_rows
+
+        n_dead = parquet_dir_rows(os.path.join(self.path, name))
+        if n_dead < 0:
+            n_dead = self.spark.read.parquet(os.path.join(self.path, name)).count()
         merged = dict(man)
         old_dir = merged.get("tombstones_dir")
         merged["tombstones_dir"] = name

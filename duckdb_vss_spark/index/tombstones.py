@@ -294,9 +294,14 @@ def mark_delete(
         ids_df = index.spark.createDataFrame(
             [(int(x),) for x in ids], f"{id_col} long"
         )
+    # r16 (guide §2.4): no distinct on either semi-join side — set
+    # membership needs none, and the groupBy(id) merge below is the
+    # one dedup the records need (the versioned path's incremental
+    # n_present count wants DISTINCT ids though, so that branch keeps
+    # its dedup via the groupBy-input distinct there)
     ids_df = ids_df.where(F.col(id_col).isNotNull()).distinct()
     present = ids_df.join(
-        keys_df.select(id_col).distinct(), id_col, "left_semi"
+        keys_df.select(id_col), id_col, "left_semi"
     ).withColumn(
         "__epoch_lt",
         F.lit(int(epoch_lt) if epoch_lt is not None else FULL_KILL).cast("long"),
@@ -318,7 +323,6 @@ def mark_delete(
     merged_ids.write.parquet(os.path.join(index.path, name))
     if n_present is not None:
         present.unpersist()
-    written = index.spark.read.parquet(os.path.join(index.path, name))
     merged = dict(man)
     old_dir = merged.get("tombstones_dir")
     merged["tombstones_dir"] = name
@@ -332,8 +336,18 @@ def mark_delete(
     # deleted rows = full-kill records (one dead row per id under the
     # r13 id-accounting convention) + the accumulated versioned kills;
     # compact()'s exact recount remains the ultimate corrector for the
-    # documented duplicate-id caveat
-    n_full = written.where(F.col("__epoch_lt") >= FULL_KILL).count()
+    # documented duplicate-id caveat. When NO versioned record can
+    # exist (this kill is a full kill and none accumulated before),
+    # every written record is FULL_KILL and the footer row count
+    # answers without a Spark job (guide §1 — r16)
+    n_full = -1
+    if epoch_lt is None and not man.get("versioned_tombstones"):
+        from duckdb_vss_spark.sources.layout import parquet_dir_rows
+
+        n_full = parquet_dir_rows(os.path.join(index.path, name))
+    if n_full < 0:
+        written = index.spark.read.parquet(os.path.join(index.path, name))
+        n_full = written.where(F.col("__epoch_lt") >= FULL_KILL).count()
     merged["deleted_count"] = int(n_full) + int(merged.get("versioned_dead", 0))
     if manifest_extra:
         # e.g. streaming replay stamps — ride the SAME atomic commit
@@ -373,11 +387,19 @@ def revive(index, batch_ids_df: DataFrame, merged: dict) -> str | None:
     )
     name = f"tombstones-{uuid.uuid4().hex[:12]}"
     remaining.write.parquet(os.path.join(index.path, name))
-    written = index.spark.read.parquet(os.path.join(index.path, name))
-    n_records = written.count()
+    # one agg job answers both counts (r16 — was a count + a filtered
+    # count, two scans of the file just written)
+    row = (
+        index.spark.read.parquet(os.path.join(index.path, name))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("__epoch_lt") >= FULL_KILL, 1)).alias("nf"),
+        )
+        .first()
+    )
+    n_records, n_full = int(row["n"]), int(row["nf"])
     old_dir = man.get("tombstones_dir")
     if n_records:
-        n_full = written.where(F.col("__epoch_lt") >= FULL_KILL).count()
         merged["tombstones_dir"] = name
         merged["deleted_count"] = int(n_full) + int(
             man.get("versioned_dead", 0)

@@ -346,6 +346,29 @@ def collect_gate_bytes(df: DataFrame, bound: int | None = None) -> int:
     return max(disk_total, gate_total) * scale
 
 
+def parquet_dir_rows(path: str) -> int:
+    """Exact row count of a just-written local parquet dir from its
+    footers — driver-side metadata only, no Spark job (guide §1/§5: a
+    write-then-count round-trip re-scans what the writer just knew).
+    Returns -1 when any part file's footer is unreadable or the dir is
+    not local; callers fall back to a Spark count."""
+    import os
+
+    try:
+        import pyarrow.parquet as _pq
+
+        total = 0
+        for name in os.listdir(path):
+            if not name.endswith(".parquet"):
+                continue
+            total += _pq.ParquetFile(os.path.join(path, name)).metadata.num_rows
+        return total
+    except OSError:
+        return -1
+    except Exception:  # noqa: BLE001 — corrupt/foreign footer: unknown
+        return -1
+
+
 def _size_conf_bytes(sess, key: str, default: int) -> int:
     """A Spark size conf ("128MB", "4m", "134217728b") as bytes, via
     Spark's own parser (JavaUtils.byteStringAsBytes — the same code
