@@ -95,15 +95,14 @@ def _corpus_rows(base: DataFrame) -> int:
     only ever ENLARGES the shortlist, the conservative direction), else
     one count()."""
     try:
-        files = base.inputFiles()
+        from duckdb_vss_spark.sources.layout import _probe_scan
+
+        files, _ = _probe_scan(base)  # cache-proof (r16: inputFiles()
+        # goes blind once the source is cached — see layout._probe_scan)
         if files:
             import pyarrow.parquet as papq
 
-            from duckdb_vss_spark.index.pq import _local_path
-
-            return sum(
-                papq.ParquetFile(_local_path(f)).metadata.num_rows for f in files
-            )
+            return sum(papq.ParquetFile(f).metadata.num_rows for f in files)
     except Exception:  # noqa: BLE001 — non-parquet / remote FS
         pass
     return base.count()
@@ -1013,6 +1012,74 @@ def _bq_query_stream(
     )
 
 
+def _write_sigs_local(
+    rows, dims: int, scoring: str, center, sigs_dir: str, id_col: str,
+    elem_np=None,
+) -> bool:
+    """Driver-side signature write for gate-small builds: replays the
+    SQL signature/norm expressions in numpy, bit-for-bit.
+
+    - word w = Σ_b shiftleft(bit_b, b−w): an integer sum of distinct
+      powers of two — any evaluation order is exact, and bits 0..62
+      stay within int64.
+    - norms fold LEFT-TO-RIGHT like the generated `(d0·d0) + (d1·d1) +
+      …` expression: the accumulator loop below adds one squared term
+      per step in the same association order (the leading `0.0 + x`
+      is IEEE-exact), so the doubles match the cluster write to the
+      bit.
+
+    Returns False when the rows don't look like numeric vectors (the
+    caller then falls back to the cluster write)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    try:
+        ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+        v = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    except (TypeError, ValueError):
+        return False
+    if v.ndim != 2 or v.shape[1] != dims:
+        return False
+    d = v - np.asarray(center, dtype=np.float64) if scoring == "asym" else v
+    bits = d > 0
+    nwords = -(-dims // _BITS)
+    words = np.zeros((len(rows), nwords), dtype=np.int64)
+    for w_idx, w in enumerate(range(0, dims, _BITS)):
+        for b in range(w, min(w + _BITS, dims)):
+            words[:, w_idx] += bits[:, b].astype(np.int64) << np.int64(b - w)
+    flat = pa.array(words.reshape(-1), pa.int64())
+    offsets = pa.array(np.arange(len(rows) + 1, dtype=np.int32) * nwords)
+    cols = {id_col: pa.array(ids, pa.int64())}
+    cols["sig"] = pa.ListArray.from_arrays(offsets, flat)
+    if scoring == "asym":
+
+        def _fold_norm(m, acc_dtype):
+            # the generated SQL's arithmetic runs at the expression's
+            # own type: vnc terms are (vec[b] − center_literal)² — the
+            # double literal promotes the whole chain to float64 — but
+            # vfull is vec[b]·vec[b] with NO literal, so a float32
+            # column accumulates its entire sum in SINGLE precision
+            # (measured: replaying vfull in float64 misses the cluster
+            # value; the float32 fold matches it to the bit)
+            acc = np.zeros(len(m), dtype=acc_dtype)
+            m = m.astype(acc_dtype)
+            for b in range(dims):
+                t = m[:, b]
+                acc = acc + t * t
+            return np.sqrt(acc.astype(np.float64))
+
+        cols["vnc"] = pa.array(_fold_norm(d, np.float64), pa.float64())
+        cols["vfull"] = pa.array(
+            _fold_norm(v, elem_np or np.float64), pa.float64()
+        )
+    os.makedirs(sigs_dir, exist_ok=True)
+    papq.write_table(pa.table(cols), os.path.join(sigs_dir, "part-00000.parquet"))
+    return True
+
+
 def create_bq_index(
     spark,
     df: DataFrame,
@@ -1026,6 +1093,7 @@ def create_bq_index(
     cal_rows: int = 1024,
     scoring: str = "asym",
     overwrite: bool = False,
+    driver_build_max_bytes: int = 4 << 20,
 ) -> BqIndex:
     """Persist 63-bit sign-pack signatures as a parquet artifact + a
     manifest holding the recall calibration as a FRACTION (see
@@ -1053,7 +1121,6 @@ def create_bq_index(
     import shutil
     import time as _time
 
-    from duckdb_vss_spark.index.ivf import _count_and_dims
     from duckdb_vss_spark.index.pq import _source_manifest_fields
     from duckdb_vss_spark.session import check_persistence_enabled
 
@@ -1065,15 +1132,21 @@ def create_bq_index(
     src = df.select(
         F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
     ).where(F.col(vec_col).isNotNull())
-    n, dims = _count_and_dims(src, vec_col, "a BQ index")
-
-    if n == 0:
-        raise ValueError("cannot build a BQ index over an empty vector column")
 
     # calibration sample: the SAME estimator as calibrate_rescore
     # (_estimate_fraction), but the fraction is persisted instead of
-    # re-estimated per session; < 2 sample rows → 1.0 (exact shortlist)
-    mat = _sample_matrix(src, vec_col, cal_rows, n)
+    # re-estimated per session; < 2 sample rows → 1.0 (exact shortlist).
+    # r16 (guide §1): the sample is also the dims/emptiness probe — the
+    # up-front _count_and_dims full-scan aggregate is gone; the corpus
+    # count comes from the signature parquet's own footers after the
+    # write (the writer just produced exactly the filtered rows).
+    mat = _sample_matrix(src, vec_col, max(int(cal_rows), 1), 1 << 62)
+    if mat.size == 0:
+        raise ValueError("cannot build a BQ index over an empty vector column")
+    dims = int(mat.shape[1])
+    if cal_rows < 1:
+        mat = mat[:0]  # explicit no-calibration request: keep the
+        # degenerate-sample semantics (asym falls back to hamming)
     extra: dict = {}
     if scoring == "asym" and mat.size:
         center, rho = _center_rho_from_sample(mat)
@@ -1092,19 +1165,55 @@ def create_bq_index(
             raise ValueError(f"index path {path!r} already exists (use overwrite=True)")
         shutil.rmtree(path)
     os.makedirs(path)
-    if scoring == "asym":
-        center = extra["asym_center"]
-        cols = [
-            F.col(id_col),
-            centered_signature(vec_col, dims, center).alias("sig"),
-            centered_norm(vec_col, dims, center).alias("vnc"),
-            full_norm(vec_col, dims).alias("vfull"),
-        ]
-        src.select(*cols).write.parquet(os.path.join(path, "sigs"))
-    else:
-        src.select(
-            id_col, binary_signature(vec_col, dims).alias("sig")
-        ).write.parquet(os.path.join(path, "sigs"))
+    sigs_dir = os.path.join(path, "sigs")
+
+    # small file-backed sources build the signature table on the driver
+    # from ONE bounded collect (r16 — the twin of the ivf/pq/hnsw local
+    # paths): numpy replays the Column expressions bit-for-bit (the
+    # word packs are exact integer sums of distinct powers of two; the
+    # norm folds accumulate left-to-right exactly like the generated
+    # SQL), skipping the cluster write job AND the codegen of the
+    # dims-unrolled signature expressions (the bulk of a small build's
+    # cold wall). Measured at sf0.1 (2k rows): 2.4 s → ~0.6 s.
+    from duckdb_vss_spark.sources.layout import collect_gate_bytes, parquet_dir_rows
+
+    n = -1
+    est = collect_gate_bytes(src, bound=driver_build_max_bytes)
+    if 0 <= est <= driver_build_max_bytes:
+        from pyspark.sql.types import ArrayType, DoubleType, FloatType
+
+        et = src.schema[vec_col].dataType
+        elem_np = None
+        if isinstance(et, ArrayType) and isinstance(et.elementType, FloatType):
+            elem_np = np.float32
+        elif isinstance(et, ArrayType) and isinstance(et.elementType, DoubleType):
+            elem_np = np.float64
+        else:
+            et = None  # unsupported element type: cluster path
+        if et is not None:
+            local_rows = src.collect()  # bounded by the gate
+            if _write_sigs_local(
+                local_rows, dims, scoring, extra.get("asym_center"),
+                sigs_dir, id_col, elem_np=elem_np,
+            ):
+                n = len(local_rows)
+    if n < 0:
+        if scoring == "asym":
+            center = extra["asym_center"]
+            cols = [
+                F.col(id_col),
+                centered_signature(vec_col, dims, center).alias("sig"),
+                centered_norm(vec_col, dims, center).alias("vnc"),
+                full_norm(vec_col, dims).alias("vfull"),
+            ]
+            src.select(*cols).write.parquet(sigs_dir)
+        else:
+            src.select(
+                id_col, binary_signature(vec_col, dims).alias("sig")
+            ).write.parquet(sigs_dir)
+        n = parquet_dir_rows(sigs_dir)
+        if n < 0:
+            n = spark.read.parquet(sigs_dir).count()
     manifest = {
         "index_name": name,
         "vec_col": vec_col,

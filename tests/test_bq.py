@@ -408,3 +408,33 @@ def test_bq_knn_join_exact_and_tombstones(spark, emb, tmp_path):
     out3 = ix.knn_join(qs, "qv", 5, "qid", rescore=ix.count, source=nn)
     ids3 = {r["vec_id"] for r in out3.collect()}
     assert dead_id not in ids3
+
+
+def test_build_local_and_cluster_paths_bit_identical(spark, emb, tmp_path):
+    """r16: gate-small builds write the signature table driver-side
+    (numpy replay of the Column expressions). The artifact must be
+    value-IDENTICAL to the cluster write — same ids, same packed words,
+    and the asym norms to the BIT (the numpy fold replays the generated
+    SQL's left-to-right association), so search behavior cannot depend
+    on which path built the index."""
+    from duckdb_vss_spark.index.bq import create_bq_index
+
+    src = emb.select("vec_id", "embedding")
+    a = create_bq_index(
+        spark, src, "embedding", "vec_id", str(tmp_path / "loc"), overwrite=True
+    )
+    b = create_bq_index(
+        spark, src, "embedding", "vec_id", str(tmp_path / "clu"),
+        overwrite=True, driver_build_max_bytes=0,  # force the cluster write
+    )
+    assert a.manifest["count"] == b.manifest["count"] > 0
+    assert a.manifest["cal_fraction"] == b.manifest["cal_fraction"]
+    rows_a = {
+        r["vec_id"]: (list(r["sig"]), r["vnc"], r["vfull"])
+        for r in spark.read.parquet(str(tmp_path / "loc" / "sigs")).collect()
+    }
+    rows_b = {
+        r["vec_id"]: (list(r["sig"]), r["vnc"], r["vfull"])
+        for r in spark.read.parquet(str(tmp_path / "clu" / "sigs")).collect()
+    }
+    assert rows_a == rows_b  # exact equality, norms included
