@@ -351,6 +351,64 @@ class HnswIndex:
             len(files)
         )
 
+    def _driver_probe_ids(self, q, take: int, ef: int) -> list[int] | None:
+        """Candidate ids from a DRIVER-side shard probe, or None when
+        the artifact is too big (or unreadable from here) and the
+        distributed probe must run. Gate: estimated in-memory graph
+        bytes (count · dims · 4 B vectors, ×4 margin for links/levels)
+        under ``spark.vss.driver_probe_max_bytes`` (default 256 MB —
+        the same cost class as a large broadcast; a 100 TB-scale
+        artifact fails the gate and keeps the executor-side probe).
+        Graphs land in the same mtime-keyed LRU the executors use, so
+        repeated queries pay file reads once."""
+        import numpy as np
+
+        try:
+            budget = int(
+                self.spark.conf.get(
+                    "spark.vss.driver_probe_max_bytes", str(256 << 20)
+                )
+            )
+        except Exception:  # noqa: BLE001 — conf surface moved
+            budget = 256 << 20
+        est = int(self.manifest.get("count", 0)) * int(self.dims) * 4 * 4
+        if budget <= 0 or est <= 0 or est > budget:
+            return None
+        try:
+            qv = np.asarray(q, dtype=np.float32)
+            out: list[int] = []
+            for p in self.manifest["partitions"]:
+                g = _load_graph(p["file"])
+                keys, _ = g.search(qv, take, max(ef, take))
+                out.extend(int(x) for x in keys)
+            return out
+        except Exception:  # noqa: BLE001 — remote FS/corrupt: distributed path
+            return None
+
+    def _tombstone_ids_local_meta(self) -> "frozenset[int] | None":
+        """Tombstoned ids read driver-side from the artifact's parquet
+        (no Spark job), or None when unreadable (caller then keeps the
+        broadcast anti-join). Empty set when there are none."""
+        name = self.manifest.get("tombstones_dir")
+        if not name or not int(self.manifest.get("deleted_count", 0)):
+            return frozenset()
+        try:
+            import pyarrow.parquet as _pq
+
+            id_col = self.manifest["id_col"]
+            d = os.path.join(self.path, name)
+            ids: set[int] = set()
+            for fn in os.listdir(d):
+                if not fn.endswith(".parquet"):
+                    continue
+                col = _pq.read_table(
+                    os.path.join(d, fn), columns=[id_col]
+                ).column(0)
+                ids.update(int(x) for x in col.to_pylist())
+            return frozenset(ids)
+        except Exception:  # noqa: BLE001 — remote FS: let Spark read it
+            return None
+
     # -- entry point B: single-query top-k scan ---------------------------
 
     def knn_search(
@@ -412,27 +470,71 @@ class HnswIndex:
         dead = int(self.manifest.get("deleted_count", 0))
         take += dead
 
-        def search_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            qv = np.asarray(q, dtype=np.float32)
-            for pdf in batches:
-                for file in pdf["file"]:
-                    g = _load_graph(file)
-                    keys, _ = g.search(qv, take, max(ef, take))
-                    yield pd.DataFrame({id_col: keys})
+        # r16 (guide §1): the graph probe is microseconds of sequential
+        # work (ef·log n hops per shard) — scheduling a distributed
+        # python stage + a broadcast build for it cost ~280 ms/query
+        # against 4 ms of actual search (measured, 1-shard sf0.1). The
+        # reference always probes in-process (hnsw_index_scan.cpp); we
+        # do the same whenever the ARTIFACT is gate-small (driver LRU
+        # holds the graphs, same cost class as holding a broadcast),
+        # and keep the distributed probe as the scale path. Only the
+        # candidate GENERATION moves — the payload fetch, distance
+        # recompute and top-k merge stay in Spark either way.
+        cand_ids = self._driver_probe_ids(q, take, ef)
+        dead = self._tombstone_ids_local_meta() if cand_ids is not None else None
+        live = (
+            [int(x) for x in cand_ids if x not in dead]
+            if cand_ids is not None and dead is not None
+            else None
+        )
+        if live is not None and len(set(live)) == len(live):
+            # fully driver-resolved candidates: the fetch becomes ONE
+            # literal In-filter pushed into the base scan (PushedFilters
+            # row-group pruning at scale, guide §6) — no candidate
+            # stage, no broadcast build, one Spark job total. Only when
+            # the ids are UNIQUE: a re-added id legitimately holds two
+            # index copies (reference re-insert-after-delete appends),
+            # and that multiplicity must reach the result — the join
+            # path below preserves it, an In-filter would collapse it
+            matched = df.where(F.col(id_col).isin(live))
+        else:
+            if live is not None:
+                cand_ids = live  # probe + local tombstones, dup ids
+            if cand_ids is not None:
+                # probe ran locally but tombstones are unreadable from
+                # here: literal candidates + the Spark-side anti-join
+                cand = self.spark.createDataFrame(
+                    [(int(x),) for x in cand_ids], f"{id_col} long"
+                )
+            else:
 
-        cand = self._parts_df().mapInPandas(search_part, schema=f"{id_col} long")
-        tomb = self._tombstones_df()
-        if tomb is not None:
-            cand = cand.join(
-                F.broadcast(
-                    tomb.select(F.col(self.manifest["id_col"]).alias(id_col))
-                ),
-                id_col,
-                "left_anti",
-            )
+                def search_part(
+                    batches: Iterator[pd.DataFrame],
+                ) -> Iterator[pd.DataFrame]:
+                    qv = np.asarray(q, dtype=np.float32)
+                    for pdf in batches:
+                        for file in pdf["file"]:
+                            g = _load_graph(file)
+                            keys, _ = g.search(qv, take, max(ef, take))
+                            yield pd.DataFrame({id_col: keys})
+
+                cand = self._parts_df().mapInPandas(
+                    search_part, schema=f"{id_col} long"
+                )
+            # live is not None ⇒ tombstones were already subtracted
+            # driver-side; only the fully-Spark routes anti-join here
+            tomb = self._tombstones_df() if live is None else None
+            if tomb is not None:
+                cand = cand.join(
+                    F.broadcast(
+                        tomb.select(F.col(self.manifest["id_col"]).alias(id_col))
+                    ),
+                    id_col,
+                    "left_anti",
+                )
+            # candidate ids are take·P rows — tiny; broadcast-join back
+            matched = df.join(F.broadcast(cand), on=id_col, how="inner")
         dist_fn = distance_for_metric(self.metric)
-        # candidate ids are take·P rows — tiny; broadcast-join back to base
-        matched = df.join(F.broadcast(cand), on=id_col, how="inner")
         scored = matched.withColumn(dist_col, dist_fn(F.col(vec_col), q))
         cond = None
         if post_filter is not None:
