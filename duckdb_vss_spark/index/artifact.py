@@ -148,6 +148,22 @@ def _build_parts_distributed(
     ]
 
 
+def _bulk_shard_count(total: int, parallelism: int) -> int:
+    """The bulk builder's shard derivation for ``total`` rows (the
+    65k ceiling, with small tables split ≤8 ways for build
+    parallelism) — create_hnsw_index's own sizing, shared with the
+    auto-compact trigger so a compaction always converges TO the
+    snapshot shape (r16 inherited-bug fix: the LSM trigger sized
+    merges toward ``auto_compact_shards`` instead, which is a fire
+    THRESHOLD, not a target — at sf0.1 it packed a 2000-row corpus
+    into 1 shard where the bulk build derives 4, failing the
+    q_stream_index_add right_sized pin)."""
+    by_size = max(1, (int(total) + 65_536 - 1) // 65_536)
+    if total > 1_000:
+        return max(by_size, min(int(parallelism), 8, int(total) // 500))
+    return by_size
+
+
 def _plan_small_merge(
     parts: list[dict],
     max_rows: int = 65_536,
@@ -990,30 +1006,40 @@ class HnswIndex:
                 and len(merged["partitions"]) > right_sized
             ):
                 # LSM-style tier first (r16, VERDICT r15 #6): when
-                # merging just the undersized tail restores the shard
-                # bound, compaction costs O(tail) instead of the full
+                # merging just the undersized tail lands EXACTLY on the
+                # snapshot shape this corpus would bulk-build to,
+                # compaction costs O(tail) instead of the full
                 # O(corpus) repack — the ×64 profile showed the repack
                 # costing as much as the build itself. Predict the
                 # post-merge count UP FRONT so a merge that couldn't
-                # satisfy the bound (mostly full shards) never runs as
-                # wasted work before the fall-back repack. The full
-                # repack remains the path when tombstone mass makes the
+                # reach the snapshot shape (mostly full shards, or a
+                # small corpus the bulk build would split WIDER for
+                # parallelism — a merge can only reduce) never runs as
+                # wasted work before the fall-back repack; the
+                # contract pinned by q_stream_index_add is that
+                # auto-compaction converges to compact_from_shards's
+                # own sizing, whichever tier ran. The full repack also
+                # remains the path when tombstone mass makes the
                 # O(corpus) reclaim worth paying anyway.
-                target = max(int(auto_compact_shards), right_sized)
-                small, _ = _plan_small_merge(
-                    merged["partitions"], target_total=target
+                bulk = _bulk_shard_count(
+                    merged["count"],
+                    int(self.spark.conf.get("spark.sql.shuffle.partitions")),
                 )
+                small, n_new = _plan_small_merge(
+                    merged["partitions"], target_total=bulk
+                )
+                post = len(merged["partitions"]) - len(small) + n_new
                 # manifest["count"] is the raw indexed total (dead rows
                 # included — see the count property), so the fraction
                 # is deleted/raw
                 dead_frac = merged.get("deleted_count", 0) / max(
                     1, merged["count"]
                 )
-                if small and dead_frac < 0.2:
+                if small and post == bulk and dead_frac < 0.2:
                     # manifest_extra already committed on `merged`
                     # above; merge_small_shards copies the live
                     # manifest, so every bookkeeping key survives
-                    return self.merge_small_shards(target_shards=target)
+                    return self.merge_small_shards(target_shards=bulk)
                 # preserve bookkeeping the caller just rode on this
                 # merge (streaming replay stamps) across the repack —
                 # ALWAYS both stamp families (ADVICE r13: an add-stream
@@ -1394,10 +1420,8 @@ def create_hnsw_index(
         # at shuffle.partitions=8000 a //500 floor would make 2000
         # graphs of 500 vectors from 1M rows); larger tables are sized
         # purely by the ceiling.
-        by_size = max(1, (total + 65_536 - 1) // 65_536)
-        parallelism = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        num_partitions = (
-            max(by_size, min(parallelism, 8, total // 500)) if total > 1_000 else by_size
+        num_partitions = _bulk_shard_count(
+            total, int(spark.conf.get("spark.sql.shuffle.partitions"))
         )
     params = dict(metric=metric, m=m, m0=m0, ef_construction=ef_construction, dims=dims)
 

@@ -719,3 +719,32 @@ def test_auto_compact_prefers_lsm_merge_below_dead_threshold(spark, emb, tmp_pat
     )
     assert len(ix.manifest["partitions"]) == 1
     assert ix.manifest.get("deleted_count", 0) == 0  # repack reclaimed
+
+
+def test_auto_compact_converges_to_bulk_shape(spark, emb, tmp_path):
+    """r16 inherited-bug pin (q_stream_index_add at sf0.1): the
+    auto-compact trigger must converge to compact_from_shards's own
+    snapshot sizing whichever tier runs. A small corpus the bulk build
+    would split WIDER for parallelism cannot be served by the LSM
+    merge (a merge only reduces), so the trigger must fall back to the
+    full repack instead of packing below the bulk split."""
+    from duckdb_vss_spark.index.artifact import _bulk_shard_count
+
+    base = emb.where(F.col("embedding").isNotNull()).select("vec_id", "embedding")
+    nn = base
+    for i in (1, 2):  # 3 disjoint id-shifted copies -> >1000 rows
+        nn = nn.unionByName(
+            base.select((F.col("vec_id") + i * 10_000).alias("vec_id"), "embedding")
+        )
+    n = nn.count()
+    assert n > 1_000  # the regime where the bulk split exceeds 1
+    ix = create_hnsw_index(
+        spark, nn.where(F.col("vec_id") < 10_000), "embedding", "vec_id",
+        str(tmp_path / "conv"), overwrite=True,
+    )
+    ix = ix.add_batch(
+        nn.where(F.col("vec_id") >= 10_000), auto_compact_shards=1
+    )
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert len(ix.manifest["partitions"]) == _bulk_shard_count(n, par)
+    assert ix.manifest["count"] == n
