@@ -1330,11 +1330,13 @@ def main() -> None:
         "n_errors": len(errors),
         "full": os.path.basename(local_path),
     }
-    if recall:
-        compact["recall"] = recall
-    if scale8:
-        compact["scale8"] = scale8
-    # headline family representatives; trim from the back if oversize
+    # The driver parses this LAST line and its contract requires a populated
+    # "queries" dict — so queries get the budget FIRST. The old order added
+    # recall+scale8 up front and trimmed queries afterwards; once scale8 grew
+    # past 1900 chars on its own (r12), the trim loop emptied "queries" and the
+    # line still overflowed the driver's tail window (BENCH_r12..r15 all read
+    # "parsed": null). Optional sections now only ride along if they fit,
+    # otherwise they collapse to a count (the full payload always has them).
     headline = [
         "q01_pricing_summary",
         "q_knn_l2",
@@ -1351,9 +1353,23 @@ def main() -> None:
         "q_image_phash_dedup",
         "q_stream_knn_serve",
     ]
+    budget = 1900
     compact["queries"] = {k: timings[k] for k in headline if k in timings}
-    while len(json.dumps(compact)) > 1900 and compact["queries"]:
+    while len(json.dumps(compact)) > budget and compact["queries"]:
         compact["queries"].popitem()
+    for key, extra in (("recall", recall), ("scale8", scale8)):
+        if not extra:
+            continue
+        if len(json.dumps({**compact, key: extra})) <= budget:
+            compact[key] = extra
+        else:
+            compact["n_" + key] = len(extra)
+    # pad with the remaining (slowest-first) queries while the line fits
+    for k in sorted(set(timings) - set(compact["queries"]), key=lambda k: -timings[k]):
+        trial = json.dumps({**compact, "queries": {**compact["queries"], k: timings[k]}})
+        if len(trial) > budget:
+            break
+        compact["queries"][k] = timings[k]
     print(json.dumps(compact))
     spark.stop()
 
