@@ -644,6 +644,7 @@ class BqIndex:
         if len(q) != self.dims:
             raise ValueError(f"BQ index keys must be of type FLOAT[{self.dims}]")
         take = self.default_rescore(k) if rescore is None else int(rescore)
+        pairs = None
         if man.get("scoring", "hamming") == "asym":
             # asymmetric shortlist (r13): full-precision query against
             # the packed sign bits + stored residual norm — no Hamming
@@ -666,22 +667,45 @@ class BqIndex:
                 .limit(max(take, int(k)) if take > 0 else int(k))
             )
         else:
-            qsig = [
-                sum(
-                    (1 << (b - w))
-                    for b in range(w, min(w + _BITS, self.dims))
-                    if q[b] > 0
+            nshort = max(take, int(k)) if take > 0 else int(k)
+            # r16 (guide §1): gate-small plain-hamming artifacts resolve
+            # the shortlist ON the driver — integer scores, so identity
+            # with the JVM column is exact; oversized artifacts keep the
+            # distributed scan below (the 100 TB path)
+            pairs = _driver_hamming_shortlist(self, q, nshort)
+            if pairs is not None:
+                import pandas as _pd
+
+                short = self.spark.createDataFrame(
+                    _pd.DataFrame(
+                        {
+                            id_col: np.asarray(
+                                [i for i, _h in pairs], dtype=np.int64
+                            ),
+                            "hamming": np.asarray(
+                                [h for _i, h in pairs], dtype=np.int32
+                            ),
+                        }
+                    ),
+                    schema=f"{id_col} long, hamming int",
                 )
-                for w in range(0, self.dims, _BITS)
-            ]
-            qcol = F.array(*[F.lit(x).cast("bigint") for x in qsig])
-            hd = hamming_distance(F.col("sig"), qcol)
-            short = (
-                self._sigs_df()
-                .select(id_col, hd.alias("hamming"))
-                .orderBy(F.col("hamming").asc_nulls_last(), F.col(id_col))
-                .limit(max(take, int(k)) if take > 0 else int(k))
-            )
+            else:
+                qsig = [
+                    sum(
+                        (1 << (b - w))
+                        for b in range(w, min(w + _BITS, self.dims))
+                        if q[b] > 0
+                    )
+                    for w in range(0, self.dims, _BITS)
+                ]
+                qcol = F.array(*[F.lit(x).cast("bigint") for x in qsig])
+                hd = hamming_distance(F.col("sig"), qcol)
+                short = (
+                    self._sigs_df()
+                    .select(id_col, hd.alias("hamming"))
+                    .orderBy(F.col("hamming").asc_nulls_last(), F.col(id_col))
+                    .limit(nshort)
+                )
         if take <= 0:
             return short.limit(int(k))
         if source is None:
@@ -699,8 +723,10 @@ class BqIndex:
             return short.limit(int(k))
         vec_col = man["vec_col"]
         dist_fn = distance_for_metric(self.metric)
+        from duckdb_vss_spark.index.pq import _fetch_candidates
+
         return (
-            source.join(F.broadcast(short.drop("hamming")), id_col)
+            _fetch_candidates(source, short, pairs, id_col)
             .withColumn(dist_col, dist_fn(F.col(vec_col), q))
             .orderBy(F.col(dist_col).asc_nulls_last(), F.col(id_col))
             .limit(int(k))
@@ -904,6 +930,65 @@ class BqIndex:
 # worker-LRU cache of decoded signature files for the multi-query
 # stream (the BQ twin of pq._CODES_CACHE): (ids asc, ±1 sign matrix,
 # centered norms, full norms)
+def _driver_hamming_shortlist(index, q, take: int):
+    """(id, hamming) top-``take`` computed ON the driver for
+    gate-small PLAIN-hamming artifacts (r16 — the BQ face of
+    pq._driver_adc_shortlist; guide §1), or None when the artifact is
+    too big / unreadable / asym-scored / the shortlist too wide —
+    those keep the distributed scan bit-for-bit. Hamming scores are
+    INTEGERS, so identity with the JVM ``hamming_distance`` column is
+    exact arithmetic (no float-association risk), and ties break on
+    (hamming, id) exactly like the cluster ORDER BY; the asym
+    estimator stays on its SQL float path (replaying that expression
+    tree's association order is the risk the plain path avoids).
+    Pinned by tests/test_quantized_driver_search."""
+    from duckdb_vss_spark.index import tombstones as _tomb
+    from duckdb_vss_spark.index.pq import (
+        _MAX_DRIVER_SHORTLIST,
+        _driver_probe_budget,
+        _list_parquet_files,
+    )
+
+    man = index.manifest
+    if man.get("scoring", "hamming") == "asym":
+        return None
+    dims = int(man["dimensions"])
+    budget = _driver_probe_budget(index.spark)
+    # decoded ±1 sign matrix dominates driver memory: one byte per dim
+    est = int(man.get("count", 0)) * (dims + 16) * 2
+    if budget <= 0 or est <= 0 or est > budget:
+        return None
+    if int(take) > _MAX_DRIVER_SHORTLIST:
+        return None
+    dead = _tomb.dead_mask_payload_local(index)
+    if dead is _tomb.UNREADABLE:
+        return None
+    id_col = man["id_col"]
+    # the same sign convention the query packing uses: bit set iff > 0
+    qsigns = np.where(np.asarray(q, dtype=np.float64) > 0, 1, -1).astype(np.int8)
+    try:
+        files = _list_parquet_files(os.path.join(index.path, "sigs"))
+        parts = []
+        for file in files:
+            ids, signs, _vn, _vf = _load_sigs(file, id_col, dims, False)
+            d = _tomb.applicable_dead(dead, file)
+            if d is not None:
+                keep = ~np.isin(ids, d)
+                ids, signs = ids[keep], signs[keep]
+            if len(ids):
+                parts.append(
+                    (ids, (signs != qsigns[None, :]).sum(axis=1, dtype=np.int64))
+                )
+    except Exception:  # noqa: BLE001 — remote FS/corrupt: distributed path
+        return None
+    if not parts:
+        return []
+    ids = np.concatenate([p[0] for p in parts])
+    h = np.concatenate([p[1] for p in parts])
+    order = np.lexsort((ids, h))[: int(take)]
+    return [(int(ids[i]), int(h[i])) for i in order]
+
+
 _SIGS_CACHE: dict = {}
 _SIGS_CACHE_MAX = 8
 

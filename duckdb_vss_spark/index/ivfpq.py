@@ -57,10 +57,12 @@ from duckdb_vss_spark.index.ivf import _calibrate_nprobe, _count_and_dims, _kmea
 from duckdb_vss_spark.index.pq import (
     _buffered_query_stream,
     _encode_batch,
+    _fetch_candidates,
     _list_parquet_files,
     _load_codes,
     _merge_topk,
     _resolve_rerank,
+    _shortlist_frame,
     _source_manifest_fields,
     train_pq_codebooks,
 )
@@ -198,6 +200,65 @@ def _codes_files_by_list(codes_dir: str) -> dict[int, list[str]]:
     return out
 
 
+def _driver_ivfadc_shortlist(index, luts, pos, probes, take: int):
+    """(id, dist) residual-ADC top-``take`` over the probed lists,
+    computed ON the driver (r16 — the IVFADC face of
+    pq._driver_adc_shortlist; guide §1), or None when the artifact is
+    too big / unreadable / the shortlist too wide — those keep the
+    distributed scan bit-for-bit. Genuine list pruning is preserved:
+    only the probed lists' hive dirs are read. Bit-identity is by
+    construction: the same ``_load_codes`` LRU, the same ``mask_dead``
+    epoch resolution, and the same gather+``sum(axis=1)`` expression
+    the pandas UDF runs (pidx is constant per hive file — every row in
+    a ``list_id=N`` file has list_id N); pinned by
+    tests/test_quantized_driver_search."""
+    from duckdb_vss_spark.index import tombstones as _tomb
+    from duckdb_vss_spark.index.pq import (
+        _MAX_DRIVER_SHORTLIST,
+        _driver_probe_budget,
+    )
+
+    man = index.manifest
+    m = int(man["m"])
+    budget = _driver_probe_budget(index.spark)
+    est = int(man.get("count", 0)) * (m + 8) * 2
+    if budget <= 0 or est <= 0 or est > budget:
+        return None
+    if int(take) > _MAX_DRIVER_SHORTLIST:
+        return None
+    dead = _tomb.dead_mask_payload_local(index)
+    if dead is _tomb.UNREADABLE:
+        return None
+    id_col = man["id_col"]
+    try:
+        files_by_list = _codes_files_by_list(os.path.join(index.path, "codes"))
+        parts = []
+        for lid in probes:
+            for file in files_by_list.get(int(lid), ()):
+                ids, codes = _load_codes(file, id_col, m)
+                if dead is not None:
+                    ids, codes = _tomb.mask_dead(ids, codes, dead, file)
+                # the same scalars the UDF's luts[pidx] gather extracts,
+                # without materializing the (n, m, ksub) intermediate —
+                # the gathered (n, m) array is element-identical, so the
+                # per-row sum(axis=1) bits are too; slabbed to bound
+                # peak memory (per-row bits are slab-independent)
+                for lo in range(0, len(ids), 65_536):
+                    arr = codes[lo : lo + 65_536]
+                    if not len(arr):
+                        continue
+                    d = luts[pos[int(lid)], np.arange(m), arr].sum(axis=1)
+                    parts.append((ids[lo : lo + 65_536], d))
+    except Exception:  # noqa: BLE001 — remote FS/corrupt: distributed path
+        return None
+    if not parts:
+        return []
+    ids = np.concatenate([p[0] for p in parts])
+    d = np.concatenate([p[1] for p in parts])
+    order = np.lexsort((ids, d))[: int(take)]
+    return [(int(ids[i]), float(d[i])) for i in order]
+
+
 class IvfPqIndex:
     """Handle over a built IVFADC artifact."""
 
@@ -287,24 +348,39 @@ class IvfPqIndex:
                 luts[pi, j] = ((self._books[j] - rs) ** 2).sum(axis=1)
         pos = {lid: pi for pi, lid in enumerate(probes)}
 
-        def adc(list_ids, codes):
-            arr = np.frombuffer(b"".join(codes), dtype=np.uint8).reshape(len(codes), m)
-            pidx = np.array([pos[int(x)] for x in list_ids], dtype=np.int64)
-            lut_rows = luts[pidx]  # (n, m, ksub)
-            return pd.Series(
-                lut_rows[np.arange(len(arr))[:, None], np.arange(m), arr].sum(axis=1)
-            )
-
-        adc_udf = pandas_udf(adc, DoubleType())
         id_col = self.manifest["id_col"]
-        cand = (
-            self._codes_df()
-            .where(F.col("list_id").isin(probes))
-            .withColumn(dist_col, adc_udf(F.col("list_id"), F.col("pq_code")))
-            .orderBy(F.col(dist_col).asc_nulls_last(), F.col(id_col))
-            .limit(int(rerank) if rerank else int(k))
-            .select(id_col, dist_col)
-        )
+        take = int(rerank) if rerank else int(k)
+        # r16 (guide §1): gate-small artifacts resolve the residual-ADC
+        # shortlist ON the driver with the exact cluster kernels
+        # (bit-identity pinned by tests/test_quantized_driver_search) —
+        # the candidate scan stage disappears while list pruning is
+        # preserved; oversized artifacts keep the distributed scan
+        pairs = _driver_ivfadc_shortlist(self, luts, pos, probes, take)
+        if pairs is not None:
+            cand = _shortlist_frame(self.spark, pairs, id_col, dist_col)
+        else:
+
+            def adc(list_ids, codes):
+                arr = np.frombuffer(b"".join(codes), dtype=np.uint8).reshape(
+                    len(codes), m
+                )
+                pidx = np.array([pos[int(x)] for x in list_ids], dtype=np.int64)
+                lut_rows = luts[pidx]  # (n, m, ksub)
+                return pd.Series(
+                    lut_rows[
+                        np.arange(len(arr))[:, None], np.arange(m), arr
+                    ].sum(axis=1)
+                )
+
+            adc_udf = pandas_udf(adc, DoubleType())
+            cand = (
+                self._codes_df()
+                .where(F.col("list_id").isin(probes))
+                .withColumn(dist_col, adc_udf(F.col("list_id"), F.col("pq_code")))
+                .orderBy(F.col(dist_col).asc_nulls_last(), F.col(id_col))
+                .limit(take)
+                .select(id_col, dist_col)
+            )
         if not rerank:
             return cand
         if source is None:
@@ -312,7 +388,7 @@ class IvfPqIndex:
         vec_col = self.manifest["vec_col"]
         dist_fn = distance_for_metric(self.metric)
         return (
-            source.join(F.broadcast(cand.drop(dist_col)), id_col)
+            _fetch_candidates(source, cand, pairs, id_col)
             .withColumn(dist_col, dist_fn(F.col(vec_col), [float(x) for x in q]))
             .orderBy(F.col(dist_col).asc_nulls_last(), F.col(id_col))
             .limit(int(k))

@@ -490,6 +490,113 @@ def _list_parquet_files(d: str) -> list[str]:
     )
 
 
+def _driver_probe_budget(spark) -> int:
+    """``spark.vss.driver_probe_max_bytes`` — the same broadcast-class
+    driver-state budget the HNSW driver probe reads (artifact.py); 0
+    disables every driver-local search path."""
+    try:
+        return int(
+            spark.conf.get("spark.vss.driver_probe_max_bytes", str(256 << 20))
+        )
+    except Exception:  # noqa: BLE001 — conf surface moved
+        return 256 << 20
+
+
+# widest shortlist the driver path materializes as literal rows — a
+# full-corpus rerank on a big artifact keeps the distributed scan
+_MAX_DRIVER_SHORTLIST = 65_536
+
+
+def _driver_adc_shortlist(index, lut, take: int):
+    """(id, dist) ADC top-``take`` computed ON the driver (r16, guide
+    §1: the distributed candidate stage costs ~300 ms of scheduling +
+    codegen against ~1 ms of actual LUT math on a gate-small corpus —
+    the quantized twin of artifact._driver_probe_ids), or None when
+    the artifact is too big for driver state, unreadable from this
+    process, or the shortlist too wide — those keep the distributed
+    scan (the 100 TB path) bit-for-bit.
+
+    Bit-identity with the cluster path is by CONSTRUCTION, not
+    reimplementation: codes load through the same ``_load_codes`` LRU
+    the executors use, the tombstone mask is the same ``mask_dead``
+    (epoch-resolved per file), and the distance is the same
+    ``lut[np.arange(m), codes].sum(axis=1)`` expression the pandas UDF
+    runs — pinned by tests/test_quantized_driver_search."""
+    from duckdb_vss_spark.index import tombstones as _tomb
+
+    man = index.manifest
+    m = int(man["m"])
+    budget = _driver_probe_budget(index.spark)
+    est = int(man.get("count", 0)) * (m + 8) * 2
+    if budget <= 0 or est <= 0 or est > budget:
+        return None
+    if int(take) > _MAX_DRIVER_SHORTLIST:
+        return None
+    dead = _tomb.dead_mask_payload_local(index)
+    if dead is _tomb.UNREADABLE:
+        return None
+    id_col = man["id_col"]
+    try:
+        files = _list_parquet_files(os.path.join(index.path, "codes"))
+        parts = []
+        for file in files:
+            ids, codes = _load_codes(file, id_col, m)
+            if dead is not None:
+                ids, codes = _tomb.mask_dead(ids, codes, dead, file)
+            # slab the gather so peak memory stays bounded; the per-row
+            # expression (and so the result bits) is slab-independent
+            for lo in range(0, len(ids), 65_536):
+                arr = codes[lo : lo + 65_536]
+                parts.append(
+                    (ids[lo : lo + 65_536], lut[np.arange(m), arr].sum(axis=1))
+                )
+    except Exception:  # noqa: BLE001 — remote FS/corrupt: distributed path
+        return None
+    if not parts:
+        return []
+    ids = np.concatenate([p[0] for p in parts])
+    d = np.concatenate([p[1] for p in parts])
+    order = np.lexsort((ids, d))[: int(take)]
+    return [(int(ids[i]), float(d[i])) for i in order]
+
+
+def _shortlist_frame(spark, pairs, id_col: str, dist_col: str) -> DataFrame:
+    """A driver-resolved shortlist as the same two-column frame the
+    distributed candidate scan produces, rows ALREADY in that scan's
+    (dist, id) output order. Built through pandas so the plan is an
+    order-preserving LocalTableScan — collect() needs no distributed
+    job; a plain-list createDataFrame would parallelize into an RDD
+    scan costing ~0.4 s of scheduling per action (measured), which is
+    the very overhead this path removes."""
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                id_col: np.asarray([i for i, _d in pairs], dtype=np.int64),
+                dist_col: np.asarray([d for _i, d in pairs], dtype=np.float64),
+            }
+        ),
+        schema=f"{id_col} long, {dist_col} double",
+    )
+
+
+def _fetch_candidates(source: DataFrame, cand: DataFrame, pairs, id_col: str):
+    """Late-materialize shortlist ids against ``source`` for the exact
+    re-rank. Driver-resolved UNIQUE small shortlists become one literal
+    In-filter pushed into the base scan (the HNSW r16 fetch shape —
+    PushedFilters row-group pruning); duplicate ids (re-added rows)
+    keep the join so multiplicity survives, and non-driver shortlists
+    keep the r10 broadcast join unchanged."""
+    if pairs is not None:
+        from duckdb_vss_spark.index.artifact import _MAX_ISIN_CANDIDATES
+
+        ids = [int(i) for i, _d in pairs]
+        if len(set(ids)) == len(ids) and len(ids) <= _MAX_ISIN_CANDIDATES:
+            return source.where(F.col(id_col).isin(ids))
+    return source.join(F.broadcast(cand.select(id_col)), id_col)
+
+
 def _merge_topk(best_d, best_i, d, aid, take):
     """Tie-safe running top-``take`` merge: fold a (nq, n_slab) distance
     block into the per-query (nq, take) heaps, breaking distance ties by
@@ -821,15 +928,24 @@ class PqIndex:
         rerank, source = _resolve_rerank(self, k, rerank, source, "PqIndex", "0.74")
         lut = _adc_lut(q, self._books, self.metric)
         id_col = self.manifest["id_col"]
-        adc = _adc_dist_udf(lut, self.m)
         take = int(rerank) if rerank else int(k)
-        cand = (
-            self._codes_df()
-            .withColumn(dist_col, adc(F.col("pq_code")))
-            .orderBy(F.col(dist_col).asc_nulls_last(), F.col(id_col))
-            .limit(take)
-            .select(id_col, dist_col)
-        )
+        # r16 (guide §1): gate-small artifacts resolve the ADC shortlist
+        # ON the driver with the exact cluster kernels (bit-identity
+        # pinned by tests/test_quantized_driver_search) — the candidate
+        # scan stage disappears; oversized artifacts keep the
+        # distributed scan below unchanged (the 100 TB path)
+        pairs = _driver_adc_shortlist(self, lut, take)
+        if pairs is not None:
+            cand = _shortlist_frame(self.spark, pairs, id_col, dist_col)
+        else:
+            adc = _adc_dist_udf(lut, self.m)
+            cand = (
+                self._codes_df()
+                .withColumn(dist_col, adc(F.col("pq_code")))
+                .orderBy(F.col(dist_col).asc_nulls_last(), F.col(id_col))
+                .limit(take)
+                .select(id_col, dist_col)
+            )
         if not rerank:
             return cand
         if source is None:
@@ -837,7 +953,7 @@ class PqIndex:
         vec_col = self.manifest["vec_col"]
         dist_fn = distance_for_metric(self.metric)
         exact = (
-            source.join(F.broadcast(cand.drop(dist_col)), id_col)
+            _fetch_candidates(source, cand, pairs, id_col)
             .withColumn(dist_col, dist_fn(F.col(vec_col), [float(x) for x in q]))
             .orderBy(F.col(dist_col).asc_nulls_last(), F.col(id_col))
             .limit(int(k))

@@ -43,10 +43,12 @@ from pyspark.sql import functions as F
 from duckdb_vss_spark.index.manifest import write_manifest
 
 __all__ = [
+    "UNREADABLE",
     "applicable_dead",
     "dead_id_array",
     "dead_id_broadcast",
     "dead_mask_payload",
+    "dead_mask_payload_local",
     "filter_dead",
     "live_count",
     "mark_delete",
@@ -151,6 +153,58 @@ def applicable_dead(dead, file: str | None = None) -> np.ndarray | None:
     else:
         ids = dead
     return ids if len(ids) else None
+
+
+# sentinel: the tombstones dir exists but could not be read from the
+# driver (remote FS, permissions) — callers must keep the Spark path
+UNREADABLE = object()
+
+
+def dead_mask_payload_local(index):
+    """``dead_mask_payload`` computed WITHOUT a Spark job (r16 — for
+    the driver-local gate-small search paths): the tombstones parquet
+    is read driver-side via pyarrow. Returns the same payload dict,
+    None when the artifact is clean, or the ``UNREADABLE`` sentinel
+    when the dir cannot be read from this process (caller then keeps
+    the distributed scan, which CAN read it)."""
+    name = index.manifest.get("tombstones_dir")
+    if not name or not int(index.manifest.get("deleted_count", 0)):
+        return None
+    try:
+        import pyarrow.parquet as _papq
+
+        id_col = index.manifest["id_col"]
+        d = os.path.join(index.path, name)
+        ids_l: list[int] = []
+        lts_l: list[int] = []
+        for fn in sorted(os.listdir(d)):
+            if not fn.endswith(".parquet"):
+                continue
+            t = _papq.read_table(os.path.join(d, fn))
+            ids_l.extend(int(x) for x in t.column(id_col).to_pylist())
+            if "__epoch_lt" in t.column_names:
+                # same NULL coalescing as _tombstones_with_lt
+                lts_l.extend(
+                    FULL_KILL if x is None else int(x)
+                    for x in t.column("__epoch_lt").to_pylist()
+                )
+            else:
+                lts_l.extend(FULL_KILL for _ in range(t.num_rows))
+        if not ids_l:
+            return None
+        ids = np.asarray(ids_l, dtype=np.int64)
+        lts = np.asarray(lts_l, dtype=np.int64)
+        order = np.argsort(ids)
+        ids, lts = ids[order], lts[order]
+        if bool((lts >= FULL_KILL).all()):
+            lts = None  # the common un-versioned case
+        return {
+            "ids": ids,
+            "lts": lts,
+            "file_epochs": dict(index.manifest.get("file_epochs") or {}),
+        }
+    except Exception:  # noqa: BLE001 — remote FS: let Spark read it
+        return UNREADABLE
 
 
 def dead_id_broadcast(index):

@@ -27,9 +27,16 @@ def ivfpq(spark, emb, tmp_path_factory):
     )
 
 
-def test_probe_is_partition_pruned(ivfpq, emb):
+def test_probe_is_partition_pruned(spark, ivfpq, emb):
+    """The DISTRIBUTED scan's plan shape (the 100 TB path) — force it;
+    gate-small artifacts default to the r16 driver-resolved shortlist
+    (tests/test_quantized_driver_search pins that route)."""
     qv = [float(x) for x in emb.first()["embedding"]]
-    df = ivfpq.knn_search(qv, 5, nprobe=3, rerank=0)
+    spark.conf.set("spark.vss.driver_probe_max_bytes", "0")
+    try:
+        df = ivfpq.knn_search(qv, 5, nprobe=3, rerank=0)
+    finally:
+        spark.conf.unset("spark.vss.driver_probe_max_bytes")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters")[1][:200]

@@ -191,8 +191,15 @@ def test_pq_adc_scan_reads_only_codes(spark, tmp_path):
     )
     qv = [float(x) for x in emb.first()["embedding"]]
     # rerank=0 pins the ADC-only scan shape (the r11 DEFAULT auto-reranks,
-    # which legitimately adds the source scan for exact distances)
-    df = idx.knn_search(qv, 5, rerank=0)
+    # which legitimately adds the source scan for exact distances).
+    # Force the DISTRIBUTED path — gate-small artifacts default to the
+    # r16 driver-resolved shortlist (test_quantized_driver_search pins
+    # that route)
+    spark.conf.set("spark.vss.driver_probe_max_bytes", "0")
+    try:
+        df = idx.knn_search(qv, 5, rerank=0)
+    finally:
+        spark.conf.unset("spark.vss.driver_probe_max_bytes")
     plan = plan_of(df)
     read = plan.split("ReadSchema")[1].splitlines()[0]
     assert "pq_code" in read and "embedding" not in read
