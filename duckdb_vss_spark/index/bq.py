@@ -655,17 +655,41 @@ class BqIndex:
                 if self.metric == "l2sq"
                 else q
             )
-            dot = _signed_dot_packed("sig", xs, self.dims)
-            sc = asym_score(dot, F.col("vnc"), q, man, F.col("vfull"))
-            # alias to the shared shortlist-rank name so the rescore
-            # join below is branch-agnostic (rescore=0 callers get the
-            # raw asym score in this column)
-            short = (
-                self._sigs_df()
-                .select(id_col, sc.alias("hamming"))
-                .orderBy(F.col("hamming").asc_nulls_last(), F.col(id_col))
-                .limit(max(take, int(k)) if take > 0 else int(k))
-            )
+            nshort = max(take, int(k)) if take > 0 else int(k)
+            # r16 second session (guide §1): gate-small asym artifacts
+            # resolve the shortlist ON the driver by replaying the SQL
+            # expression tree's exact fold order (bit-identity pinned
+            # by tests/test_quantized_driver_search); oversized keep
+            # the distributed scan below (the 100 TB path)
+            pairs = _driver_asym_shortlist(self, q, xs, nshort)
+            if pairs is not None:
+                import pandas as _pd
+
+                short = self.spark.createDataFrame(
+                    _pd.DataFrame(
+                        {
+                            id_col: np.asarray(
+                                [i for i, _s in pairs], dtype=np.int64
+                            ),
+                            "hamming": np.asarray(
+                                [s for _i, s in pairs], dtype=np.float64
+                            ),
+                        }
+                    ),
+                    schema=f"{id_col} long, hamming double",
+                )
+            else:
+                dot = _signed_dot_packed("sig", xs, self.dims)
+                sc = asym_score(dot, F.col("vnc"), q, man, F.col("vfull"))
+                # alias to the shared shortlist-rank name so the rescore
+                # join below is branch-agnostic (rescore=0 callers get
+                # the raw asym score in this column)
+                short = (
+                    self._sigs_df()
+                    .select(id_col, sc.alias("hamming"))
+                    .orderBy(F.col("hamming").asc_nulls_last(), F.col(id_col))
+                    .limit(nshort)
+                )
         else:
             nshort = max(take, int(k)) if take > 0 else int(k)
             # r16 (guide §1): gate-small plain-hamming artifacts resolve
@@ -987,6 +1011,91 @@ def _driver_hamming_shortlist(index, q, take: int):
     h = np.concatenate([p[1] for p in parts])
     order = np.lexsort((ids, h))[: int(take)]
     return [(int(ids[i]), int(h[i])) for i in order]
+
+
+def _driver_asym_shortlist(index, q, xs, take: int):
+    """(id, score) asym top-``take`` computed ON the driver for
+    gate-small asym-scored artifacts (r16, second session), or None
+    when the artifact is too big / unreadable / the shortlist too
+    wide. Unlike the hamming path this replays FLOAT arithmetic, so it
+    follows the `_write_sigs_local` discipline: every operation
+    reproduces the generated SQL expression tree's exact shape —
+
+    - the signed dot is the SQL's left-associated 64-term ``+`` fold of
+      exact ±literal CASE values (a sequential per-dimension vectorized
+      add, NOT a numpy matmul/pairwise sum — `_asym_scores_np`, the
+      calibration kernel, is deliberately NOT reused here because its
+      BLAS dot does not share the SQL fold order);
+    - the score composes in the Column tree's association order
+      ((vnc*vnc) - ((beta*vnc)*dot) for l2sq, -(vnc*dot) for ip,
+      (-(cq + (vnc*dot)/r))/vfull for cosine) with the same
+      driver-computed constants.
+
+    Bit-identity pinned per metric by tests/test_quantized_driver_search."""
+    from duckdb_vss_spark.index import tombstones as _tomb
+    from duckdb_vss_spark.index.pq import (
+        _MAX_DRIVER_SHORTLIST,
+        _driver_probe_budget,
+        _list_parquet_files,
+    )
+
+    man = index.manifest
+    dims = int(man["dimensions"])
+    budget = _driver_probe_budget(index.spark)
+    est = int(man.get("count", 0)) * (dims + 16) * 2
+    if budget <= 0 or est <= 0 or est > budget:
+        return None
+    if int(take) > _MAX_DRIVER_SHORTLIST:
+        return None
+    dead = _tomb.dead_mask_payload_local(index)
+    if dead is _tomb.UNREADABLE:
+        return None
+    id_col = man["id_col"]
+    metric = man["metric"]
+    rho = float(man["asym_rho"])
+    beta = 2.0 / (rho * float(np.sqrt(dims)))
+    xs = [float(x) for x in xs]
+    try:
+        files = _list_parquet_files(os.path.join(index.path, "sigs"))
+        parts = []
+        for file in files:
+            ids, signs, vn, vf = _load_sigs(file, id_col, dims, True)
+            d = _tomb.applicable_dead(dead, file)
+            if d is not None:
+                keep = ~np.isin(ids, d)
+                ids, signs = ids[keep], signs[keep]
+                vn = vn[keep]
+                vf = vf[keep] if vf is not None else None
+            if not len(ids):
+                continue
+            bits = signs > 0
+            # the SQL fold: t0 + t1 + ... left-associated, each term an
+            # exact ±xs[b] literal — start FROM t0 (no 0.0 seed)
+            dot = np.where(bits[:, 0], xs[0], -xs[0])
+            for b in range(1, dims):
+                dot = dot + np.where(bits[:, b], xs[b], -xs[b])
+            if metric == "l2sq":
+                sc = vn * vn - (beta * vn) * dot
+            elif metric == "ip":
+                sc = -(vn * dot)
+            else:  # cosine — same constant expressions as asym_score
+                cq = float(
+                    np.dot(
+                        np.asarray(man["asym_center"], dtype=np.float64),
+                        np.asarray([float(x) for x in q], dtype=np.float64),
+                    )
+                )
+                r = rho * float(np.sqrt(dims))
+                sc = (-(cq + (vn * dot) / r)) / vf
+            parts.append((ids, sc))
+    except Exception:  # noqa: BLE001 — remote FS/corrupt: distributed path
+        return None
+    if not parts:
+        return []
+    ids = np.concatenate([p[0] for p in parts])
+    sc = np.concatenate([p[1] for p in parts])
+    order = np.lexsort((ids, sc))[: int(take)]
+    return [(int(ids[i]), float(sc[i])) for i in order]
 
 
 _SIGS_CACHE: dict = {}

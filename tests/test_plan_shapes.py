@@ -443,8 +443,15 @@ def test_bq_index_scan_shape(spark, tmp_path):
     )
     qv = [float(x) for x in emb.where(F.col("embedding").isNotNull()).first()["embedding"]]
     # rescore=0 pins the shortlist-only shape (the default adds the
-    # legitimate rescore join against the fingerprinted source)
-    plan = plan_of(idx.knn_search(qv, 5, rescore=0))
+    # legitimate rescore join against the fingerprinted source).
+    # Force the DISTRIBUTED path — gate-small artifacts default to the
+    # r16 driver-resolved shortlist (test_quantized_driver_search pins
+    # that route)
+    spark.conf.set("spark.vss.driver_probe_max_bytes", "0")
+    try:
+        plan = plan_of(idx.knn_search(qv, 5, rescore=0))
+    finally:
+        spark.conf.unset("spark.vss.driver_probe_max_bytes")
     read = plan.split("ReadSchema")[1].splitlines()[0]
     assert "sig" in read and "embedding" not in read
     assert "TakeOrderedAndProject" in plan

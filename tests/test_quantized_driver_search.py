@@ -186,22 +186,37 @@ def test_bq_hamming_bit_identical(spark, emb, qv, tmp_path):
     assert not ({i for i, _h in got} & dead), "tombstoned id leaked"
 
 
-def test_bq_asym_keeps_cluster_path(spark, emb, qv, tmp_path):
-    """Asym-scored artifacts must NOT take the driver shortlist (their
-    SQL float expression tree stays authoritative)."""
+@pytest.mark.parametrize("metric", ["l2sq", "ip", "cosine"])
+def test_bq_asym_bit_identical(spark, emb, qv, tmp_path, metric):
+    """The asym driver shortlist replays the SQL expression tree's
+    exact fold/association order — scores must be bit-equal to the
+    generated-SQL route for every metric."""
     ix = create_bq_index(
-        spark, emb, "embedding", "vec_id", str(tmp_path / "bqa"), scoring="asym"
+        spark, emb, "embedding", "vec_id", str(tmp_path / metric),
+        metric=metric, scoring="asym",
     )
+    # the hamming fast path must still refuse asym artifacts
     from duckdb_vss_spark.index.bq import _driver_hamming_shortlist
 
     assert _driver_hamming_shortlist(ix, qv, 10) is None
-    plan = (
-        ix.knn_search(qv, 10, rescore=0)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
+    # raw float-scored shortlist (the bit-identity claim) + the
+    # exact-rescore default (only the id cut matters there)
+    _assert_bit_identical(
+        spark, lambda: ix.knn_search(qv, 25, rescore=0), min_rows=25
     )
-    assert "Scan parquet" in plan or "FileScan" in plan
+    _assert_bit_identical(spark, lambda: ix.knn_search(qv, 10), min_rows=10)
+
+
+def test_bq_asym_tombstoned_bit_identical(spark, emb, qv, tmp_path):
+    ix = create_bq_index(
+        spark, emb, "embedding", "vec_id", str(tmp_path / "bqa"), scoring="asym"
+    )
+    ix = ix.delete_batch([r["vec_id"] for r in emb.limit(5).collect()])
+    got = _assert_bit_identical(
+        spark, lambda: ix.knn_search(qv, 10, rescore=0), min_rows=10
+    )
+    dead = {r["vec_id"] for r in emb.limit(5).collect()}
+    assert not ({i for i, _s in got} & dead), "tombstoned id leaked"
 
 
 def test_gate_zero_is_cluster_plan(spark, emb, qv, tmp_path):
