@@ -295,9 +295,25 @@ class IvfIndex:
         dist_fn = distance_for_metric(self.metric)
         id_col = self.manifest["id_col"]
         vec_col = self.manifest["vec_col"]
+        base = self._lists_df().where(F.col("list_id").isin(probes))
+        # r16 (guide §1): gate-small artifacts resolve the top-k ON the
+        # driver (bit-identical replay of the JVM distance tree) and the
+        # probed scan narrows to ONE literal In-filter fetch of the
+        # winning ids; the SAME dist_fn below recomputes the scores on
+        # the fetched rows, so the result is the distributed result by
+        # construction. Duplicate (re-added) ids are safe here: every
+        # physical copy of a fetched id is scanned and re-ranked, and
+        # the fetched superset contains every true top-k row. Oversized
+        # artifacts keep the full probed scan (the 100 TB path).
+        pairs = _driver_ivf_shortlist(self, q, probes, int(k))
+        if pairs is not None:
+            from duckdb_vss_spark.index.artifact import _MAX_ISIN_CANDIDATES
+
+            uniq = sorted({int(i) for i, _d in pairs})
+            if len(uniq) <= _MAX_ISIN_CANDIDATES:
+                base = base.where(F.col(id_col).isin(uniq))
         out = (
-            self._lists_df()
-            .where(F.col("list_id").isin(probes))
+            base
             .withColumn(dist_col, dist_fn(F.col(vec_col), q))
             .orderBy(F.col(dist_col).asc_nulls_last(), F.col(id_col))
             .limit(int(k))
@@ -546,6 +562,150 @@ class IvfIndex:
             "list_stats array<struct<list_id:long,count:long>>"
         )
         return self.spark.createDataFrame([row], schema)
+
+
+# mtime-keyed LRU of decoded list files for repeated single-query
+# searches on gate-small artifacts (the IVF face of bq._SIGS_CACHE)
+_VECS_CACHE: dict = {}
+_VECS_CACHE_MAX = 32
+
+
+def _load_vecs(file: str, id_col: str, vec_col: str, dims: int):
+    """(ids, float64 (n, dims) matrix) for one inverted-list data file,
+    or None when the stored shape cannot take the driver fold — NULL
+    elements, ragged rows, or a non-float element type keep Spark's
+    NULL/size-mismatch semantics on the distributed scan."""
+    key = (file, os.path.getmtime(file))
+    hit = _VECS_CACHE.get(key)
+    if hit is None:
+        import pyarrow.parquet as papq
+
+        for k in [k for k in _VECS_CACHE if k[0] == file]:
+            del _VECS_CACHE[k]
+        t = papq.read_table(file, columns=[id_col, vec_col])
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        col = t[vec_col].combine_chunks()
+        if col.null_count:
+            return None
+        flat = col.flatten()
+        if flat.null_count or len(flat) != len(ids) * dims:
+            return None
+        vals = flat.to_numpy(zero_copy_only=False)
+        if vals.dtype.kind != "f":
+            return None
+        off = np.asarray(col.offsets)
+        if len(ids) and not bool((np.diff(off) == dims).all()):
+            return None  # uniform total length but ragged rows
+        xv = vals.astype(np.float64, copy=False).reshape(len(ids), dims)
+        hit = (ids, xv)
+        while len(_VECS_CACHE) >= _VECS_CACHE_MAX:
+            _VECS_CACHE.pop(next(iter(_VECS_CACHE)))
+        _VECS_CACHE[key] = hit
+    else:
+        del _VECS_CACHE[key]
+        _VECS_CACHE[key] = hit
+    return hit
+
+
+def _replay_distance(metric: str, xv: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """The JVM distance Column tree (functions/distance.py) replayed in
+    its exact per-element op and association order — the
+    `_write_sigs_local` discipline applied to the native kernels. Every
+    metric is ``cast to double → zip_with/transform terms → 0.0-seeded
+    sequential left fold → metric compose``; the replay is a 0.0-seeded
+    sequential per-dimension vectorized add of the SAME per-element
+    IEEE-double terms (never a BLAS dot / pairwise sum, whose summation
+    order differs), so scores are bit-identical — pinned per metric by
+    tests/test_quantized_driver_search."""
+    n = xv.shape[0]
+    dims = xv.shape[1]
+    if metric == "l2sq":  # array_distance = sqrt(Σseq (x-y)²)
+        acc = np.zeros(n)
+        for b in range(dims):
+            d = xv[:, b] - q[b]
+            acc = acc + d * d
+        return np.sqrt(acc)
+    if metric == "ip":  # array_negative_inner_product = -(Σseq x·y)
+        acc = np.zeros(n)
+        for b in range(dims):
+            acc = acc + xv[:, b] * q[b]
+        return -acc
+    # cosine: 1.0 - sim, sim = dot/(na·nb) with the -1.0 zero/NaN guard
+    dot = np.zeros(n)
+    na = np.zeros(n)
+    for b in range(dims):
+        dot = dot + xv[:, b] * q[b]
+        na = na + xv[:, b] * xv[:, b]
+    na = np.sqrt(na)
+    nb = 0.0
+    for b in range(dims):
+        nb = nb + q[b] * q[b]
+    nb = np.sqrt(nb)
+    denom = na * nb
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sim = np.where(np.isnan(denom) | (denom == 0.0), -1.0, dot / denom)
+    return 1.0 - sim
+
+
+def _driver_ivf_shortlist(index, q, probes, take: int):
+    """(id, dist) top-``take`` over the PROBED lists computed ON the
+    driver for gate-small artifacts (r16 — the IVF face of
+    pq._driver_adc_shortlist; guide §1: the probed scan costs ~300 ms
+    of scheduling against ~1 ms of actual arithmetic at gate size), or
+    None when the artifact is too big for driver state / unreadable /
+    the shortlist too wide — those keep the distributed scan (the
+    100 TB path). Scores replay the JVM expression tree bit-for-bit
+    (``_replay_distance``); ties break on (dist, id) exactly like the
+    cluster ORDER BY."""
+    from duckdb_vss_spark.index import tombstones as _tomb
+    from duckdb_vss_spark.index.pq import (
+        _MAX_DRIVER_SHORTLIST,
+        _driver_probe_budget,
+        _list_parquet_files,
+    )
+
+    man = index.manifest
+    dims = int(man["dimensions"])
+    budget = _driver_probe_budget(index.spark)
+    # float64 row matrix dominates driver memory; gate on the WHOLE
+    # artifact (not the probed fraction) so the fired/not decision is
+    # probe-independent like every other family's
+    est = int(man.get("count", 0)) * dims * 8 * 2
+    if budget <= 0 or est <= 0 or est > budget:
+        return None
+    if int(take) > _MAX_DRIVER_SHORTLIST:
+        return None
+    dead = _tomb.dead_mask_payload_local(index)
+    if dead is _tomb.UNREADABLE:
+        return None
+    id_col = man["id_col"]
+    vec_col = man["vec_col"]
+    qv = np.asarray([float(x) for x in q], dtype=np.float64)
+    try:
+        parts = []
+        for p in probes:
+            d = os.path.join(index.path, "lists", f"list_id={int(p)}")
+            if not os.path.isdir(d):
+                continue  # empty list: partitionBy wrote no dir
+            for file in _list_parquet_files(d):
+                loaded = _load_vecs(file, id_col, vec_col, dims)
+                if loaded is None:
+                    return None  # shapes only the JVM fold can score
+                ids, xv = loaded
+                dd = _tomb.applicable_dead(dead, file)
+                if dd is not None:
+                    keep = ~np.isin(ids, dd)
+                    ids, xv = ids[keep], xv[keep]
+                if len(ids):
+                    parts.append((ids, _replay_distance(index.metric, xv, qv)))
+    except Exception:  # noqa: BLE001 — remote FS/corrupt: distributed path
+        return None
+    if not parts:
+        return []
+    ids = np.concatenate([p[0] for p in parts])
+    dist = np.concatenate([p[1] for p in parts])
+    order = np.lexsort((ids, dist))[: int(take)]
+    return [(int(ids[i]), float(dist[i])) for i in order]
 
 
 def _write_lists_local(

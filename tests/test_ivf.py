@@ -53,10 +53,19 @@ def test_partial_probe_recall(spark, emb, ivf):
 
 
 def test_partition_pruning_in_plan(spark, ivf):
-    # probing must compile to a parquet partition filter, not a full scan
+    # probing must compile to a parquet partition filter, not a full
+    # scan — on BOTH routes: the distributed scan (gate=0 forces it;
+    # the 100 TB plan) and the r16 driver-resolved fetch, whose
+    # In-filter scan keeps the same PartitionFilters
     qv = [0.0] * ivf.dims
-    plan = ivf.knn_search(qv, 5, nprobe=2)._jdf.queryExecution().executedPlan().toString()
+    spark.conf.set("spark.vss.driver_probe_max_bytes", "0")
+    try:
+        plan = ivf.knn_search(qv, 5, nprobe=2)._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.vss.driver_probe_max_bytes")
     assert "list_id" in plan and ("PartitionFilters: [" in plan or "PushedFilters" in plan)
+    plan = ivf.knn_search(qv, 5, nprobe=2)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "In(vec_id" in plan
 
 
 def test_knn_join_matches_brute_force_at_full_probe(spark, emb, ivf):

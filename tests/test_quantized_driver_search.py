@@ -234,3 +234,139 @@ def test_gate_zero_is_cluster_plan(spark, emb, qv, tmp_path):
             .toString()
         )
         assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
+
+
+# -- IVF / IVF×SQ (second landing wave: native-JVM fold replays) ---------
+
+
+@pytest.mark.parametrize("metric", ["l2sq", "ip", "cosine"])
+def test_ivf_bit_identical(spark, emb, qv, tmp_path, metric):
+    """The IVF driver shortlist replays the native distance Column
+    tree's exact fold/association order; the fetched rows re-rank
+    through the SAME JVM expression, so the full result row (id, vec,
+    list_id, dist) must be bit-equal to the probed scan for every
+    metric, at partial and full probe width."""
+    from duckdb_vss_spark.index.ivf import create_ivf_index
+
+    ix = create_ivf_index(
+        spark, emb, "embedding", "vec_id", str(tmp_path / metric),
+        metric=metric, nlist=8,
+    )
+    _assert_bit_identical(
+        spark, lambda: ix.knn_search(qv, 10, nprobe=8), min_rows=10
+    )
+    _assert_bit_identical(
+        spark, lambda: ix.knn_search(qv, 10, nprobe=2), min_rows=1
+    )
+
+
+def test_ivf_tombstoned_and_duplicates(spark, emb, qv, tmp_path):
+    from duckdb_vss_spark.index.ivf import create_ivf_index
+
+    ix = create_ivf_index(
+        spark, emb, "embedding", "vec_id", str(tmp_path / "ivf"), nlist=8
+    )
+    ix = ix.delete_batch([r["vec_id"] for r in emb.limit(5).collect()])
+    got = _assert_bit_identical(
+        spark, lambda: ix.knn_search(qv, 10, nprobe=8), min_rows=10
+    )
+    dead = {r["vec_id"] for r in emb.limit(5).collect()}
+    assert not ({r[0] for r in got} & dead), "tombstoned id leaked"
+    # duplicate re-added id: BOTH physical copies must be fetched and
+    # re-ranked (the In-filter fetch is set-valued, but every copy of a
+    # fetched id is scanned, so multiplicity reaches the result)
+    row11 = emb.where(F.col("vec_id") == 11)
+    ix = ix.add_batch(row11)
+    got = _assert_bit_identical(
+        spark, lambda: ix.knn_search(qv, 10, nprobe=8), min_rows=10
+    )
+    assert [r[0] for r in got].count(11) == 2, "duplicate id collapsed"
+
+
+def test_ivf_versioned_kill_bit_identical(spark, emb, qv, tmp_path):
+    from duckdb_vss_spark.index.ivf import create_ivf_index
+
+    ix = create_ivf_index(
+        spark, emb, "embedding", "vec_id", str(tmp_path / "ivf"), nlist=8
+    )
+    new5 = spark.createDataFrame(
+        [(5, [-x for x in qv])], "vec_id long, embedding array<float>"
+    )
+    nxt = int(ix.manifest.get("append_epoch", 0)) + 1
+    ix = ix.delete_batch([5], epoch_lt=nxt)
+    ix = ix.add_batch(new5)
+    assert ix.manifest.get("versioned_tombstones")
+    got = _assert_bit_identical(
+        spark,
+        lambda: ix.knn_search([-x for x in qv], 10, nprobe=8),
+        min_rows=10,
+    )
+    assert got[0][0] == 5, "new version must win at its own vector"
+
+
+def test_ivfsq_bit_identical(spark, emb, qv, tmp_path):
+    """The IVF×SQ driver shortlist replays the generated
+    reconstruction+distance tree (division→scale→offset per dimension,
+    then the 0.0-seeded sequential fold): the no-source (id, dist)
+    values AND the exact-rerank result must be bit-equal to the
+    distributed route."""
+    from duckdb_vss_spark.index.ivfsq import create_ivfsq_index
+
+    ix = create_ivfsq_index(
+        spark, emb, "embedding", "vec_id", str(tmp_path / "sq"), nlist=8
+    )
+    _assert_bit_identical(
+        spark, lambda: ix.knn_search(qv, 10, nprobe=8), min_rows=10
+    )
+    _assert_bit_identical(
+        spark, lambda: ix.knn_search(qv, 10, nprobe=2), min_rows=1
+    )
+    # exact re-rank: narrow (In-filter fetch) and full-corpus width
+    # (broadcast semi against the local frame — the q_ivfsq_knn shape)
+    _assert_bit_identical(
+        spark,
+        lambda: ix.knn_search(qv, 10, nprobe=8, rerank=50, source=emb),
+        min_rows=10,
+    )
+    _assert_bit_identical(
+        spark,
+        lambda: ix.knn_search(
+            qv, 10, nprobe=8, rerank=ix.manifest["count"], source=emb
+        ),
+        min_rows=10,
+    )
+
+
+def test_ivfsq_tombstoned_bit_identical(spark, emb, qv, tmp_path):
+    from duckdb_vss_spark.index.ivfsq import create_ivfsq_index
+
+    ix = create_ivfsq_index(
+        spark, emb, "embedding", "vec_id", str(tmp_path / "sq"), nlist=8
+    )
+    ix = ix.delete_batch([r["vec_id"] for r in emb.limit(5).collect()])
+    got = _assert_bit_identical(
+        spark, lambda: ix.knn_search(qv, 10, nprobe=8), min_rows=10
+    )
+    dead = {r["vec_id"] for r in emb.limit(5).collect()}
+    assert not ({i for i, _d in got} & dead), "tombstoned id leaked"
+
+
+def test_ivf_gate_zero_is_cluster_plan(spark, emb, qv, tmp_path):
+    """At gate 0 the IVF plan must be the full probed scan (no id
+    In-filter); at the default the fetch is the literal In pushed into
+    the partition-pruned scan."""
+    from duckdb_vss_spark.index.ivf import create_ivf_index
+
+    ix = create_ivf_index(
+        spark, emb, "embedding", "vec_id", str(tmp_path / "ivf"), nlist=8
+    )
+    plan = ix.knn_search(qv, 5, nprobe=2)._jdf.queryExecution().executedPlan().toString()
+    assert "In(vec_id" in plan and "PartitionFilters: [" in plan
+    with forced_cluster(spark):
+        plan = (
+            ix.knn_search(qv, 5, nprobe=2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "In(vec_id" not in plan and "PartitionFilters: [" in plan

@@ -98,8 +98,15 @@ def test_ivfsq_partition_pruning_and_rerank_exact(spark, tmp_path):
     lists = spark.read.parquet(str(tmp_path / "ivfsq" / "lists"))
     assert set(lists.columns) == {"vec_id", "codes", "list_id"}  # no raw vecs
     q = [float(x) for x in emb.where(F.col("vec_id") == 5).first()["embedding"]]
-    pruned = idx.knn_search(q, 5, nprobe=2)
-    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # Force the DISTRIBUTED path — gate-small artifacts default to the
+    # r16 driver-resolved shortlist (test_quantized_driver_search pins
+    # that route); this pin's subject is the 100 TB plan
+    spark.conf.set("spark.vss.driver_probe_max_bytes", "0")
+    try:
+        pruned = idx.knn_search(q, 5, nprobe=2)
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.vss.driver_probe_max_bytes")
     assert "PartitionFilters" in plan and "list_id" in plan
     # full probe + rerank == exact brute force
     got = [
