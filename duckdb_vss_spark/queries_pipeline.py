@@ -1044,6 +1044,14 @@ def q_media_jpeg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmt="jpeg",
         id_col="doc_id",
     )
+    # r16 (guide §4.4): media fans out into resize_media AND
+    # extract_features below — without materialization both join
+    # branches re-run the Python JPEG encode over the whole sample
+    # (the plan carried _synth twice). Same fix as the near-dup pair
+    # joins (imagehash.py): encode once, both branches read blocks.
+    from duckdb_vss_spark.pipeline.dedup import _materialize
+
+    media = _materialize(media)
 
     def _dims(payload):
         from duckdb_vss_spark.pipeline.jpeg import decode_jpeg
@@ -1142,6 +1150,14 @@ def q_media_video_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
     )
     probed = probe_video_metadata(media)
+    # r16 (guide §4.4): probed fans out into sample_frames AND the meta
+    # projection below — without materialization both join branches
+    # re-run the Python mux AND the container probe (the plan carried
+    # _mux and the probe's MapInPandas twice). Mux+probe once; both
+    # branches read blocks (the imagehash.py fix).
+    from duckdb_vss_spark.pipeline.dedup import _materialize
+
+    probed = _materialize(probed)
     frames = (
         sample_frames(probed, every_ms=1000)
         .groupBy("media_id")
