@@ -57,26 +57,44 @@ def bm25_scores(
     if len(set(query_terms)) != len(query_terms):
         raise ValueError("query_terms must be distinct")
 
-    # NOT widened (r7 A/B): the tokenize+explode map pass with the term
-    # filter below the explode is ~0.2 s single-task at sf0.1 — an added
-    # repartition shuffle measures 0.48 s -> 0.87 s. Narrow scans only
-    # pay off when the map stage dominates (decode, shingling).
-    base = docs.select(
+    # NOT widened (r7 A/B): the tokenize map pass with the term filter
+    # inside it is ~0.2 s single-task at sf0.1 — an added repartition
+    # shuffle measures 0.48 s -> 0.87 s. Narrow scans only pay off when
+    # the map stage dominates (decode, shingling).
+    #
+    # r16 (guide §2.4, §8): the corpus used to be scanned THREE times
+    # per query — the tf subtree twice (it feeds both dfreq and the
+    # score join, and ReuseExchange never fires across the two
+    # groupings — measured: 2 Generate / 3 doc scans in the executed
+    # plan) and the stats agg once more. One map pass now computes the
+    # per-doc length AND the query-term hits together; the materialized
+    # proxy is SKINNY (id, dl, matched terms only — bounded by the
+    # query's posting lists plus ~16 B/doc, never the text), and every
+    # downstream statistic derives from its blocks. Exactness is
+    # preserved term-for-term: dl is the same size(split) expression,
+    # filter() keeps duplicate occurrences (array_intersect would not),
+    # rows with NULL/empty text still count toward n_docs, and NULL
+    # sizes stay NULL under the sum.
+    from duckdb_vss_spark.pipeline.dedup import _materialize
+
+    pre = docs.select(
         F.col(id_col),
         tokens(text_col).alias("__toks"),
     ).select(
         id_col,
         F.size("__toks").cast("bigint").alias("dl"),
-        F.explode("__toks").alias("term"),
+        F.filter("__toks", lambda t: t.isin(query_terms)).alias("__hits"),
     )
-    hits = base.where(F.col("term").isin(query_terms))
+    pre = _materialize(pre)
+    hits = pre.select(id_col, "dl", F.explode("__hits").alias("term"))
     tf = hits.groupBy(id_col, "term", "dl").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
     )
+    tf = _materialize(tf)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-    stats = docs.select(tokens(text_col).alias("__toks")).agg(
+    stats = pre.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(F.size("__toks").cast("bigint")).cast("bigint").alias("sum_dl"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
     )
 
     j = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))

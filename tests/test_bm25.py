@@ -22,10 +22,15 @@ def corpus(spark):
     )
 
 
-def _expected(docs, terms, k1=1.2, b=0.75):
+def _expected(docs, terms, k1=1.2, b=0.75, n_override=None, sumdl_override=None):
     toks = {i: t.split(" ") for i, t in docs}
-    n = len(toks)
-    avgdl = sum(len(v) for v in toks.values()) / n
+    n = n_override if n_override is not None else len(toks)
+    sumdl = (
+        sumdl_override
+        if sumdl_override is not None
+        else sum(len(v) for v in toks.values())
+    )
+    avgdl = sumdl / n
     df = {t: sum(1 for v in toks.values() if t in v) for t in terms}
     out = {}
     for i, v in toks.items():
@@ -85,3 +90,36 @@ class TestBm25:
             bm25_scores(corpus, "text", "doc_id", ["a", "a"])
         with pytest.raises(ValueError):
             bm25_scores(corpus, "text", "doc_id", ["a"], topk=0)
+
+    def test_single_pass_and_degenerate_docs(self, spark, tmp_path):
+        """r16: one tokenize pass per query — the materialized
+        (id, dl, hits) proxy feeds tf, dfreq AND the corpus stats, so
+        the built plan re-reads checkpoint blocks, never the source
+        parquet; NULL-text and empty-text rows still count toward
+        n_docs/avgdl exactly as before the rewrite."""
+        rows = [
+            (1, "spark join window join"),
+            (2, "window scan filter"),
+            (3, None),
+            (4, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        df.write.mode("overwrite").parquet(str(tmp_path / "docs"))
+        docs = spark.read.parquet(str(tmp_path / "docs"))
+        out = bm25_scores(docs, "text", "doc_id", ["join", "window"])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Scan parquet" not in plan and "ExistingRDD" in plan
+        got = {r.doc_id: r.score for r in out.collect()}
+        # n_docs = 4 (NULL + empty text count; empty splits to [""],
+        # one token) — pin against the reference formula with the same
+        # length convention
+        want = _expected(
+            [(1, "spark join window join"), (2, "window scan filter"),
+             (4, "")],
+            ["join", "window"],
+            n_override=4,
+            sumdl_override=4 + 3 + 1,
+        )
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=2e-6)
