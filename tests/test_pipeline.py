@@ -748,6 +748,73 @@ def test_dedup_clusters_known_components(spark):
     assert survivors == {1, 20, 40, 50}
 
 
+def _uf_components(pairs):
+    """Reference union-find: id -> component-min, for the differential."""
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp = {}
+    for x in parent:
+        comp.setdefault(find(x), []).append(x)
+    out = {}
+    for members in comp.values():
+        mn = min(members)
+        for x in members:
+            out[x] = mn
+    return out
+
+
+def test_dedup_clusters_contraction_differential(spark):
+    """r16: dedup_clusters rewrote to min-label contraction with
+    pointer doubling — pin label parity against a union-find reference
+    on the shapes that stress it: a chain longer than any per-round
+    hop budget (doubling must resolve it in O(log d) rounds), a clique
+    (one round), a star, self-pairs + duplicate pairs, and a seeded
+    random multigraph. The max_iters guard must still raise on an
+    adversarial chain with a tiny budget, and a run that converges
+    exactly AT the budget must not raise."""
+    import random
+
+    from duckdb_vss_spark.pipeline.dedup import dedup_clusters
+
+    random.seed(7)
+    cases = [
+        [(i, i + 1) for i in range(33, 0, -1)],           # 34-chain, min far
+        [(i, j) for i in range(8) for j in range(i + 1, 8)],  # clique
+        [(0, i) for i in range(1, 20)],                    # star
+        [(5, 5), (7, 8), (8, 7), (7, 8)],                  # self + dup pairs
+        [(random.randrange(150) + 1000, random.randrange(150) + 1000)
+         for _ in range(300)],                             # random multigraph
+    ]
+    for pairs in cases:
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        got = {r["id"]: r["cluster_id"] for r in dedup_clusters(df).collect()}
+        assert got == _uf_components(pairs), f"mismatch on {pairs[:4]}..."
+    # guard still raises when the budget cannot cover the diameter
+    import pytest as _pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(chain, max_iters=1)
+    # converging exactly at the budget is success, not an error
+    one = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"] for r in dedup_clusters(one, max_iters=1).collect()}
+    assert got == {1: 1, 2: 1}
+
+
 def test_profile_numeric_stats_and_nulls(spark):
     from duckdb_vss_spark.pipeline.profile import profile_numeric
 
