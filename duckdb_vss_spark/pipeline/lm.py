@@ -40,6 +40,8 @@ def bigram_scores(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     row."""
     from duckdb_vss_spark.pipeline.text import word_ngrams
 
+    from duckdb_vss_spark.pipeline.dedup import _materialize
+
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
@@ -49,14 +51,31 @@ def bigram_scores(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.col(id_col).alias("id"),
         F.explode(word_ngrams(text_col, 2)).alias("b"),
     )
-    c12 = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c12"))
+    # r16 (guide §2.3, §2.4): the bigram-explode subtree used to be
+    # re-evaluated for c12, again for c1 (via c12), and a third time as
+    # the scoring join's probe side — 4 corpus scans per call counting
+    # the vocab pass. Aggregate per-doc bigram MULTIPLICITIES once
+    # (one corpus pass, and the exchange now carries distinct
+    # (id, bigram, cnt) rows instead of every occurrence) and derive
+    # c12, c1 and the scoring join from the materialized blocks. The
+    # per-distinct-bigram logp is value-identical; the per-doc sum
+    # regroups as cnt·logp, which the rank key's 6-decimal rounding
+    # absorbs by design (same argument as the cross-engine libm drift
+    # this operator already tolerates — see perplexity_filter).
+    dbc = _materialize(
+        bg.groupBy("id", "b").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    # c12's two consumers (c1, the join) re-aggregate from dbc's
+    # blocks — map-side partials over checkpointed rows, not worth a
+    # second eager checkpoint job
+    c12 = dbc.groupBy("b").agg(F.sum("cnt").alias("c12"))
     c1 = (
         c12.withColumn("w1", F.split(F.col("b"), " ")[0])
         .groupBy("w1")
         .agg(F.sum("c12").alias("c1"))
     )
     joined = (
-        bg.join(c12, "b")
+        dbc.join(c12, "b")
         .withColumn("w1", F.split(F.col("b"), " ")[0])
         .join(c1, "w1")
         .crossJoin(F.broadcast(vocab))
@@ -65,8 +84,10 @@ def bigram_scores(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
         (F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("v"))
     )
     return joined.groupBy("id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-        (F.sum(logp) / F.count(F.lit(1))).alias("avg_logprob"),
+        F.sum("cnt").cast("bigint").alias("n_bigrams"),
+        (F.sum(F.col("cnt").cast("double") * logp) / F.sum("cnt")).alias(
+            "avg_logprob"
+        ),
     )
 
 
