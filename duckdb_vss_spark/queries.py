@@ -3730,13 +3730,20 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates, no window over the full event stream, no self-join
     blow-up. The classic product-analytics operator on the events
     table."""
+    # r16 (guide §2.4): each stage frame feeds BOTH the next stage's
+    # join and its own final count — unmaterialized, the s subtree ran
+    # 3× and c's 2× (6 event scans per call, measured). The stage
+    # frames are skinny (user_id, min ts) — materialize each once; the
+    # big events table is now scanned once per stage predicate.
+    from duckdb_vss_spark.pipeline.dedup import _materialize
+
     ev = load_table(spark, sf_dir, "events")
-    s = (
+    s = _materialize(
         ev.where(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
     )
-    c = (
+    c = _materialize(
         ev.where(F.col("event_type") == "click")
         .join(s, "user_id")
         .where(F.col("ts") > F.col("t1"))
