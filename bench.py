@@ -1309,12 +1309,24 @@ def main() -> None:
     import glob
     import re
 
-    rounds = [
-        int(m.group(1))
-        for f in glob.glob(os.path.join(os.path.dirname(__file__), "CORRECTNESS_r*.json"))
-        if (m := re.search(r"_r(\d+)\.json$", f))
-    ]
-    rnd = max(rounds, default=0) + 1
+    def _max_round(prefix: str) -> int:
+        return max(
+            (
+                int(m.group(1))
+                for f in glob.glob(os.path.join(os.path.dirname(__file__), f"{prefix}_r*.json"))
+                if (m := re.search(r"_r(\d+)\.json$", f))
+            ),
+            default=0,
+        )
+
+    # The RUNNING round (VERDICT r16 #7 — the old `max(CORRECTNESS)+1`
+    # was right mid-round but off by one at the driver's end-of-round
+    # bench, which runs AFTER CORRECTNESS_r<current> is written: the
+    # r16 driver bench landed its payload as BENCH_LOCAL_r17.json.
+    # BENCH_r<n> is only ever written by the driver at the END of round
+    # n, so the running round is max(CORRECTNESS) when correctness has
+    # already rolled past the last driver bench, else max(BENCH)+1.
+    rnd = max(_max_round("CORRECTNESS"), _max_round("BENCH") + 1)
     local_path = os.path.join(os.path.dirname(__file__), f"BENCH_LOCAL_r{rnd:02d}.json")
     with open(local_path, "w") as f:
         json.dump(out, f, indent=1)

@@ -2,9 +2,13 @@
 stopped being informative once the container's run-to-run swing (2-3x
 per row) exceeded any real per-round change, so the gate flags only
 
-  (a) rows whose suite-median-relative time drifted >--threshold in the
-      SAME direction across TWO consecutive round pairs (three
-      payloads: prev2 prev1 current), or
+  (a) rows whose suite-median-relative time drifted in the SAME
+      direction across TWO consecutive round pairs (three payloads:
+      prev2 prev1 current). Monotone drift compounds, so the two-round
+      bar is --monotone-threshold (default 1.3x per pair, >=1.69x
+      compounded) — VERDICT r16 #2: hnsw_delete_batch crept
+      1.19 -> 1.63 -> 2.52 s (x1.37 then x1.55) and the old single
+      x1.5-both-pairs bar structurally could not flag it. Or
   (b) rows whose normalized physical-plan hash changed between the
       --plans files (emitted by tools/check_correctness.py
       --plan-hashes) — a plan-shape change is a code signal no amount
@@ -50,6 +54,12 @@ def main() -> int:
         help="flag when the median-relative ratio exceeds this (>50%% drift)",
     )
     ap.add_argument(
+        "--monotone-threshold", type=float, default=1.3,
+        help="3-payload mode: flag same-direction drift beyond this in "
+        "BOTH pairs (lower than --threshold because monotone drift "
+        "compounds; 1.3 x 1.3 is already x1.69 over two rounds)",
+    )
+    ap.add_argument(
         "--plans", nargs=2, metavar=("OLD", "NEW"), default=None,
         help="two plan-hash JSONs from check_correctness.py --plan-hashes",
     )
@@ -62,16 +72,17 @@ def main() -> int:
         q0, q1, q2 = (_load(p) for p in args.payloads)
         r01, r12 = _rel_ratios(q0, q1), _rel_ratios(q1, q2)
         both = sorted(set(r01) & set(r12))
+        thr = args.monotone_threshold
         print(
             f"two-round gate over {len(both)} rows "
             f"({args.payloads[0]} -> {args.payloads[1]} -> {args.payloads[2]}); "
-            f"flag = median-relative drift >x{args.threshold} in the same "
-            "direction in BOTH pairs"
+            f"flag = median-relative drift >x{thr} in the same "
+            "direction in BOTH pairs (monotone drift compounds)"
         )
         for k in both:
             a, b = r01[k], r12[k]
-            slow = a > args.threshold and b > args.threshold
-            fast = a < 1 / args.threshold and b < 1 / args.threshold
+            slow = a > thr and b > thr
+            fast = a < 1 / thr and b < 1 / thr
             if slow or fast:
                 flagged.append(k)
                 word = "REGRESSED" if slow else "improved"
