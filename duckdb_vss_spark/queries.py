@@ -228,66 +228,90 @@ _EXTRA_ORACLES: dict[str, str] = {}
 # q_stream_dedup_store (q_stream_curation), q_stream_session_windows
 # (q_sessionize_events), q_corpus_diff (q_fingerprint),
 # q_weighted_sample (q_temperature_mix r15).
+# Rotated out: the full r15 window (fresh r15/r16 evidence, driver-green
+# 50/50 in r16).
+# Round-17 composition (VERDICT r16 #8 — seat the 15 r13-evidence rows
+# named above, the builder's own first-in-line list). The r17 audit
+# re-measured every row's age from CORRECTNESS_r01..r16 directly:
+# exactly the 15 named rows at r13, then 50 each at r14/r15/r16 —
+# matching the r16 ledger. This window seats all 15 + 35 of the 50
+# r14-evidence rows (r17-touched paths first: the dedup_clusters
+# contraction rewrite, the embedding_neardup_lsh adjudication, the
+# delete/add maintenance paths, and the quantized knn_join family).
+# The 15 r14 rows left behind (first in line for r18, each with a
+# seated same-code-path sibling): q03_shipping_priority +
+# q05_local_supplier_volume + q16_parts_supplier (TPC-H shapes —
+# q02/q06/q08/q12/q21 + q04/q11 r15/16 seats), q_chunk_docs
+# (q_pack_sequences r15), q_doc_oov_rate (q_vocab_topk seated now),
+# q_event_percentiles (q_moving_window_sum seated now),
+# q_hash_sample (q_stratified_sample seated now),
+# q_hnsw_knn_filtered_empty (q_hnsw_knn_filtered r15 + q_hnsw_knn
+# seated now), q_interval_join (q_stream_interval_join seated now),
+# q_lang_quality (q_lang_id/q_quality_score r16), q_media_frame_sample
+# (q_media_video_probe r16), q_media_resize (q_media_jpeg_pipeline
+# r16), q_normalize_text (q_text_stats seated now), q_pivot_events +
+# q_rollup_revenue (q_cube_events/q_unpivot_events r16).
 _DECLARED: list[str] = [
-    # 1. the 15 judge-named stale rows (VERDICT r15 #1 — the LAST rows
-    #    whose driver evidence predates r13; my r16 audit of
-    #    CORRECTNESS_r01..r15 confirms exactly these: 12 at r8, 3 at r9)
-    "q_stream_matview_restart",
-    "q_dup_coverage",
-    "q_dedup_keep",
-    "q_sql_metric_rewrite",
-    "q_knn_l2",
-    "q_ngram_jaccard",
-    "q_cube_events",
-    "q_funnel",
-    "q_string_agg",
-    "q_unpivot_events",
-    "q_hash_embed",
-    "q_zorder_key",
-    "q_knn_grid",
-    "q_media_features_shape",
-    "q_media_video_probe",
-    # 2. r16-touched paths (all r13 evidence): q_zorder_key above also
-    #    carries the new top-bits domain interleave; these carry the
-    #    vss_match single-pass shape, the broadcast null-window fix,
-    #    the arrow_udf distance registration (every SQL-routed row),
-    #    and the shared-builder/LSM-trigger artifact changes
-    "q_vss_match_stats",
-    "q_knn_classify",
-    "q_knn_join_grouped",
-    "q_sql_ext_topk",
-    "q_sql_minby_topk",
-    "q_sql_quantized_topk",
-    "q_sql_quantized_lateral_fallback",
-    "q_sql_bq_route_topk",
-    "q_hnsw_delete_batch",
-    "q_pq_delete_batch",
-    "q_stream_index_add",
-    # 3. the rest of the r13-evidence tranche (oldest remaining)
-    "q06_forecast_revenue",
-    "q08_market_share",
-    "q12_late_priority",
-    "q21_waiting_suppliers",
-    "q_asof_join",
-    "q_bq_knn",
-    "q_curation_e2e",
-    "q_df_api_topk",
-    "q_embedding_neardup_lsh",
-    "q_fingerprint",
-    "q_hnsw_index_info",
-    "q_hnsw_self_consistency",
-    "q_hybrid_rrf",
-    "q_lang_id",
-    "q_media_jpeg_pipeline",
-    "q_mmr_rerank",
-    "q_perplexity_filter",
-    "q_pq_knn_join",
-    "q_quality_score",
-    "q_semantic_doc_search",
-    "q_sessionize_events",
-    "q_simhash",
-    "q_stream_curation",
-    "q_stream_knn_serve",
+    # 1. the 15 r13-evidence rows (VERDICT r16 #8 — the oldest driver
+    #    evidence in the registry; the r17 audit of CORRECTNESS_r01..r16
+    #    confirms exactly these 15 at r13)
+    "q02_min_cost_supplier",
+    "q_knn_cosine",
+    "q_bm25_topk",
+    "q_minhash_signature",
+    "q_dedup_keep_best",
+    "q_incremental_dedup_keep",
+    "q_sql_quantized_minby",
+    "q_sql_ivfpq_route_topk",
+    "q_ivf_knn_join",
+    "q_sq_knn",
+    "q_media_audio_energy",
+    "q_stream_dedup_store",
+    "q_stream_session_windows",
+    "q_corpus_diff",
+    "q_weighted_sample",
+    # 2. r17-touched paths (all r14 evidence): the dedup_clusters
+    #    contraction loop (q_dedup_clusters, q_incremental_dedup), the
+    #    embedding near-dup family under adjudication
+    #    (q_embedding_neardup), the index-maintenance cold paths
+    #    (q_hnsw_add_batch, q_stream_index_delete), and the quantized
+    #    knn_join family (broadcast-shortlist seam)
+    "q_dedup_clusters",
+    "q_incremental_dedup",
+    "q_embedding_neardup",
+    "q_hnsw_add_batch",
+    "q_stream_index_delete",
+    "q_bq_knn_join",
+    "q_ivfpq_knn_join",
+    "q_ivfsq_knn_join",
+    "q_hnsw_knn_join",
+    "q_pq_knn",
+    "q_ivfpq_knn",
+    "q_ivfsq_knn",
+    "q_hnsw_knn",
+    "q_simhash_pairs",
+    "q_image_phash_dedup",
+    # 3. the rest of the r14-evidence tranche (oldest remaining)
+    "q_contamination",
+    "q_kmeans",
+    "q_kmv_distinct",
+    "q_knn_inner_product",
+    "q_mix_budget",
+    "q_moving_window_sum",
+    "q_pca_power",
+    "q_pii_scrub",
+    "q_random_projection",
+    "q_repetition_stats",
+    "q_shuffle_shards",
+    "q_source_cap",
+    "q_sql_ddl_cycle",
+    "q_sql_dml_cycle",
+    "q_sql_maxby_topk",
+    "q_stratified_sample",
+    "q_stream_interval_join",
+    "q_stream_static_join",
+    "q_text_stats",
+    "q_vocab_topk",
 ]
 
 
