@@ -834,10 +834,16 @@ def dedup_clusters(
     later round runs on the geometrically-shrinking remainder (the old
     form re-joined the FULL edge list against labels every round —
     measured at sf0.1: 7 rounds × 1.08 M edges). One shortcut hop
-    (map composed with itself) halves chain diameters per round like
-    the oracle's ``lab(lab(id))`` step. Convergence = the contracted
-    graph is EMPTY (every component is one super-node) — no separate
-    changed-count join. ``max_iters`` still guards adversarial chains.
+    (map composed with itself ONCE per round — r17 dropped the r16
+    pointer-doubling fixpoint and its per-composition moved-probe jobs;
+    partial shortcutting is handled by the next outer round, which uses
+    the same map for relabeling and final composition) halves chain
+    diameters per round like the oracle's ``lab(lab(id))`` step.
+    Convergence = the round's min-map is EMPTY (⇔ the contracted graph
+    is empty — it is symmetric, so any surviving edge gives its larger
+    endpoint a smaller neighbor); the probe doubles as the old
+    top-of-loop emptiness job. ``max_iters`` still guards adversarial
+    chains.
     Only ids appearing in some pair are returned (singletons are
     trivially their own cluster); labels are component minima, exactly
     as before — the component min never maps (no smaller neighbor
@@ -855,20 +861,21 @@ def dedup_clusters(
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
     )
-    # m: original id -> current super-node (label); g: edges between
+    # m: original id -> current super-node (label), LAZY — it feeds
+    # nothing inside the loop and its one distinct over the checkpointed
+    # edge list runs when the caller acts on the result (r17: the r16
+    # eager checkpoint here was a pure extra action); g: edges between
     # current super-nodes (vertex id == label by construction). The
     # per-round (v -> smaller v) maps are collected and composed into m
     # LAZILY after convergence — m feeds nothing inside the loop, and
     # each map is already checkpointed, so deferring saves one
     # materialization job per round.
-    m = _materialize(
+    m = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("lab", F.col("id"))
     )
     round_maps = []
     g = edges.where(F.col("src") != F.col("dst"))
     for _ in range(max_iters):
-        if g.isEmpty():
-            break
         # min round in label space: v -> min neighbor, kept only when
         # strictly smaller (the component min keeps identity)
         step = (
@@ -879,14 +886,54 @@ def dedup_clusters(
         )
         # pointer-double the round's (v -> smaller v) forest to its
         # roots (the oracle's lab(lab(id)) jump, iterated to fixpoint):
-        # each composition halves every chain's depth, so this inner
-        # loop runs log2(depth) times over a table of AT MOST the
-        # current vertex count — dense near-dup graphs are idempotent
-        # after one composition, adversarial chains take ~6 tiny jobs
-        # instead of ~depth outer rounds over the edge list
-        step = _materialize(step)
+        # each composition halves the FOREST depth, so chains resolve in
+        # O(log d) compositions and dense near-dup graphs (the actual
+        # corpus shape — step already maps straight to the clique min)
+        # are idempotent after one. r17 trims the loop's job floor
+        # (guide §2.4, VERDICT r16 #4) two ways, semantics untouched:
+        # (a) the first composition runs UNPROBED off the un-checkpointed
+        #     step — its aggregate subtree is deduped by ReuseExchange
+        #     inside the one materialization job, so the r16 standalone
+        #     mat(step) action is gone;
+        # (b) its emptiness probe doubles as the round's convergence
+        #     check (g empty <=> no vertex has a strictly-smaller
+        #     neighbor <=> step empty, since g stays symmetric), so the
+        #     r16 top-of-loop g.isEmpty() action is gone too.
+        # Dense rounds: 3 actions (compose+checkpoint, probe, relabel)
+        # vs r16's 5; chains keep the fixpoint and its per-composition
+        # moved-probe (the probe scans a checkpointed tiny map — the
+        # composition that found nothing to move proves the fixpoint).
+        step = _materialize(
+            step.alias("a")
+            .join(
+                step.select(
+                    F.col("v").alias("nv"), F.col("nm").alias("nnm")
+                ).alias("b"),
+                F.col("a.nm") == F.col("nv"),
+                "left",
+            )
+            .select(
+                F.col("a.v").alias("v"),
+                F.coalesce("nnm", "a.nm").alias("nm"),
+                (F.col("nnm").isNotNull()).alias("__moved"),
+            )
+        )
+        # ONE probe action reads both "is the round empty" (outer
+        # convergence) and "did the composition move anything" (inner
+        # fixpoint) off the checkpointed map — r16 paid two separate
+        # isEmpty actions for these.
+        n_rows, n_moved = step.agg(
+            F.count(F.lit(1)), F.sum(F.col("__moved").cast("int"))
+        ).first()
+        if not n_rows:
+            break
+        # bounded like r16's inner loop; a partial shortcut on exit is
+        # still CORRECT (the relabeled graph and the final composition
+        # use the same map — the next outer round finishes the chain)
         for _ in range(max_iters):
-            nxt = _materialize(
+            if not n_moved:
+                break
+            step = _materialize(
                 step.alias("a")
                 .join(
                     step.select(
@@ -901,12 +948,10 @@ def dedup_clusters(
                     (F.col("nnm").isNotNull()).alias("__moved"),
                 )
             )
-            moved = not nxt.where(F.col("__moved")).isEmpty()
-            step = nxt.select("v", "nm")
-            if not moved:
-                break
-        src_map = step.select(F.col("v").alias("src"), F.col("nm").alias("nsrc"))
-        dst_map = step.select(F.col("v").alias("dst"), F.col("nm").alias("ndst"))
+            n_moved = step.agg(F.sum(F.col("__moved").cast("int"))).first()[0]
+        composed = step.select("v", "nm")
+        src_map = composed.select(F.col("v").alias("src"), F.col("nm").alias("nsrc"))
+        dst_map = composed.select(F.col("v").alias("dst"), F.col("nm").alias("ndst"))
         g = _materialize(
             g.join(src_map, "src", "left")
             .join(dst_map, "dst", "left")
@@ -917,7 +962,7 @@ def dedup_clusters(
             .where(F.col("src") != F.col("dst"))
             .distinct()
         )
-        round_maps.append(step)
+        round_maps.append(composed)
     else:
         # review r15: silently returning truncated labels would make
         # dedup_keep under-delete with zero signal — a component of

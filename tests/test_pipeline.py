@@ -815,6 +815,30 @@ def test_dedup_clusters_contraction_differential(spark):
     assert got == {1: 1, 2: 1}
 
 
+def test_dedup_clusters_job_floor(spark):
+    """r17 (guide §2.4): a dense round runs 3 actions (composed-map
+    checkpoint whose emptiness probe doubles as convergence check +
+    moved-probe + relabeled-graph checkpoint) — the r16 loop paid 5
+    (separate g.isEmpty, standalone step checkpoint, two probes). AQE
+    materializes each shuffle stage as its own Spark job (~2-3 per
+    action here), so the budget is on OBSERVED jobs: a clique converges
+    in one contraction round, measured 16 jobs end-to-end on this shape
+    (r16 code: 21); 18 allows AQE headroom. Catches reintroduction of
+    per-round bookkeeping actions, not exact counts."""
+    from duckdb_vss_spark.pipeline.dedup import dedup_clusters
+
+    clique = spark.createDataFrame(
+        [(i, j) for i in range(6) for j in range(i + 1, 6)],
+        "id_a long, id_b long",
+    )
+    st = spark.sparkContext.statusTracker()
+    before = set(st.getJobIdsForGroup())
+    got = {r["id"]: r["cluster_id"] for r in dedup_clusters(clique).collect()}
+    n_jobs = len(set(st.getJobIdsForGroup()) - before)
+    assert got == {i: 0 for i in range(6)}
+    assert n_jobs <= 18, f"dedup_clusters(clique) ran {n_jobs} jobs (budget 18)"
+
+
 def test_profile_numeric_stats_and_nulls(spark):
     from duckdb_vss_spark.pipeline.profile import profile_numeric
 
