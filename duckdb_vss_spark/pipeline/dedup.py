@@ -24,6 +24,8 @@ DuckDB oracle can reproduce signatures byte-for-byte.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -675,6 +677,124 @@ def simhash_pairs(
 # embedding cosine near-dup
 # --------------------------------------------------------------------------
 
+def _neardup_pairs_kernel(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float, n_rows: int
+) -> DataFrame | None:
+    """Vectorized exact all-pairs cosine (r17, guide §4.2): the build
+    side is collected under a byte gate and broadcast; each probe task
+    scores its Arrow batches against the whole matrix with the
+    fold-order-exact REPLAY of the ``array_cosine_similarity`` Column
+    tree (cast→per-dim sequential 0.0-seeded fold→sqrt→÷ with the
+    -1.0 zero/NaN-denominator pin — the ivf._replay_distance
+    discipline, never a BLAS dot whose summation order differs), so
+    every emitted cos_sim is bit-identical to the crossjoin path the
+    oracle hashes. Replaces ~n² interpreted HOF evaluations (Spark
+    runs higher-order array lambdas without codegen) with d
+    vectorized passes; measured 225 s → sub-second at sf0.1 (2000×64).
+
+    Returns None — caller keeps the quadratic Column path — when the
+    corpus exceeds ``spark.vss.neardup_broadcast_max_bytes`` (default
+    64 MB, 0 disables the kernel), ids are not LongType (the output
+    schema must match the crossjoin's exactly), or threshold ≤ -1.0
+    (the only value where the SQL NULL-propagation of element-null
+    vectors and the kernel's NaN arithmetic could diverge)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import LongType
+
+    if threshold <= -1.0:
+        return None
+    if not isinstance(df.schema[id_col].dataType, LongType):
+        return None
+    spark = df.sparkSession
+    try:
+        budget = int(
+            spark.conf.get("spark.vss.neardup_broadcast_max_bytes", str(64 << 20))
+        )
+    except Exception:  # noqa: BLE001 — conf surface moved
+        budget = 64 << 20
+    if budget <= 0:
+        return None
+    probe = (
+        df.where(F.col(vec_col).isNotNull()).select(F.size(vec_col)).first()
+    )
+    if probe is None:
+        return None  # all-NULL/empty corpus: the crossjoin path is free
+    dims = int(probe[0])
+    if n_rows * dims * 8 > budget:
+        return None
+    rows = (
+        df.where(F.col(vec_col).isNotNull()).select(id_col, vec_col).collect()
+    )
+    if any(len(r[1]) != dims for r in rows):
+        raise ValueError(
+            "array_cosine_similarity: array size mismatch; all vectors "
+            "must have the same number of elements"
+        )
+    ids_b = np.asarray([r[0] for r in rows], dtype=np.int64)
+    # collect() already materialized each float32 element as its exact
+    # float64 value — the same per-element widening as the SQL
+    # cast(array<float> as array<double>)
+    bmat = np.asarray([r[1] for r in rows], dtype=np.float64)
+    nb = np.zeros(len(rows))
+    for i in range(dims):
+        nb = nb + bmat[:, i] * bmat[:, i]
+    nb = np.sqrt(nb)
+    bc = spark.sparkContext.broadcast((ids_b, bmat, nb))
+    th = float(threshold)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_r, B, nb_r = bc.value
+        m = len(ids_r)
+        # chunk so the (chunk, m) f64 pair matrices stay ~64 MB
+        chunk = max(1, (8 << 20) // max(m, 1))
+        for pdf in batches:
+            vecs = pdf[vec_col]
+            mask = vecs.notna().to_numpy()
+            if not mask.any():
+                continue
+            A_all = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in vecs[mask]]
+            )
+            ids_a_all = pdf[id_col].to_numpy()[mask].astype(np.int64)
+            for s in range(0, len(ids_a_all), chunk):
+                A = A_all[s : s + chunk]
+                ids_a = ids_a_all[s : s + chunk]
+                dot = np.zeros((len(ids_a), m))
+                na = np.zeros(len(ids_a))
+                for i in range(dims):
+                    dot = dot + A[:, i, None] * B[None, :, i]
+                    na = na + A[:, i] * A[:, i]
+                na = np.sqrt(na)
+                denom = na[:, None] * nb_r[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sim = np.where(
+                        np.isnan(denom) | (denom == 0.0), -1.0, dot / denom
+                    )
+                # Spark orders NaN above every double, so `sim >= th`
+                # is TRUE for NaN similarities (Inf-element vectors)
+                keep = (ids_a[:, None] < ids_r[None, :]) & (
+                    (sim >= th) | np.isnan(sim)
+                )
+                if keep.any():
+                    ai, bi = np.nonzero(keep)
+                    yield pd.DataFrame(
+                        {
+                            "id_a": ids_a[ai],
+                            "id_b": ids_r[bi],
+                            "cos_sim": sim[ai, bi],
+                        }
+                    )
+
+    return (
+        _spread(df)
+        .where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), F.col(vec_col))
+        .mapInPandas(score, schema="id_a long, id_b long, cos_sim double")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str,
@@ -687,18 +807,25 @@ def embedding_neardup_pairs(
     scale. Guarded (VERDICT r7/r8/r9): refuses corpora past
     ``max_rows`` (one count job) with a pointer to
     ``embedding_neardup_lsh`` — 10⁸ rows would be 10¹⁶ pairs; pass
-    ``max_rows=None`` to waive deliberately."""
+    ``max_rows=None`` to waive deliberately. Bounded corpora run the
+    broadcast Arrow kernel (``_neardup_pairs_kernel``, bit-identical
+    replay of the Column tree); the waiver — and any gate miss — keeps
+    the distributed crossjoin."""
     if max_rows is not None:
         # bounded probe (review r10): limit(max_rows+1).count() scans at
         # most max_rows+1 rows to make the decision — a full count()
         # would execute the entire upstream plan just to refuse it
-        if df.limit(max_rows + 1).count() > max_rows:
+        n_rows = df.limit(max_rows + 1).count()
+        if n_rows > max_rows:
             raise ValueError(
                 f"embedding_neardup_pairs is O(n²) and df has more than "
                 f"max_rows={max_rows} rows; use embedding_neardup_lsh at "
                 "scale, or pass max_rows=None to run the quadratic path "
                 "deliberately"
             )
+        fast = _neardup_pairs_kernel(df, vec_col, id_col, threshold, n_rows)
+        if fast is not None:
+            return fast
     # spread the probe side: a small parquet arrives as one split, which
     # would run the whole quadratic loop on a single core; the build side
     # broadcasts either way.

@@ -999,6 +999,55 @@ def test_embedding_neardup_pairs_quadratic_guard(spark):
     )
 
 
+def test_embedding_neardup_pairs_kernel_differential(spark):
+    """r17: the gated broadcast Arrow kernel must be BIT-identical to
+    the crossjoin Column path — every (id_a, id_b) pair AND every
+    float64 cos_sim bit pattern — on the shapes that stress the replay:
+    duplicate vectors (sim exactly 1.0), zero vectors (the -1.0
+    denominator pin), near-threshold values, and a seeded random
+    corpus. The waiver (max_rows=None) and a zeroed byte gate must keep
+    the crossjoin plan (no MapInPandas / no broadcast collect)."""
+    import struct
+
+    import numpy as np
+
+    from duckdb_vss_spark.pipeline.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((60, 16)).astype(np.float32)
+    vecs[7] = vecs[3]              # exact duplicate
+    vecs[11] = 0.0                 # zero vector -> -1.0 sim everywhere
+    vecs[13] = vecs[5] * 1.0001    # near-duplicate
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(60)]
+    rows.append((60, None))        # NULL vector never pairs
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def keyed(out):
+        return {
+            (r["id_a"], r["id_b"]): struct.pack("<d", r["cos_sim"])
+            for r in out.collect()
+        }
+
+    fast = embedding_neardup_pairs(df, "embedding", "vec_id", threshold=0.3)
+    slow = embedding_neardup_pairs(
+        df, "embedding", "vec_id", threshold=0.3, max_rows=None
+    )
+    fast_plan = fast._jdf.queryExecution().executedPlan().toString()
+    slow_plan = slow._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in fast_plan
+    assert "MapInPandas" not in slow_plan
+    got_f, got_s = keyed(fast), keyed(slow)
+    assert got_f == got_s and len(got_f) > 0
+    # gate off -> crossjoin plan even under the row cap
+    spark.conf.set("spark.vss.neardup_broadcast_max_bytes", "0")
+    try:
+        gated = embedding_neardup_pairs(df, "embedding", "vec_id", threshold=0.3)
+        assert "MapInPandas" not in gated._jdf.queryExecution().executedPlan().toString()
+        assert keyed(gated) == got_f
+    finally:
+        spark.conf.unset("spark.vss.neardup_broadcast_max_bytes")
+
+
 def test_normalize_text_casefold_mode(spark):
     """VERDICT r11 #7: lowercase=True is simple F.lower (oracle-exact vs
     DuckDB lower()); casefold=True opts into full Unicode folding inside
