@@ -29,6 +29,32 @@ from duckdb_vss_spark.pipeline import embedding_neardup_lsh  # noqa: E402
 from duckdb_vss_spark.sources import load_table  # noqa: E402
 
 
+_letters = "abcdefghijklmnopqrstuvwxyz"
+_digits = "0123456789"
+src_alpha = _letters + _digits
+_mults26 = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
+_mults10 = [1, 3, 7, 9]
+
+
+def _replica_perm(alpha, mults, i):
+    # affine permutation j -> m*j + s (mod |alpha|); identity at i=0.
+    # Distinct (m, s) pairs give distinct permutations, and two
+    # distinct affine maps agree on <= gcd(m1-m2, |alpha|) chars, so
+    # cross-replica shingles essentially never collide — a plain
+    # Caesar shift has period |alpha| and made replicas i and i+26
+    # near-identical under letter-only shingles at reps=32.
+    m = mults[i % len(mults)]
+    s = i // len(mults)
+    n = len(alpha)
+    return "".join(alpha[(m * j + s) % n] for j in range(n))
+
+
+def _replica_rot(i):
+    if i >= 312:
+        raise ValueError("replica mapping distinct only for reps < 312")
+    return _replica_perm(_letters, _mults26, i) + _replica_perm(_digits, _mults10, i)
+
+
 def scale_curves(
     spark,
     sf_dir: str,
@@ -90,29 +116,7 @@ def scale_curves(
             else:
                 raise
 
-    letters = "abcdefghijklmnopqrstuvwxyz"
-    digits = "0123456789"
-    src_alpha = letters + digits
-
-    def _perm(alpha, mults, i):
-        # affine permutation j -> m*j + s (mod |alpha|); identity at i=0.
-        # Distinct (m, s) pairs give distinct permutations, and two
-        # distinct affine maps agree on <= gcd(m1-m2, |alpha|) chars, so
-        # cross-replica shingles essentially never collide — a plain
-        # Caesar shift has period |alpha| and made replicas i and i+26
-        # near-identical under letter-only shingles at reps=32.
-        m = mults[i % len(mults)]
-        s = i // len(mults)
-        n = len(alpha)
-        return "".join(alpha[(m * j + s) % n] for j in range(n))
-
-    _mults26 = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
-    _mults10 = [1, 3, 7, 9]
-
-    def _rot(i):
-        if i >= 312:
-            raise ValueError("replica mapping distinct only for reps < 312")
-        return _perm(letters, _mults26, i) + _perm(digits, _mults10, i)
+    _rot = _replica_rot
 
     # ---- text corpus union (shared by minhash / contamination / spans)
     big = None
@@ -1249,6 +1253,110 @@ def main() -> None:
     if emb is not None:
         section("recall", _recall_section)
 
+    # -- multi-row-group scale point (VERDICT r16 #3) ----------------------
+    # Every sf0.1 base table is ONE parquet file with ONE row group, so
+    # every scan in the 90-row suite is a 1-task stage and the driver's
+    # 8c-vs-32c ratios read ~1 by DATA SHAPE, not engine posture. Worse,
+    # the per-copy compute at sf0.1 is milliseconds once vectorized, so
+    # even a 32-file copy of the 1x table stays scheduling-bound. This
+    # section therefore writes x8-REPLICATED 32-file copies of the heavy
+    # rows' inputs under /tmp — bench-time data prep from the SAME
+    # parquet inputs (no result reuse: every timed row still computes
+    # its full query from the written parquet) — and times the
+    # UNCHANGED query functions against the copy dir. Replication
+    # honesty: documents get the scale8 affine alphabet permutation so
+    # pair volume grows ~linearly (the r7 lesson); lineitem/embeddings
+    # replicate as-is because their shapes here (aggregate, kmeans,
+    # bm25+topk fusion) are linear in rows — no pair semantics.
+    # embedding_neardup_lsh is deliberately NOT given an mrg row:
+    # identical replicated vectors pair quadratically across replicas
+    # and no cheap jitter preserves cosine structure honestly.
+    # Recorded in a separate "scale_mrg" payload section (not
+    # "queries") so the headline total stays comparable round-over-
+    # round. spark.sql.files.minPartitionNum is pinned to the file
+    # count for this section only and restored: at 100 TB the files are
+    # >=128 MB each and the DEFAULT split config yields the same
+    # per-file parallelism this emulates at toy scale.
+    mrg: dict[str, float] = {}
+
+    def _mrg_section():
+        import shutil as _sh
+        from functools import reduce as _reduce
+
+        mrg_dir = "/tmp/bench_mrg32"
+        n_files = 32
+        reps = int(os.environ.get("SPARK_GRAFT_MRG_REPS", "8"))
+        _sh.rmtree(mrg_dir, ignore_errors=True)
+        li = load_table(spark, sf_dir, "lineitem")
+        _reduce(lambda a, b: a.unionByName(b), [li] * reps).repartition(
+            n_files
+        ).write.parquet(os.path.join(mrg_dir, "lineitem.parquet"))
+        docs = load_table(spark, sf_dir, "documents")
+        _reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                docs.select(
+                    (F.col("doc_id") + i * 100_000_000).alias("doc_id"),
+                    (
+                        F.col("text")
+                        if i == 0
+                        else F.translate(F.col("text"), src_alpha, _replica_rot(i))
+                    ).alias("text"),
+                    *[c for c in docs.columns if c not in ("doc_id", "text")],
+                )
+                for i in range(reps)
+            ],
+        ).repartition(n_files).write.parquet(os.path.join(mrg_dir, "documents.parquet"))
+        emb_base = load_table(spark, sf_dir, "embeddings")
+        _reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                emb_base.select(
+                    (F.col("vec_id") + i * 100_000_000).alias("vec_id"),
+                    *[c for c in emb_base.columns if c != "vec_id"],
+                )
+                for i in range(reps)
+            ],
+        ).repartition(n_files).write.parquet(os.path.join(mrg_dir, "embeddings.parquet"))
+        saved = {
+            k: spark.conf.get(k, None)
+            for k in ("spark.sql.files.minPartitionNum",)
+        }
+        spark.conf.set("spark.sql.files.minPartitionNum", str(n_files))
+        try:
+            def timedm(name, fn, runs=3):
+                key = f"{name}_mrg{n_files}x{reps}"
+                best = None
+                for i in range(runs):
+                    t0 = time.time()
+                    try:
+                        fn()
+                    except Exception as e:  # noqa: BLE001 — isolate faults
+                        errors[key] = f"{type(e).__name__}: {e}"[:400]
+                        return
+                    dt = round(time.time() - t0, 3)
+                    if i == 0:
+                        mrg[f"{key}_cold"] = dt
+                    best = dt if best is None else min(best, dt)
+                mrg[key] = best
+
+            for name in (
+                "q01_pricing_summary",
+                "q_minhash_lsh",
+                "q_kmeans",
+                "q_hybrid_rrf",
+            ):
+                timedm(name, lambda n=name: qfns[n](spark, mrg_dir).count())
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+            _sh.rmtree(mrg_dir, ignore_errors=True)
+
+    section("scale_mrg", _mrg_section)
+
     # -- scaleN: heavy shapes at N x the data (VERDICT r5 #6) --------------
     # Shows the scaling curve as the workload outgrows Spark's ~0.3-1.0s
     # local job floor. Default reps=8 (driver path); set
@@ -1295,6 +1403,8 @@ def main() -> None:
     }
     if recall:
         out["recall"] = recall
+    if mrg:
+        out["scale_mrg"] = mrg
     if scale8:
         out["scale8"] = scale8
     if errors:
@@ -1369,7 +1479,7 @@ def main() -> None:
     compact["queries"] = {k: timings[k] for k in headline if k in timings}
     while len(json.dumps(compact)) > budget and compact["queries"]:
         compact["queries"].popitem()
-    for key, extra in (("recall", recall), ("scale8", scale8)):
+    for key, extra in (("recall", recall), ("scale_mrg", mrg), ("scale8", scale8)):
         if not extra:
             continue
         if len(json.dumps({**compact, key: extra})) <= budget:
